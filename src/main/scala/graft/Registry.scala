@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine query: the Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) the equivalent DuckDB oracle SQL the
+  * driver replays on the same parquet tables.
+  *
+  * Oracle-parity rules used throughout (keep results bit-identical between
+  * Spark and DuckDB so the driver's value hash matches):
+  *   - Alias every computed column identically on both sides.
+  *   - Double SUM/AVG go through an exact DECIMAL accumulator:
+  *     `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)` — per-value rounding
+  *     is deterministic, the sum is exact (order-independent), and the final
+  *     double is identical on both engines. A raw double SUM is
+  *     order-dependent and WILL eventually hash-mismatch.
+  *   - Deterministic top-k: ORDER BY always ends in a unique key.
+  *   - MIN_BY/MAX_BY (DuckDB arg_min/arg_max) only over unique order keys.
+  */
+final case class QuerySpec(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    benchmark: Boolean = true)
+
+object Registry {
+  /** All registered queries, in SURVEY.md §2 inventory order. */
+  def all: Seq[QuerySpec] =
+    ReferenceQueries.specs ++ RelationalQueries.specs ++ ExtensionQueries.specs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

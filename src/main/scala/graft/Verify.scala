@@ -12,13 +12,27 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Write timestamps as INT64 micros (not INT96) so the driver's DuckDB
+      // read of our result parquet sees the same type/values as its oracle.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // Normalize tz-aware timestamps to NTZ at the output boundary:
+        // session tz is UTC, so the wall-clock values are unchanged, but
+        // DuckDB then reads plain TIMESTAMP — the type its oracle produces.
+        val df = fn(spark, sfDir)
+        val cols = df.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(org.apache.spark.sql.types.TimestampNTZType).as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }
+        df.select(cols.toIndexedSeq: _*).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
