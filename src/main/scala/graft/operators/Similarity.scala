@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `ArrayType(FloatType)` embedding column.
+  *
+  * All arithmetic is cross-engine-exact: float→double casts are lossless,
+  * per-element products are IEEE-deterministic, and every reduction goes
+  * through the floor-scaled-long trick (round each product to 1e-6, sum
+  * exact integers) so accumulation order never matters. Scores are then
+  * bit-identical between Spark and the DuckDB oracle, which makes the
+  * top-k ranking itself deterministic.
+  *
+  * Scale design (100 TB stance):
+  *   - Brute force: the query set is broadcast; the corpus is scanned once,
+  *     embarrassingly parallel, with no shuffle of corpus rows. The only
+  *     exchange is the per-query top-k, and the `rn <= k` filter triggers
+  *     Spark's WindowGroupLimit pushdown: each partition keeps at most k
+  *     rows per query before the shuffle.
+  *   - LSH-bucketed: a deterministic sign-random-projection (hyperplane
+  *     components ±1 derived from md5(bit:dim)) maps every vector to one of
+  *     2^bits buckets at scan time. Queries probe only their own bucket —
+  *     the candidate join is an equi-join on bucket id, pruning the corpus
+  *     by ~2^bits before any distance math. This is the IVF/LSH shape:
+  *     partition the corpus by cell, route queries to cells.
+  */
+object Similarity {
+
+  /** Exact scaled-integer squared-norm of an array<double> expression. */
+  private def normSum(arr: String): String =
+    s"aggregate(transform($arr, x -> cast(floor(x*x*1e6 + 0.5) as bigint))," +
+      " cast(0 as bigint), (a, x) -> a + x)"
+
+  private def vecs(emb: DataFrame): DataFrame =
+    emb.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+
+  private def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("nrm", expr(normSum("v")))
+
+  /** Brute-force cosine top-k: every query (vec_id < nQueries) against the
+    * whole corpus. The baseline every ANN variant is checked against.
+    */
+  def cosineTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val e = withNorm(vecs(emb))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, v, (x, y) -> cast(floor(x*y*1e6 + 0.5) as bigint))," +
+          " cast(0 as bigint), (a, x) -> a + x)"))
+      .withColumn("score",
+        col("dot").cast("double") /
+          sqrt(col("qnrm").cast("double") * col("nrm").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("score"), asc("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+  }
+
+  /** Deterministic sign-LSH bucket id per vector: bit j of the bucket is the
+    * sign of Σ_i c(j,i)·x_i where c(j,i) = ±1 from the high bit of the first
+    * hex digit of md5(j:i). Vectors are floor-scaled once so the projection
+    * sum is exact integer arithmetic.
+    */
+  def lshBuckets(emb: DataFrame, bits: Int = 6): DataFrame =
+    vecs(emb)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("i"),
+        floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("xs"),
+        explode(expr(s"sequence(0, ${bits - 1})")).as("j"))
+      .select(col("vec_id"), col("j"),
+        when(md5(concat(col("j").cast("string"), lit(":"), col("i").cast("string")))
+          .substr(1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+          col("xs")).otherwise(-col("xs")).as("contrib"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("contrib")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") > 0,
+        pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("bucket"))
+
+  /** LSH-bucketed ANN: queries probe only their own bucket, exact cosine
+    * rank within. Returns (qid, vec_id, score, rn) like [[cosineTopK]] —
+    * recall vs the brute-force baseline is the quality metric.
+    */
+  def annLsh(emb: DataFrame, nQueries: Int = 8, k: Int = 10, bits: Int = 6): DataFrame = {
+    val e = withNorm(vecs(emb)).join(lshBuckets(emb, bits), "vec_id")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val scored = e.join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, v, (x, y) -> cast(floor(x*y*1e6 + 0.5) as bigint))," +
+          " cast(0 as bigint), (a, x) -> a + x)"))
+      .withColumn("score",
+        col("dot").cast("double") /
+          sqrt(col("qnrm").cast("double") * col("nrm").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("score"), asc("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, language ID, BPE-ish token counting, fingerprinting.
+  *
+  * Everything is a per-row projection (plus at most one per-doc explode /
+  * re-aggregate) — embarrassingly parallel, no cross-document traffic, so
+  * it scales linearly with input splits. All ratios are exact-integer
+  * numerators/denominators divided once at the end (IEEE-deterministic for
+  * the DuckDB oracle).
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "ich")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que")
+
+  private def hits(words: Seq[String]): org.apache.spark.sql.Column =
+    expr(s"size(filter(toks, w -> w IN (${words.map(w => s"'$w'").mkString(",")})))")
+
+  /** Per-document token statistics + a composite quality score.
+    * score = 0.4·stopword_ratio + 0.3·alpha_ratio + 0.3·min(n_tokens,100)/100
+    * — a standard cheap-heuristics quality gate (length, punctuation,
+    * stopword density), all exact-arithmetic.
+    */
+  def qualityStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        Dedup.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        hits(stopEn).as("n_stop"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_alpha"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("alpha_ratio",
+        col("n_alpha").cast("double") / col("n_chars").cast("double"))
+      .withColumn("quality_score",
+        lit(0.4) * col("stop_ratio") + lit(0.3) * col("alpha_ratio") +
+          lit(0.3) * (least(col("n_tokens"), lit(100)).cast("double") / lit(100.0)))
+
+  /** N-gram-heuristic language ID: count stopword hits per candidate
+    * language; argmax with deterministic (hit-count desc, language asc)
+    * tiebreak; 'und' (undetermined) when nothing hits.
+    */
+  def langId(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        hits(stopEn).as("en_hits"), hits(stopDe).as("de_hits"),
+        hits(stopFr).as("fr_hits"))
+      .withColumn("lang_pred",
+        when(greatest(col("en_hits"), col("de_hits"), col("fr_hits")) === 0, "und")
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+
+  /** BPE-ish token count: words and standalone punctuation each count as
+    * one token (`\w+|[^\w\s]`) — the usual cheap proxy for LLM token cost.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_words"),
+      size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).as("n_bpeish"))
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text —
+    * the exact-dup key for content-defined dedup across shards.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+}
