@@ -1,10 +1,354 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TimeSeries}
+
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
-  * similarity search, text analysis, multimodal columns. Filled in
-  * incrementally; each operator lives in graft.operators.* and is
-  * registered here with its DuckDB oracle.
+  * similarity search, text analysis, time series, multimodal columns.
+  * Implementations live in graft.operators.*; this file registers each one
+  * with its DuckDB oracle.
+  *
+  * Oracle notes (DuckDB v1.0 specifics, verified against the driver's
+  * compare semantics):
+  *   - SUM(BIGINT) is HUGEINT in DuckDB → every exposed sum is wrapped in
+  *     CAST(... AS BIGINT)/(AS DOUBLE) to match Spark's LongType/DoubleType.
+  *   - generate_series is not lateral-joinable on column bounds → per-list
+  *     iteration uses `unnest(list_transform(range(...), ...))` or aligned
+  *     dual `unnest(v), unnest(range(1, len(v)+1))` instead.
+  *   - All hashing is md5/sha256 over UTF-8 (identical in both engines);
+  *     all float reductions go through the floor-scaled-long trick so
+  *     accumulation order can never flip a bit (see the operators package).
   */
 object ExtensionQueries {
-  val specs: Seq[QuerySpec] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Shared oracle CTE: whitespace tokens of lowercased trimmed text
+    * (mirrors Dedup.tokens).
+    */
+  private val toksCte =
+    """toks AS (
+         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+         FROM documents)"""
+
+  /** Shared oracle CTE: word 3-gram shingles (mirrors Dedup.shingled;
+    * DuckDB lists are 1-based where Spark arrays are 0-based — both
+    * enumerate the n-2 consecutive triples).
+    */
+  private val shingleCte =
+    s"""$toksCte,
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+          FROM toks WHERE len(t) >= 3)"""
+
+  /** Shared oracle CTE: k=8 MinHash signatures from the shingles. */
+  private val minhashCte =
+    s"""$shingleCte,
+        mh AS (
+          SELECT doc_id, j,
+                 min(md5(concat(CAST(j AS VARCHAR), ':', shingle))) AS minhash
+          FROM sh CROSS JOIN generate_series(0, 7) g(j)
+          GROUP BY doc_id, j)"""
+
+  /** Shared oracle CTEs: embedding vectors as double[], exact scaled-long
+    * norms (mirrors Similarity.vecs/withNorm).
+    */
+  private val vecNormCte =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (
+         SELECT vec_id, v,
+                CAST(list_sum(list_transform(v,
+                     x -> CAST(FLOOR(x*x*1e6 + 0.5) AS BIGINT))) AS BIGINT) AS nrm
+         FROM v)"""
+
+  /** Oracle top-k tail over a `s(qid, vec_id, score)` CTE. */
+  private def topkTail(k: Int): String =
+    s"""SELECT qid, vec_id, score, rn FROM (
+          SELECT qid, vec_id, score,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS rn
+          FROM s) WHERE rn <= $k"""
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- deduplication -----------------------------------------------------
+    // Exact dedup: one hash aggregate on the dedup key, deterministic
+    // min-tiebreak winner per group.
+    QuerySpec(
+      "dedup_exact",
+      (s, dir) => Dedup.exactDedup(events(s, dir)),
+      Some("""
+        SELECT user_id, event_type, min(event_id) AS event_id,
+               arg_min(value, event_id) AS value
+        FROM events GROUP BY user_id, event_type""")),
+
+    // MinHash signatures: shingle → k=8 hash minima, all scan-side.
+    QuerySpec(
+      "dedup_minhash_signatures",
+      (s, dir) => Dedup.minhashSignatures(docs(s, dir)),
+      Some(s"""
+        WITH $minhashCte
+        SELECT doc_id, j, minhash FROM mh""")),
+
+    // LSH banding over the signatures → candidate pairs via per-bucket
+    // equi-join (never all-pairs).
+    QuerySpec(
+      "dedup_minhash_pairs",
+      (s, dir) => Dedup.minhashCandidatePairs(docs(s, dir)),
+      Some(s"""
+        WITH $minhashCte,
+        bk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(minhash, '|' ORDER BY minhash) AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bucket_key = b.bucket_key
+         AND a.doc_id < b.doc_id""")),
+
+    // 32-bit SimHash fingerprint, one constant-work pass per doc.
+    QuerySpec(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhash(docs(s, dir)),
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 md5(unnest(string_split_regex(lower(trim(text)), '\s+'))) AS h
+          FROM documents),
+        b AS (
+          SELECT doc_id, i,
+                 CAST(SUM(CASE WHEN substring(h, i, 1) IN
+                        ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END) AS BIGINT) AS s
+          FROM w CROSS JOIN generate_series(1, 32) g(i)
+          GROUP BY doc_id, i)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(2 ** (i-1) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS simhash
+        FROM b GROUP BY doc_id""")),
+
+    // N-gram Jaccard over shingle-sharing pairs (inverted-index blocking).
+    QuerySpec(
+      "dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir)),
+      Some(s"""
+        WITH $shingleCte,
+        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        cm AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) /
+                 CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        FROM cm
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) /
+                CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.05""")),
+
+    // ---- similarity search -------------------------------------------------
+    // Brute-force cosine top-k: broadcast query set, one corpus scan,
+    // WindowGroupLimit prunes to k per query pre-shuffle.
+    QuerySpec(
+      "sim_cosine_topk",
+      (s, dir) => Similarity.cosineTopK(emb(s, dir)),
+      Some(s"""
+        WITH $vecNormCte,
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+        px AS (
+          SELECT q.qid, c.vec_id, q.qnrm, c.nrm,
+                 unnest(q.qv) AS qx, unnest(c.v) AS x
+          FROM n c CROSS JOIN q),
+        dots AS (
+          SELECT qid, vec_id, qnrm, nrm,
+                 CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px GROUP BY qid, vec_id, qnrm, nrm),
+        s AS (
+          SELECT qid, vec_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
+          FROM dots)
+        ${topkTail(10)}""")),
+
+    // Sign-LSH-bucketed ANN: queries probe only their own bucket.
+    QuerySpec(
+      "sim_ann_lsh",
+      (s, dir) => Similarity.annLsh(emb(s, dir)),
+      Some(s"""
+        WITH $vecNormCte,
+        xi AS (
+          SELECT vec_id, unnest(v) AS x,
+                 unnest(range(1, len(v) + 1)) AS i
+          FROM v),
+        pj AS (
+          SELECT vec_id, j,
+                 CAST(SUM(CASE WHEN substring(md5(concat(
+                          CAST(j AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 1)
+                        IN ('8','9','a','b','c','d','e','f')
+                      THEN CAST(FLOOR(x*1e6 + 0.5) AS BIGINT)
+                      ELSE -CAST(FLOOR(x*1e6 + 0.5) AS BIGINT) END)
+                   AS BIGINT) AS proj
+          FROM xi CROSS JOIN generate_series(0, 5) g(j)
+          GROUP BY vec_id, j),
+        bk AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN proj > 0 THEN CAST(2 ** j AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS bucket
+          FROM pj GROUP BY vec_id),
+        e AS (
+          SELECT n.vec_id, n.v, n.nrm, bk.bucket
+          FROM n JOIN bk ON n.vec_id = bk.vec_id),
+        q AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket AS qbucket
+          FROM e WHERE vec_id < 8),
+        px AS (
+          SELECT q.qid, c.vec_id, q.qnrm, c.nrm,
+                 unnest(q.qv) AS qx, unnest(c.v) AS x
+          FROM e c JOIN q ON c.bucket = q.qbucket),
+        dots AS (
+          SELECT qid, vec_id, qnrm, nrm,
+                 CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px GROUP BY qid, vec_id, qnrm, nrm),
+        s AS (
+          SELECT qid, vec_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
+          FROM dots)
+        ${topkTail(10)}""")),
+
+    // ---- text analysis -----------------------------------------------------
+    QuerySpec(
+      "text_quality",
+      (s, dir) => TextAnalysis.qualityStats(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 length(text) AS n_chars,
+                 len(list_filter(toks, w -> w IN
+                   ('the','a','and','of','to','in','is','it','on','for'))) AS n_stop,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+          FROM t)
+        SELECT doc_id, n_tokens, n_chars, n_stop, n_alpha, n_punct,
+               CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+               CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+               CAST(0.4 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 + CAST(0.3 AS DOUBLE) * (CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                 + CAST(0.3 AS DOUBLE) *
+                   (CAST(least(n_tokens, 100) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                 AS quality_score
+        FROM c""")),
+
+    QuerySpec(
+      "text_lang_id",
+      (s, dir) => TextAnalysis.langId(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 len(list_filter(toks, w -> w IN
+                   ('the','a','and','of','to','in','is','it','on','for'))) AS en_hits,
+                 len(list_filter(toks, w -> w IN
+                   ('der','die','das','und','ist','nicht','ein','zu','mit','ich'))) AS de_hits,
+                 len(list_filter(toks, w -> w IN
+                   ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr_hits
+          FROM t)
+        SELECT doc_id, en_hits, de_hits, fr_hits,
+               CASE WHEN greatest(en_hits, de_hits, fr_hits) = 0 THEN 'und'
+                    WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN de_hits >= fr_hits THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM h""")),
+
+    QuerySpec(
+      "text_token_counts",
+      (s, dir) => TextAnalysis.tokenCounts(docs(s, dir)),
+      Some("""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_words,
+               len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS n_bpeish
+        FROM documents""")),
+
+    QuerySpec(
+      "text_fingerprint",
+      (s, dir) => TextAnalysis.fingerprints(docs(s, dir)),
+      Some("""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents""")),
+
+    // ---- time series -------------------------------------------------------
+    QuerySpec(
+      "ts_resample",
+      (s, dir) => TimeSeries.resample(events(s, dir)),
+      Some("""
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+               count(*) AS n,
+               CAST(SUM(CAST(FLOOR(value*10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 10000 AS sum_value,
+               CAST(SUM(CAST(FLOOR(value*10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 10000 / CAST(count(*) AS DOUBLE) AS avg_value
+        FROM events GROUP BY 1, 2""")),
+
+    QuerySpec(
+      "ts_topk_per_group",
+      (s, dir) => TimeSeries.topKPerGroup(events(s, dir)),
+      Some("""
+        SELECT event_type, event_id, value, rn FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn <= 5""")),
+
+    // Gap-based sessionization; microsecond arithmetic matches Spark's
+    // ns→us truncation (epoch_ns // 1000).
+    QuerySpec(
+      "ts_sessionize",
+      (s, dir) => TimeSeries.sessionize(events(s, dir)),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        l AS (
+          SELECT user_id, event_id, us,
+                 lag(us, 1) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS prev_us
+          FROM e)
+        SELECT user_id, event_id,
+               CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM l""")),
+
+    // ---- multimodal --------------------------------------------------------
+    // Binary payload features: pure projection, blob never shuffles.
+    QuerySpec(
+      "mm_binary_features",
+      (s, dir) => Multimodal.binaryFeatures(docs(s, dir)),
+      Some("""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_md5,
+               sha256(text) AS content_sha256,
+               substring(hex(encode(text)), 1, 16) AS header_hex
+        FROM documents"""))
+  )
 }
