@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Job runners reproducing the reference's two applications end-to-end
+  * (SURVEY.md §3.1/§3.2 lifecycle: config → source DDL → query → view →
+  * sink → await), minus its quirks Q1/Q2 (§7.6).
+  *
+  * Usage: runMain graft.streaming.TumblingWindowJob <configPath> <inputDir>
+  *          [console|noop|parquet:<out>:<ckpt>] [--once]
+  * `--once` uses Trigger.AvailableNow — drain the input directory, then
+  * stop (how the tests and any batch-ish replay run it).
+  */
+private[streaming] object JobRunner {
+
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      // Parallelism is sized by config, not hardcoded 1: the reference
+      // pinned parallelism=1 only to dodge an idle-shard watermark stall
+      // (tumbling_window.py:50-60); Spark's per-source watermark tracking
+      // has no such constraint.
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      .getOrCreate()
+  }
+
+  def parseSink(spec: String): TickSink.Sink = spec.split(":", 3) match {
+    case Array("console") => TickSink.Console
+    case Array("noop") => TickSink.Noop
+    case Array("parquet", out, ckpt) => TickSink.PartitionedParquet(out, ckpt)
+    case other => sys.error(s"unknown sink spec: ${other.mkString(":")}")
+  }
+
+  def run(args: Array[String])(query: (JobConfig, org.apache.spark.sql.DataFrame)
+      => org.apache.spark.sql.DataFrame): Unit = {
+    val configPath = args(0)
+    val inputDir = args(1)
+    val sink = parseSink(if (args.length > 2 && !args(2).startsWith("--")) args(2) else "console")
+    val once = args.contains("--once")
+
+    val conf = JobConfig.load(configPath)
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Source: JSON tick stream, schema-on-read, config-driven timestamp
+    // standard + init position (reference DDL tumbling_window.py:115-131).
+    val ticks = TickSource.fileJson(
+      spark, inputDir,
+      timestampStandard = conf.timestampStandard,
+      initposLatest = conf.initpos == "LATEST" && !once)
+
+    val out = query(conf, ticks)
+    // S11: register the derived table like create_temporary_view
+    // (tumbling_window.py:281) so spark.sql can reference it.
+    out.createOrReplaceTempView("windowed_table")
+
+    val q = TickSink.start(out, sink, availableNow = once)
+    q.awaitTermination()
+    if (once) spark.stop()
+  }
+}
+
+/** Reference `flink/tumbling_window.py`: per-ticker 1-minute candlestick,
+  * 20-second watermark.
+  */
+object TumblingWindowJob {
+  def main(args: Array[String]): Unit =
+    JobRunner.run(args) { (_, ticks) => StreamingQueries.candlestick(ticks) }
+}
+
+/** Reference `flink/sliding_window.py`: per-ticker hopping-window MIN,
+  * over/every from config (`flink.sliding_window.*`), 5-second watermark.
+  */
+object SlidingWindowJob {
+  def main(args: Array[String]): Unit =
+    JobRunner.run(args) { (conf, ticks) =>
+      StreamingQueries.slidingMin(ticks, over = conf.windowOver, every = conf.windowEvery)
+    }
+}

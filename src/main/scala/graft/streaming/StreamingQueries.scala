@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Windows
+
+/** Streaming forms of the engine's queries: the SAME DataFrame transforms
+  * as the batch registry (graft.operators), wrapped with watermarks —
+  * the Structured Streaming design point (SURVEY.md §1.3). Batch/stream
+  * parity is asserted in StreamingSpec.
+  */
+object StreamingQueries {
+
+  /** Tumbling candlestick with bounded lateness (reference
+    * `flink/tumbling_window.py`: 1-minute tumble, 20 s watermark).
+    * Append mode: a window emits once the watermark passes its end —
+    * the reference's `+I`-only changelog.
+    */
+  def candlestick(
+      ticks: DataFrame,
+      watermarkDelay: String = "20 seconds",
+      width: String = "1 minute"): DataFrame =
+    Windows.candlestick(
+      ticks.withWatermark("utc", watermarkDelay),
+      tsCol = "utc", keyCol = "ticker", valCol = "price", width = width)
+
+  /** Hopping-window MIN (reference `flink/sliding_window.py`: 5 s
+    * watermark on the source).
+    */
+  def slidingMin(
+      ticks: DataFrame,
+      watermarkDelay: String = "5 seconds",
+      over: String = "2 minutes",
+      every: String = "1 minute"): DataFrame =
+    Windows.slidingMin(
+      ticks.withWatermark("utc", watermarkDelay),
+      tsCol = "utc", keyCol = "ticker", valCol = "price",
+      over = over, every = every)
+
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped; state for keys older than the
+    * horizon is evicted (SURVEY.md §2-B streaming dedup). At scale this is
+    * the only dedup with bounded memory on an unbounded stream.
+    */
+  def dedupWithinWatermark(
+      ticks: DataFrame,
+      keys: Seq[String] = Seq("ticker", "utc"),
+      watermarkDelay: String = "20 seconds"): DataFrame =
+    ticks.withWatermark("utc", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  // ---- custom stateful operator: gap sessionization ------------------------
+
+  final case class SessionEvent(user_id: Long, event_id: Long, utc: java.sql.Timestamp)
+  final case class SessionState(start_us: Long, last_us: Long, n_events: Long)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState (SURVEY.md
+    * §2 "categories with no instance" — the mapGroupsWithState-style op the
+    * engine provides beyond the reference). A session closes when no event
+    * arrives within `gapSeconds` of event time; closed sessions are emitted
+    * on event-time timeout, so output is append-only and state is bounded
+    * by (live keys × one session record).
+    *
+    * The batch twin is TimeSeries.sessionize (two window functions); tests
+    * assert they agree on session boundaries.
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    events
+      .withWatermark("utc", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start_us, s.last_us, s.n_events))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.utc.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = e.utc.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.last_us <= gapUs =>
+                  cur = Some(s.copy(last_us = us max s.last_us, n_events = s.n_events + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.start_us, s.last_us, s.n_events)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Close once event time passes last event + gap.
+              state.setTimeoutTimestamp(s.last_us / 1000L + gapSeconds * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Sink adapters for the reference's INSERT INTO targets (SURVEY.md S9):
+  * print → console, blackhole → noop, kinesis → partitioned file/foreachBatch
+  * stand-in (zero-egress). All streaming writes are append-mode — event-time
+  * windows + watermark emit append-only rows, matching the reference's
+  * `+I`-only changelog (SURVEY.md §1.1).
+  */
+object TickSink {
+
+  sealed trait Sink
+  /** Reference `print` sink (sliding_window.py:134-151). */
+  case object Console extends Sink
+  /** Reference `blackhole` sink (tumbling_window.py:253-256). */
+  case object Noop extends Sink
+  /** Reference kinesis sink stand-in: files partitioned by ticker —
+    * the `PARTITIONED BY (ticker)` sink DDL (tumbling_window.py:121).
+    */
+  final case class PartitionedParquet(path: String, checkpoint: String) extends Sink
+  /** In-memory table (tests). */
+  final case class Memory(tableName: String) extends Sink
+  /** Kinesis-shaped batched writer: foreachBatch with a per-batch record
+    * cap mirroring `sink.producer.collection-max-count` (tumbling_window
+    * .py:128); `send` stands in for the PutRecords call.
+    */
+  final case class Batched(maxCount: Int, send: Seq[Row] => Unit) extends Sink
+
+  /** Wire a sink onto a streaming DataFrame; caller starts the query. */
+  def writer(df: DataFrame, sink: Sink, availableNow: Boolean = false): DataStreamWriter[Row] = {
+    val base = df.writeStream.outputMode("append")
+    val w = sink match {
+      case Console => base.format("console").option("truncate", "false")
+      case Noop => base.format("noop")
+      case PartitionedParquet(path, checkpoint) =>
+        base.format("parquet")
+          .partitionBy("ticker")
+          .option("path", path)
+          .option("checkpointLocation", checkpoint)
+      case Memory(name) => base.format("memory").queryName(name)
+      case Batched(maxCount, send) =>
+        base.foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.toLocalIterator().asScala.grouped(maxCount).foreach(g => send(g.toSeq))
+        }
+    }
+    if (availableNow) w.trigger(Trigger.AvailableNow()) else w
+  }
+
+  def start(df: DataFrame, sink: Sink, availableNow: Boolean = false): StreamingQuery =
+    writer(df, sink, availableNow).start()
+
+  private implicit class IterConv[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}

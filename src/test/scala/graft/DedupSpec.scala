@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps deterministic winner per key group") {
+    val events = Seq(
+      (1L, 10L, "click", 1.5),
+      (2L, 10L, "click", 9.9), // dup key, larger event_id -> loses
+      (3L, 10L, "view", 2.0),
+      (4L, 11L, "click", 3.0)
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val got = Dedup.exactDedup(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set(
+      (10L, "click", 1L, 1.5), (10L, "view", 3L, 2.0), (11L, "click", 4L, 3.0)))
+  }
+
+  private val textA = "the quick brown fox jumps over the lazy dog again and again"
+  private val textB = "completely different words about spark catalyst optimizer internals"
+
+  test("minhash: identical docs get identical signatures and pair up") {
+    val docs = docsDf((1L, textA), (2L, textA), (3L, textB))
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    (0 to 7).foreach(j => assert(sigs((1L, j)) === sigs((2L, j))))
+    val pairs = Dedup.minhashCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs equal; near-identical docs are close in hamming") {
+    val near = textA + " tail"
+    val fp = Dedup.simhash(docsDf((1L, textA), (2L, textA), (3L, near), (4L, textB)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+
+  test("ngram jaccard: identical docs score 1.0; shingle-disjoint docs absent") {
+    val got = Dedup.ngramJaccardPairs(docsDf((1L, textA), (2L, textA), (3L, textB)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got((1L, 2L)) === 1.0)
+    assert(!got.contains((1L, 3L)))
+  }
+
+  test("dedup by content fingerprint collapses whitespace variants") {
+    val docs = docsDf((1L, "a  b\tc"), (2L, " a b c "), (3L, "a b d"))
+    val fps = graft.operators.TextAnalysis.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+}

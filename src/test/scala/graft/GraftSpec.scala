@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM per `sbt test` fork;
+  * suites run sequentially, so a single session keeps the run fast).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class GraftSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  val sf: String = "/root/testdata/sf0.001"
+
+  def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+}

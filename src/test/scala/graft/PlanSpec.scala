@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{Similarity, TimeSeries, Windows}
+
+/** Physical-plan assertions for the 100 TB design stance (SURVEY.md §4):
+  * pushdown reaches the scan, small dims broadcast, top-k prunes before
+  * the exchange, tumbling windows don't Expand. These lock in the plan
+  * shapes the scale story depends on — a regression here is a performance
+  * bug even while results stay correct.
+  */
+class PlanSpec extends GraftSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  /** Formatted explain — scan details (PushedFilters/ReadSchema) untruncated. */
+  private def fplan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("selective scan pushes predicates into the parquet reader") {
+    val p = fplan(Registry.queries("q6_filter_range")(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("projection prunes the scan to the declared columns") {
+    val p = fplan(Windows.tickProjection(Tables.load(spark, sf, "events")))
+    assert(p.contains("event_type"), p)
+    assert(!p.contains("props"), "untouched wide column must not be read")
+  }
+
+  test("dimension joins broadcast; no shuffle of the fact side") {
+    val p = plan(Registry.queries("q2_join_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("top-k per group prunes partitions to k rows before the exchange") {
+    val p = plan(TimeSeries.topKPerGroup(Tables.load(spark, sf, "events")))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("global top-k runs as TakeOrderedAndProject, never a full sort") {
+    val p = plan(Registry.queries("q8_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tumbling window is a pure projection — no Expand blowup") {
+    val p = plan(Windows.candlestick(Tables.load(spark, sf, "events")))
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("direct sliding window Expands; two-level pre-aggregates before expanding") {
+    val ev = Tables.load(spark, sf, "events")
+    assert(plan(Windows.slidingMin(ev)).contains("Expand"))
+    val two = Windows.slidingMinTwoLevel(ev)
+    val p = two.queryExecution.optimizedPlan.toString
+    // the Expand must sit ABOVE the first (pane) aggregate, i.e. the plan
+    // aggregates raw rows before any window expansion
+    val expandIdx = p.indexOf("Expand")
+    val firstAggIdx = p.lastIndexOf("Aggregate")
+    assert(expandIdx >= 0 && firstAggIdx > expandIdx,
+      s"pane aggregate must be below Expand:\n$p")
+  }
+
+  test("similarity search broadcasts the query side, scans the corpus once") {
+    val p = plan(Similarity.cosineTopK(Tables.load(spark, sf, "embeddings")))
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must prune pre-shuffle: " + p)
+  }
+
+  test("whole-stage codegen covers the hot aggregation path") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Registry.queries("q1_agg")(spark, sf)
+    df.collect() // materialize so AQE settles on the final physical plan
+    val tree = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // `*(n)` prefixes mark WholeStageCodegen spans (QueryStageExec nodes
+    // hide the wrapped plan from TreeNode.collect, so match the string).
+    assert(tree.toString.contains("*("), tree.toString)
+  }
+}

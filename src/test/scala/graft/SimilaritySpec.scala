@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends GraftSpec {
+  import spark.implicits._
+
+  test("brute-force cosine: each query's top hit is itself with score 1.0") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val top1 = Similarity.cosineTopK(emb, nQueries = 4, k = 3)
+      .filter($"rn" === 1).collect()
+    assert(top1.length === 4)
+    top1.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), s"top-1 of ${r.getLong(0)} not itself")
+      assert(r.getDouble(2) === 1.0)
+    }
+  }
+
+  test("cosine scores are symmetric across the query/corpus roles") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val scores = Similarity.cosineTopK(emb, nQueries = 4, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for {
+      ((q, v), s) <- scores if q != v && v < 4
+      back <- scores.get((v, q))
+    } assert(s === back, s"score($q,$v) != score($v,$q)")
+  }
+
+  test("ann lsh: bucketed results are a subset of brute-force candidates, top-1 self") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val ann = Similarity.annLsh(emb, nQueries = 4, k = 10).collect()
+    val annTop1 = ann.filter(_.getInt(3) == 1)
+    assert(annTop1.nonEmpty)
+    annTop1.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // every (qid, vec) scored by ann must carry the same score brute force gives it
+    val brute = Similarity.cosineTopK(emb, nQueries = 4, k = 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute(key) === r.getDouble(2), s"score mismatch at $key")
+    }
+  }
+
+  test("ann lsh recall@10 against brute force is reported and sane") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val truth = Similarity.cosineTopK(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann & truth).size.toDouble / truth.size
+    info(f"ann-lsh recall@10 = $recall%.2f (bits=6, ${truth.size} truth pairs)")
+    assert(recall > 0.1) // 6-bit sign-LSH on random-ish vectors: self + near dups land together
+  }
+}

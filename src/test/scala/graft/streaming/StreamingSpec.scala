@@ -1,0 +1,185 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.{GraftSpec, Tables}
+import graft.operators.Windows
+
+/** Streaming tests (SURVEY.md §5.3/5.4): append-mode emission after the
+  * watermark passes, late-row drop, batch/stream parity, streaming dedup,
+  * and the custom stateful sessionizer.
+  */
+class StreamingSpec extends GraftSpec {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var nameCounter = 0
+  private def freshName(): String = { nameCounter += 1; s"stream_out_$nameCounter" }
+
+  /** Run a streaming DataFrame into a memory sink, feeding `batches` one
+    * micro-batch at a time; returns the sink contents.
+    */
+  private def runStream[A](
+      input: MemoryStream[A],
+      out: DataFrame,
+      batches: Seq[Seq[A]]): Array[Row] = {
+    val name = freshName()
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).collect()
+  }
+
+  private def tickJson(ticker: String, price: Double, iso: String): String =
+    s"""{"utc":"$iso","type":"stock-tick","source":"t","ticker":"$ticker",""" +
+      s""""name":"n","sector":"s","industry":"i","price":$price}"""
+
+  private def parsedTicks(input: MemoryStream[String]): DataFrame =
+    input.toDF()
+      .select(from_json($"value", Tick.producerSchema,
+        Map("timestampFormat" -> Tick.TsFormatIso)).as("r"))
+      .select($"r.ticker", $"r.price", $"r.utc")
+
+  test("candlestick append mode: window emits only after watermark passes its end") {
+    val input = MemoryStream[String]
+    val out = StreamingQueries.candlestick(parsedTicks(input))
+    val b1 = Seq( // window [00:00, 00:01) — out of order within the delay
+      tickJson("AAPL", 12.0, "2024-01-01T00:00:40.000"),
+      tickJson("AAPL", 10.0, "2024-01-01T00:00:10.000"),
+      tickJson("AAPL", 9.5, "2024-01-01T00:00:59.000"))
+    val b2 = Seq(tickJson("AAPL", 50.0, "2024-01-01T00:05:00.000")) // advances event time
+    val b3 = Seq(tickJson("AAPL", 51.0, "2024-01-01T00:06:00.000")) // watermark now past 00:01
+
+    val rows = runStream(input, out, Seq(b1, b2, b3))
+    assert(rows.length === 1, s"exactly the closed window: ${rows.mkString(";")}")
+    val r = rows.head
+    assert(r.getAs[String]("ticker") === "AAPL")
+    assert(r.getAs[java.sql.Timestamp]("window_start") === ts("2024-01-01 00:00:00"))
+    assert((r.getAs[Double]("first_price"), r.getAs[Double]("last_price"),
+      r.getAs[Double]("min_price"), r.getAs[Double]("max_price")) === (10.0, 9.5, 9.5, 12.0))
+  }
+
+  test("late rows beyond the watermark are dropped; batch/stream parity on emitted windows") {
+    val input = MemoryStream[String]
+    val out = StreamingQueries.candlestick(parsedTicks(input))
+    val onTime = Seq(
+      tickJson("MSFT", 20.0, "2024-01-01T00:00:10.000"),
+      tickJson("MSFT", 25.0, "2024-01-01T00:00:50.000"))
+    val advance = Seq(tickJson("MSFT", 30.0, "2024-01-01T00:05:00.000"))
+    val flush = Seq(tickJson("MSFT", 31.0, "2024-01-01T00:06:00.000"))
+    val late = Seq(tickJson("MSFT", 0.01, "2024-01-01T00:00:30.000")) // beyond watermark
+    val flush2 = Seq(tickJson("MSFT", 32.0, "2024-01-01T00:07:00.000"))
+
+    val rows = runStream(input, out, Seq(onTime, advance, flush, late, flush2))
+    val w0 = rows.filter(_.getAs[java.sql.Timestamp]("window_start") == ts("2024-01-01 00:00:00"))
+    assert(w0.length === 1, "late row must not re-open or duplicate the window")
+    assert(w0.head.getAs[Double]("min_price") === 20.0, "late row must be dropped")
+
+    // parity: batch run of the same transformation over the on-time rows
+    val batchDf = Seq(("MSFT", 20.0, ts("2024-01-01 00:00:10")),
+      ("MSFT", 25.0, ts("2024-01-01 00:00:50"))).toDF("ticker", "price", "utc")
+    val batch = Windows.candlestick(batchDf, tsCol = "utc", keyCol = "ticker",
+      valCol = "price").collect()
+    assert(batch.length === 1)
+    assert(batch.head.toSeq === w0.head.toSeq)
+  }
+
+  test("streaming dedup within watermark drops duplicates, keeps state bounded") {
+    val input = MemoryStream[String]
+    val out = StreamingQueries.dedupWithinWatermark(parsedTicks(input))
+    val rows = runStream(input, out, Seq(Seq(
+      tickJson("AAPL", 10.0, "2024-01-01T00:00:10.000"),
+      tickJson("AAPL", 10.0, "2024-01-01T00:00:10.000"), // exact dup (same key cols)
+      tickJson("AAPL", 11.0, "2024-01-01T00:00:20.000"))))
+    assert(rows.length === 2)
+  }
+
+  test("stateful sessionize: closes on gap and on event-time timeout") {
+    import StreamingQueries.{SessionEvent, SessionOut}
+    val input = MemoryStream[SessionEvent]
+    val out = StreamingQueries.sessionize(spark, input.toDS(),
+      gapSeconds = 60, watermarkDelay = "0 seconds")
+
+    def ev(id: Long, t: String) = SessionEvent(1L, id, ts(t))
+    val rows = runStream(input, out.toDF(), Seq(
+      Seq(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:00:30")),
+      Seq(ev(3, "2024-01-01 00:02:00")), // gap > 60s -> closes session 1 inline
+      Seq(ev(4, "2024-01-01 00:10:00")) // watermark passes 00:03 -> times out session 2
+    )).map(r => SessionOut(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    def us(t: String) = ts(t).getTime * 1000L
+    assert(rows.toSet === Set(
+      SessionOut(1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:00:30"), 2L),
+      SessionOut(1L, us("2024-01-01 00:02:00"), us("2024-01-01 00:02:00"), 1L)))
+  }
+
+  test("file source: schema-on-read drops producer-only fields, both ts formats parse") {
+    val dir = java.nio.file.Files.createTempDirectory("ticks").toString
+    val sqlLine = """{"utc":"2024-01-01 00:00:10.500","type":"x","source":"x",""" +
+      """"ticker":"AAPL","name":"n","sector":"s","industry":"i","price":12.5}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
+      sqlLine.getBytes("UTF-8"))
+
+    val batch = TickSource.fileJsonBatch(spark, dir, "SQL")
+    assert(batch.schema === Tick.schema)
+    val row = batch.collect().head
+    assert(row.getString(0) === "AAPL" && row.getDouble(1) === 12.5)
+    assert(row.getTimestamp(2) === ts("2024-01-01 00:00:10.5"))
+
+    // streaming twin drains the same dir via AvailableNow into a memory sink
+    val name = freshName()
+    val q = TickSource.fileJson(spark, dir, "SQL")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    assert(spark.table(name).collect().toSeq === batch.collect().toSeq)
+  }
+
+  test("job config: reference property-group shape round-trips") {
+    val conf = JobConfig.parse("""[
+      {"PropertyGroupId": "consumer.config.0",
+       "PropertyMap": {"input.stream.name": "in", "flink.stream.initpos": "LATEST",
+         "flink.sliding_window.over": "8.hours", "flink.sliding_window.every": "1.minutes",
+         "flink.sliding_window.on": "utc", "json.timestamp_format_standard": "SQL"}},
+      {"PropertyGroupId": "producer.config.0",
+       "PropertyMap": {"output.stream.name": "out", "shard.count": "1"}}]""")
+    assert(conf.inputStreamName === Some("in"))
+    assert(conf.outputStreamName === Some("out"))
+    assert(conf.windowOver === "8 hours")
+    assert(conf.windowEvery === "1 minutes")
+    assert(conf.timestampStandard === "SQL")
+    assert(Tick.timestampFormat(conf.timestampStandard) === Tick.TsFormatSql)
+    assert(Tick.timestampFormat("ISO-8601") === Tick.TsFormatIso)
+    assert(conf.group("missing") === Map.empty)
+  }
+
+  test("batched sink groups output rows like collection-max-count") {
+    val dir = java.nio.file.Files.createTempDirectory("ticks2").toString
+    val lines = (1 to 7).map(i =>
+      s"""{"utc":"2024-01-01 00:00:0$i.000","ticker":"T","price":$i.0}""").mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"), lines.getBytes("UTF-8"))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = TickSink.start(
+      TickSource.fileJson(spark, dir, "SQL"),
+      TickSink.Batched(3, rows => got.synchronized { got += rows.size }),
+      availableNow = true)
+    q.awaitTermination(30000)
+    assert(got.sum === 7)
+    assert(got.forall(_ <= 3))
+  }
+
+  test("synthetic generators match the producer record shape") {
+    assert(TickSource.rateSynthetic(spark).schema.fieldNames.toSeq ===
+      Seq("ticker", "price", "utc"))
+    val batch = TickSource.syntheticBatch(spark, 8)
+    assert(batch.schema.fieldNames.toSeq === Tick.producerSchema.fieldNames.toSeq)
+    val rows = batch.collect()
+    assert(rows.map(_.getAs[String]("ticker")).toSet === Tick.tickers.toSet)
+    assert(rows.forall { r => val p = r.getAs[Double]("price"); p >= 0 && p < 100 })
+    // seeded determinism
+    assert(TickSource.syntheticBatch(spark, 8).collect().toSeq === rows.toSeq)
+  }
+}
