@@ -51,66 +51,100 @@ object Dedup {
             " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
           .as("shingle"))
 
+  /** One row per doc with all k MinHash components as columns `h0..h{k-1}`:
+    * h_j = min over shingles of md5("j:" + shingle).
+    *
+    * This wide shape is the scale-efficient form: ONE hash aggregation on
+    * doc_id computes every component (k conditional-min agg expressions,
+    * all codegen'd), instead of exploding each shingle k× and shuffling
+    * k rows per doc. At 100 TB the difference is a k-fold smaller exchange
+    * and map-side combine over the raw shingle stream.
+    */
+  private def minhashWide(docs: DataFrame, k: Int): DataFrame =
+    shingled(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
+        (1 until k).map(j =>
+          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j")): _*)
+
   /** MinHash signatures: k hash functions h_j(s) = md5(j:s); the signature
     * component is the lexicographic min digest per (doc, j). Output one row
-    * per (doc_id, j) — k rows per doc.
+    * per (doc_id, j) — k rows per doc, unpivoted from [[minhashWide]].
     */
   def minhashSignatures(docs: DataFrame, k: Int = 8): DataFrame =
-    shingled(docs)
+    minhashWide(docs, k)
       .select(col("doc_id"),
-        explode(expr(s"sequence(0, ${k - 1})")).as("j"),
-        col("shingle"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit(":"), col("shingle"))).as("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("h")).as("minhash"))
+        posexplode(array((0 until k).map(j => col(s"h$j")): _*)).as(Seq("j", "minhash")))
 
   /** LSH banding over the MinHash signature: k hashes split into bands of
-    * `rowsPerBand`; the bucket key is the concatenated band slice. Output
-    * one row per (doc, band).
+    * `rowsPerBand`; the bucket key is the concatenated band slice (sorted
+    * within the band, so it is order-deterministic). Output one row per
+    * (doc, band) — a pure projection over [[minhashWide]], no extra shuffle.
     */
-  def minhashBuckets(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
-    minhashSignatures(docs, k)
-      .withColumn("band", (col("j") / rowsPerBand).cast(LongType))
-      .groupBy(col("doc_id"), col("band"))
-      // j is unique within (doc, band) → array_sort makes the concat
-      // order-deterministic without relying on agg input order.
-      .agg(array_join(array_sort(collect_list(col("minhash"))), "|").as("bucket_key"))
-
-  /** Candidate near-duplicate pairs: docs sharing any LSH bucket. The join
-    * runs per-bucket (equi-join on (band, bucket_key)) — never all-pairs.
-    */
-  def minhashCandidatePairs(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val b = minhashBuckets(docs, k, rowsPerBand)
-    val l = b.select(col("band").as("l_band"), col("bucket_key").as("l_key"),
-      col("doc_id").as("doc_a"))
-    val r = b.select(col("band").as("r_band"), col("bucket_key").as("r_key"),
-      col("doc_id").as("doc_b"))
-    l.join(r, l("l_band") === r("r_band") && l("l_key") === r("r_key")
-        && l("doc_a") < r("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+  def minhashBuckets(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bandKeys = (0 until k / rowsPerBand).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
+      array_join(array_sort(array(slice: _*)), "|")
+    }
+    minhashWide(docs, k)
+      .select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bucket_key")))
+      .withColumn("band", col("band").cast(LongType))
   }
+
+  /** Emit all ordered pairs (ids[i], ids[j]), i<j, from a sorted id array —
+    * the bucket-local pair expansion shared by the LSH and inverted-index
+    * blockers. Buckets are near-duplicate groups, so arrays stay tiny.
+    */
+  private[operators] def pairsOf(idsCol: String): Column =
+    explode(expr(
+      s"""flatten(transform(sequence(0, size($idsCol) - 2), i ->
+            transform(sequence(i + 1, size($idsCol) - 1), j ->
+              struct($idsCol[i] AS doc_a, $idsCol[j] AS doc_b))))"""))
+
+  /** Candidate near-duplicate pairs: docs sharing any LSH bucket.
+    *
+    * Shape: group bucket members per (band, bucket_key) and expand pairs
+    * locally — ONE aggregation over the bucket stream instead of a
+    * self-join (which would build the whole signature subtree twice and
+    * shuffle it twice). Collision groups are near-dup sets, so the
+    * collect_list per bucket is bounded in practice; all-pairs never
+    * materializes across buckets.
+    */
+  def minhashCandidatePairs(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhashBuckets(docs, k, rowsPerBand)
+      .groupBy(col("band"), col("bucket_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(pairsOf("ids").as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
 
   /** 32-bit SimHash over word occurrences. Bit i of the fingerprint is the
     * sign of Σ_words (±1), where the ±1 is hex digit i of md5(word) having
     * its high bit set. Cross-engine-exact: md5 + substring + integer sums.
+    *
+    * Single-pass shape: one word row carries all 32 bit contributions as 32
+    * conditional-sum agg expressions — one shuffle on doc_id with map-side
+    * partial aggregation, no 32× row expansion and no second aggregation.
     */
-  def simhash(docs: DataFrame): DataFrame =
-    docs
+  def simhash(docs: DataFrame): DataFrame = {
+    val words = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"),
-        explode(expr("sequence(1, 32)")).as("i"))
-      .select(col("doc_id"), col("i"),
-        when(col("h").substr(col("i"), lit(1))
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
-          .otherwise(-1L).as("c"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("c")).as("s"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val bitSums = (1 to 32).map(i =>
+      sum(when(substring(col("h"), i, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
+        .otherwise(-1L)).as(s"s$i"))
+    words
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-        pow(lit(2.0), col("i") - 1).cast(LongType)).otherwise(0L))
-        .as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (1 to 32).map(i =>
+          when(col(s"s$i") > 0, lit(1L << (i - 1))).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** N-gram Jaccard similarity for all candidate pairs that share at least
     * one shingle (inverted-index join on the shingle — the blocking step
@@ -119,17 +153,28 @@ object Dedup {
     * final division.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.05): DataFrame = {
+    // Inverted index: group the posting list per shingle and expand
+    // co-occurrence pairs locally (one shuffle on the shingle), instead of
+    // a self-join that would rebuild and re-shuffle the shingle stream
+    // twice. Each doc's shingle count rides along in the posting-list
+    // struct, so |A| and |B| need no size-table joins (which would rebuild
+    // the shingle stream two more times): the whole operator is one scan +
+    // three compact shuffles. A stopword-shingle cap on the posting-list
+    // size would bound the worst case if real corpora need it.
     val sh = shingled(docs).distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val l = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val r = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
-    val common = l
-      .join(r, l("shingle") === r("shingle_b") && l("doc_a") < r("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    sh.withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2), i ->
+             transform(sequence(i + 1, size(ids) - 1), j ->
+               struct(ids[i].doc_id AS doc_a, ids[j].doc_id AS doc_b,
+                      ids[i].n AS n_a, ids[j].n AS n_b))))""")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))

@@ -60,26 +60,45 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
   }
 
+  /** ±1 hyperplane component c(j,i): high bit of the first hex digit of
+    * md5("j:i"). Pure function of (j, i) — materialized driver-side as
+    * literal arrays so bucket assignment needs no per-row hashing.
+    */
+  private def hyperplaneSigns(bits: Int, dim: Int): Seq[Seq[Long]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until bits).map { j =>
+      (1 to dim).map { i =>
+        val h = digest.digest(s"$j:$i".getBytes("UTF-8"))
+        digest.reset()
+        if ((h(0) & 0x80) != 0) 1L else -1L
+      }
+    }
+  }
+
   /** Deterministic sign-LSH bucket id per vector: bit j of the bucket is the
     * sign of Σ_i c(j,i)·x_i where c(j,i) = ±1 from the high bit of the first
     * hex digit of md5(j:i). Vectors are floor-scaled once so the projection
     * sum is exact integer arithmetic.
+    *
+    * The sign matrix is constant, so the whole assignment is a per-row
+    * projection (zip_with + aggregate against literal arrays): the corpus is
+    * scanned once with NO shuffle and no row expansion — the property that
+    * lets the bucketing run scan-side at 100 TB.
     */
-  def lshBuckets(emb: DataFrame, bits: Int = 6): DataFrame =
+  def lshBuckets(emb: DataFrame, bits: Int = 6): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val signs = hyperplaneSigns(bits, dim)
+    val bucket = (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(col("xs"), typedLit(signs(j)), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
     vecs(emb)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("p", "x")))
-      .select(col("vec_id"), (col("p") + 1).as("i"),
-        floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("xs"),
-        explode(expr(s"sequence(0, ${bits - 1})")).as("j"))
-      .select(col("vec_id"), col("j"),
-        when(md5(concat(col("j").cast("string"), lit(":"), col("i").cast("string")))
-          .substr(1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-          col("xs")).otherwise(-col("xs")).as("contrib"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("contrib")).as("proj"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("proj") > 0,
-        pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("bucket"))
+      .select(col("vec_id"),
+        transform(col("v"), x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("xs"))
+      .select(col("vec_id"), bucket.as("bucket"))
+  }
 
   /** LSH-bucketed ANN: queries probe only their own bucket, exact cosine
     * rank within. Returns (qid, vec_id, score, rn) like [[cosineTopK]] —
