@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis, TimeSeries}
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
   * similarity search, text analysis, time series, multimodal columns.
@@ -67,6 +67,30 @@ object ExtensionQueries {
                 CAST(list_sum(list_transform(v,
                      x -> CAST(FLOOR(x*x*1e6 + 0.5) AS BIGINT))) AS BIGINT) AS nrm
          FROM v)"""
+
+  /** Shared oracle CTEs: sign-LSH bucket per vector (mirrors
+    * Similarity.lshBuckets; needs [[vecNormCte]] in scope).
+    */
+  private val lshBucketCte =
+    """xi AS (
+         SELECT vec_id, unnest(v) AS x,
+                unnest(range(1, len(v) + 1)) AS i
+         FROM v),
+       pj AS (
+         SELECT vec_id, j,
+                CAST(SUM(CASE WHEN substring(md5(concat(
+                         CAST(j AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                     THEN CAST(FLOOR(x*1e6 + 0.5) AS BIGINT)
+                     ELSE -CAST(FLOOR(x*1e6 + 0.5) AS BIGINT) END)
+                  AS BIGINT) AS proj
+         FROM xi CROSS JOIN generate_series(0, 5) g(j)
+         GROUP BY vec_id, j),
+       bk AS (
+         SELECT vec_id,
+                CAST(SUM(CASE WHEN proj > 0 THEN CAST(2 ** j AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS bucket
+         FROM pj GROUP BY vec_id)"""
 
   /** Oracle top-k tail over a `s(qid, vec_id, score)` CTE. */
   private def topkTail(k: Int): String =
@@ -185,25 +209,7 @@ object ExtensionQueries {
       (s, dir) => Similarity.annLsh(emb(s, dir)),
       Some(s"""
         WITH $vecNormCte,
-        xi AS (
-          SELECT vec_id, unnest(v) AS x,
-                 unnest(range(1, len(v) + 1)) AS i
-          FROM v),
-        pj AS (
-          SELECT vec_id, j,
-                 CAST(SUM(CASE WHEN substring(md5(concat(
-                          CAST(j AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 1)
-                        IN ('8','9','a','b','c','d','e','f')
-                      THEN CAST(FLOOR(x*1e6 + 0.5) AS BIGINT)
-                      ELSE -CAST(FLOOR(x*1e6 + 0.5) AS BIGINT) END)
-                   AS BIGINT) AS proj
-          FROM xi CROSS JOIN generate_series(0, 5) g(j)
-          GROUP BY vec_id, j),
-        bk AS (
-          SELECT vec_id,
-                 CAST(SUM(CASE WHEN proj > 0 THEN CAST(2 ** j AS BIGINT)
-                          ELSE 0 END) AS BIGINT) AS bucket
-          FROM pj GROUP BY vec_id),
+        $lshBucketCte,
         e AS (
           SELECT n.vec_id, n.v, n.nrm, bk.bucket
           FROM n JOIN bk ON n.vec_id = bk.vec_id),
@@ -224,6 +230,29 @@ object ExtensionQueries {
                    sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
           FROM dots)
         ${topkTail(10)}""")),
+
+    // Embedding-cosine near-dup: LSH-bucket blocking + exact threshold.
+    QuerySpec(
+      "dedup_embedding_cosine",
+      (s, dir) => Similarity.embeddingNearDupPairs(emb(s, dir)),
+      Some(s"""
+        WITH $vecNormCte,
+        $lshBucketCte,
+        e AS (
+          SELECT n.vec_id, n.v, n.nrm, bk.bucket
+          FROM n JOIN bk ON n.vec_id = bk.vec_id),
+        px AS (
+          SELECT a.vec_id AS va_id, b.vec_id AS vb_id, a.nrm AS na, b.nrm AS nb,
+                 unnest(a.v) AS xa, unnest(b.v) AS xb
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        d AS (
+          SELECT va_id, vb_id, na, nb,
+                 CAST(SUM(CAST(FLOOR(xa*xb*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px GROUP BY va_id, vb_id, na, nb)
+        SELECT va_id AS vec_a, vb_id AS vec_b,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS score
+        FROM d
+        WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35""")),
 
     // ---- text analysis -----------------------------------------------------
     QuerySpec(
@@ -337,6 +366,42 @@ object ExtensionQueries {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS session_id
         FROM l""")),
+
+    // Native session windows — same islands as ts_sessionize, aggregated.
+    QuerySpec(
+      "ts_session_window",
+      (s, dir) => TimeSeries.sessionWindows(events(s, dir)),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts, epoch_ns(ts) // 1000 AS us FROM events),
+        l AS (
+          SELECT user_id, event_id, ts, us,
+                 lag(us, 1) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS prev_us
+          FROM e),
+        s AS (
+          SELECT user_id, ts,
+                 CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                          THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sid
+          FROM l)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid""")),
+
+    // ---- sketches (approximate: rows-only check, exact twin in-result) -----
+    QuerySpec(
+      "sketch_distinct_users",
+      (s, dir) => Sketches.distinctUsers(events(s, dir)),
+      None),
+
+    QuerySpec(
+      "sketch_value_quantiles",
+      (s, dir) => Sketches.valueQuantiles(events(s, dir)),
+      None),
 
     // ---- multimodal --------------------------------------------------------
     // Binary payload features: pure projection, blob never shuffles.

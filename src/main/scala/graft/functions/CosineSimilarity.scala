@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<double>` vectors — the one justified custom expression in the
+  * engine (SURVEY.md §7.4): it sits in the innermost loop of similarity
+  * search (|queries| × |corpus| evaluations), where a codegen'd tight loop
+  * beats the higher-order-function formulation (zip_with + aggregate build
+  * intermediate arrays and box through lambda variables) and any UDF (which
+  * would also pay serialization).
+  *
+  * Arithmetic contract (shared with the DuckDB oracle and the HOF
+  * formulation it replaces): every product is rounded to 1e-6 via
+  * `floor(x*1e6 + 0.5)` and accumulated in exact 64-bit integers, so the
+  * result is independent of accumulation order — bit-identical across
+  * engines, partitionings, and evaluation strategies. Final score =
+  * dot / sqrt(normA * normB) in IEEE doubles.
+  *
+  * Null vectors propagate null (BinaryExpression's null-safe contract);
+  * element nulls are not expected (embedding columns are dense).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs must be array<double>; call sites cast explicitly
+  // (ExpectsInputTypes is private[sql], so coercion isn't declared here).
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var nx = 0L
+    var ny = 0L
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += math.floor(xi * yi * 1e6 + 0.5).toLong
+      nx += math.floor(xi * xi * 1e6 + 0.5).toLong
+      ny += math.floor(yi * yi * 1e6 + 0.5).toLong
+      i += 1
+    }
+    dot.toDouble / math.sqrt(nx.toDouble * ny.toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        long $dot = 0L; long $nx = 0L; long $ny = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $x.getDouble($i);
+          double $yi = $y.getDouble($i);
+          $dot += (long) java.lang.Math.floor($xi * $yi * 1e6 + 0.5);
+          $nx += (long) java.lang.Math.floor($xi * $xi * 1e6 + 0.5);
+          $ny += (long) java.lang.Math.floor($yi * $yi * 1e6 + 0.5);
+        }
+        ${ev.value} = ((double) $dot) / java.lang.Math.sqrt(((double) $nx) * ((double) $ny));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points for the engine's native functions. */
+object GraftFunctions {
+  import org.apache.spark.sql.graft.Bridge
+
+  /** Cosine similarity of two `array<double>` columns (exact scaled-integer
+    * accumulation; see [[CosineSimilarity]]).
+    */
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -27,31 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact scaled-integer squared-norm of an array<double> expression. */
-  private def normSum(arr: String): String =
-    s"aggregate(transform($arr, x -> cast(floor(x*x*1e6 + 0.5) as bigint))," +
-      " cast(0 as bigint), (a, x) -> a + x)"
-
   private def vecs(emb: DataFrame): DataFrame =
     emb.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
 
-  private def withNorm(e: DataFrame): DataFrame =
-    e.withColumn("nrm", expr(normSum("v")))
-
   /** Brute-force cosine top-k: every query (vec_id < nQueries) against the
     * whole corpus. The baseline every ANN variant is checked against.
+    * Scoring runs through the native codegen'd [[graft.functions
+    * .CosineSimilarity]] expression — same scaled-integer arithmetic as the
+    * DuckDB oracle, one tight loop per pair instead of HOF intermediates.
     */
   def cosineTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
-    val e = withNorm(vecs(emb))
+    val e = vecs(emb)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
     val scored = e.crossJoin(broadcast(q))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qv, v, (x, y) -> cast(floor(x*y*1e6 + 0.5) as bigint))," +
-          " cast(0 as bigint), (a, x) -> a + x)"))
-      .withColumn("score",
-        col("dot").cast("double") /
-          sqrt(col("qnrm").cast("double") * col("nrm").cast("double")))
+      .withColumn("score", graft.functions.GraftFunctions.cosine_sim(col("qv"), col("v")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(desc("score"), asc("vec_id"))
     scored
@@ -105,22 +95,34 @@ object Similarity {
     * recall vs the brute-force baseline is the quality metric.
     */
   def annLsh(emb: DataFrame, nQueries: Int = 8, k: Int = 10, bits: Int = 6): DataFrame = {
-    val e = withNorm(vecs(emb)).join(lshBuckets(emb, bits), "vec_id")
+    val e = vecs(emb).join(lshBuckets(emb, bits), "vec_id")
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
     val scored = e.join(broadcast(q), col("bucket") === col("qbucket"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qv, v, (x, y) -> cast(floor(x*y*1e6 + 0.5) as bigint))," +
-          " cast(0 as bigint), (a, x) -> a + x)"))
-      .withColumn("score",
-        col("dot").cast("double") /
-          sqrt(col("qnrm").cast("double") * col("nrm").cast("double")))
+      .withColumn("score", graft.functions.GraftFunctions.cosine_sim(col("qv"), col("v")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(desc("score"), asc("vec_id"))
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: vectors sharing an LSH bucket
+    * whose exact cosine meets `minScore` — the embedding-space member of
+    * the dedup family (SURVEY.md §2-B). The bucket equi-join is the
+    * blocker (bucketing is a scan-side projection, so each side is one
+    * cheap pass); exact scoring runs only within buckets.
+    */
+  def embeddingNearDupPairs(
+      emb: DataFrame, bits: Int = 6, minScore: Double = 0.35): DataFrame = {
+    val e = vecs(emb).join(lshBuckets(emb, bits), "vec_id")
+    val l = e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val r = e.select(col("bucket").as("bucket_b"), col("vec_id").as("vec_b"),
+      col("v").as("vb"))
+    l.join(r, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .withColumn("score", graft.functions.GraftFunctions.cosine_sim(col("va"), col("vb")))
+      .filter(col("score") >= minScore)
+      .select(col("vec_a"), col("vec_b"), col("score"))
   }
 }

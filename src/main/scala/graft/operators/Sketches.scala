@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregations — the bounded-memory answers for
+  * questions whose exact form needs a full shuffle of distinct values.
+  * At 100 TB these are the difference between a mergeable constant-size
+  * state per partition (HLL registers) and an unbounded distinct set.
+  *
+  * Approximate results are engine-specific (Spark's HLL++ vs any oracle's
+  * own sketch), so these register with the rows-only check, and the exact
+  * twin query is what the DuckDB oracle verifies.
+  */
+object Sketches {
+
+  /** Per-key distinct-user cardinality, approximate (HLL++, rsd 1%) next
+    * to exact — the exact column doubles as an in-result accuracy witness.
+    */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Approximate quantiles of the value distribution per key
+    * (percentile_approx with a fixed accuracy — mergeable sketch state).
+    */
+  def valueQuantiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("quantiles"))
+}

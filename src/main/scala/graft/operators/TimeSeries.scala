@@ -35,6 +35,21 @@ object TimeSeries {
       .select(col("event_type"), col("event_id"), col("value"), col("rn"))
   }
 
+  /** Session windows via Spark's native session_window: per user, events
+    * merge into one session while each is within `gap` of the previous;
+    * window end = last event + gap. Same islands as [[sessionize]] (the
+    * lag/running-sum form), expressed as the engine-native session window —
+    * also the shape the streaming layer uses with a watermark.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Sessionization: per user, a new session starts after a gap > maxGap.
     * Two stacked window functions over the same (user, time) ordering —
     * one shuffle on user_id total.

@@ -1,0 +1,28 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CosineSimilarity
+
+/** Engine extension installer: makes the native functions available to SQL
+  * (`SELECT cosine_sim(a, b)`) via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * The DataFrame API path (graft.functions.GraftFunctions) does not depend
+  * on this registration — registered queries work under any caller-owned
+  * SparkSession; this class only adds the SQL surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cosine_sim expects exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

@@ -17,6 +17,7 @@ private[streaming] object JobRunner {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // Parallelism is sized by config, not hardcoded 1: the reference
       // pinned parallelism=1 only to dodge an idle-shard watermark stall
       // (tumbling_window.py:50-60); Spark's per-source watermark tracking

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.cosine_sim
+import graft.operators.{Similarity, Sketches, TimeSeries}
+
+/** Tests for the native Catalyst expression, its SQL registration through
+  * GraftExtensions, and the operators built on it.
+  */
+class FunctionsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def vecsDf = Seq(
+    (1L, Array(1.0, 2.0, 3.0)),
+    (2L, Array(1.0, 2.0, 3.0)),
+    (3L, Array(-1.0, -2.0, -3.0)),
+    (4L, Array(3.0, -1.0, 0.25))).toDF("vec_id", "v")
+
+  test("cosine_sim expression: identity, negation, hand-checked value") {
+    val got = vecsDf.crossJoin(vecsDf.select(col("vec_id").as("b_id"), col("v").as("b_v")))
+      .select(col("vec_id"), col("b_id"), cosine_sim(col("v"), col("b_v")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) === 1.0)
+    assert(got((1L, 3L)) === -1.0)
+    // same scaled-integer formula the engine pins, applied by hand:
+    val dot = math.floor(1.0 * 3.0 * 1e6 + 0.5).toLong +
+      math.floor(2.0 * -1.0 * 1e6 + 0.5).toLong +
+      math.floor(3.0 * 0.25 * 1e6 + 0.5).toLong
+    val na = math.floor(1e6 + 0.5).toLong + math.floor(4e6 + 0.5).toLong +
+      math.floor(9e6 + 0.5).toLong
+    val nb = math.floor(9e6 + 0.5).toLong + math.floor(1e6 + 0.5).toLong +
+      math.floor(0.0625e6 + 0.5).toLong
+    assert(got((1L, 4L)) === dot.toDouble / math.sqrt(na.toDouble * nb.toDouble))
+  }
+
+  test("interpreted eval matches codegen result") {
+    import graft.functions.CosineSimilarity
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val a = Literal.create(ArrayData.toArrayData(Array(3.0, -1.0, 0.25)),
+      ArrayType(DoubleType))
+    val b = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+      ArrayType(DoubleType))
+    val interpreted = CosineSimilarity(a, b).eval(null).asInstanceOf[Double]
+    val viaCodegenPath = vecsDf.filter($"vec_id" === 4L)
+      .crossJoin(vecsDf.filter($"vec_id" === 1L).select($"v".as("b_v")))
+      .select(cosine_sim($"v", $"b_v")).head.getDouble(0)
+    assert(interpreted === viaCodegenPath)
+  }
+
+  test("cosine_sim is registered for SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS s").head.getDouble(0)
+    assert(r === 1.0)
+  }
+
+  test("embedding near-dup pairs: thresholded, ordered, score-consistent") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val pairs = Similarity.embeddingNearDupPairs(emb).collect()
+    assert(pairs.nonEmpty, "corpus should contain same-bucket pairs above 0.35")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.35)
+    }
+  }
+
+  test("session windows agree with the lag/running-sum sessionizer") {
+    val ev = Tables.load(spark, sf, "events")
+    val sw = TimeSeries.sessionWindows(ev).collect()
+    val islands = TimeSeries.sessionize(ev)
+      .groupBy("user_id", "session_id").count().collect()
+    assert(sw.length === islands.length, "same number of sessions")
+    val swCounts = sw.map(r => (r.getLong(0), r.getLong(3))).groupBy(identity).view.mapValues(_.length).toMap
+    val isCounts = islands.map(r => (r.getLong(0), r.getLong(2))).groupBy(identity).view.mapValues(_.length).toMap
+    assert(swCounts === isCounts, "per-user session sizes agree")
+  }
+
+  test("sketch distinct count tracks the exact count within rsd tolerance") {
+    val got = Sketches.distinctUsers(Tables.load(spark, sf, "events")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
+    val q = Sketches.valueQuantiles(Tables.load(spark, sf, "events")).collect()
+    q.foreach { r =>
+      val qs = r.getSeq[Double](1)
+      assert(qs.length === 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
+    }
+  }
+}
