@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Joins, Multimodal, Similarity, Sketches, TextAnalysis, TimeSeries}
+import org.apache.spark.sql.functions.col
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
   * similarity search, text analysis, time series, multimodal columns.
@@ -391,6 +392,50 @@ object ExtensionQueries {
                max(ts) + INTERVAL '30 minutes' AS session_end,
                count(*) AS n_events
         FROM s GROUP BY user_id, sid""")),
+
+    // As-of join: each purchase matched to the user's most recent prior-or-
+    // equal click. One shuffle (union + keyed window), not a nested loop.
+    QuerySpec(
+      "ts_asof_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        Joins.asofJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        r0 AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+        r AS (
+          SELECT user_id, ts, max(event_id) AS r_eid,
+                 arg_max(value, event_id) AS r_val
+          FROM r0 GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id, l.ts,
+               r.r_eid AS asof_event_id, r.r_val AS asof_value
+        FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""")),
+
+    // Bounded range join: clicks within the 10 minutes before each error,
+    // banded into bucket equi-joins (no nested loop).
+    QuerySpec(
+      "ts_range_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        Joins.rangeJoinCount(
+          ev.filter(col("event_type") === "error"),
+          ev.filter(col("event_type") === "click"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        r AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT l.event_id, l.user_id,
+               CAST(COALESCE(SUM(CASE WHEN r.ts >= l.ts - INTERVAL '10 minutes'
+                                       AND r.ts < l.ts THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_in_window
+        FROM l LEFT JOIN r ON l.user_id = r.user_id
+        GROUP BY l.event_id, l.user_id""")),
 
     // ---- sketches (approximate: rows-only check, exact twin in-result) -----
     QuerySpec(

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series join operators Spark has no native form for (SURVEY.md
+  * §2-B extension surface): as-of join and bounded range join. Both are
+  * composed from equi-join/window primitives per the custom-operator
+  * preference order — no custom physical operator is needed because the
+  * semantics decompose onto shuffles Catalyst already plans well.
+  */
+object Joins {
+
+  /** As-of join: for each left row, the most recent right row of the same
+    * key with right.ts <= left.ts (inner: lefts with no prior right drop).
+    *
+    * Shape: tag and union both sides, then one window pass per key ordered
+    * by (ts, side, event_id) carrying the last-seen right row forward.
+    * ONE shuffle on the key — same exchange count as a plain equi-join —
+    * instead of an inequality join (which Spark would plan as a broadcast
+    * nested loop). This is the standard MERGE-style as-of at scale: state
+    * per key is one row, and skew behaves like any keyed window.
+    *
+    * Right-side ties on (key, ts) are broken deterministically by max
+    * event_id (the union ordering ends in event_id), so results are
+    * engine-reproducible.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("user_id"), col("ts"), col("event_id"),
+      lit(null).cast("long").as("r_event_id"),
+      lit(null).cast("double").as("r_value"),
+      lit(1).as("side"))
+    val r = right.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_id").as("r_event_id"), col("value").as("r_value"),
+      lit(0).as("side"))
+    // right rows sort before left rows at equal ts => "<=" semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_event_id", last(col("r_event_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("r_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("asof_event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id"), col("asof_value"))
+  }
+
+  /** Bounded range join, aggregated: per left row, the count of right rows
+    * of the same key with right.ts in [left.ts - window, left.ts).
+    *
+    * Shape: band the time axis into `windowSeconds` buckets; each right
+    * row lands in its bucket and the next (2x bounded duplication), the
+    * join becomes an equi-join on (key, bucket) plus a residual range
+    * filter. This replaces the nested-loop plan an inequality join gets
+    * with a hash join whose fan-out is bounded by bucket population — the
+    * standard banded decomposition for interval joins at scale.
+    */
+  def rangeJoinCount(
+      left: DataFrame, right: DataFrame, windowSeconds: Long = 600): DataFrame = {
+    val winUs = windowSeconds * 1000000L
+    val l = left.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("l_us"))
+      .withColumn("bucket", floor(col("l_us") / winUs))
+    val r = right.select(col("user_id").as("r_user"),
+      unix_micros(col("ts")).as("r_us"))
+      .withColumn("bucket", explode(array(
+        floor(col("r_us") / winUs), floor(col("r_us") / winUs) + 1)))
+    l.join(r, l("user_id") === r("r_user") && l("bucket") === r("bucket"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(sum(when(col("r_us") >= col("l_us") - winUs &&
+        col("r_us") < col("l_us"), 1L).otherwise(0L)).as("n_in_window"))
+  }
+}
