@@ -437,6 +437,28 @@ object ExtensionQueries {
         FROM l LEFT JOIN r ON l.user_id = r.user_id
         GROUP BY l.event_id, l.user_id""")),
 
+    // Salted fact-fact join: identical results to the plain equi-join (the
+    // oracle IS the plain join), with hot keys spread over 8 reducers —
+    // the planned-ahead form of AQE's skew-join handling.
+    QuerySpec(
+      "q22_join_salted",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        Joins.saltedJoin(li, "l_orderkey", "l_partkey", o, "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(RelationalQueries.dsum(col("l_extendedprice"), 2).as("sum_price"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e2 AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""")),
+
     // ---- sketches (approximate: rows-only check, exact twin in-result) -----
     QuerySpec(
       "sketch_distinct_users",

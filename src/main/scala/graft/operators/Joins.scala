@@ -71,4 +71,30 @@ object Joins {
       .agg(sum(when(col("r_us") >= col("l_us") - winUs &&
         col("r_us") < col("l_us"), 1L).otherwise(0L)).as("n_in_window"))
   }
+
+  /** Salted equi-join for skewed keys: the probe side gets a deterministic
+    * salt in [0, saltFactor) (hash of its unique id — reproducible, unlike
+    * rand()), the build side replicates each row to every salt, and the
+    * join key becomes (key, salt). A hot key's rows now spread over
+    * `saltFactor` reducers instead of one straggler task. Results are
+    * identical to the unsalted join (each probe row still meets every
+    * matching build row exactly once — on its own salt).
+    *
+    * This is the manual form of what AQE skew-join does adaptively; it
+    * exists for the planned-ahead case (known-hot keys, deterministic
+    * plans) and as the documented skew recipe for 100 TB fact-fact joins.
+    */
+  def saltedJoin(
+      probe: DataFrame, probeKey: String, probeSaltBy: String,
+      build: DataFrame, buildKey: String,
+      saltFactor: Int = 8): DataFrame = {
+    val salted = probe.withColumn("_salt",
+      pmod(xxhash64(col(probeSaltBy)), lit(saltFactor)).cast("int"))
+    val replicated = build.withColumn("_salt",
+      explode(expr(s"sequence(0, ${saltFactor - 1})")))
+    salted.join(replicated,
+      salted(probeKey) === replicated(buildKey) &&
+        salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
 }

@@ -38,6 +38,26 @@ object StreamingQueries {
       tsCol = "utc", keyCol = "ticker", valCol = "price",
       over = over, every = every)
 
+  /** Two-level streaming sliding MIN (SURVEY.md §2 note (b) scale path):
+    * a tumbling `every`-pane partial MIN feeds a chained hopping-window
+    * rollup via `window_time` — two stateful aggregations in one append
+    * query. The raw stream is reduced to one row per (key, pane) BEFORE
+    * the over/every expansion, so the expand factor applies to panes, not
+    * events.
+    */
+  def slidingMinTwoLevel(
+      ticks: DataFrame,
+      watermarkDelay: String = "5 seconds",
+      over: String = "2 minutes",
+      every: String = "1 minute"): DataFrame =
+    ticks
+      .withWatermark("utc", watermarkDelay)
+      .groupBy(window(col("utc"), every), col("ticker"))
+      .agg(min(col("price")).as("pane_min"))
+      .groupBy(window(window_time(col("window")), over, every), col("ticker"))
+      .agg(min(col("pane_min")).as("p"))
+      .select(col("ticker"), col("p"), col("window.end").as("t"))
+
   /** Streaming exact dedup with bounded state: duplicates arriving within
     * the watermark horizon are dropped; state for keys older than the
     * horizon is evicted (SURVEY.md §2-B streaming dedup). At scale this is

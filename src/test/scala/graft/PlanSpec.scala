@@ -69,6 +69,41 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"), "per-query top-k must prune pre-shuffle: " + p)
   }
 
+  test("bucketed tables join with no exchange — the co-located join path") {
+    val tmp = java.nio.file.Files.createTempDirectory("buckets").toString
+    Tables.load(spark, sf, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/orders_b").saveAsTable("orders_b")
+    Tables.load(spark, sf, "lineitem").write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/lineitem_b").saveAsTable("lineitem_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("lineitem_b").join(spark.table("orders_b"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle either side:\n" + p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("salted join spreads a key over saltFactor partitions, same results") {
+    import spark.implicits._
+    val probe = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("k", "v")
+    val build = Seq((1L, "a"), (2L, "b")).toDF("bk", "name")
+    val got = graft.operators.Joins.saltedJoin(probe, "k", "v", build, "bk")
+      .select("k", "v", "name").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got === Set((1L, 10.0, "a"), (1L, 20.0, "a"), (2L, 30.0, "b")))
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)

@@ -86,6 +86,57 @@ class StreamingSpec extends GraftSpec {
     assert(batch.head.toSeq === w0.head.toSeq)
   }
 
+  test("two-level streaming sliding min matches the batch decomposition") {
+    val input = MemoryStream[String]
+    val out = StreamingQueries.slidingMinTwoLevel(parsedTicks(input))
+    val rows = runStream(input, out, Seq(
+      Seq(tickJson("AAPL", 10.0, "2024-01-01T00:00:30.000"),
+        tickJson("AAPL", 7.0, "2024-01-01T00:01:30.000")),
+      Seq(tickJson("AAPL", 50.0, "2024-01-01T00:10:00.000")),
+      Seq(tickJson("AAPL", 51.0, "2024-01-01T00:12:00.000"))))
+      .map(r => (r.getString(0), r.getDouble(1), r.getTimestamp(2))).toSet
+    assert(rows.nonEmpty, "closed hopping windows must emit")
+    // batch twin over the same ticks, restricted to the emitted windows
+    val batch = Windows.slidingMin(
+      Seq(("AAPL", 10.0, ts("2024-01-01 00:00:30")),
+        ("AAPL", 7.0, ts("2024-01-01 00:01:30")),
+        ("AAPL", 50.0, ts("2024-01-01 00:10:00")),
+        ("AAPL", 51.0, ts("2024-01-01 00:12:00"))).toDF("ticker", "price", "utc"),
+      tsCol = "utc", keyCol = "ticker", valCol = "price",
+      over = "2 minutes", every = "1 minute")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getTimestamp(2))).toSet
+    assert(rows.subsetOf(batch), s"streaming rows must agree with batch: $rows vs $batch")
+  }
+
+  test("stream-stream interval join matches ticks within the time bound") {
+    val inA = MemoryStream[String]
+    val inB = MemoryStream[String]
+    val a = parsedTicks(inA).withWatermark("utc", "10 seconds")
+      .select($"ticker", $"price".as("a_price"), $"utc".as("a_utc"))
+    val b = parsedTicks(inB).withWatermark("utc", "10 seconds")
+      .select($"ticker".as("b_ticker"), $"price".as("b_price"), $"utc".as("b_utc"))
+    val joined = a.join(b,
+      $"ticker" === $"b_ticker" &&
+        $"b_utc" >= $"a_utc" - org.apache.spark.sql.functions.expr("INTERVAL 30 SECONDS") &&
+        $"b_utc" <= $"a_utc")
+
+    val name = freshName()
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      inA.addData(Seq(tickJson("AAPL", 1.0, "2024-01-01T00:00:30.000")))
+      inB.addData(Seq(
+        tickJson("AAPL", 2.0, "2024-01-01T00:00:10.000"), // within 30 s before
+        tickJson("AAPL", 3.0, "2024-01-01T00:01:30.000"), // after a -> excluded
+        tickJson("MSFT", 4.0, "2024-01-01T00:00:20.000"))) // wrong key
+      q.processAllAvailable()
+      inA.addData(Seq(tickJson("AAPL", 9.0, "2024-01-01T00:05:00.000")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getAs[Double]("a_price"), r.getAs[Double]("b_price"))).toSet
+    assert(got === Set((1.0, 2.0)))
+  }
+
   test("streaming dedup within watermark drops duplicates, keeps state bounded") {
     val input = MemoryStream[String]
     val out = StreamingQueries.dedupWithinWatermark(parsedTicks(input))
