@@ -435,6 +435,148 @@ object RelationalQueries {
       Some(s"""
         SELECT o_custkey, COUNT(*) AS n_orders,
                ${dsumSql("o_totalprice", 2)} AS spend
-        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3"""))
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3""")),
+
+    // ---- classic multi-join shapes -----------------------------------------
+    // TPC-H Q3 shape: segment filter -> 3-way join -> revenue per order ->
+    // deterministic top-10. Fact sides shuffle once on the join keys; the
+    // final top-k is TakeOrderedAndProject (heap + driver merge of 10).
+    QuerySpec(
+      "q23_shipping_priority",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(desc("revenue"), asc("o_orderkey"))
+          .limit(10)
+      },
+      Some(s"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // TPC-H Q5 shape: 6-way join (two broadcast dims at the top of the
+    // chain), revenue per nation. Exercises join reordering + mixed
+    // broadcast/shuffle strategy selection in one plan.
+    QuerySpec(
+      "q24_local_supplier_volume",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        val n = broadcast(t(s, dir, "nation"))
+        val r = broadcast(t(s, dir, "region"))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+          .join(n, su("s_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .filter(r("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+      },
+      Some(s"""
+        SELECT n_name,
+               ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name""")),
+
+    // TPC-H Q10 shape: returned-item losses per customer, top-20 by
+    // revenue. 3-way fact join + broadcast dim + deterministic top-k.
+    QuerySpec(
+      "q25_returned_items",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val n = broadcast(t(s, dir, "nation"))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT c_custkey, c_name, n_name,
+               ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // Discrete percentile per group via rank arithmetic: the value at row
+    // ceil(q*n) of the group's sort order — exact and engine-agnostic
+    // (no interpolation arithmetic to diverge on), computed with one
+    // window pass + filter.
+    QuerySpec(
+      "q26_percentile_disc",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(asc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+        t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+          .filter(col("rn") === ceil(col("n") * lit(0.5)) ||
+            col("rn") === ceil(col("n") * lit(0.95)))
+          .select(col("l_returnflag"), col("rn"), col("n"),
+            col("l_extendedprice").as("pct_value"))
+      },
+      Some("""
+        SELECT l_returnflag, rn, n, l_extendedprice AS pct_value FROM (
+          SELECT l_returnflag, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+          FROM lineitem)
+        WHERE rn = CEIL(n * 0.5) OR rn = CEIL(n * 0.95)""")),
+
+    // Correlated EXISTS through the SQL path: customers with at least one
+    // urgent order — Catalyst decorrelates to a left-semi join.
+    QuerySpec(
+      "q27_exists_decorrelated",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT c_custkey, c_name
+          FROM customer
+          WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""")
+      },
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""))
   )
 }
