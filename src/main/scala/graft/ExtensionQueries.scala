@@ -232,6 +232,56 @@ object ExtensionQueries {
           FROM dots)
         ${topkTail(10)}""")),
 
+    // IVF ANN: deterministic coarse quantizer (first-16 centroids),
+    // single-probe search in the query's own cell.
+    QuerySpec(
+      "sim_ann_ivf",
+      (s, dir) => Similarity.annIvf(emb(s, dir)),
+      Some(s"""
+        WITH $vecNormCte,
+        cents AS (
+          SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+          FROM n WHERE vec_id < 16),
+        cpx AS (
+          SELECT n.vec_id, c.cent_id, n.nrm, c.cnrm,
+                 unnest(n.v) AS x, unnest(c.cv) AS cx
+          FROM n CROSS JOIN cents c),
+        cd AS (
+          SELECT vec_id, cent_id, nrm, cnrm,
+                 CAST(SUM(CAST(FLOOR(x*cx*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM cpx GROUP BY vec_id, cent_id, nrm, cnrm),
+        csc AS (
+          SELECT vec_id, cent_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) AS score
+          FROM cd),
+        cell AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, cent_id) AS rn
+            FROM csc) WHERE rn = 1),
+        e AS (
+          SELECT n.vec_id, n.v, n.nrm, cell.cell
+          FROM n JOIN cell ON n.vec_id = cell.vec_id),
+        q AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell AS qcell
+          FROM e WHERE vec_id < 8),
+        px AS (
+          SELECT q.qid, c.vec_id, q.qnrm, c.nrm,
+                 unnest(q.qv) AS qx, unnest(c.v) AS x
+          FROM e c JOIN q ON c.cell = q.qcell),
+        dots AS (
+          SELECT qid, vec_id, qnrm, nrm,
+                 CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px GROUP BY qid, vec_id, qnrm, nrm),
+        s AS (
+          SELECT qid, vec_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
+          FROM dots)
+        ${topkTail(10)}""")),
+
     // Embedding-cosine near-dup: LSH-bucket blocking + exact threshold.
     QuerySpec(
       "dedup_embedding_cosine",

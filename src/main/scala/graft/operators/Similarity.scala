@@ -108,6 +108,42 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
   }
 
+  /** IVF cell assignment with a deterministic coarse quantizer: the first
+    * `nCells` vectors act as centroids (a reproducible stand-in for a
+    * k-means codebook — swapping in trained centroids changes only the
+    * `cents` frame), every vector joins its argmax-cosine centroid.
+    * Centroids broadcast; assignment is one corpus scan + a per-vector
+    * top-1 (WindowGroupLimit prunes before the exchange).
+    */
+  def ivfCells(emb: DataFrame, nCells: Int = 16): DataFrame = {
+    val cents = vecs(emb).filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(desc("score"), asc("cent_id"))
+    vecs(emb).crossJoin(broadcast(cents))
+      .withColumn("score", graft.functions.GraftFunctions.cosine_sim(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  /** IVF-style ANN (single probe): queries search only their own cell —
+    * the coarse-quantizer member of the ANN family next to [[annLsh]].
+    * Returns (qid, vec_id, score, rn) like [[cosineTopK]].
+    */
+  def annIvf(emb: DataFrame, nQueries: Int = 8, k: Int = 10, nCells: Int = 16): DataFrame = {
+    val e = vecs(emb).join(ivfCells(emb, nCells), "vec_id")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell").as("qcell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("score"), asc("vec_id"))
+    e.join(broadcast(q), col("cell") === col("qcell"))
+      .withColumn("score", graft.functions.GraftFunctions.cosine_sim(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors sharing an LSH bucket
     * whose exact cosine meets `minScore` — the embedding-space member of
     * the dedup family (SURVEY.md §2-B). The bucket equi-join is the

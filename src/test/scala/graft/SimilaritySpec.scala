@@ -41,6 +41,21 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("ann ivf: top-1 is self, scores match brute force, recall reported") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val ivf = Similarity.annIvf(emb, nQueries = 8, k = 10).collect()
+    ivf.filter(_.getInt(3) == 1).foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val brute = Similarity.cosineTopK(emb, nQueries = 8, k = 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+    val truth = Similarity.cosineTopK(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"ann-ivf recall@10 = ${(got & truth).size.toDouble / truth.size}%.2f")
+  }
+
   test("ann lsh recall@10 against brute force is reported and sane") {
     val emb = Tables.load(spark, sf, "embeddings")
     val truth = Similarity.cosineTopK(emb, nQueries = 8, k = 10).collect()
