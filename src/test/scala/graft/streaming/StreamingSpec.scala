@@ -188,6 +188,44 @@ class StreamingSpec extends GraftSpec {
     assert(spark.table(name).collect().toSeq === batch.collect().toSeq)
   }
 
+  test("job pipeline e2e: file source -> watermarked candlestick -> partitioned sink") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val in = Files.createTempDirectory("job_in").toString
+    val out = Files.createTempDirectory("job_out").toString
+    val ckpt = Files.createTempDirectory("job_ckpt").toString
+    def sqlTick(ticker: String, price: Double, t: String) =
+      s"""{"utc":"$t","ticker":"$ticker","price":$price}"""
+    // three files processed oldest-first (one per micro-batch) so the
+    // watermark advances across batches and closes the first two windows
+    val files = Seq(
+      "a.json" -> Seq(sqlTick("AAPL", 10.0, "2024-01-01 00:00:10.000"),
+        sqlTick("AAPL", 12.0, "2024-01-01 00:00:50.000"),
+        sqlTick("MSFT", 20.0, "2024-01-01 00:01:10.000")),
+      "b.json" -> Seq(sqlTick("AAPL", 30.0, "2024-01-01 00:05:00.000")),
+      "c.json" -> Seq(sqlTick("AAPL", 31.0, "2024-01-01 00:06:00.000")))
+    files.zipWithIndex.foreach { case ((name, lines), i) =>
+      val p = Paths.get(s"$in/$name")
+      Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(1000000L + i * 10000L))
+    }
+
+    val ticks = TickSource.fileJson(spark, in, "SQL", maxFilesPerTrigger = Some(1))
+    val q = TickSink.start(StreamingQueries.candlestick(ticks),
+      TickSink.PartitionedParquet(out, ckpt), availableNow = true)
+    q.awaitTermination(60000)
+
+    val result = spark.read.parquet(out)
+    val got = result.collect()
+      .map(r => (r.getAs[String]("ticker"), r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[Double]("min_price"), r.getAs[Double]("max_price"))).toSet
+    assert(got.contains(("AAPL", ts("2024-01-01 00:00:00"), 10.0, 12.0)))
+    assert(got.contains(("MSFT", ts("2024-01-01 00:01:00"), 20.0, 20.0)))
+    // kinesis-sink stand-in contract: output is partitioned by ticker
+    assert(Files.exists(Paths.get(s"$out/ticker=AAPL")))
+    assert(Files.exists(Paths.get(s"$out/ticker=MSFT")))
+  }
+
   test("job config: reference property-group shape round-trips") {
     val conf = JobConfig.parse("""[
       {"PropertyGroupId": "consumer.config.0",
