@@ -38,35 +38,34 @@ object Dedup {
   private[operators] def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
-  /** Word 3-gram shingles of a document (1 row per doc in → exploded out).
-    * Docs shorter than 3 tokens produce no shingles.
+  /** Word 3-gram shingles of a document as ONE array column per doc —
+    * no row expansion. Docs shorter than 3 tokens drop. Downstream
+    * per-doc reductions (MinHash minima, distinct counts) then run as
+    * scan-side array expressions instead of explode + shuffle +
+    * re-aggregate, which is the difference between a projection and an
+    * exchange of |docs| × |shingles| rows at 100 TB.
     */
-  private def shingled(docs: DataFrame): DataFrame =
+  private def shingleArrays(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(toks)-2)," +
-            " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
-          .as("shingle"))
+        expr("transform(sequence(1, size(toks)-2)," +
+          " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))").as("shingles"))
 
   /** One row per doc with all k MinHash components as columns `h0..h{k-1}`:
     * h_j = min over shingles of md5("j:" + shingle).
     *
-    * This wide shape is the scale-efficient form: ONE hash aggregation on
-    * doc_id computes every component (k conditional-min agg expressions,
-    * all codegen'd), instead of exploding each shingle k× and shuffling
-    * k rows per doc. At 100 TB the difference is a k-fold smaller exchange
-    * and map-side combine over the raw shingle stream.
+    * Pure projection over the per-doc shingle array — every component is
+    * `array_min(transform(...))`, so signature computation has NO shuffle
+    * and no row expansion at all: one corpus scan, embarrassingly
+    * parallel, which is the shape that survives 100 TB.
     */
   private def minhashWide(docs: DataFrame, k: Int): DataFrame =
-    shingled(docs)
-      .groupBy(col("doc_id"))
-      .agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
-        (1 until k).map(j =>
-          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j")): _*)
+    shingleArrays(docs)
+      .select(col("doc_id") +: (0 until k).map(j =>
+        expr(s"array_min(transform(shingles, s -> md5(concat('$j:', s))))")
+          .as(s"h$j")): _*)
 
   /** MinHash signatures: k hash functions h_j(s) = md5(j:s); the signature
     * component is the lexicographic min digest per (doc, j). Output one row
@@ -156,15 +155,17 @@ object Dedup {
     // Inverted index: group the posting list per shingle and expand
     // co-occurrence pairs locally (one shuffle on the shingle), instead of
     // a self-join that would rebuild and re-shuffle the shingle stream
-    // twice. Each doc's shingle count rides along in the posting-list
-    // struct, so |A| and |B| need no size-table joins (which would rebuild
-    // the shingle stream two more times): the whole operator is one scan +
-    // three compact shuffles. A stopword-shingle cap on the posting-list
-    // size would bound the worst case if real corpora need it.
-    val sh = shingled(docs).distinct()
-    sh.withColumn("n", count(lit(1)).over(
+    // twice. Per-doc dedup happens scan-side (array_distinct before the
+    // explode — no global distinct shuffle); the distinct array expression
+    // is referenced exactly once so the optimizer cannot duplicate it, and
+    // the |A| set size rides in on one window count over doc_id. A
+    // stopword-shingle cap on the posting-list size would bound the worst
+    // case if real corpora need it.
+    val sh = shingleArrays(docs)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
+      .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-      .groupBy(col("shingle"))
+    sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
