@@ -65,6 +65,21 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  test("single-pass candlestick Aggregator matches the four-builtin form") {
+    import graft.functions.CandlestickAggregator
+    val ev = Tables.load(spark, sf, "events")
+    val viaAgg = ev
+      .groupBy(window(col("ts"), "1 minute"), col("event_type").as("ticker"))
+      .agg(CandlestickAggregator.candle(unix_micros(col("ts")), col("value")).as("c"))
+      .select(col("ticker"), col("window.start").as("window_start"),
+        col("c.first_price"), col("c.last_price"), col("c.min_price"), col("c.max_price"))
+      .collect().map(_.toSeq).toSet
+    val viaBuiltins = graft.operators.Windows.candlestick(ev)
+      .select("ticker", "window_start", "first_price", "last_price", "min_price", "max_price")
+      .collect().map(_.toSeq).toSet
+    assert(viaAgg === viaBuiltins)
+  }
+
   test("session windows agree with the lag/running-sum sessionizer") {
     val ev = Tables.load(spark, sf, "events")
     val sw = TimeSeries.sessionWindows(ev).collect()

@@ -35,6 +35,19 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("six-way join mixes broadcast dims with shuffled fact joins") {
+    // disable size-based auto-broadcast so the fact-side strategy choice
+    // reflects the large-scale plan, while explicit broadcast() hints on
+    // nation/region still take effect
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(Registry.queries("q24_local_supplier_volume")(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("top-k per group prunes partitions to k rows before the exchange") {
     val p = plan(TimeSeries.topKPerGroup(Tables.load(spark, sf, "events")))
     assert(p.contains("WindowGroupLimit"), p)
