@@ -16,10 +16,13 @@ object Bench {
     // the string/hash/array expression paths the text operators codegen.
     spark.range(10000).selectExpr("id % 7 k").groupBy("k").count().collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
-      .selectExpr("md5(text)", "explode(split(text, ' '))").count()
     spark.read.parquet(s"$sfDir/embeddings.parquet").limit(8)
       .selectExpr("size(embedding)").count()
+    // Standard warmup iteration: run the heaviest operator shape on a tiny
+    // slice (results discarded) so Janino compiles the shingle/hash
+    // pipeline before the measured pass.
+    graft.operators.Dedup.minhashSignatures(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(64)).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{Joins, TimeSeries, Windows}
+
+/** Randomized cross-checks (SURVEY.md §5.6): seeded random inputs, each
+  * distributed operator compared against a direct single-machine Scala
+  * re-computation of the same semantics. Catches partitioning/merge-order
+  * bugs that fixed fixtures miss.
+  */
+class CrossCheckSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def randomEvents(seed: Int, n: Int, users: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      (i.toLong, rnd.nextInt(users).toLong,
+        new java.sql.Timestamp(1704067200000L + rnd.nextInt(3600000).toLong),
+        math.rint(rnd.nextDouble() * 1000) / 100)
+    }
+  }
+
+  test("asof join agrees with brute force on random event streams") {
+    for (seed <- 1 to 3) {
+      val left = randomEvents(seed, 120, 6)
+      val right = randomEvents(seed + 100, 120, 6)
+      val lDf = left.toDF("event_id", "user_id", "ts", "value")
+      val rDf = right.toDF("event_id", "user_id", "ts", "value")
+      val got = Joins.asofJoin(lDf, rDf).collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+
+      val expected = left.flatMap { case (id, u, ts, _) =>
+        val candidates = right.filter(r => r._2 == u && !r._3.after(ts))
+        if (candidates.isEmpty) None
+        else {
+          val best = candidates.maxBy(r => (r._3.getTime, r._1))
+          Some(id -> (best._1, best._4))
+        }
+      }.toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("range join count agrees with brute force") {
+    for (seed <- 1 to 3) {
+      val left = randomEvents(seed, 100, 5)
+      val right = randomEvents(seed + 50, 150, 5)
+      val got = Joins.rangeJoinCount(
+        left.toDF("event_id", "user_id", "ts", "value"),
+        right.toDF("event_id", "user_id", "ts", "value"),
+        windowSeconds = 600).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val expected = left.map { case (id, u, ts, _) =>
+        id -> right.count(r => r._2 == u &&
+          r._3.getTime >= ts.getTime - 600000L && r._3.getTime < ts.getTime).toLong
+      }.toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("batch sessionize agrees with brute-force gap islands") {
+    for (seed <- 1 to 3) {
+      val events = randomEvents(seed, 150, 4)
+      val got = TimeSeries.sessionize(
+        events.toDF("event_id", "user_id", "ts", "value"), maxGapMinutes = 10)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+
+      val expected = events.groupBy(_._2).flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._3.getTime, e._1))
+        var sid = 0L
+        var prev = Long.MinValue
+        sorted.map { e =>
+          val us = e._3.getTime * 1000L
+          if (prev == Long.MinValue || us - prev > 10 * 60L * 1000000L) sid += 1
+          prev = us
+          e._1 -> sid
+        }
+      }.toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("sliding-window min agrees with brute force on random ticks") {
+    for (seed <- 1 to 3) {
+      val ticks = randomEvents(seed, 200, 3)
+        .map(e => (s"T${e._2}", e._4, e._3))
+      val got = Windows.slidingMin(
+        ticks.toDF("ticker", "price", "utc"), tsCol = "utc", keyCol = "ticker",
+        valCol = "price", over = "10 minutes", every = "5 minutes")
+        .collect().map(r => (r.getString(0), r.getTimestamp(2).getTime) -> r.getDouble(1)).toMap
+
+      val everyMs = 5 * 60000L
+      val overMs = 10 * 60000L
+      val expected = ticks
+        .flatMap { case (tk, p, ts) =>
+          // hopping windows [s, s+over) containing ts, stepping `every`
+          val t = ts.getTime
+          val lastStart = math.floorDiv(t, everyMs) * everyMs
+          Iterator.iterate(lastStart)(_ - everyMs)
+            .takeWhile(s => s > t - overMs)
+            .map(s => (tk, s + overMs) -> p)
+        }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      assert(got === expected, s"seed $seed")
+    }
+  }
+}
