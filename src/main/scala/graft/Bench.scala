@@ -23,7 +23,7 @@ object Bench {
     // pipeline before the measured pass.
     graft.operators.Dedup.minhashSignatures(
       spark.read.parquet(s"$sfDir/documents.parquet").limit(64)).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = Registry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

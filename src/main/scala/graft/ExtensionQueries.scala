@@ -138,6 +138,37 @@ object ExtensionQueries {
           ON a.band = b.band AND a.bucket_key = b.bucket_key
          AND a.doc_id < b.doc_id""")),
 
+    // Pairs -> clusters: connected components over the candidate-pair
+    // graph (iterative min-label propagation; oracle walks the same graph
+    // with a recursive CTE). Cluster id = min doc_id = the canonical
+    // representative to keep.
+    QuerySpec(
+      "dedup_clusters",
+      (s, dir) => Dedup.nearDupClusters(docs(s, dir)),
+      benchmark = false, // iterative: wall time = propagation rounds, not throughput
+      oracle = Some(s"""
+        WITH RECURSIVE
+        $minhashCte,
+        bk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(minhash, '|' ORDER BY minhash) AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket_key = b.bucket_key
+           AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, node) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+        SELECT src AS doc_id, min(node) AS cluster
+        FROM reach GROUP BY src""")),
+
     // 32-bit SimHash fingerprint, one constant-work pass per doc.
     QuerySpec(
       "dedup_simhash",

@@ -31,6 +31,14 @@ object Registry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
 
+  /** Headline single-query latency set for Bench: excludes queries flagged
+    * benchmark=false (iterative multi-job operators whose wall time is
+    * round-count-dominated, not engine-throughput-dominated). Everything
+    * still runs through Verify's correctness gate.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    all.filter(_.benchmark).map(q => q.name -> q.run).toMap
+
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -120,6 +120,58 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
+  /** Near-duplicate clusters: connected components over the MinHash
+    * candidate-pair graph, labelled by the component's minimum doc_id
+    * (which is also the canonical "keep one" representative). Every doc
+    * appears — singletons label themselves.
+    *
+    * Shape: iterative min-label propagation (the dedup-pipeline standard
+    * for pairs → clusters at scale). Each round is one join + one
+    * aggregation, state is (doc, label); rounds are bounded by component
+    * diameter, and near-dup components are tiny in practice, so this
+    * converges in 2–4 rounds. The driver only ever sees a converged/not
+    * count — no data is collected.
+    */
+  def nearDupClusters(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // The pair graph is consumed many times (each propagation round, the
+    // connected-doc set, and the caller's final action), so it is cached
+    // once; it stays cached in the returned plan's lineage — tiny state
+    // (candidate pairs only, not the corpus).
+    val pairs = minhashCandidatePairs(docs, k, rowsPerBand).persist()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Iterate only over docs that have an edge — singletons can never
+    // change label and union back in at the end, so each round touches
+    // |connected docs|, not |corpus|.
+    val connected = edges.select(col("src").as("doc_id")).distinct()
+    var labels = connected.withColumn("cluster", col("doc_id")).persist()
+    // Labels only ever decrease, so sum(cluster) is strictly monotone
+    // until the fixpoint: one cheap scalar per round detects convergence.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster"))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val propagated = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("cluster"))
+        .unionByName(labels.select(col("doc_id"), col("cluster")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster")).as("cluster"))
+        .persist()
+      val s = labelSum(propagated)
+      converged = s == prevSum
+      prevSum = s
+      labels.unpersist()
+      labels = propagated
+      rounds += 1
+    }
+    docs.select(col("doc_id"))
+      .join(connected, Seq("doc_id"), "left_anti")
+      .withColumn("cluster", col("doc_id"))
+      .unionByName(labels)
+  }
+
   /** 32-bit SimHash over word occurrences. Bit i of the fingerprint is the
     * sign of Σ_words (±1), where the ±1 is hex digit i of md5(word) having
     * its high bit set. Cross-engine-exact: md5 + substring + integer sums.

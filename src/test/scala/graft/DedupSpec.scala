@@ -50,6 +50,14 @@ class DedupSpec extends GraftSpec {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("near-dup clusters: components labelled by min doc id, singletons self") {
+    // 1-2 identical, 3 identical to both via chain 2-3 (same text), 4 alone
+    val docs = docsDf((1L, textA), (2L, textA), (3L, textA), (4L, textB))
+    val got = Dedup.nearDupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("dedup by content fingerprint collapses whitespace variants") {
     val docs = docsDf((1L, "a  b\tc"), (2L, " a b c "), (3L, "a b d"))
     val fps = graft.operators.TextAnalysis.fingerprints(docs).collect()
