@@ -263,6 +263,37 @@ object ExtensionQueries {
           FROM dots)
         ${topkTail(10)}""")),
 
+    // Multi-probe LSH: query probes its bucket + all Hamming-1 neighbours.
+    QuerySpec(
+      "sim_ann_lsh_multiprobe",
+      (s, dir) => Similarity.annLshMultiProbe(emb(s, dir)),
+      Some(s"""
+        WITH $vecNormCte,
+        $lshBucketCte,
+        e AS (
+          SELECT n.vec_id, n.v, n.nrm, bk.bucket
+          FROM n JOIN bk ON n.vec_id = bk.vec_id),
+        q AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
+                 xor(bucket, m) AS probe
+          FROM e CROSS JOIN (
+            SELECT CAST(unnest([0, 1, 2, 4, 8, 16, 32]) AS BIGINT) AS m)
+          WHERE vec_id < 8),
+        px AS (
+          SELECT q.qid, c.vec_id, q.qnrm, c.nrm,
+                 unnest(q.qv) AS qx, unnest(c.v) AS x
+          FROM e c JOIN q ON c.bucket = q.probe),
+        dots AS (
+          SELECT qid, vec_id, qnrm, nrm,
+                 CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px GROUP BY qid, vec_id, qnrm, nrm),
+        s AS (
+          SELECT qid, vec_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
+          FROM dots)
+        ${topkTail(10)}""")),
+
     // IVF ANN: deterministic coarse quantizer (first-16 centroids),
     // single-probe search in the query's own cell.
     QuerySpec(
@@ -387,6 +418,31 @@ object ExtensionQueries {
                     WHEN de_hits >= fr_hits THEN 'de'
                     ELSE 'fr' END AS lang_pred
         FROM h""")),
+
+    QuerySpec(
+      "text_langid_confusion",
+      (s, dir) => TextAnalysis.langIdConfusion(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id, lang,
+                 len(list_filter(toks, w -> w IN
+                   ('the','a','and','of','to','in','is','it','on','for'))) AS en_hits,
+                 len(list_filter(toks, w -> w IN
+                   ('der','die','das','und','ist','nicht','ein','zu','mit','ich'))) AS de_hits,
+                 len(list_filter(toks, w -> w IN
+                   ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr_hits
+          FROM t)
+        SELECT lang,
+               CASE WHEN greatest(en_hits, de_hits, fr_hits) = 0 THEN 'und'
+                    WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN de_hits >= fr_hits THEN 'de'
+                    ELSE 'fr' END AS lang_pred,
+               count(*) AS n
+        FROM h GROUP BY 1, 2""")),
 
     QuerySpec(
       "text_token_counts",

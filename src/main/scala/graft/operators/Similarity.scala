@@ -108,6 +108,30 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
   }
 
+  /** Multi-probe sign-LSH ANN: each query probes its own bucket plus every
+    * bucket at Hamming distance 1 (bits+1 probes total) — the standard
+    * recall/cost knob for LSH (neighbors that fall just across one
+    * hyperplane are recovered). Probe buckets are distinct, so no result
+    * dedup is needed; candidate volume grows by ~(bits+1)/2^bits of the
+    * corpus, still a tiny fraction.
+    */
+  def annLshMultiProbe(
+      emb: DataFrame, nQueries: Int = 8, k: Int = 10, bits: Int = 6): DataFrame = {
+    val e = vecs(emb).join(lshBuckets(emb, bits), "vec_id")
+    val masks = array((0L +: (0 until bits).map(1L << _)).map(lit): _*)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
+      .withColumn("probe", explode(masks))
+      .withColumn("probe", col("qbucket").bitwiseXOR(col("probe")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("score"), asc("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("probe"))
+      .withColumn("score", graft.functions.GraftFunctions.cosine_sim(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+  }
+
   /** IVF cell assignment with a deterministic coarse quantizer: the first
     * `nCells` vectors act as centroids (a reproducible stand-in for a
     * k-means codebook — swapping in trained centroids changes only the

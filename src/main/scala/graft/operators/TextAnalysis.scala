@@ -61,6 +61,16 @@ object TextAnalysis {
           .when(col("de_hits") >= col("fr_hits"), "de")
           .otherwise("fr"))
 
+  /** Language-ID quality evaluation: confusion counts of predicted vs
+    * labelled language — the accuracy readout a pipeline monitors when the
+    * corpus carries ground-truth labels.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
   /** BPE-ish token count: words and standalone punctuation each count as
     * one token (`\w+|[^\w\s]`) — the usual cheap proxy for LLM token cost.
     */

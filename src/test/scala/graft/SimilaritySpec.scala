@@ -66,4 +66,21 @@ class SimilaritySpec extends GraftSpec {
     info(f"ann-lsh recall@10 = $recall%.2f (bits=6, ${truth.size} truth pairs)")
     assert(recall > 0.1) // 6-bit sign-LSH on random-ish vectors: self + near dups land together
   }
+
+  test("multi-probe lsh strictly dominates single-probe recall") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val truth = Similarity.cosineTopK(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.annLsh(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.annLshMultiProbe(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rs = (single & truth).size.toDouble / truth.size
+    val rm = (multi & truth).size.toDouble / truth.size
+    info(f"multi-probe recall@10 = $rm%.2f vs single-probe $rs%.2f")
+    assert(rm >= rs)
+    // single-probe's candidate set is a subset of multi-probe's, so its
+    // hits at full k can only be re-ranked away by better candidates
+    assert(multi.nonEmpty)
+  }
 }
