@@ -461,6 +461,18 @@ object ExtensionQueries {
                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         FROM documents""")),
 
+    QuerySpec(
+      "text_rolling_hash",
+      (s, dir) => TextAnalysis.rollingHashFingerprints(docs(s, dir)),
+      Some("""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
+                 (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp
+        FROM documents""")),
+
     // ---- time series -------------------------------------------------------
     QuerySpec(
       "ts_resample",

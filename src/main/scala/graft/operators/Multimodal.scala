@@ -79,6 +79,26 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: the post-decode transform shape — scales the fake
+    * dimensions and average-pools the feature vector 2:1, all typed and
+    * per-row (the plumbing a real bilinear resize would occupy). Chains
+    * after [[decodeStub]] with no shuffle.
+    */
+  def resizeStub(
+      spark: SparkSession,
+      feats: Dataset[MediaFeatures],
+      scale: Double = 0.5): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    feats.map { f =>
+      val pooled = Array.tabulate(f.features.length / 2)(i =>
+        (f.features(2 * i) + f.features(2 * i + 1)) / 2.0f)
+      f.copy(
+        width = math.max(1, (f.width * scale).toInt),
+        height = math.max(1, (f.height * scale).toInt),
+        features = pooled)
+    }
+  }
+
   /** Frame-sampling shape for video-like payloads: split the blob into
     * fixed-size "frames" and keep every `stride`-th — the plumbing (one
     * input row → variable output rows, no shuffle) of real frame sampling.

@@ -87,4 +87,21 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+
+  /** Rolling-hash fingerprint (Rabin–Karp shape): left-fold
+    * h = (h*31 + wordHash) mod (2^31 - 1) over the token stream, where
+    * wordHash is the first 32 bits of md5(word). Order-sensitive (unlike
+    * the set-style fingerprints), computed scan-side as one `aggregate`
+    * higher-order fold per row — no shuffle. The modulus keeps every
+    * intermediate below 2^37, exact in 64-bit on any engine.
+    */
+  def rollingHashFingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(
+        Dedup.tokens(col("text")),
+        lit(0L),
+        (acc, w) => (acc * lit(31L) +
+          conv(substring(md5(w), 1, 8), 16, 10).cast("long")) % lit(2147483647L))
+        .as("rolling_fp"))
 }

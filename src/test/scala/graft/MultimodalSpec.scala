@@ -42,6 +42,17 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("resize stub halves dimensions and pools features 2:1") {
+    val feats = Multimodal.decodeStub(spark, docs)
+    val resized = Multimodal.resizeStub(spark, feats).collect().sortBy(_.doc_id)
+    val orig = feats.collect().sortBy(_.doc_id)
+    orig.zip(resized).foreach { case (o, r) =>
+      assert(r.width === math.max(1, o.width / 2))
+      assert(r.features.length === o.features.length / 2)
+      assert(r.features(0) === (o.features(0) + o.features(1)) / 2.0f)
+    }
+  }
+
   test("frame sample: every stride-th fixed-size frame, 1 row -> n rows") {
     val got = Multimodal.frameSample(docs, frameBytes = 64, stride = 4).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))

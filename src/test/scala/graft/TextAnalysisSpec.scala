@@ -36,6 +36,15 @@ class TextAnalysisSpec extends GraftSpec {
     assert(r.getAs[Int]("n_bpeish") === 9)
   }
 
+  test("rolling hash is order-sensitive where set fingerprints are not") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta alpha"), (3L, "alpha beta")).toDF("doc_id", "text")
+    val fp = TextAnalysis.rollingHashFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(3L))
+    assert(fp(1L) !== fp(2L), "word order must change the rolling hash")
+    assert(fp.values.forall(v => v >= 0 && v < 2147483647L))
+  }
+
   test("fingerprint is whitespace- and case-insensitive, content-sensitive") {
     val docs = Seq((1L, "Spark  SQL"), (2L, "spark sql"), (3L, "spark sq")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(docs).collect()
