@@ -117,6 +117,21 @@ class PlanSpec extends GraftSpec {
     assert(got === Set((1L, 10.0, "a"), (1L, 20.0, "a"), (2L, 30.0, "b")))
   }
 
+  test("as-of join plans as one keyed exchange, not a nested loop") {
+    val p = plan(Registry.queries("ts_asof_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // union + window: the only exchanges are the hash partitioning on the
+    // key for the window sort (per union branch, same key)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), "no join operator at all — union+window shape: " + p)
+  }
+
+  test("banded range join is a hash join, never a nested loop") {
+    val p = plan(Registry.queries("ts_range_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)
