@@ -39,23 +39,37 @@ object CandlestickAggregator {
         CandleBuf(Long.MaxValue, 0.0, Long.MinValue, 0.0,
           Double.PositiveInfinity, Double.NegativeInfinity)
 
+      // Ties on the timestamp break by price ((ts, price) lexicographic
+      // min for first, max for last) — commutative and associative, so
+      // results cannot depend on partition merge order even when two
+      // events share a timestamp.
+      private def firstWins(ts: Long, p: Double, ts2: Long, p2: Double): Boolean =
+        ts < ts2 || (ts == ts2 && p <= p2)
+      private def lastWins(ts: Long, p: Double, ts2: Long, p2: Double): Boolean =
+        ts > ts2 || (ts == ts2 && p >= p2)
+
       override def reduce(b: CandleBuf, in: (Long, Double)): CandleBuf = {
         val (ts, p) = in
+        val fw = firstWins(ts, p, b.firstTs, b.firstPrice)
+        val lw = lastWins(ts, p, b.lastTs, b.lastPrice)
         CandleBuf(
-          if (ts < b.firstTs) ts else b.firstTs,
-          if (ts < b.firstTs) p else b.firstPrice,
-          if (ts > b.lastTs) ts else b.lastTs,
-          if (ts > b.lastTs) p else b.lastPrice,
+          if (fw) ts else b.firstTs,
+          if (fw) p else b.firstPrice,
+          if (lw) ts else b.lastTs,
+          if (lw) p else b.lastPrice,
           math.min(b.min, p), math.max(b.max, p))
       }
 
-      override def merge(a: CandleBuf, b: CandleBuf): CandleBuf =
+      override def merge(a: CandleBuf, b: CandleBuf): CandleBuf = {
+        val fw = firstWins(a.firstTs, a.firstPrice, b.firstTs, b.firstPrice)
+        val lw = lastWins(a.lastTs, a.lastPrice, b.lastTs, b.lastPrice)
         CandleBuf(
-          if (a.firstTs <= b.firstTs) a.firstTs else b.firstTs,
-          if (a.firstTs <= b.firstTs) a.firstPrice else b.firstPrice,
-          if (a.lastTs >= b.lastTs) a.lastTs else b.lastTs,
-          if (a.lastTs >= b.lastTs) a.lastPrice else b.lastPrice,
+          if (fw) a.firstTs else b.firstTs,
+          if (fw) a.firstPrice else b.firstPrice,
+          if (lw) a.lastTs else b.lastTs,
+          if (lw) a.lastPrice else b.lastPrice,
           math.min(a.min, b.min), math.max(a.max, b.max))
+      }
 
       override def finish(b: CandleBuf): CandleResult =
         CandleResult(b.firstPrice, b.lastPrice, b.min, b.max)

@@ -82,8 +82,11 @@ object Dedup {
     * (doc, band) — a pure projection over [[minhashWide]], no extra shuffle.
     */
   def minhashBuckets(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bandKeys = (0 until k / rowsPerBand).map { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
+    // ceil-divide so a non-divisible k still emits its partial final band
+    val nBands = (k + rowsPerBand - 1) / rowsPerBand
+    val bandKeys = (0 until nBands).map { b =>
+      val slice = (b * rowsPerBand until math.min((b + 1) * rowsPerBand, k))
+        .map(j => col(s"h$j"))
       array_join(array_sort(array(slice: _*)), "|")
     }
     minhashWide(docs, k)
@@ -147,8 +150,10 @@ object Dedup {
     var labels = connected.withColumn("cluster", col("doc_id")).persist()
     // Labels only ever decrease, so sum(cluster) is strictly monotone
     // until the fixpoint: one cheap scalar per round detects convergence.
+    // (SUM over zero rows is NULL — a pair-free corpus converges at once.)
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("cluster"))).head.getLong(0)
+      Option(df.agg(sum(col("cluster"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0

@@ -76,7 +76,10 @@ object Similarity {
     * lets the bucketing run scan-side at 100 TB.
     */
   def lshBuckets(emb: DataFrame, bits: Int = 6): DataFrame = {
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // one tiny driver-side job discovers the dimensionality (documented
+    // cost of materializing the constant sign matrix); empty corpus -> 0
+    val dim = emb.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val signs = hyperplaneSigns(bits, dim)
     val bucket = (0 until bits).map { j =>
       val proj = aggregate(

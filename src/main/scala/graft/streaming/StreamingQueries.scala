@@ -111,11 +111,20 @@ object StreamingQueries {
             sorted.foreach { e =>
               val us = e.utc.getTime * 1000L
               cur match {
-                case Some(s) if us - s.last_us <= gapUs =>
-                  cur = Some(s.copy(last_us = us max s.last_us, n_events = s.n_events + 1))
-                case Some(s) =>
+                // within gap of either session edge: merge, extending both
+                // edges (covers cross-batch late events inside the horizon)
+                case Some(s) if us >= s.start_us - gapUs && us <= s.last_us + gapUs =>
+                  cur = Some(SessionState(
+                    s.start_us min us, s.last_us max us, s.n_events + 1))
+                // beyond gap after the session: close it, start a new one
+                case Some(s) if us > s.last_us + gapUs =>
                   closed ::= SessionOut(user, s.start_us, s.last_us, s.n_events)
                   cur = Some(SessionState(us, us, 1))
+                // more than gap BEFORE the open session: a straggler from
+                // an earlier, already-gone session — emit it standalone
+                // rather than corrupting the open session's boundaries
+                case Some(_) =>
+                  closed ::= SessionOut(user, us, us, 1)
                 case None =>
                   cur = Some(SessionState(us, us, 1))
               }
