@@ -559,6 +559,44 @@ object RelationalQueries {
           FROM lineitem)
         WHERE rn = CEIL(n * 0.5) OR rn = CEIL(n * 0.95)""")),
 
+    // Pivot: long -> wide on a known category set (explicit values keep
+    // the output schema static — the planner never scans for categories).
+    QuerySpec(
+      "q28_pivot",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("cohort", col("user_id") % 10)
+          .groupBy(col("cohort"))
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L),
+      Some("""
+        SELECT user_id % 10 AS cohort,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events GROUP BY 1""")),
+
+    // Unpivot: wide -> long (Dataset.unpivot / melt), the inverse shape.
+    QuerySpec(
+      "q29_unpivot",
+      (s, dir) =>
+        t(s, dir, "part")
+          .unpivot(
+            Array(col("p_partkey")),
+            Array(col("p_size").cast(DoubleType).as("p_size"),
+              col("p_retailprice").cast(DoubleType).as("p_retailprice")),
+            "metric", "value"),
+      Some("""
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric,
+               CAST(p_retailprice AS DOUBLE) AS value
+        FROM part""")),
+
     // Correlated EXISTS through the SQL path: customers with at least one
     // urgent order — Catalyst decorrelates to a left-semi join.
     QuerySpec(
