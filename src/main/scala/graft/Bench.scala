@@ -1,9 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -11,28 +12,43 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pruning-proof action: a noop-format write consumes every output
+    // column of every row, so Catalyst cannot collapse projection-only
+    // pipelines into a parquet row count the way `.count()` could (column
+    // pruning under count(1) deleted the very work being measured).
+    def exec(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     // Warm the executor/codegen/scan paths once so the first measured query
     // doesn't pay JVM/JIT startup: a tiny shuffle, the parquet footers, the
-    // array-expression path (collect, so the projection isn't pruned), and
-    // a tiny run of the heaviest operator shape (so Janino compiles the
-    // shingle/hash pipeline before the measured pass). Warmup is best
-    // effort — a missing table must not kill the measured run.
+    // array-expression path, and a tiny run of the heaviest operator shape
+    // (so Janino compiles the shingle/hash pipeline before the measured
+    // pass). Warmup is best effort — a missing table must not kill the run.
     def warm(f: => Unit): Unit = try f catch { case _: Throwable => () }
     warm(spark.range(10000).selectExpr("id % 7 k").groupBy("k").count().collect())
     warm(spark.read.parquet(s"$sfDir/region.parquet").count())
-    warm(spark.read.parquet(s"$sfDir/embeddings.parquet").limit(8)
-      .selectExpr("size(embedding) s").collect())
-    warm(graft.operators.Dedup.minhashSignatures(
-      spark.read.parquet(s"$sfDir/documents.parquet").limit(64)).count())
+    warm(exec(spark.read.parquet(s"$sfDir/embeddings.parquet").limit(8)
+      .selectExpr("size(embedding) s")))
+    warm(exec(graft.operators.Dedup.minhashSignatures(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(64))))
+    // Each query runs `reps` times; report the min — single-machine timing
+    // noise (GC, page cache, JIT recompiles) is strictly additive, so the
+    // min is the least-noise estimate of the plan's cost.
     val results = Registry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // The headline total covers benchmark=true queries only; name the
+    // excluded set in the output so totals are comparable across rounds.
+    val excluded = Registry.all.filterNot(_.benchmark).map(_.name).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"noop-write","excluded":$excluded}""")
     spark.stop()
   }
 }

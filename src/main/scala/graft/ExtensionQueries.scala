@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Joins, Multimodal, Similarity, Sketches, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Joins, Multimodal, Percentiles, Similarity, Sketches, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions.col
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
@@ -608,16 +608,44 @@ object ExtensionQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""")),
 
-    // ---- sketches (approximate: rows-only check, exact twin in-result) -----
+    // ---- sketches (approximate: rows-only check + hash-checked exact twin) -
     QuerySpec(
       "sketch_distinct_users",
       (s, dir) => Sketches.distinctUsers(events(s, dir)),
       None),
 
+    // Exact twin: the exact columns of the sketch result, hash-checked by
+    // the oracle so only the approx column stays rows-only.
+    QuerySpec(
+      "sketch_distinct_users_exact",
+      (s, dir) => Sketches.distinctUsers(events(s, dir))
+        .select(col("event_type"), col("exact_users"), col("n_events")),
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type""")),
+
     QuerySpec(
       "sketch_value_quantiles",
       (s, dir) => Sketches.valueQuantiles(events(s, dir)),
       None),
+
+    // Exact twin of the quantile sketch: the scale-safe histogram
+    // percentile (no full-table window — see operators.Percentiles),
+    // hash-checked against the oracle's row_number formulation.
+    QuerySpec(
+      "sketch_value_quantiles_exact",
+      (s, dir) => Percentiles.percentileDisc(
+        events(s, dir), "event_type", "value", Seq(0.5, 0.95, 0.99)),
+      Some("""
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM events)
+        SELECT event_type, q, rn, n, value AS pct_value
+        FROM r CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q) qs
+        WHERE rn = CEIL(n * q)""")),
 
     // ---- multimodal --------------------------------------------------------
     // Binary payload features: pure projection, blob never shuffles.

@@ -531,25 +531,16 @@ object RelationalQueries {
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
-    // Discrete percentile per group via rank arithmetic: the value at row
-    // ceil(q*n) of the group's sort order — exact and engine-agnostic
-    // (no interpolation arithmetic to diverge on), computed with one
-    // window pass + filter.
+    // Discrete percentile per group: exact value at rank ceil(q*n), via the
+    // value-histogram + cumulative-count formulation (operators.Percentiles)
+    // — no full-table window on the 3-value l_returnflag key, so the raw
+    // table never sorts through 3 reducers. The oracle keeps the equivalent
+    // row_number formulation (fine for DuckDB's single-node sort).
     QuerySpec(
       "q26_percentile_disc",
-      (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("l_returnflag"))
-          .orderBy(asc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
-        t(s, dir, "lineitem")
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
-          .filter(col("rn") === ceil(col("n") * lit(0.5)) ||
-            col("rn") === ceil(col("n") * lit(0.95)))
-          .select(col("l_returnflag"), col("rn"), col("n"),
-            col("l_extendedprice").as("pct_value"))
-      },
+      (s, dir) => graft.operators.Percentiles.percentileDisc(
+        t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+        .drop("q"),
       Some("""
         SELECT l_returnflag, rn, n, l_extendedprice AS pct_value FROM (
           SELECT l_returnflag, l_extendedprice,

@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * dot / sqrt(normA * normB) in IEEE doubles.
   *
   * Null vectors propagate null (BinaryExpression's null-safe contract);
-  * element nulls are not expected (embedding columns are dense).
+  * element nulls are not expected (embedding columns are dense). Vectors of
+  * MISMATCHED length return null rather than a silently-truncated score —
+  * cosine over different-dimensional vectors has no meaning, and truncating
+  * would diverge from the full-norm HOF/oracle formulation.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -31,12 +34,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // (ExpectsInputTypes is private[sql], so coercion isn't declared here).
   override def dataType: DataType = DoubleType
 
+  // nullable regardless of child nullability: length mismatch yields null
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0L
     var nx = 0L
     var ny = 0L
@@ -62,16 +69,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-        long $dot = 0L; long $nx = 0L; long $ny = 0L;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = $x.getDouble($i);
-          double $yi = $y.getDouble($i);
-          $dot += (long) java.lang.Math.floor($xi * $yi * 1e6 + 0.5);
-          $nx += (long) java.lang.Math.floor($xi * $xi * 1e6 + 0.5);
-          $ny += (long) java.lang.Math.floor($yi * $yi * 1e6 + 0.5);
+        if ($x.numElements() != $y.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $x.numElements();
+          long $dot = 0L; long $nx = 0L; long $ny = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = $x.getDouble($i);
+            double $yi = $y.getDouble($i);
+            $dot += (long) java.lang.Math.floor($xi * $yi * 1e6 + 0.5);
+            $nx += (long) java.lang.Math.floor($xi * $xi * 1e6 + 0.5);
+            $ny += (long) java.lang.Math.floor($yi * $yi * 1e6 + 0.5);
+          }
+          ${ev.value} = ((double) $dot) / java.lang.Math.sqrt(((double) $nx) * ((double) $ny));
         }
-        ${ev.value} = ((double) $dot) / java.lang.Math.sqrt(((double) $nx) * ((double) $ny));
       """
     })
 

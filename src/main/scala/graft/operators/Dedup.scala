@@ -145,8 +145,9 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // Iterate only over docs that have an edge — singletons can never
     // change label and union back in at the end, so each round touches
-    // |connected docs|, not |corpus|.
-    val connected = edges.select(col("src").as("doc_id")).distinct()
+    // |connected docs|, not |corpus|. Persisted separately (it is tiny —
+    // one id column) so the pair graph can be released after the loop.
+    val connected = edges.select(col("src").as("doc_id")).distinct().persist()
     var labels = connected.withColumn("cluster", col("doc_id")).persist()
     // Labels only ever decrease, so sum(cluster) is strictly monotone
     // until the fixpoint: one cheap scalar per round detects convergence.
@@ -171,6 +172,15 @@ object Dedup {
       labels = propagated
       rounds += 1
     }
+    if (!converged)
+      Console.err.println(
+        s"nearDupClusters: round cap ($rounds) hit before convergence — " +
+          "labels for high-diameter components may be non-minimal")
+    // The pair graph is only consumed during propagation; release it so
+    // repeated calls in one session don't accumulate cached blocks. The
+    // returned (lazy) plan references only `connected` and the final
+    // `labels`, both persisted and both tiny (ids + labels, no corpus data).
+    pairs.unpersist()
     docs.select(col("doc_id"))
       .join(connected, Seq("doc_id"), "left_anti")
       .withColumn("cluster", col("doc_id"))
@@ -208,20 +218,36 @@ object Dedup {
     * jaccard = |A∩B| / (|A|+|B|-|A∩B|), exact integer arithmetic until the
     * final division.
     */
-  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.05): DataFrame = {
+  def ngramJaccardPairs(
+      docs: DataFrame, minJaccard: Double = 0.05, maxDf: Int = 100): DataFrame = {
     // Inverted index: group the posting list per shingle and expand
     // co-occurrence pairs locally (one shuffle on the shingle), instead of
     // a self-join that would rebuild and re-shuffle the shingle stream
     // twice. Per-doc dedup happens scan-side (array_distinct before the
-    // explode — no global distinct shuffle); the distinct array expression
-    // is referenced exactly once so the optimizer cannot duplicate it, and
-    // the |A| set size rides in on one window count over doc_id. A
-    // stopword-shingle cap on the posting-list size would bound the worst
-    // case if real corpora need it.
-    val sh = shingleArrays(docs)
+    // explode — no global distinct shuffle); the |A| set size rides in on
+    // one window count over doc_id.
+    //
+    // DF-filter blocking bounds the worst case: a shingle occurring in d
+    // docs expands d(d-1)/2 pairs, so one stopword-ish shingle in 10^6 docs
+    // would materialize a 10^12-pair bucket. Shingles with document
+    // frequency > maxDf are dropped BEFORE the posting-list aggregation —
+    // the standard DF cap: such shingles carry no near-dup signal (they are
+    // corpus-common), and dropping them bounds every posting list (and its
+    // collect_list buffer) by maxDf. Set sizes `n` are computed over the
+    // FULL shingle set, so the Jaccard denominator stays exact; only the
+    // intersection count ignores capped shingles (a lower bound for pairs
+    // that share them). The DF pass is one count aggregation (map-side
+    // combined) and the cap list is tiny, so it rides a broadcast anti-join.
+    val exploded = shingleArrays(docs)
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
+    val hot = exploded.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"))
+    val sh = exploded
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
     sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")) > 1)

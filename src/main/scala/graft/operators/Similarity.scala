@@ -75,12 +75,26 @@ object Similarity {
     * scanned once with NO shuffle and no row expansion — the property that
     * lets the bucketing run scan-side at 100 TB.
     */
-  def lshBuckets(emb: DataFrame, bits: Int = 6): DataFrame = {
-    // one tiny driver-side job discovers the dimensionality (documented
-    // cost of materializing the constant sign matrix); empty corpus -> 0
-    val dim = emb.select(size(col("embedding"))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    val signs = hyperplaneSigns(bits, dim)
+  def lshBuckets(emb: DataFrame, bits: Int = 6, dim: Int = -1): DataFrame = {
+    // The sign matrix is a constant of the dimensionality. Callers that
+    // know their embedding dim pass it (no driver job at all); otherwise
+    // one min/max aggregation both discovers it and validates that the
+    // corpus is NOT ragged — a vector longer than the probed dim would
+    // otherwise zip_with into null products and silently bucket as if its
+    // tail were zero.
+    val d = if (dim > 0) dim else {
+      val row = emb.agg(
+        min(size(col("embedding"))), max(size(col("embedding")))).head()
+      if (row.isNullAt(0)) 0
+      else {
+        val (lo, hi) = (row.getInt(0), row.getInt(1))
+        require(lo == hi,
+          s"lshBuckets: ragged embedding dims [$lo, $hi] — pass a fixed dim " +
+            "or repair the corpus; silent truncation would mis-bucket")
+        hi
+      }
+    }
+    val signs = hyperplaneSigns(bits, d)
     val bucket = (0 until bits).map { j =>
       val proj = aggregate(
         zip_with(col("xs"), typedLit(signs(j)), (a, b) => a * b),
@@ -89,7 +103,13 @@ object Similarity {
     }.reduce(_ + _)
     vecs(emb)
       .select(col("vec_id"),
-        transform(col("v"), x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("xs"))
+        // fail loudly on a dim mismatch (reachable when dim was passed):
+        // a wrong-length vector must not silently land in bucket 0
+        when(size(col("v")) === lit(d),
+          transform(col("v"), x => floor(x * lit(1e6) + lit(0.5)).cast("long")))
+          .otherwise(raise_error(concat(
+            lit(s"lshBuckets: expected dim $d, got "),
+            size(col("v")).cast("string")))).as("xs"))
       .select(col("vec_id"), bucket.as("bucket"))
   }
 

@@ -27,10 +27,19 @@ object Sketches {
 
   /** Approximate quantiles of the value distribution per key
     * (percentile_approx with a fixed accuracy — mergeable sketch state).
+    * One scalar row per (key, q): array results don't survive generic
+    * row-compare harnesses, and a flat (event_type, q, value) row is what
+    * a downstream consumer joins on anyway.
     */
-  def valueQuantiles(events: DataFrame): DataFrame =
+  def valueQuantiles(events: DataFrame): DataFrame = {
+    val qs = Seq(0.5, 0.95, 0.99)
+    val qArr = array(qs.map(lit): _*)
     events
       .groupBy(col("event_type"))
-      .agg(percentile_approx(col("value"),
-        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("quantiles"))
+      .agg(percentile_approx(col("value"), qArr, lit(10000)).as("qv"))
+      .select(col("event_type"), posexplode(col("qv")).as(Seq("pos", "value")))
+      .select(col("event_type"),
+        element_at(qArr, col("pos") + 1).as("q"),
+        col("value"))
+  }
 }

@@ -50,6 +50,21 @@ class DedupSpec extends GraftSpec {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("ngram jaccard: DF cap blocks corpus-common shingles, bounding buckets") {
+    // "x y z" appears in every doc (df=5); each doc's other shingles are
+    // unique to it, so pairs exist ONLY through the hot shingle.
+    val docs = docsDf((1 to 5).map(i => (i.toLong, s"w${i}a w${i}b x y z")): _*)
+    // cap below the hot shingle's df: its posting list must never form, so
+    // no pair survives — the 10^12-pair stopword bucket cannot materialize
+    assert(Dedup.ngramJaccardPairs(docs, maxDf = 2).collect().isEmpty)
+    // default cap is far above this corpus: all 10 pairs appear, jaccard
+    // exact over FULL set sizes (1 shared of 3+3 shingles)
+    val uncapped = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(uncapped.length === 10)
+    uncapped.foreach { case (_, j) => assert(math.abs(j - 0.2) < 1e-12) }
+  }
+
   test("near-dup clusters: components labelled by min doc id, singletons self") {
     // 1-2 identical, 3 identical to both via chain 2-3 (same text), 4 alone
     val docs = docsDf((1L, textA), (2L, textA), (3L, textA), (4L, textB))

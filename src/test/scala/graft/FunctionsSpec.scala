@@ -99,10 +99,41 @@ class FunctionsSpec extends GraftSpec {
       assert(math.abs(approx - exact).toDouble / exact < 0.05,
         s"approx $approx vs exact $exact")
     }
-    val q = Sketches.valueQuantiles(Tables.load(spark, sf, "events")).collect()
-    q.foreach { r =>
-      val qs = r.getSeq[Double](1)
-      assert(qs.length === 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
+  }
+
+  test("quantile sketch: one scalar row per (key, q), monotone, near exact") {
+    val ev = Tables.load(spark, sf, "events")
+    val approx = Sketches.valueQuantiles(ev).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val keys = approx.keys.map(_._1).toSet
+    assert(approx.size === keys.size * 3, "three qs per key, scalar rows")
+    keys.foreach { et =>
+      assert(approx((et, 0.5)) <= approx((et, 0.95)))
+      assert(approx((et, 0.95)) <= approx((et, 0.99)))
     }
+    // the approx sketch must track the exact histogram percentile closely
+    val exact = graft.operators.Percentiles
+      .percentileDisc(ev, "event_type", "value", Seq(0.5, 0.95, 0.99)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(4)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= math.max(0.05 * math.abs(v), 1e-6),
+        s"approx ${approx(k)} far from exact $v at $k")
+    }
+  }
+
+  test("cosine_sim: mismatched-length vectors are null on both eval paths") {
+    import graft.functions.CosineSimilarity
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val a2 = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0)),
+      ArrayType(DoubleType))
+    val b3 = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+      ArrayType(DoubleType))
+    assert(CosineSimilarity(a2, b3).eval(null) == null)
+    // codegen path through a non-foldable column
+    val viaDf = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
+      .toDF("a", "b").select(cosine_sim($"a", $"b").as("s")).head
+    assert(viaDf.isNullAt(0), "truncated score would be silently wrong")
   }
 }

@@ -76,6 +76,18 @@ class PlanSpec extends GraftSpec {
       s"pane aggregate must be below Expand:\n$p")
   }
 
+  test("histogram percentile windows the aggregated histogram, not raw rows") {
+    val df = Registry.queries("q26_percentile_disc")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("Aggregate")
+    // top-down print: the Window must sit ABOVE the histogram Aggregate —
+    // i.e. only |distinct (key, value)| rows ever flow through the
+    // low-cardinality-key window, never the raw table
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume the groupBy(key, value) histogram:\n$p")
+  }
+
   test("similarity search broadcasts the query side, scans the corpus once") {
     val p = plan(Similarity.cosineTopK(Tables.load(spark, sf, "embeddings")))
     assert(p.contains("Broadcast"), p)

@@ -67,6 +67,26 @@ class SimilaritySpec extends GraftSpec {
     assert(recall > 0.1) // 6-bit sign-LSH on random-ish vectors: self + near dups land together
   }
 
+  test("lsh bucketing fails loudly on ragged or wrong-dim embeddings") {
+    val ragged = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    // inferred path: the min/max validation rejects the ragged corpus
+    intercept[IllegalArgumentException] { Similarity.lshBuckets(ragged) }
+    // explicit-dim path: a wrong-length vector raises instead of silently
+    // bucketing as if its tail were zero
+    val two = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.lshBuckets(two, dim = 3).collect()
+    }
+    assert(ex.getMessage.contains("expected dim") ||
+      Option(ex.getCause).exists(_.getMessage.contains("expected dim")), ex.toString)
+    // explicit matching dim agrees with the inferred path
+    val a = Similarity.lshBuckets(two).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Similarity.lshBuckets(two, dim = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("multi-probe lsh strictly dominates single-probe recall") {
     val emb = Tables.load(spark, sf, "embeddings")
     val truth = Similarity.cosineTopK(emb, nQueries = 8, k = 10).collect()
