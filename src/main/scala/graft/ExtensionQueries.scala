@@ -542,6 +542,34 @@ object ExtensionQueries {
                count(*) AS n_events
         FROM s GROUP BY user_id, sid""")),
 
+    // Banded lag: identical results to q15's single window over the
+    // 5-value event_type key, decomposed over (key, time band) so the raw
+    // table never sorts through 5 reducers (the scale-safe form).
+    QuerySpec(
+      "q15_window_lag_banded",
+      (s, dir) => TimeSeries.bandedLag(events(s, dir)),
+      Some("""
+        SELECT event_id, event_type, value, prev_value,
+               FLOOR((value - prev_value) * 10000 + 0.5) / 10000 AS delta
+        FROM (
+          SELECT event_id, event_type, value,
+                 LAG(value, 1) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS prev_value
+          FROM events)""")),
+
+    // Order-dependent sequential reduction: final EWMA per user, folded
+    // left in (ts, event_id) order on both engines (aggregate/list_reduce).
+    QuerySpec(
+      "ts_ewma",
+      (s, dir) => TimeSeries.ewma(events(s, dir)),
+      Some("""
+        WITH s AS (
+          SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+          FROM events GROUP BY user_id)
+        SELECT user_id, len(vals) AS n_events,
+               list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma
+        FROM s""")),
+
     // As-of join: each purchase matched to the user's most recent prior-or-
     // equal click. One shuffle (union + keyed window), not a nested loop.
     QuerySpec(
@@ -624,6 +652,19 @@ object ExtensionQueries {
         SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
                COUNT(*) AS n_events
         FROM events GROUP BY event_type""")),
+
+    // Exact heavy hitters (the count-min stand-in): top-5 users per type.
+    QuerySpec(
+      "sketch_frequent_items",
+      (s, dir) => Sketches.frequentItems(events(s, dir)),
+      Some("""
+        SELECT event_type, user_id, cnt, rn FROM (
+          SELECT event_type, user_id, cnt,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cnt DESC, user_id) AS rn
+          FROM (SELECT event_type, user_id, COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2))
+        WHERE rn <= 5""")),
 
     QuerySpec(
       "sketch_value_quantiles",

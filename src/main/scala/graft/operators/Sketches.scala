@@ -31,6 +31,23 @@ object Sketches {
     * row-compare harnesses, and a flat (event_type, q, value) row is what
     * a downstream consumer joins on anyway.
     */
+  /** Heavy hitters: top-k users per event_type by event count — the exact
+    * groupBy top-k that stands where a count-min sketch would if the
+    * group-by were unaffordable. One count aggregation (map-side combine)
+    * feeds the rank; the rn<=k filter becomes a WindowGroupLimit, so each
+    * map partition pre-prunes to k rows per key before the exchange — the
+    * per-reducer input is k × partitions, never |users| × |keys|.
+    */
+  def frequentItems(events: DataFrame, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(desc("cnt"), asc("user_id"))
+    events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   def valueQuantiles(events: DataFrame): DataFrame = {
     val qs = Seq(0.5, 0.95, 0.99)
     val qArr = array(qs.map(lit): _*)

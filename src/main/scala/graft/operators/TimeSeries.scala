@@ -50,6 +50,67 @@ object TimeSeries {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Lag over a LOW-cardinality key without funnelling the raw table
+    * through |keys| reducers: the banded decomposition. A plain
+    * `lag() OVER (PARTITION BY event_type ORDER BY ts)` with ~5 distinct
+    * keys sorts the whole table through 5 reducers — a single-machine sort
+    * at 100 TB. Here the window key is (event_type, time band), so
+    * parallelism scales with |keys| × |bands|:
+    *
+    *   1. in-band lag: standard window per (key, band) — partitions are
+    *      time-bounded slices, embarrassingly parallel.
+    *   2. boundary carry: per (key, band) the band's LAST value (one
+    *      map-side-combinable aggregate), then `lag` over the per-key band
+    *      sequence. Empty bands never appear in the aggregate, so the
+    *      previous row is exactly the latest earlier non-empty band.
+    *   3. each band's first row takes the carry; all others keep their
+    *      in-band lag. The carry table is |keys| × |bands| rows — broadcast.
+    *
+    * Output and semantics are identical to the single-window form: global
+    * (ts, event_id) order equals (band, ts, event_id) order because the
+    * band is a monotone function of ts.
+    */
+  def bandedLag(events: DataFrame, bandSeconds: Long = 86400L): DataFrame = {
+    val bandUs = bandSeconds * 1000000L
+    val banded = events.withColumn("band", floor(unix_micros(col("ts")) / bandUs))
+    val wBand = Window.partitionBy(col("event_type"), col("band"))
+      .orderBy(asc("ts"), asc("event_id"))
+    val bounds = banded
+      .groupBy(col("event_type"), col("band"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("band_last"))
+    // previous non-empty band's last value; this window IS keyed by the
+    // bare low-cardinality key, but consumes only the tiny band aggregate
+    val wBands = Window.partitionBy(col("event_type")).orderBy(asc("band"))
+    val carry = bounds
+      .withColumn("carry", lag(col("band_last"), 1).over(wBands))
+      .select(col("event_type"), col("band"), col("carry"))
+    banded
+      .withColumn("prev_in_band", lag(col("value"), 1).over(wBand))
+      .join(broadcast(carry), Seq("event_type", "band"), "left")
+      .withColumn("prev_value", coalesce(col("prev_in_band"), col("carry")))
+      .withColumn("delta",
+        floor((col("value") - col("prev_value")) * 10000 + 0.5) / 10000)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("prev_value"), col("delta"))
+  }
+
+  /** Final exponentially-weighted moving average per user:
+    * ewma = α·x + (1−α)·ewma, folded over the (ts, event_id)-ordered
+    * series. EWMA is inherently sequential, so the per-key series is
+    * assembled as one array (bounded by the per-user event count — the
+    * honest cost of an order-dependent reduction) and folded scan-side.
+    * The fold runs the exact same IEEE double ops in the exact same order
+    * as the oracle's list_reduce, so results are bit-identical.
+    */
+  def ewma(events: DataFrame, alpha: Double = 0.2): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("s"))
+      .select(col("user_id"), size(col("s")).as("n_events"),
+        expr(s"aggregate(slice(s, 2, greatest(size(s) - 1, 0)), s[0].value, " +
+          s"(acc, x) -> $alpha * x.value + ${1 - alpha} * acc)").as("ewma"))
+
   /** Sessionization: per user, a new session starts after a gap > maxGap.
     * Two stacked window functions over the same (user, time) ordering —
     * one shuffle on user_id total.

@@ -1,15 +1,41 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** S13 job-status surface: the reference's non-local branch reports job
+  * status instead of blocking (tumbling_window.py:293-296,
+  * `get_job_client().get_job_status()`); Spark's equivalents are
+  * `query.status` and the progress feed.
+  */
+object JobStatus {
+
+  /** One-line status readout, the `print(job_status)` analogue. */
+  def statusLine(q: StreamingQuery): String = {
+    val s = q.status
+    s"job ${Option(q.name).getOrElse(q.id.toString)}: active=${q.isActive} " +
+      s"dataAvailable=${s.isDataAvailable} triggerActive=${s.isTriggerActive} " +
+      s"""message="${s.message}""""
+  }
+
+  /** Last micro-batch progress, if any has completed yet. */
+  def progressLine(q: StreamingQuery): Option[String] =
+    Option(q.lastProgress).map { p =>
+      s"job ${Option(p.name).getOrElse(p.id.toString)}: batch=${p.batchId} " +
+        s"inputRows=${p.numInputRows} rows/s=${p.processedRowsPerSecond}"
+    }
+}
 
 /** Job runners reproducing the reference's two applications end-to-end
   * (SURVEY.md §3.1/§3.2 lifecycle: config → source DDL → query → view →
   * sink → await), minus its quirks Q1/Q2 (§7.6).
   *
   * Usage: runMain graft.streaming.TumblingWindowJob <configPath> <inputDir>
-  *          [console|noop|parquet:<out>:<ckpt>] [--once]
+  *          [console|noop|parquet:<out>:<ckpt>] [--once] [--detach]
   * `--once` uses Trigger.AvailableNow — drain the input directory, then
-  * stop (how the tests and any batch-ish replay run it).
+  * stop (how the tests and any batch-ish replay run it). `--detach`
+  * mirrors the reference's non-local branch: print the job status and
+  * return instead of blocking.
   */
 private[streaming] object JobRunner {
 
@@ -59,8 +85,15 @@ private[streaming] object JobRunner {
     out.createOrReplaceTempView("windowed_table")
 
     val q = TickSink.start(out, sink, availableNow = once)
-    q.awaitTermination()
-    if (once) spark.stop()
+    if (args.contains("--detach")) {
+      // the reference's non-local branch: report status, leave the job
+      // running (tumbling_window.py:293-296) instead of blocking on wait()
+      println(JobStatus.statusLine(q))
+      JobStatus.progressLine(q).foreach(println)
+    } else {
+      q.awaitTermination()
+      if (once) spark.stop()
+    }
   }
 }
 

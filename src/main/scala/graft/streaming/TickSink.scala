@@ -15,6 +15,21 @@ object TickSink {
   sealed trait Sink
   /** Reference `print` sink (sliding_window.py:134-151). */
   case object Console extends Sink
+  /** Reference `print` sink with the Flink changelog framing the golden
+    * logs show (README.md:139-163, 211-226): every append row renders as
+    * `+I[v1, v2, ...]`. `emit` defaults to stdout and is injectable for
+    * golden tests; rows emit from the executors (the reference prints
+    * from its single task manager).
+    */
+  final case class ConsoleChangelog(emit: String => Unit = ConsoleChangelog.stdout)
+      extends Sink
+  object ConsoleChangelog {
+    val stdout: String => Unit = s => scala.Console.println(s)
+    /** Flink-style append ("insert") changelog row. */
+    def format(r: Row): String =
+      r.toSeq.map(v => if (v == null) "null" else v.toString)
+        .mkString("+I[", ", ", "]")
+  }
   /** Reference `blackhole` sink (tumbling_window.py:253-256). */
   case object Noop extends Sink
   /** Reference kinesis sink stand-in: files partitioned by ticker —
@@ -43,7 +58,21 @@ object TickSink {
       case Memory(name) => base.format("memory").queryName(name)
       case Batched(maxCount, send) =>
         base.foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.toLocalIterator().asScala.grouped(maxCount).foreach(g => send(g.toSeq))
+          // PutRecords-shaped write: records group and send PER PARTITION
+          // on the executors. Draining through the driver (toLocalIterator)
+          // would pull every record across one process — the
+          // collect-in-hot-path anti-pattern; a real stream writer batches
+          // where the data already is.
+          val (mc, s) = (maxCount, send)
+          batch.rdd.foreachPartition { it: Iterator[Row] =>
+            it.grouped(mc).foreach(g => s(g.toSeq))
+          }
+        }
+      case ConsoleChangelog(emit) =>
+        base.foreachBatch { (batch: DataFrame, _: Long) =>
+          val e = emit
+          batch.rdd.foreachPartition(
+            _.foreach(r => e(ConsoleChangelog.format(r))))
         }
     }
     if (availableNow) w.trigger(Trigger.AvailableNow()) else w
@@ -51,8 +80,4 @@ object TickSink {
 
   def start(df: DataFrame, sink: Sink, availableNow: Boolean = false): StreamingQuery =
     writer(df, sink, availableNow).start()
-
-  private implicit class IterConv[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
-  }
 }

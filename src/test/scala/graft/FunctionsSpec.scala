@@ -121,6 +121,26 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  test("ewma folds in event-time order; frequent items rank with tiebreak") {
+    val ev = Seq(
+      (1L, 1L, "click", 10.0, ts("2024-01-01 00:00:00")),
+      (2L, 1L, "click", 20.0, ts("2024-01-01 00:01:00")),
+      (3L, 1L, "view", 30.0, ts("2024-01-01 00:02:00")),
+      (4L, 2L, "click", 5.0, ts("2024-01-01 00:03:00")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val e = TimeSeries.ewma(ev).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // same IEEE ops in the same order as the engine's fold
+    assert(e(1L) === ((3, 0.2 * 30.0 + 0.8 * (0.2 * 20.0 + 0.8 * 10.0))))
+    assert(e(2L) === ((1, 5.0)))
+
+    val fi = Sketches.frequentItems(ev, k = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // click: user 1 has 2 events, beats user 2's 1; view: only user 1
+    assert(fi("click") === ((1L, 2L, 1)))
+    assert(fi("view") === ((1L, 1L, 1)))
+  }
+
   test("cosine_sim: mismatched-length vectors are null on both eval paths") {
     import graft.functions.CosineSimilarity
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -88,6 +88,20 @@ class PlanSpec extends GraftSpec {
       s"window must consume the groupBy(key, value) histogram:\n$p")
   }
 
+  test("banded lag equals the single-window lag, keyed by (key, band)") {
+    val ev = Tables.load(spark, sf, "events")
+    val banded = TimeSeries.bandedLag(ev)
+    val single = Registry.queries("q15_window_lag")(spark, sf)
+    assert(banded.collect().map(_.toSeq).toSet ===
+      single.collect().map(_.toSeq).toSet,
+      "decomposition must be result-identical to the single window")
+    val p = plan(banded)
+    // the bulk window runs per (event_type, band) — scale-out partitioning,
+    // not 5 reducers — and the tiny carry table joins by broadcast
+    assert(p.contains("band#"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("similarity search broadcasts the query side, scans the corpus once") {
     val p = plan(Similarity.cosineTopK(Tables.load(spark, sf, "embeddings")))
     assert(p.contains("Broadcast"), p)

@@ -244,20 +244,85 @@ class StreamingSpec extends GraftSpec {
     assert(conf.group("missing") === Map.empty)
   }
 
-  test("batched sink groups output rows like collection-max-count") {
+  test("batched sink groups per PARTITION on executors, like collection-max-count") {
     val dir = java.nio.file.Files.createTempDirectory("ticks2").toString
     val lines = (1 to 7).map(i =>
       s"""{"utc":"2024-01-01 00:00:0$i.000","ticker":"T","price":$i.0}""").mkString("\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"), lines.getBytes("UTF-8"))
 
-    val got = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // accumulator (not a closure-captured buffer): sends happen inside
+    // executor tasks, and the partition tag proves batching is per-partition
+    val sends = spark.sparkContext.collectionAccumulator[(Int, Int)]("sends")
     val q = TickSink.start(
-      TickSource.fileJson(spark, dir, "SQL"),
-      TickSink.Batched(3, rows => got.synchronized { got += rows.size }),
+      TickSource.fileJson(spark, dir, "SQL").repartition(3),
+      TickSink.Batched(3, rows => sends.add(
+        (org.apache.spark.TaskContext.getPartitionId(), rows.size))),
       availableNow = true)
     q.awaitTermination(30000)
-    assert(got.sum === 7)
-    assert(got.forall(_ <= 3))
+    val got = scala.jdk.CollectionConverters.ListHasAsScala(sends.value).asScala.toSeq
+    assert(got.map(_._2).sum === 7)
+    assert(got.forall(_._2 <= 3), s"every send respects max-count: $got")
+    assert(got.map(_._1).distinct.size > 1,
+      s"sends must come from multiple partitions, not a driver drain: $got")
+  }
+
+  test("console changelog sink frames append rows as +I[...] like the golden logs") {
+    val dir = java.nio.file.Files.createTempDirectory("ticks3").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
+      Seq("""{"utc":"2024-01-01 00:00:01.000","ticker":"AAPL","price":10.5}""",
+        """{"utc":"2024-01-01 00:00:02.000","ticker":"MSFT","price":20.0}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val out = spark.sparkContext.collectionAccumulator[String]("changelog")
+    val q = TickSink.start(
+      TickSource.fileJson(spark, dir, "SQL")
+        .select($"ticker", $"price"),
+      TickSink.ConsoleChangelog(s => out.add(s)),
+      availableNow = true)
+    q.awaitTermination(30000)
+    val got = scala.jdk.CollectionConverters.ListHasAsScala(out.value).asScala.toSet
+    assert(got === Set("+I[AAPL, 10.5]", "+I[MSFT, 20.0]"))
+  }
+
+  test("job status surface: statusLine and progressLine read like the reference's poll") {
+    val input = MemoryStream[String]
+    val name = freshName()
+    val q = parsedTicks(input).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(Seq(tickJson("AAPL", 1.0, "2024-01-01T00:00:01.000")))
+      q.processAllAvailable()
+      val line = JobStatus.statusLine(q)
+      assert(line.contains(s"job $name") && line.contains("active=true") &&
+        line.contains("message="), line)
+      val prog = JobStatus.progressLine(q)
+      assert(prog.isDefined && prog.get.contains("batch="), prog.toString)
+    } finally q.stop()
+    assert(JobStatus.statusLine(q).contains("active=false"))
+  }
+
+  test("streaming parity: fingerprints and exact dedup agree with their batch twins") {
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val data = Seq((1L, "a  b\tc"), (2L, " a b c "), (3L, "a b d"))
+    val streamed = runStream(input, graft.operators.TextAnalysis.fingerprints(docs),
+      Seq(data)).map(_.toSeq).toSet
+    val batch = graft.operators.TextAnalysis.fingerprints(
+      data.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    assert(streamed === batch, "projection operators must be mode-agnostic")
+
+    // exact dedup is a grouped aggregate: complete mode over the stream
+    // must converge to the batch answer
+    val evIn = MemoryStream[(Long, Long, String, Double)]
+    val evStream = evIn.toDF().toDF("event_id", "user_id", "event_type", "value")
+    val evData = Seq((1L, 10L, "click", 1.5), (2L, 10L, "click", 9.9), (3L, 11L, "view", 2.0))
+    val name = freshName()
+    val q = graft.operators.Dedup.exactDedup(evStream).writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    try { evIn.addData(evData); q.processAllAvailable() } finally q.stop()
+    val got = spark.table(name).collect().map(_.toSeq).toSet
+    val batchDedup = graft.operators.Dedup.exactDedup(
+      evData.toDF("event_id", "user_id", "event_type", "value")).collect().map(_.toSeq).toSet
+    assert(got === batchDedup)
   }
 
   test("synthetic generators match the producer record shape") {
