@@ -169,6 +169,43 @@ object ExtensionQueries {
         SELECT src AS doc_id, min(node) AS cluster
         FROM reach GROUP BY src""")),
 
+    // Cluster quality metrics: size distribution of the near-dup
+    // components — the dedup-pipeline health readout (how much of the
+    // corpus is duplicated, at what multiplicity).
+    QuerySpec(
+      "dedup_cluster_sizes",
+      (s, dir) => Dedup.nearDupClusters(docs(s, dir))
+        .groupBy(col("cluster"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1),
+      benchmark = false, // same iterative core as dedup_clusters
+      oracle = Some(s"""
+        WITH RECURSIVE
+        $minhashCte,
+        bk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(minhash, '|' ORDER BY minhash) AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket_key = b.bucket_key
+           AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, node) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+        labels AS (
+          SELECT src AS doc_id, min(node) AS cluster
+          FROM reach GROUP BY src)
+        SELECT cluster, count(*) AS n_docs
+        FROM labels GROUP BY cluster HAVING count(*) > 1""")),
+
     // 32-bit SimHash fingerprint, one constant-work pass per doc.
     QuerySpec(
       "dedup_simhash",

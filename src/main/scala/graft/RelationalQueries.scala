@@ -588,6 +588,26 @@ object RelationalQueries {
                CAST(p_retailprice AS DOUBLE) AS value
         FROM part""")),
 
+    // NTILE bucketing per high-cardinality key: equal-depth quartiles of
+    // each customer's orders (remainder rows to the leading buckets —
+    // identical convention in both engines; unique sort key pins the
+    // assignment).
+    QuerySpec(
+      "q30_ntile",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("quartile", ntile(4).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("quartile"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               NTILE(4) OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders""")),
+
     // Correlated EXISTS through the SQL path: customers with at least one
     // urgent order — Catalyst decorrelates to a left-semi join.
     QuerySpec(

@@ -43,6 +43,19 @@ object TickSink {
     * .py:128); `send` stands in for the PutRecords call.
     */
   final case class Batched(maxCount: Int, send: Seq[Row] => Unit) extends Sink
+  /** Batched writer with the reference sink's stream-partitioning
+    * semantics: `PARTITIONED BY (ticker)` +
+    * `'sink.partitioner-field-delimiter'=';'` (tumbling_window.py:121,127)
+    * — each record's stream partition key is its partition-field values
+    * joined by the delimiter, and every send carries records of ONE key,
+    * at most `maxCount` at a time, batched per Spark partition on the
+    * executors.
+    */
+  final case class KeyedBatched(
+      maxCount: Int,
+      partitionFields: Seq[String],
+      fieldDelimiter: String,
+      send: (String, Seq[Row]) => Unit) extends Sink
 
   /** Wire a sink onto a streaming DataFrame; caller starts the query. */
   def writer(df: DataFrame, sink: Sink, availableNow: Boolean = false): DataStreamWriter[Row] = {
@@ -66,6 +79,25 @@ object TickSink {
           val (mc, s) = (maxCount, send)
           batch.rdd.foreachPartition { it: Iterator[Row] =>
             it.grouped(mc).foreach(g => s(g.toSeq))
+          }
+        }
+      case KeyedBatched(maxCount, fields, delim, send) =>
+        base.foreachBatch { (batch: DataFrame, _: Long) =>
+          val (mc, d, s) = (maxCount, delim, send)
+          // field positions resolve once on the driver; rows group by
+          // stream key inside each Spark partition, flushing at maxCount
+          val idx = fields.map(batch.columns.indexOf(_))
+          batch.rdd.foreachPartition { it: Iterator[Row] =>
+            val bufs = scala.collection.mutable.LinkedHashMap
+              .empty[String, scala.collection.mutable.ArrayBuffer[Row]]
+            it.foreach { r =>
+              val key = idx.map(i => String.valueOf(r.get(i))).mkString(d)
+              val b = bufs.getOrElseUpdate(
+                key, scala.collection.mutable.ArrayBuffer.empty[Row])
+              b += r
+              if (b.size >= mc) { s(key, b.toSeq); b.clear() }
+            }
+            bufs.foreach { case (k, b) => if (b.nonEmpty) s(k, b.toSeq) }
           }
         }
       case ConsoleChangelog(emit) =>

@@ -1,15 +1,15 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators._
 
 /** Scratch profiling main: stage-by-stage wall times for the operators
   * being tuned. Not part of the driver contract.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,16 +26,21 @@ object Profile {
       r
     }
 
-    val docs = Tables.load(spark, sfDir, "documents")
-    time("warm docs")(docs.count())
-    time("warm shuffle")(spark.range(100000).selectExpr("id % 9 k").groupBy("k").count().collect())
-    time("signatures 1st")(Dedup.minhashSignatures(docs).count())
-    time("signatures 2nd")(Dedup.minhashSignatures(docs).count())
-    time("buckets")(Dedup.minhashBuckets(docs).count())
-    time("pairs")(Dedup.minhashCandidatePairs(docs).count())
-    time("pairs 2nd")(Dedup.minhashCandidatePairs(docs).count())
-    time("jaccard")(Dedup.ngramJaccardPairs(docs).count())
-    time("jaccard 2nd")(Dedup.ngramJaccardPairs(docs).count())
+    val ev = Tables.load(spark, sfDir, "events")
+    time("warm events")(ev.count())
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // dissect sketch_distinct_users: which term carries the fixed cost?
+    for (i <- 1 to 2) {
+      time(s"approx rsd=0.01 #$i")(run(ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.01))))
+      time(s"approx rsd=0.05 #$i")(run(ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.05))))
+      time(s"exact distinct #$i")(run(ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")))))
+      time(s"combined rsd=0.01 #$i")(run(graft.operators.Sketches.distinctUsers(ev)))
+    }
     spark.stop()
   }
 }

@@ -158,6 +158,39 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective fact join") {
+    // the runtime-filter rewrite injects a bloom filter built from the
+    // selective (filtered) side into the probe side's scan — at 100 TB
+    // this skips most of the big table before the shuffle even forms
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be SMALLER than its threshold (keep it roomy);
+      // application side must be BIGGER than its scan threshold (drop to 0
+      // so the sf0.01 lineitem qualifies as "big")
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val o = Tables.load(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val li = Tables.load(spark, sf, "lineitem")
+      val j = li.join(o,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(p.contains("bloom"),
+        s"expected an injected bloom_filter runtime filter:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)

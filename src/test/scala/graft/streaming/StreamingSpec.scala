@@ -266,6 +266,29 @@ class StreamingSpec extends GraftSpec {
       s"sends must come from multiple partitions, not a driver drain: $got")
   }
 
+  test("keyed batched sink: one stream key per send, delimiter-joined fields") {
+    val dir = java.nio.file.Files.createTempDirectory("ticks4").toString
+    val lines = (1 to 5).map(i =>
+      s"""{"utc":"2024-01-01 00:00:0$i.000","ticker":"AAPL","price":1.0}""") ++
+      Seq("""{"utc":"2024-01-01 00:00:06.000","ticker":"MSFT","price":2.0}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val sends = spark.sparkContext.collectionAccumulator[(String, Int)]("keyed")
+    val q = TickSink.start(
+      TickSource.fileJson(spark, dir, "SQL"),
+      TickSink.KeyedBatched(2, Seq("ticker", "price"), ";",
+        (key, rows) => sends.add((key, rows.size))),
+      availableNow = true)
+    q.awaitTermination(30000)
+    val got = scala.jdk.CollectionConverters.ListHasAsScala(sends.value).asScala.toSeq
+    assert(got.map(_._2).sum === 6)
+    assert(got.forall(_._2 <= 2), s"collection-max-count respected per key: $got")
+    // partition key = fields joined by the sink.partitioner-field-delimiter
+    assert(got.map(_._1).toSet === Set("AAPL;1.0", "MSFT;2.0"), got.toString)
+    assert(got.filter(_._1 == "AAPL;1.0").map(_._2).sum === 5)
+  }
+
   test("console changelog sink frames append rows as +I[...] like the golden logs") {
     val dir = java.nio.file.Files.createTempDirectory("ticks3").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
