@@ -49,14 +49,24 @@ object ExtensionQueries {
                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
           FROM toks WHERE len(t) >= 3)"""
 
-  /** Shared oracle CTE: k=8 MinHash signatures from the shingles. */
-  private val minhashCte =
+  /** Shared oracle CTE: k=8 MinHash signatures from the shingles —
+    * h_j = (a_j·h) mod (2^31−1) over one 48-bit md5 truncation per
+    * shingle, multipliers/modulus shared with Dedup.minhashWide.
+    */
+  private val minhashCte = {
+    val as = graft.operators.Dedup.minhashMultipliers
+      .zipWithIndex.map { case (a, j) => s"($j, ${a}::BIGINT)" }.mkString(", ")
     s"""$shingleCte,
+        hp AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(shingle), 1, 12))::BIGINT AS h
+          FROM sh),
         mh AS (
           SELECT doc_id, j,
-                 min(md5(concat(CAST(j AS VARCHAR), ':', shingle))) AS minhash
-          FROM sh CROSS JOIN generate_series(0, 7) g(j)
+                 min((a * h) % ${graft.operators.Dedup.minhashMod}) AS minhash
+          FROM hp CROSS JOIN (VALUES $as) c(j, a)
           GROUP BY doc_id, j)"""
+  }
 
   /** Shared oracle CTEs: embedding vectors as double[], exact scaled-long
     * norms (mirrors Similarity.vecs/withNorm).
@@ -131,7 +141,7 @@ object ExtensionQueries {
         WITH $minhashCte,
         bk AS (
           SELECT doc_id, j // 2 AS band,
-                 string_agg(minhash, '|' ORDER BY minhash) AS bucket_key
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash) AS bucket_key
           FROM mh GROUP BY doc_id, j // 2)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bk a JOIN bk b
@@ -151,7 +161,7 @@ object ExtensionQueries {
         $minhashCte,
         bk AS (
           SELECT doc_id, j // 2 AS band,
-                 string_agg(minhash, '|' ORDER BY minhash) AS bucket_key
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash) AS bucket_key
           FROM mh GROUP BY doc_id, j // 2),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -185,7 +195,7 @@ object ExtensionQueries {
         $minhashCte,
         bk AS (
           SELECT doc_id, j // 2 AS band,
-                 string_agg(minhash, '|' ORDER BY minhash) AS bucket_key
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash) AS bucket_key
           FROM mh GROUP BY doc_id, j // 2),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -26,7 +26,7 @@ class DedupSpec extends GraftSpec {
   test("minhash: identical docs get identical signatures and pair up") {
     val docs = docsDf((1L, textA), (2L, textA), (3L, textB))
     val sigs = Dedup.minhashSignatures(docs).collect()
-      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     (0 to 7).foreach(j => assert(sigs((1L, j)) === sigs((2L, j))))
     val pairs = Dedup.minhashCandidatePairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
