@@ -442,6 +442,45 @@ object ExtensionQueries {
                  AS quality_score
         FROM c""")),
 
+    // Deterministic 10% sample: same slice on every engine and every run.
+    QuerySpec(
+      "sample_deterministic",
+      (s, dir) => TextAnalysis.deterministicSample(docs(s, dir)),
+      Some("""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 100 < 10""")),
+
+    // Corpus-median quality gate: exact bucketed-percentile threshold.
+    QuerySpec(
+      "text_quality_gate",
+      (s, dir) => TextAnalysis.qualityGate(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST(FLOOR((
+                   CAST(0.4 AS DOUBLE) *
+                     (CAST(len(list_filter(toks, w -> w IN
+                        ('the','a','and','of','to','in','is','it','on','for'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE) *
+                     (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE) *
+                     (CAST(least(len(toks), 100) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                 ) * 1000 + 0.5) AS BIGINT) AS qs
+          FROM t),
+        r AS (
+          SELECT qs, row_number() OVER (ORDER BY qs) AS rn,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM c),
+        thr AS (SELECT qs AS thr FROM r WHERE rn = CEIL(n * 0.5))
+        SELECT c.doc_id, c.qs, thr.thr FROM c, thr WHERE c.qs >= thr.thr""")),
+
     QuerySpec(
       "text_lang_id",
       (s, dir) => TextAnalysis.langId(docs(s, dir)),

@@ -45,6 +45,40 @@ object TextAnalysis {
         lit(0.4) * col("stop_ratio") + lit(0.3) * col("alpha_ratio") +
           lit(0.3) * (least(col("n_tokens"), lit(100)).cast("double") / lit(100.0)))
 
+  /** Deterministic content-keyed sample: keep a doc iff the first 32 bits
+    * of md5(salt:doc_id) mod 100 land below `pct`. Reproducible across
+    * runs and engines (no RNG state), stable under repartitioning, and the
+    * salt gives independent replicas — the standard way to cut a fixed,
+    * auditable slice of a 100 TB corpus. Pure per-row filter: pushes to
+    * the scan, no shuffle.
+    */
+  def deterministicSample(docs: DataFrame, pct: Int = 10, salt: String = "s0"): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .filter(conv(substring(
+        md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100 < pct)
+
+  /** Corpus-percentile quality gate: keep documents whose quality score
+    * (bucketed to 1e-3) reaches the corpus-wide q-th percentile bucket.
+    * Bucketing makes the threshold an exact histogram percentile over a
+    * BOUNDED domain (≤ 1001 distinct buckets), so the single-group window
+    * in the threshold computation sees ≤ 1001 rows regardless of corpus
+    * size — the trick that keeps an exact global percentile scale-safe.
+    * Two scans by construction (score + threshold, then gate); cache the
+    * scored frame when both run in one job.
+    */
+  def qualityGate(docs: DataFrame, q: Double = 0.5): DataFrame = {
+    val scored = qualityStats(docs)
+      .select(col("doc_id"),
+        floor(col("quality_score") * 1000 + 0.5).cast("long").as("qs"))
+      .withColumn("corpus", lit(1L))
+    val thr = Percentiles.percentileDisc(scored, "corpus", "qs", Seq(q))
+      .select(col("pct_value").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("qs") >= col("thr"))
+      .select(col("doc_id"), col("qs"), col("thr"))
+  }
+
   /** N-gram-heuristic language ID: count stopword hits per candidate
     * language; argmax with deterministic (hit-count desc, language asc)
     * tiebreak; 'und' (undetermined) when nothing hits.

@@ -17,6 +17,29 @@ class TextAnalysisSpec extends GraftSpec {
     assert(r.getAs[Double]("alpha_ratio") === 16.0 / 22.0)
   }
 
+  test("deterministic sample: reproducible, monotone in rate, salt-varied") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = TextAnalysis.deterministicSample(docs).collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.deterministicSample(docs).collect().map(_.getLong(0)).toSet
+    assert(a === b, "same slice on every run")
+    assert(TextAnalysis.deterministicSample(docs, pct = 100).count() === docs.count())
+    assert(TextAnalysis.deterministicSample(docs, pct = 0).count() === 0L)
+    val other = TextAnalysis.deterministicSample(docs, salt = "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(a !== other, "salt selects an independent slice")
+  }
+
+  test("quality gate keeps exactly the docs at or above the percentile bucket") {
+    val docs = Tables.load(spark, sf, "documents")
+    val kept = TextAnalysis.qualityGate(docs).collect()
+    val total = docs.count()
+    assert(kept.nonEmpty && kept.length < total)
+    val thr = kept.head.getLong(2)
+    kept.foreach(r => assert(r.getLong(1) >= thr))
+    // the median gate keeps at least half the corpus (ties keep more)
+    assert(kept.length >= total / 2)
+  }
+
   test("lang id picks the language with most stopword hits, 'und' when none") {
     val docs = Seq(
       (1L, "the cat and the dog"),
