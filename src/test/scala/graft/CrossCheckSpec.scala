@@ -79,6 +79,25 @@ class CrossCheckSpec extends GraftSpec {
     }
   }
 
+  test("banded lag agrees with brute force at every band width") {
+    // bandSeconds=1 leaves most bands empty — stresses the carry across
+    // non-adjacent bands; 86400 puts everything in one band per key
+    for (seed <- 1 to 2; bandSeconds <- Seq(1L, 60L, 86400L)) {
+      val events = randomEvents(seed, 150, 4)
+      val df = events.map(e => (e._1, s"t${e._2}", e._4, e._3))
+        .toDF("event_id", "event_type", "value", "ts")
+      val got = TimeSeries.bandedLag(df, bandSeconds).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val expected = events.groupBy(_._2).flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._3.getTime, e._1))
+        sorted.indices.map(i => sorted(i)._1 ->
+          (if (i == 0) None else Some(sorted(i - 1)._4)))
+      }.toMap
+      assert(got === expected, s"seed $seed band $bandSeconds")
+    }
+  }
+
   test("sliding-window min agrees with brute force on random ticks") {
     for (seed <- 1 to 3) {
       val ticks = randomEvents(seed, 200, 3)
