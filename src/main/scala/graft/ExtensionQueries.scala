@@ -223,17 +223,16 @@ object ExtensionQueries {
       Some("""
         WITH w AS (
           SELECT doc_id,
-                 md5(unnest(string_split_regex(lower(trim(text)), '\s+'))) AS h
+                 ('0x' || substring(md5(unnest(
+                    string_split_regex(lower(trim(text)), '\s+'))), 1, 8))::BIGINT AS h
           FROM documents),
         b AS (
           SELECT doc_id, i,
-                 CAST(SUM(CASE WHEN substring(h, i, 1) IN
-                        ('8','9','a','b','c','d','e','f')
-                      THEN 1 ELSE -1 END) AS BIGINT) AS s
-          FROM w CROSS JOIN generate_series(1, 32) g(i)
+                 CAST(SUM(((h >> i) & 1) * 2 - 1) AS BIGINT) AS s
+          FROM w CROSS JOIN generate_series(0, 31) g(i)
           GROUP BY doc_id, i)
         SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN CAST(2 ** (i-1) AS BIGINT)
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(2 ** i AS BIGINT)
                         ELSE 0 END) AS BIGINT) AS simhash
         FROM b GROUP BY doc_id""")),
 

@@ -223,28 +223,29 @@ object Dedup {
       .unionByName(labels)
   }
 
-  /** 32-bit SimHash over word occurrences. Bit i of the fingerprint is the
-    * sign of Σ_words (±1), where the ±1 is hex digit i of md5(word) having
-    * its high bit set. Cross-engine-exact: md5 + substring + integer sums.
+  /** 32-bit SimHash over word occurrences. The word hash is the first 32
+    * bits of md5(word) (one hex-to-int conversion per word); bit i of the
+    * fingerprint is the sign of Σ_words (2·bit_i(h) − 1). Cross-engine-
+    * exact: md5 + integer shift/mask sums — the bit probes are integer
+    * ops, not 32 per-word string substrings.
     *
     * Single-pass shape: one word row carries all 32 bit contributions as 32
-    * conditional-sum agg expressions — one shuffle on doc_id with map-side
-    * partial aggregation, no 32× row expansion and no second aggregation.
+    * sum expressions — one shuffle on doc_id with map-side partial
+    * aggregation, no 32× row expansion and no second aggregation.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-    val bitSums = (1 to 32).map(i =>
-      sum(when(substring(col("h"), i, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
-        .otherwise(-1L)).as(s"s$i"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast(LongType).as("h"))
+    val bitSums = (0 until 32).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$i"))
     words
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (1 to 32).map(i =>
-          when(col(s"s$i") > 0, lit(1L << (i - 1))).otherwise(0L))
+        (0 until 32).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
 

@@ -70,6 +70,42 @@ object StreamingQueries {
     ticks.withWatermark("utc", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  // ---- custom stateful operator: running EWMA ------------------------------
+
+  final case class EwmaEvent(
+      user_id: Long, event_id: Long, utc: java.sql.Timestamp, value: Double)
+  final case class EwmaState(ewma: Double, n: Long)
+  final case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming running EWMA per key via mapGroupsWithState — the stream
+    * form of [[graft.operators.TimeSeries.ewma]]'s sequential fold. Each
+    * micro-batch folds its events in (event time, id) order into the
+    * key's constant-size state and emits the updated value (update output
+    * mode). With in-order input the result is bit-identical to the batch
+    * fold; cross-batch OUT-of-order events fold at arrival position — a
+    * sequential reduction cannot retro-fold without replaying, which is
+    * the documented streaming-EWMA tradeoff.
+    */
+  def runningEwma(
+      spark: SparkSession,
+      events: Dataset[EwmaEvent],
+      alpha: Double = 0.2): Dataset[EwmaOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.utc.getTime, e.event_id))
+          var s = state.getOption.getOrElse(EwmaState(0.0, 0L))
+          sorted.foreach { e =>
+            s = if (s.n == 0L) EwmaState(e.value, 1L)
+            else EwmaState(alpha * e.value + (1 - alpha) * s.ewma, s.n + 1L)
+          }
+          state.update(s)
+          EwmaOut(user, s.n, s.ewma)
+      }
+  }
+
   // ---- custom stateful operator: gap sessionization ------------------------
 
   final case class SessionEvent(user_id: Long, event_id: Long, utc: java.sql.Timestamp)

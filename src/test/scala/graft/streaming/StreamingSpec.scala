@@ -166,6 +166,34 @@ class StreamingSpec extends GraftSpec {
       SessionOut(1L, us("2024-01-01 00:02:00"), us("2024-01-01 00:02:00"), 1L)))
   }
 
+  test("streaming running EWMA matches the batch fold bit-for-bit") {
+    import StreamingQueries.EwmaEvent
+    val input = MemoryStream[EwmaEvent]
+    val out = StreamingQueries.runningEwma(spark, input.toDS())
+    def ev(u: Long, id: Long, t: String, v: Double) = EwmaEvent(u, id, ts(t), v)
+    val b1 = Seq(ev(1, 1, "2024-01-01 00:00:00", 10.0),
+      ev(1, 2, "2024-01-01 00:01:00", 20.0), ev(2, 3, "2024-01-01 00:01:30", 5.0))
+    val b2 = Seq(ev(1, 4, "2024-01-01 00:02:00", 30.0))
+    val name = freshName()
+    val q = out.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name).start()
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // latest state per user = the row with that user's max n_events
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val batch = graft.operators.TimeSeries.ewma(
+      (b1 ++ b2).map(e => (e.user_id, e.event_id, e.value, e.utc))
+        .toDF("user_id", "event_id", "value", "ts")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getDouble(2))).toMap
+    assert(got.keySet === batch.keySet)
+    got.foreach { case (u, (_, n, e)) =>
+      assert((n, e) === batch(u), s"user $u")
+    }
+  }
+
   test("file source: schema-on-read drops producer-only fields, both ts formats parse") {
     val dir = java.nio.file.Files.createTempDirectory("ticks").toString
     val sqlLine = """{"utc":"2024-01-01 00:00:10.500","type":"x","source":"x",""" +
