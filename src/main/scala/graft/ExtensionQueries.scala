@@ -413,6 +413,22 @@ object ExtensionQueries {
         FROM d
         WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35""")),
 
+    // Embedding hygiene: per-dim norm stats, the pre-ANN corpus QA pass.
+    QuerySpec(
+      "emb_norm_stats",
+      (s, dir) => Similarity.normStats(emb(s, dir)),
+      Some("""
+        WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (
+          SELECT len(v) AS dim,
+                 CAST(list_sum(list_transform(v,
+                      x -> CAST(FLOOR(x*x*1e6 + 0.5) AS BIGINT))) AS BIGINT) AS nrm
+          FROM v)
+        SELECT dim, COUNT(*) AS n_vectors, MIN(nrm) AS min_nrm,
+               MAX(nrm) AS max_nrm, CAST(SUM(nrm) AS BIGINT) AS sum_nrm,
+               CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        FROM n GROUP BY dim""")),
+
     // ---- text analysis -----------------------------------------------------
     QuerySpec(
       "text_quality",

@@ -50,6 +50,24 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
   }
 
+  /** Embedding-corpus hygiene stats: exact per-vector scaled-long squared
+    * L2 norm, aggregated per dimensionality — the QA pass before any ANN
+    * build (catches zero vectors, norm drift, mixed dims in one readout).
+    * One corpus scan, all aggregates map-side combinable.
+    */
+  def normStats(emb: DataFrame): DataFrame =
+    vecs(emb)
+      .select(size(col("v")).as("dim"),
+        expr("aggregate(v, 0L, (acc, x) -> acc + cast(floor(x*x*1e6 + 0.5) as bigint))")
+          .as("nrm"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(col("nrm")).as("min_nrm"),
+        max(col("nrm")).as("max_nrm"),
+        sum(col("nrm")).as("sum_nrm"),
+        sum(when(col("nrm") === 0L, 1L).otherwise(0L)).as("n_zero"))
+
   /** ±1 hyperplane component c(j,i): high bit of the first hex digit of
     * md5("j:i"). Pure function of (j, i) — materialized driver-side as
     * literal arrays so bucket assignment needs no per-row hashing.
