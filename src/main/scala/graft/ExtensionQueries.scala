@@ -492,7 +492,7 @@ object ExtensionQueries {
         r AS (
           SELECT qs, row_number() OVER (ORDER BY qs) AS rn,
                  CAST(COUNT(*) OVER () AS BIGINT) AS n
-          FROM c),
+          FROM c WHERE qs IS NOT NULL),
         thr AS (SELECT qs AS thr FROM r WHERE rn = CEIL(n * 0.5))
         SELECT c.doc_id, c.qs, thr.thr FROM c, thr WHERE c.qs >= thr.thr""")),
 

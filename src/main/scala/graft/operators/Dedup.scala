@@ -189,7 +189,7 @@ object Dedup {
     // until the fixpoint: one cheap scalar per round detects convergence.
     // (SUM over zero rows is NULL — a pair-free corpus converges at once.)
     def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("cluster"))).head.get(0))
+      Option(df.agg(sum(col("cluster"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = labelSum(labels)
     var converged = false

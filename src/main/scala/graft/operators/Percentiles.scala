@@ -28,7 +28,9 @@ object Percentiles {
     * ceil(q·n)` is the selected rank, `n` the key's row count, and
     * `pct_value` the exact q-th discrete percentile of `valCol`.
     * Deterministic with no tiebreak column — rank→value only depends on
-    * the value ordering.
+    * the value ordering. Callers must drop null values first: engines
+    * disagree on where nulls sort, so a null bucket would shift ranks
+    * inconsistently.
     */
   def percentileDisc(
       df: DataFrame, keyCol: String, valCol: String, qs: Seq[Double]): DataFrame = {

@@ -37,10 +37,15 @@ object TextAnalysis {
         hits(stopEn).as("n_stop"),
         length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_alpha"),
         length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"))
+      // null (not an ANSI divide-by-zero error) on degenerate denominators:
+      // empty text has zero chars; downstream consumers (the quality gate)
+      // filter the resulting null score
       .withColumn("stop_ratio",
-        col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0,
+          col("n_stop").cast("double") / col("n_tokens").cast("double")))
       .withColumn("alpha_ratio",
-        col("n_alpha").cast("double") / col("n_chars").cast("double"))
+        when(col("n_chars") > 0,
+          col("n_alpha").cast("double") / col("n_chars").cast("double")))
       .withColumn("quality_score",
         lit(0.4) * col("stop_ratio") + lit(0.3) * col("alpha_ratio") +
           lit(0.3) * (least(col("n_tokens"), lit(100)).cast("double") / lit(100.0)))
@@ -68,7 +73,12 @@ object TextAnalysis {
     * scored frame when both run in one job.
     */
   def qualityGate(docs: DataFrame, q: Double = 0.5): DataFrame = {
+    // degenerate docs (empty text -> 0/0 ratios) score NaN in Spark and
+    // NULL in DuckDB; drop them BEFORE bucketing — an ANSI cast of NaN
+    // to long throws, and engines disagree on where nulls sort in the
+    // percentile ordering. Either way such docs could never pass a gate.
     val scored = qualityStats(docs)
+      .filter(col("quality_score").isNotNull && !isnan(col("quality_score")))
       .select(col("doc_id"),
         floor(col("quality_score") * 1000 + 0.5).cast("long").as("qs"))
       .withColumn("corpus", lit(1L))

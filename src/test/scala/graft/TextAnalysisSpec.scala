@@ -40,6 +40,14 @@ class TextAnalysisSpec extends GraftSpec {
     assert(kept.length >= total / 2)
   }
 
+  test("quality gate ignores degenerate docs whose score is null") {
+    val docs = Seq((1L, ""), (2L, "the cat is on the mat"),
+      (3L, "the dog and the fox ran")).toDF("doc_id", "text")
+    val kept = TextAnalysis.qualityGate(docs).collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L), "empty text -> 0/0 ratios -> excluded")
+    assert(kept.nonEmpty)
+  }
+
   test("lang id picks the language with most stopword hits, 'und' when none") {
     val docs = Seq(
       (1L, "the cat and the dog"),
