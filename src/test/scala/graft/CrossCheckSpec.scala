@@ -98,6 +98,23 @@ class CrossCheckSpec extends GraftSpec {
     }
   }
 
+  test("histogram percentile equals sorted-rank brute force on random data") {
+    import graft.operators.Percentiles
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // small value domain forces heavy duplication — the histogram path
+      val rows = (1 to 300).map(_ => (s"k${rnd.nextInt(3)}", (rnd.nextInt(20) + 1).toDouble))
+      val qs = Seq(0.25, 0.5, 0.9)
+      val got = Percentiles.percentileDisc(rows.toDF("key", "value"), "key", "value", qs)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(4)).toMap
+      val expected = rows.groupBy(_._1).flatMap { case (k, vs) =>
+        val sorted = vs.map(_._2).sorted
+        qs.map(q => (k, q) -> sorted(math.ceil(sorted.size * q).toInt - 1))
+      }.toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("sliding-window min agrees with brute force on random ticks") {
     for (seed <- 1 to 3) {
       val ticks = randomEvents(seed, 200, 3)
