@@ -124,6 +124,15 @@ object ExtensionQueries {
                arg_min(value, event_id) AS value
         FROM events GROUP BY user_id, event_type""")),
 
+    // Canonical doc dedup: min-id keeper per content fingerprint.
+    QuerySpec(
+      "dedup_exact_docs",
+      (s, dir) => Dedup.canonicalDocs(docs(s, dir)),
+      Some("""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1""")),
+
     // MinHash signatures: shingle → k=8 hash minima, all scan-side.
     QuerySpec(
       "dedup_minhash_signatures",
@@ -554,6 +563,17 @@ object ExtensionQueries {
                len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS n_bpeish
         FROM documents""")),
 
+    // Token-length histogram per language: the corpus length report.
+    QuerySpec(
+      "text_token_histogram",
+      (s, dir) => TextAnalysis.tokenHistogram(docs(s, dir)),
+      Some("""
+        SELECT lang,
+               CAST(FLOOR(len(string_split_regex(lower(trim(text)), '\s+')) / 10)
+                 * 10 AS BIGINT) AS bucket_lo,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1, 2""")),
+
     QuerySpec(
       "text_fingerprint",
       (s, dir) => TextAnalysis.fingerprints(docs(s, dir)),
@@ -642,6 +662,29 @@ object ExtensionQueries {
                max(ts) + INTERVAL '30 minutes' AS session_end,
                count(*) AS n_events
         FROM s GROUP BY user_id, sid""")),
+
+    // Z-score anomalies: exact scaled-long moments, broadcast stats join.
+    QuerySpec(
+      "ts_anomalies",
+      (s, dir) => TimeSeries.anomalies(events(s, dir)),
+      Some("""
+        WITH q AS (
+          SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS qv
+          FROM events),
+        st AS (
+          SELECT event_type, COUNT(*) AS n, CAST(SUM(qv) AS BIGINT) AS s,
+                 CAST(SUM(qv*qv) AS BIGINT) AS ss
+          FROM q GROUP BY 1),
+        m AS (
+          SELECT event_type,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+                 (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) -
+                  (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+                    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0 AS variance
+          FROM st)
+        SELECT e.event_id, e.event_type, e.value, m.mean
+        FROM events e JOIN m ON e.event_type = m.event_type
+        WHERE ABS(e.value - m.mean) > 3.0 * sqrt(m.variance)""")),
 
     // Banded lag: identical results to q15's single window over the
     // 5-value event_type key, decomposed over (key, time band) so the raw

@@ -35,6 +35,18 @@ object Dedup {
         min(col("event_id")).as("event_id"),
         min_by(col("value"), col("event_id")).as("value"))
 
+  /** Content-canonical document dedup: group by the normalized-content
+    * fingerprint, keep the min doc_id as the canonical representative and
+    * report the multiplicity — the materialized output an exact-dedup
+    * pipeline actually writes. One hash aggregation on the fingerprint
+    * (map-side combined; duplicates collapse before the exchange).
+    */
+  def canonicalDocs(docs: DataFrame): DataFrame =
+    TextAnalysis.fingerprints(docs)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Tokenize into lowercase whitespace words (shared by all text ops). */
   private[operators] def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")

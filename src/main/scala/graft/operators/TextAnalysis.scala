@@ -115,6 +115,18 @@ object TextAnalysis {
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
 
+  /** Token-length histogram per language: document counts in fixed-width
+    * token-count buckets — the corpus length-distribution report every
+    * curation run watches. One hash aggregation over scan-side stats.
+    */
+  def tokenHistogram(docs: DataFrame, bucketWidth: Int = 10): DataFrame =
+    docs
+      .select(col("lang"),
+        (floor(size(Dedup.tokens(col("text"))) / lit(bucketWidth))
+          * lit(bucketWidth.toLong)).as("bucket_lo"))
+      .groupBy(col("lang"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** BPE-ish token count: words and standalone punctuation each count as
     * one token (`\w+|[^\w\s]`) — the usual cheap proxy for LLM token cost.
     */

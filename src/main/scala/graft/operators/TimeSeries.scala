@@ -111,6 +111,33 @@ object TimeSeries {
         expr(s"aggregate(slice(s, 2, greatest(size(s) - 1, 0)), s[0].value, " +
           s"(acc, x) -> $alpha * x.value + ${1 - alpha} * acc)").as("ewma"))
 
+  /** Per-key z-score anomalies: events whose value sits more than z
+    * standard deviations from the key's mean. Moments accumulate as EXACT
+    * scaled-long sums (count, Σq, Σq² with q = round(value·100)) — a raw
+    * double variance is accumulation-order-dependent and would diverge
+    * across engines/partitionings; here the only float math is a fixed
+    * sequence of divisions at the end, bit-identical everywhere. The
+    * per-key stats table is |keys| rows — broadcast back onto the stream.
+    * (Σq² bounds the exact range: ~1e12 per row at value≈1e2, safe to
+    * ~9e6 rows per key per partial sum; beyond that widen q's scale or
+    * use DECIMAL accumulators.)
+    */
+  def anomalies(events: DataFrame, z: Double = 3.0): DataFrame = {
+    val q = floor(col("value") * 100 + 0.5).cast("long")
+    val stats = events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(q).as("s"), sum(q * q).as("ss"))
+      .select(col("event_type"),
+        (col("s").cast("double") / col("n").cast("double") / lit(100.0)).as("mean"),
+        ((col("ss").cast("double") / col("n").cast("double") -
+          (col("s").cast("double") / col("n").cast("double")) *
+            (col("s").cast("double") / col("n").cast("double"))) / lit(10000.0))
+          .as("variance"))
+    events.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("mean")) > lit(z) * sqrt(col("variance")))
+      .select(col("event_id"), col("event_type"), col("value"), col("mean"))
+  }
+
   /** Sessionization: per user, a new session starts after a gap > maxGap.
     * Two stacked window functions over the same (user, time) ordering —
     * one shuffle on user_id total.

@@ -141,6 +141,15 @@ class FunctionsSpec extends GraftSpec {
     assert(fi("view") === ((1L, 1L, 1)))
   }
 
+  test("z-score anomalies flag the outlier, not the bulk") {
+    val ev = ((1 to 50).map(i =>
+      (i.toLong, 1L, "click", 10.0 + (i % 3) * 0.01, ts("2024-01-01 00:00:00"))) :+
+      (99L, 1L, "click", 500.0, ts("2024-01-01 01:00:00")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val got = TimeSeries.anomalies(ev).collect().map(_.getLong(0)).toSet
+    assert(got === Set(99L))
+  }
+
   test("cosine_sim: mismatched-length vectors are null on both eval paths") {
     import graft.functions.CosineSimilarity
     import org.apache.spark.sql.catalyst.expressions.Literal
