@@ -31,7 +31,7 @@ object JobStatus {
   * sink → await), minus its quirks Q1/Q2 (§7.6).
   *
   * Usage: runMain graft.streaming.TumblingWindowJob <configPath> <inputDir>
-  *          [console|noop|parquet:<out>:<ckpt>] [--once] [--detach]
+  *          [console|changelog|noop|parquet:<out>:<ckpt>] [--once] [--detach]
   * `--once` uses Trigger.AvailableNow — drain the input directory, then
   * stop (how the tests and any batch-ish replay run it). `--detach`
   * mirrors the reference's non-local branch: print the job status and
@@ -56,6 +56,9 @@ private[streaming] object JobRunner {
 
   def parseSink(spec: String): TickSink.Sink = spec.split(":", 3) match {
     case Array("console") => TickSink.Console
+    // the reference's print sink renders `+I[...]` changelog rows
+    // (README golden logs) — this spec reproduces that framing exactly
+    case Array("changelog") => TickSink.ConsoleChangelog()
     case Array("noop") => TickSink.Noop
     case Array("parquet", out, ckpt) => TickSink.PartitionedParquet(out, ckpt)
     case other => sys.error(s"unknown sink spec: ${other.mkString(":")}")

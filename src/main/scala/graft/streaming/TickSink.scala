@@ -87,6 +87,9 @@ object TickSink {
           // field positions resolve once on the driver; rows group by
           // stream key inside each Spark partition, flushing at maxCount
           val idx = fields.map(batch.columns.indexOf(_))
+          require(idx.forall(_ >= 0),
+            s"KeyedBatched: partition fields ${fields.mkString(",")} must all " +
+              s"exist in [${batch.columns.mkString(",")}]")
           batch.rdd.foreachPartition { it: Iterator[Row] =>
             val bufs = scala.collection.mutable.LinkedHashMap
               .empty[String, scala.collection.mutable.ArrayBuffer[Row]]
