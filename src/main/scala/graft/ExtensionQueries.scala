@@ -780,6 +780,30 @@ object ExtensionQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""")),
 
+    // Skew-AWARE salting: hot keys detected by a count pre-pass (threshold
+    // 3 makes roughly the larger half of orders "hot" on this data, so
+    // both the salted and unsalted paths carry real traffic); replication
+    // is proportional to skew. Oracle = the plain join, proving identity.
+    QuerySpec(
+      "q22_join_salted_hot",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        Joins.saltedJoinSkewAware(li, "l_orderkey", "l_partkey", o, "o_orderkey",
+          hotThreshold = 3L)
+          .groupBy(col("o_orderpriority"))
+          .agg(RelationalQueries.dsum(col("l_extendedprice"), 2).as("sum_price"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e2 AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""")),
+
     // ---- sketches (approximate: rows-only check + hash-checked exact twin) -
     QuerySpec(
       "sketch_distinct_users",

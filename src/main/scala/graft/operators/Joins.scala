@@ -97,4 +97,42 @@ object Joins {
         salted("_salt") === replicated("_salt"))
       .drop("_salt")
   }
+
+  /** Skew-aware salted join: salt ONLY detected hot keys. A pre-pass
+    * counts probe keys (map-side combined, tiny output) and keeps those
+    * above `hotThreshold`; the hot-key set broadcasts to both sides. Hot
+    * probe rows spread over `saltFactor` reducers; build rows replicate
+    * only for hot keys at salts 1..saltFactor-1 (every key keeps its
+    * unreplicated salt-0 copy, which is where non-hot traffic and the
+    * salt-0 hot slice land). Results are identical to the plain join —
+    * each probe row meets each matching build row exactly once, on its
+    * own salt — but the replication cost is proportional to the SKEW,
+    * not the build table: with no hot keys this degenerates to the plain
+    * join plus one cheap count pass. [[saltedJoin]] remains the
+    * planned-ahead form when replicating everything is acceptable.
+    */
+  def saltedJoinSkewAware(
+      probe: DataFrame, probeKey: String, probeSaltBy: String,
+      build: DataFrame, buildKey: String,
+      saltFactor: Int = 8, hotThreshold: Long = 100000L): DataFrame = {
+    val hot = probe.groupBy(col(probeKey)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > hotThreshold)
+      .select(col(probeKey).as("_hot_key"))
+    val salted = probe
+      .join(broadcast(hot), probe(probeKey) === col("_hot_key"), "left")
+      .withColumn("_salt",
+        when(col("_hot_key").isNotNull,
+          pmod(xxhash64(col(probeSaltBy)), lit(saltFactor)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("_hot_key")
+    val hotBuild = build
+      .join(broadcast(hot), build(buildKey) === col("_hot_key"))
+      .drop("_hot_key")
+      .withColumn("_salt", explode(expr(s"sequence(1, ${saltFactor - 1})")))
+    val buildAll = build.withColumn("_salt", lit(0)).unionByName(hotBuild)
+    salted.join(buildAll,
+      salted(probeKey) === buildAll(buildKey) &&
+        salted("_salt") === buildAll("_salt"))
+      .drop("_salt")
+  }
 }

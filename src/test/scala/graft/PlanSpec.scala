@@ -143,6 +143,24 @@ class PlanSpec extends GraftSpec {
     assert(got === Set((1L, 10.0, "a"), (1L, 20.0, "a"), (2L, 30.0, "b")))
   }
 
+  test("skew-aware salting: hot and cold keys both join exactly once") {
+    import spark.implicits._
+    // key 1 is hot (40 rows), key 2 cold (3), key 3 probe-only, build has
+    // an unmatched key 4 — every path of the decomposition carries rows
+    val probe = ((1 to 40).map(i => (1L, i.toDouble)) ++
+      Seq((2L, 100.0), (2L, 101.0), (2L, 102.0), (3L, 200.0)))
+      .toDF("k", "v")
+    val build = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("bk", "name")
+    val expected = probe.join(build, probe("k") === build("bk"))
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    for (threshold <- Seq(5L, 1000L)) { // hot path active / degenerate
+      val got = graft.operators.Joins.saltedJoinSkewAware(
+        probe, "k", "v", build, "bk", saltFactor = 4, hotThreshold = threshold)
+        .select("k", "v", "name").collect().map(_.toSeq).toSet
+      assert(got === expected, s"threshold $threshold")
+    }
+  }
+
   test("as-of join plans as one keyed exchange, not a nested loop") {
     val p = plan(Registry.queries("ts_asof_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
