@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -30,16 +30,19 @@ object Bench {
       .selectExpr("size(embedding) s")))
     warm(exec(graft.operators.Dedup.minhashSignatures(
       spark.read.parquet(s"$sfDir/documents.parquet").limit(64))))
-    // Each query runs `reps` times; report the min — single-machine timing
-    // noise (GC, page cache, JIT recompiles) is strictly additive, so the
-    // min is the least-noise estimate of the plan's cost.
+    // Each query runs `reps` times; report the min over SUCCESSFUL reps —
+    // single-machine timing noise (GC, page cache, JIT recompiles) is
+    // strictly additive, so the min is the least-noise estimate of the
+    // plan's cost. A rep that throws contributes nothing (a fast failure
+    // must not masquerade as a fast query); all-reps-failed reports -1 so
+    // the breakage is visible in the JSON instead of a bogus latency.
     val results = Registry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -246,6 +246,8 @@ object ExtensionQueries {
         FROM b GROUP BY doc_id""")),
 
     // N-gram Jaccard over shingle-sharing pairs (inverted-index blocking).
+    // The oracle mirrors the operator's document-frequency cap (maxDf=100):
+    // set sizes stay FULL, but intersections ignore corpus-common shingles.
     QuerySpec(
       "dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir)),
@@ -253,9 +255,12 @@ object ExtensionQueries {
         WITH $shingleCte,
         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
         sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        hotsh AS (SELECT shingle FROM d GROUP BY shingle HAVING count(*) > 100),
+        dc AS (SELECT doc_id, shingle FROM d
+               WHERE shingle NOT IN (SELECT shingle FROM hotsh)),
         cm AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM dc a JOIN dc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b, n_common,
                CAST(n_common AS DOUBLE) /
@@ -430,8 +435,8 @@ object ExtensionQueries {
         WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         n AS (
           SELECT len(v) AS dim,
-                 CAST(list_sum(list_transform(v,
-                      x -> CAST(FLOOR(x*x*1e6 + 0.5) AS BIGINT))) AS BIGINT) AS nrm
+                 COALESCE(CAST(list_sum(list_transform(v,
+                      x -> CAST(FLOOR(x*x*1e6 + 0.5) AS BIGINT))) AS BIGINT), 0) AS nrm
           FROM v)
         SELECT dim, COUNT(*) AS n_vectors, MIN(nrm) AS min_nrm,
                MAX(nrm) AS max_nrm, CAST(SUM(nrm) AS BIGINT) AS sum_nrm,

@@ -538,9 +538,12 @@ object RelationalQueries {
     // row_number formulation (fine for DuckDB's single-node sort).
     QuerySpec(
       "q26_percentile_disc",
+      // distinct() after dropping q: if both quantiles select the SAME
+      // rank (tiny groups, ceil(n*.5)==ceil(n*.95)), the oracle's
+      // OR-filter emits that row once — so must we
       (s, dir) => graft.operators.Percentiles.percentileDisc(
         t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
-        .drop("q"),
+        .drop("q").distinct(),
       Some("""
         SELECT l_returnflag, rn, n, l_extendedprice AS pct_value FROM (
           SELECT l_returnflag, l_extendedprice,

@@ -111,7 +111,7 @@ object Dedup {
           .as(s"h$j")): _*)
   }
 
-  /** MinHash signatures: k hash functions h_j(s) = (a_j·h(s)) mod (2^61−1)
+  /** MinHash signatures: k hash functions h_j(s) = (a_j·h(s)) mod (2^31−1)
     * over one md5 per shingle; the signature component is the numeric min
     * per (doc, j). Output one row per (doc_id, j) — k rows per doc,
     * unpivoted from [[minhashWide]].
@@ -184,10 +184,9 @@ object Dedup {
     * count — no data is collected.
     */
   def nearDupClusters(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // The pair graph is consumed many times (each propagation round, the
-    // connected-doc set, and the caller's final action), so it is cached
-    // once; it stays cached in the returned plan's lineage — tiny state
-    // (candidate pairs only, not the corpus).
+    // The pair graph is consumed once per propagation round, so it is
+    // cached for the loop's duration and released after the loop (the
+    // returned plan reads only the persisted `connected` and `labels`).
     val pairs = minhashCandidatePairs(docs, k, rowsPerBand).persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

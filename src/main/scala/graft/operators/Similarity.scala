@@ -68,6 +68,15 @@ object Similarity {
         sum(col("nrm")).as("sum_nrm"),
         sum(when(col("nrm") === 0L, 1L).otherwise(0L)).as("n_zero"))
 
+  /** Cheap one-row dimensionality probe for internal callers: safe WITHOUT
+    * the full-corpus uniformity validation because [[lshBuckets]]'s
+    * projection raises loudly on any row whose size disagrees — a ragged
+    * corpus still fails, just at execution instead of planning.
+    */
+  private def probeDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
   /** ±1 hyperplane component c(j,i): high bit of the first hex digit of
     * md5("j:i"). Pure function of (j, i) — materialized driver-side as
     * literal arrays so bucket assignment needs no per-row hashing.
@@ -136,7 +145,7 @@ object Similarity {
     * recall vs the brute-force baseline is the quality metric.
     */
   def annLsh(emb: DataFrame, nQueries: Int = 8, k: Int = 10, bits: Int = 6): DataFrame = {
-    val e = vecs(emb).join(lshBuckets(emb, bits), "vec_id")
+    val e = vecs(emb).join(lshBuckets(emb, bits, probeDim(emb)), "vec_id")
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
     val scored = e.join(broadcast(q), col("bucket") === col("qbucket"))
@@ -158,7 +167,7 @@ object Similarity {
     */
   def annLshMultiProbe(
       emb: DataFrame, nQueries: Int = 8, k: Int = 10, bits: Int = 6): DataFrame = {
-    val e = vecs(emb).join(lshBuckets(emb, bits), "vec_id")
+    val e = vecs(emb).join(lshBuckets(emb, bits, probeDim(emb)), "vec_id")
     val masks = array((0L +: (0 until bits).map(1L << _)).map(lit): _*)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
@@ -217,7 +226,7 @@ object Similarity {
     */
   def embeddingNearDupPairs(
       emb: DataFrame, bits: Int = 6, minScore: Double = 0.35): DataFrame = {
-    val e = vecs(emb).join(lshBuckets(emb, bits), "vec_id")
+    val e = vecs(emb).join(lshBuckets(emb, bits, probeDim(emb)), "vec_id")
     val l = e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
     val r = e.select(col("bucket").as("bucket_b"), col("vec_id").as("vec_b"),
       col("v").as("vb"))

@@ -29,12 +29,6 @@ object Sketches {
         count_distinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
 
-  /** Approximate quantiles of the value distribution per key
-    * (percentile_approx with a fixed accuracy — mergeable sketch state).
-    * One scalar row per (key, q): array results don't survive generic
-    * row-compare harnesses, and a flat (event_type, q, value) row is what
-    * a downstream consumer joins on anyway.
-    */
   /** Heavy hitters: top-k users per event_type by event count — the exact
     * groupBy top-k that stands where a count-min sketch would if the
     * group-by were unaffordable. One count aggregation (map-side combine)
@@ -52,6 +46,12 @@ object Sketches {
       .filter(col("rn") <= k)
   }
 
+  /** Approximate quantiles of the value distribution per key
+    * (percentile_approx with a fixed accuracy — mergeable sketch state).
+    * One scalar row per (key, q): array results don't survive generic
+    * row-compare harnesses, and a flat (event_type, q, value) row is what
+    * a downstream consumer joins on anyway.
+    */
   def valueQuantiles(events: DataFrame): DataFrame = {
     val qs = Seq(0.5, 0.95, 0.99)
     val qArr = array(qs.map(lit): _*)

@@ -90,9 +90,12 @@ private[streaming] object JobRunner {
     val q = TickSink.start(out, sink, availableNow = once)
     if (args.contains("--detach")) {
       // the reference's non-local branch: report status, leave the job
-      // running (tumbling_window.py:293-296) instead of blocking on wait()
+      // running (tumbling_window.py:293-296) instead of blocking on wait().
       println(JobStatus.statusLine(q))
       JobStatus.progressLine(q).foreach(println)
+      // A --once drain is finite: block through it and exit, otherwise
+      // Spark's non-daemon threads would pin an idle JVM forever.
+      if (once) { q.awaitTermination(); spark.stop() }
     } else {
       q.awaitTermination()
       if (once) spark.stop()

@@ -80,11 +80,11 @@ class PlanSpec extends GraftSpec {
     val df = Registry.queries("q26_percentile_disc")(spark, sf)
     val p = df.queryExecution.optimizedPlan.toString
     val winIdx = p.indexOf("Window")
-    val aggIdx = p.indexOf("Aggregate")
-    // top-down print: the Window must sit ABOVE the histogram Aggregate —
-    // i.e. only |distinct (key, value)| rows ever flow through the
-    // low-cardinality-key window, never the raw table
-    assert(winIdx >= 0 && aggIdx > winIdx,
+    // top-down print: the BOTTOM-most Aggregate (the groupBy(key, value)
+    // histogram) must sit BELOW the Window — only |distinct (key, value)|
+    // rows ever flow through the low-cardinality-key window, never the
+    // raw table. (The tie-dedup distinct adds another Aggregate above.)
+    assert(winIdx >= 0 && p.lastIndexOf("Aggregate") > winIdx,
       s"window must consume the groupBy(key, value) histogram:\n$p")
   }
 
