@@ -706,18 +706,38 @@ object ExtensionQueries {
                                      ORDER BY ts, event_id) AS prev_value
           FROM events)""")),
 
-    // Order-dependent sequential reduction: final EWMA per user, folded
-    // left in (ts, event_id) order on both engines (aggregate/list_reduce).
+    // Order-dependent sequential reduction: final EWMA per user. Both
+    // engines run the SAME two-level banded fold (per-band affine maps in
+    // (ts, event_id) order, then composition in band order) so the IEEE op
+    // sequence — and therefore the bits — match; the banding is what keeps
+    // Spark's per-key state bounded on a hot key.
     QuerySpec(
       "ts_ewma",
       (s, dir) => TimeSeries.ewma(events(s, dir)),
       Some("""
-        WITH s AS (
-          SELECT user_id, list(value ORDER BY ts, event_id) AS vals
-          FROM events GROUP BY user_id)
-        SELECT user_id, len(vals) AS n_events,
-               list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma
-        FROM s""")),
+        WITH pb AS (
+          SELECT user_id,
+                 CAST(FLOOR((epoch_ns(ts) // 1000) / 86400000000.0) AS BIGINT) AS band,
+                 list(value ORDER BY ts, event_id) AS vals
+          FROM events GROUP BY 1, 2),
+        pb2 AS (
+          SELECT user_id, band, len(vals) AS m,
+                 list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS e,
+                 list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                   list_transform(vals, x -> CAST(0.8 AS DOUBLE))),
+                   (a, x) -> a * x) AS a,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                   (b, x) -> 0.8 * b + 0.2 * x) AS b
+          FROM pb),
+        pu AS (
+          SELECT user_id, CAST(SUM(m) AS BIGINT) AS n_events,
+                 list(struct_pack(e := e, a := a, b := b) ORDER BY band) AS bands
+          FROM pb2 GROUP BY user_id)
+        SELECT user_id, n_events,
+               struct_extract(list_reduce(bands, (acc, t) ->
+                 struct_pack(e := t.a * acc.e + t.b, a := t.a, b := t.b)),
+                 'e') AS ewma
+        FROM pu""")),
 
     // As-of join: each purchase matched to the user's most recent prior-or-
     // equal click. One shuffle (union + keyed window), not a nested loop.

@@ -272,8 +272,11 @@ object Dedup {
     // co-occurrence pairs locally (one shuffle on the shingle), instead of
     // a self-join that would rebuild and re-shuffle the shingle stream
     // twice. Per-doc dedup happens scan-side (array_distinct before the
-    // explode — no global distinct shuffle); the |A| set size rides in on
-    // one window count over doc_id.
+    // explode — no global distinct shuffle); the |A| set size is likewise
+    // scan-side — size() of the distinct array BEFORE exploding — so it
+    // rides each exploded row for free instead of a window count over
+    // doc_id, which would re-exchange the full |docs| × |shingles| stream
+    // just to recover a number the scan already knew.
     //
     // DF-filter blocking bounds the worst case: a shingle occurring in d
     // docs expands d(d-1)/2 pairs, so one stopword-ish shingle in 10^6 docs
@@ -287,15 +290,14 @@ object Dedup {
     // that share them). The DF pass is one count aggregation (map-side
     // combined) and the cap list is tiny, so it rides a broadcast anti-join.
     val exploded = shingleArrays(docs)
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
     val hot = exploded.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))
-    val sh = exploded
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-      .join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sh = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
     sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")) > 1)

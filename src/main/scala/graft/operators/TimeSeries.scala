@@ -96,20 +96,53 @@ object TimeSeries {
 
   /** Final exponentially-weighted moving average per user:
     * ewma = α·x + (1−α)·ewma, folded over the (ts, event_id)-ordered
-    * series. EWMA is inherently sequential, so the per-key series is
-    * assembled as one array (bounded by the per-user event count — the
-    * honest cost of an order-dependent reduction) and folded scan-side.
-    * The fold runs the exact same IEEE double ops in the exact same order
-    * as the oracle's list_reduce, so results are bit-identical.
+    * series. EWMA is inherently sequential, but each step is the affine
+    * map acc → α·x + β·acc (β = 1−α), and affine maps compose
+    * associatively — so the fold decomposes over time bands with BOUNDED
+    * state, instead of buffering a whole key's series (one hot key with
+    * 10⁹ events would OOM an executor under a per-key collect_list):
+    *
+    *   1. per (user, band): the band's ordered values fold into its
+    *      composite affine map (a, b) = (β^m, Σ α·x_i·β^(m−i)) — three
+    *      scan-side array folds over ONE band's rows. The band holding
+    *      the user's first event also folds its own EWMA `e` (init =
+    *      first value), because the global init is not an affine step.
+    *   2. per user: the per-band (a, b, e) rows — at most
+    *      time_range / bandSeconds of them, INDEPENDENT of the per-key
+    *      event count — compose in band order: e ← a·e + b.
+    *
+    * State per aggregation group is one (user, band) slice in stage 1 and
+    * the tiny band summary list in stage 2; size `bandSeconds` so the
+    * densest key×band slice fits an executor. The oracle runs the exact
+    * same two-level fold (same IEEE ops in the same order), so results
+    * are bit-identical; the banded value differs from a flat sequential
+    * fold only by float re-association (≲1e-12 relative — CrossCheckSpec
+    * pins it against the brute-force fold).
     */
-  def ewma(events: DataFrame, alpha: Double = 0.2): DataFrame =
-    events
-      .groupBy(col("user_id"))
+  def ewma(events: DataFrame, alpha: Double = 0.2,
+      bandSeconds: Long = 86400L): DataFrame = {
+    val beta = 1 - alpha
+    val bandUs = bandSeconds * 1000000L
+    val perBand = events
+      .withColumn("band", floor(unix_micros(col("ts")) / bandUs))
+      .groupBy(col("user_id"), col("band"))
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("value")))).as("s"))
-      .select(col("user_id"), size(col("s")).as("n_events"),
+      .select(col("user_id"), col("band"), size(col("s")).as("m"),
         expr(s"aggregate(slice(s, 2, greatest(size(s) - 1, 0)), s[0].value, " +
-          s"(acc, x) -> $alpha * x.value + ${1 - alpha} * acc)").as("ewma"))
+          s"(acc, x) -> $alpha * x.value + $beta * acc)").as("e"),
+        expr(s"aggregate(s, cast(1.0 as double), (a, x) -> a * $beta)").as("a"),
+        expr(s"aggregate(s, cast(0.0 as double), " +
+          s"(b, x) -> $beta * b + $alpha * x.value)").as("b"))
+    perBand
+      .groupBy(col("user_id"))
+      .agg(sum(col("m")).as("n_events"),
+        sort_array(collect_list(
+          struct(col("band"), col("e"), col("a"), col("b")))).as("bands"))
+      .select(col("user_id"), col("n_events"),
+        expr("aggregate(slice(bands, 2, greatest(size(bands) - 1, 0)), " +
+          "bands[0].e, (acc, t) -> t.a * acc + t.b)").as("ewma"))
+  }
 
   /** Per-key z-score anomalies: events whose value sits more than z
     * standard deviations from the key's mean. Moments accumulate as EXACT

@@ -98,6 +98,40 @@ class CrossCheckSpec extends GraftSpec {
     }
   }
 
+  test("banded ewma matches the sequential fold, hot key included") {
+    // user 0 is a synthetic hot key (4000 events — 40× the others); the
+    // banded fold must agree with the flat sequential fold to float
+    // re-association error at every band width, including bandSeconds=60
+    // where the hot key spans ~120 bands (the boundedness path).
+    for (seed <- 1 to 2; bandSeconds <- Seq(60L, 3600L, 86400L)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 4000).map { i =>
+        (i.toLong, 0L,
+          new java.sql.Timestamp(1704067200000L + i * 1800L),
+          math.rint(rnd.nextDouble() * 1000) / 100)
+      } ++ (4001 to 4100).map { i =>
+        (i.toLong, 1L + rnd.nextInt(3).toLong,
+          new java.sql.Timestamp(1704067200000L + rnd.nextInt(7200000).toLong),
+          math.rint(rnd.nextDouble() * 1000) / 100)
+      }
+      val got = TimeSeries.ewma(
+        events.toDF("event_id", "user_id", "ts", "value"),
+        alpha = 0.2, bandSeconds = bandSeconds)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val expected = events.groupBy(_._2).map { case (u, evs) =>
+        val vals = evs.sortBy(e => (e._3.getTime, e._1)).map(_._4)
+        u -> (evs.size.toLong,
+          vals.tail.foldLeft(vals.head)((acc, x) => 0.2 * x + 0.8 * acc))
+      }
+      assert(got.keySet === expected.keySet, s"seed $seed band $bandSeconds")
+      for ((u, (n, e)) <- expected) {
+        assert(got(u)._1 === n, s"user $u seed $seed band $bandSeconds")
+        assert(math.abs(got(u)._2 - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"user $u seed $seed band $bandSeconds: got ${got(u)._2} want $e")
+      }
+    }
+  }
+
   test("histogram percentile equals sorted-rank brute force on random data") {
     import graft.operators.Percentiles
     for (seed <- 1 to 3) {

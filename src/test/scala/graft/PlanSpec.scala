@@ -209,6 +209,19 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("ngram jaccard computes set sizes scan-side — no per-doc window exchange") {
+    val df = Registry.queries("dedup_ngram_jaccard")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // |A| rides the scan (size of the distinct shingle array before the
+    // explode); a Window over doc_id would re-exchange the full exploded
+    // |docs| × |shingles| stream just to recover it
+    assert(!opt.contains("Window"), s"set size must not be a window count:\n$opt")
+    val p = plan(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 3,
+      s"expected ≤3 hash exchanges (df cap, posting list, pair agg), got $shuffles:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)
