@@ -103,6 +103,62 @@ object ExtensionQueries {
                          ELSE 0 END) AS BIGINT) AS bucket
          FROM pj GROUP BY vec_id)"""
 
+  /** Oracle CTE block: assign every vector to its argmax-cosine centroid
+    * from codebook CTE `prevC(cent_id, cv)` — mirrors Similarity.bestCell
+    * (ties → smallest cent_id; scaled-long dot/norms like cosine_sim).
+    * Emits `cn$i/apx$i/ad$i/sc$i` internals and the result `cell$i
+    * (vec_id, cell)`. Needs [[vecNormCte]]'s `n` in scope.
+    */
+  private def lloydAssignCte(i: Int, prevC: String): String =
+    s"""cn$i AS (
+          SELECT cent_id, cv,
+                 CAST(list_sum(list_transform(cv,
+                      x -> CAST(FLOOR(x*x*1e6 + 0.5) AS BIGINT))) AS BIGINT) AS cnrm
+          FROM $prevC),
+        apx$i AS (
+          SELECT n.vec_id, c.cent_id, n.nrm, c.cnrm,
+                 unnest(n.v) AS x, unnest(c.cv) AS cx
+          FROM n CROSS JOIN cn$i c),
+        ad$i AS (
+          SELECT vec_id, cent_id, nrm, cnrm,
+                 CAST(SUM(CAST(FLOOR(x*cx*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM apx$i GROUP BY vec_id, cent_id, nrm, cnrm),
+        sc$i AS (
+          SELECT vec_id, cent_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) AS score
+          FROM ad$i),
+        cell$i AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, cent_id) AS rn
+            FROM sc$i) WHERE rn = 1)"""
+
+  /** Oracle CTE block: Lloyd update — per-cell mean over `cell$i` members
+    * as EXACT scaled-long component sums (mirrors ivfCentroidsTrained's
+    * `Σ round(x·1e6) / n / 1e6`, divisions in that order). Empty cells
+    * keep their `prevC` centroid. Emits `upx$i/um$i` internals and the
+    * new codebook `c$i (cent_id, cv)`.
+    */
+  private def lloydUpdateCte(i: Int, prevC: String): String =
+    s"""upx$i AS (
+          SELECT a.cell, unnest(n.v) AS x,
+                 unnest(range(1, len(n.v) + 1)) AS pos
+          FROM n JOIN cell$i a ON n.vec_id = a.vec_id),
+        um$i AS (
+          SELECT cell, pos,
+                 CAST(SUM(CAST(FLOOR(x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+                 COUNT(*) AS nn
+          FROM upx$i GROUP BY cell, pos),
+        c$i AS (
+          SELECT cell AS cent_id,
+                 list(CAST(s AS DOUBLE) / nn / 1e6 ORDER BY pos) AS cv
+          FROM um$i GROUP BY cell
+          UNION ALL
+          SELECT cent_id, cv FROM $prevC
+          WHERE cent_id NOT IN (SELECT cell FROM um$i))"""
+
   /** Oracle top-k tail over a `s(qid, vec_id, score)` CTE. */
   private def topkTail(k: Int): String =
     s"""SELECT qid, vec_id, score, rn FROM (
@@ -393,6 +449,46 @@ object ExtensionQueries {
           SELECT q.qid, c.vec_id, q.qnrm, c.nrm,
                  unnest(q.qv) AS qx, unnest(c.v) AS x
           FROM e c JOIN q ON c.cell = q.qcell),
+        dots AS (
+          SELECT qid, vec_id, qnrm, nrm,
+                 CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px GROUP BY qid, vec_id, qnrm, nrm),
+        s AS (
+          SELECT qid, vec_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
+          FROM dots)
+        ${topkTail(10)}""")),
+
+    // IVF over a Lloyd-TRAINED codebook: one deterministic k-means round
+    // (exact scaled-long update means the codebook is a pure function of
+    // the corpus), then 3-probe search (training balances cells; the
+    // extra probes buy the recall back) — the oracle re-runs the whole
+    // training loop in SQL, unrolled.
+    QuerySpec(
+      "sim_ann_ivf_trained",
+      (s, dir) => Similarity.annIvfTrained(emb(s, dir)),
+      Some(s"""
+        WITH $vecNormCte,
+        c0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 16),
+        ${lloydAssignCte(1, "c0")},
+        ${lloydUpdateCte(1, "c0")},
+        ${lloydAssignCte(2, "c1")},
+        e AS (
+          SELECT n.vec_id, n.v, n.nrm, a.cell
+          FROM n JOIN cell2 a ON n.vec_id = a.vec_id),
+        qp AS (
+          SELECT vec_id AS qid, cent_id AS qcell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, cent_id) AS rn
+            FROM sc2 WHERE vec_id < 8) WHERE rn <= 3),
+        q AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+        px AS (
+          SELECT q.qid, c.vec_id, q.qnrm, c.nrm,
+                 unnest(q.qv) AS qx, unnest(c.v) AS x
+          FROM e c JOIN qp ON c.cell = qp.qcell JOIN q ON q.qid = qp.qid),
         dots AS (
           SELECT qid, vec_id, qnrm, nrm,
                  CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot

@@ -39,9 +39,21 @@ object JobStatus {
   */
 private[streaming] object JobRunner {
 
+  /** Provider class for the RocksDB state store (ships with Spark; the
+    * rocksdbjni native lib rides in the distribution jars).
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    SparkSession.builder()
+    // 100 TB stance: the default HDFS-backed state store keeps every key's
+    // state on the executor HEAP — the first streaming scale-killer once
+    // keyed state (windows, dedup sets, per-key EWMA) outgrows memory.
+    // RocksDB keeps state on local disk with a block cache, so state size
+    // is bounded by disk, not heap. Flag-gated: SPARK_GRAFT_STATE_STORE=
+    // memory restores the heap store for tiny local replays.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // Parallelism is sized by config, not hardcoded 1: the reference
@@ -51,7 +63,9 @@ private[streaming] object JobRunner {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      .getOrCreate()
+    if (!sys.env.get("SPARK_GRAFT_STATE_STORE").contains("memory"))
+      builder.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    builder.getOrCreate()
   }
 
   def parseSink(spec: String): TickSink.Sink = spec.split(":", 3) match {

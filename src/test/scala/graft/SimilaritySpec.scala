@@ -56,6 +56,36 @@ class SimilaritySpec extends GraftSpec {
     info(f"ann-ivf recall@10 = ${(got & truth).size.toDouble / truth.size}%.2f")
   }
 
+  test("trained ivf: top-1 self, scores exact, recall >= first-N codebook") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val trained = Similarity.annIvfTrained(emb, nQueries = 8, k = 10).collect()
+    trained.filter(_.getInt(3) == 1).foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val brute = Similarity.cosineTopK(emb, nQueries = 8, k = 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    trained.foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+    val truth = Similarity.cosineTopK(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rTrained = (trained.map(r => (r.getLong(0), r.getLong(1))).toSet & truth)
+      .size.toDouble / truth.size
+    val standIn = Similarity.annIvf(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rStandIn = (standIn & truth).size.toDouble / truth.size
+    info(f"trained-ivf(3-probe) recall@10 = $rTrained%.2f vs first-N $rStandIn%.2f")
+    assert(rTrained >= rStandIn,
+      f"trained 2-probe IVF must not lose recall: $rTrained%.2f < $rStandIn%.2f")
+  }
+
+  test("trained ivf codebook is reproducible and moves with the data") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val c1 = Similarity.ivfCentroidsTrained(emb, nCells = 16, iters = 2)
+    val c2 = Similarity.ivfCentroidsTrained(emb, nCells = 16, iters = 2)
+    assert(c1 === c2, "exact scaled-long update must be run-to-run identical")
+    val init = Similarity.ivfCentroidsTrained(emb, nCells = 16, iters = 0)
+    assert(c1 !== init, "two Lloyd rounds must move at least one centroid")
+  }
+
   test("ann lsh recall@10 against brute force is reported and sane") {
     val emb = Tables.load(spark, sf, "embeddings")
     val truth = Similarity.cosineTopK(emb, nQueries = 8, k = 10).collect()

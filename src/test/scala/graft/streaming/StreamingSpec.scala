@@ -61,6 +61,29 @@ class StreamingSpec extends GraftSpec {
       r.getAs[Double]("min_price"), r.getAs[Double]("max_price")) === (10.0, 9.5, 9.5, 12.0))
   }
 
+  test("candlestick runs on the RocksDB state store — the job mains' default") {
+    // same emission semantics as the heap store, but state lives on local
+    // disk: the provider the job mains default to for the 100 TB path
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val input = MemoryStream[String]
+      val out = StreamingQueries.candlestick(parsedTicks(input))
+      val rows = runStream(input, out, Seq(
+        Seq(tickJson("AAPL", 12.0, "2024-01-01T00:00:40.000"),
+          tickJson("AAPL", 10.0, "2024-01-01T00:00:10.000")),
+        Seq(tickJson("AAPL", 50.0, "2024-01-01T00:05:00.000")),
+        Seq(tickJson("AAPL", 51.0, "2024-01-01T00:06:00.000"))))
+      assert(rows.length === 1, s"exactly the closed window: ${rows.mkString(";")}")
+      assert((rows.head.getAs[Double]("first_price"),
+        rows.head.getAs[Double]("max_price")) === (10.0, 12.0))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("late rows beyond the watermark are dropped; batch/stream parity on emitted windows") {
     val input = MemoryStream[String]
     val out = StreamingQueries.candlestick(parsedTicks(input))
@@ -187,7 +210,7 @@ class StreamingSpec extends GraftSpec {
     val batch = graft.operators.TimeSeries.ewma(
       (b1 ++ b2).map(e => (e.user_id, e.event_id, e.value, e.utc))
         .toDF("user_id", "event_id", "value", "ts")).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getDouble(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got.keySet === batch.keySet)
     got.foreach { case (u, (_, n, e)) =>
       assert((n, e) === batch(u), s"user $u")
