@@ -468,7 +468,10 @@ object ExtensionQueries {
     QuerySpec(
       "sim_ann_ivf_trained",
       (s, dir) => Similarity.annIvfTrained(emb(s, dir)),
-      Some(s"""
+      benchmark = false, // iterative: every run re-trains the codebook (driver-looped
+      // Lloyd jobs, like the dedup_clusters fixpoint); production trains once and
+      // amortizes — sim_ann_ivf is the benchmarked single-shot ANN representative
+      oracle = Some(s"""
         WITH $vecNormCte,
         c0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 16),
         ${lloydAssignCte(1, "c0")},
@@ -931,12 +934,13 @@ object ExtensionQueries {
       (s, dir) => Sketches.distinctUsers(events(s, dir)),
       None),
 
-    // Exact twin: the exact columns of the sketch result, hash-checked by
-    // the oracle so only the approx column stays rows-only.
+    // Exact twin: the exact counts as their own aggregation, hash-checked
+    // by the oracle so only the approx query stays rows-only. Kept OUT of
+    // the sketch aggregate — combining them forces the dual-path distinct
+    // Expand (see Sketches.distinctUsers).
     QuerySpec(
       "sketch_distinct_users_exact",
-      (s, dir) => Sketches.distinctUsers(events(s, dir))
-        .select(col("event_type"), col("exact_users"), col("n_events")),
+      (s, dir) => Sketches.distinctUsersExact(events(s, dir)),
       Some("""
         SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
                COUNT(*) AS n_events
@@ -988,6 +992,25 @@ object ExtensionQueries {
                md5(text) AS content_md5,
                sha256(text) AS content_sha256,
                substring(hex(encode(text)), 1, 16) AS header_hex
-        FROM documents"""))
+        FROM documents""")),
+
+    // Frame sampling: blob split into fixed 64-byte frames, every 4th kept.
+    // The oracle computes each frame's length arithmetically (LEAST(64,
+    // n_bytes - i·64)) — equal to slicing because frames tile the blob.
+    // (Both sides assume non-empty payloads; a 0-byte blob would emit one
+    // empty frame on the Spark side and none here — the corpus has none.)
+    QuerySpec(
+      "mm_frame_sample",
+      (s, dir) => Multimodal.frameSample(docs(s, dir)),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+        f AS (
+          SELECT doc_id, n_bytes,
+                 unnest(range(0, CAST(FLOOR((n_bytes - 1) / 64.0) AS BIGINT) + 1)) AS idx
+          FROM b)
+        SELECT doc_id, idx AS frame_idx,
+               LEAST(64, n_bytes - idx * 64) AS frame_bytes
+        FROM f WHERE idx % 4 = 0"""))
   )
 }

@@ -14,18 +14,32 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Per-key distinct-user cardinality, approximate (HLL++, rsd 2%) next
-    * to exact — the exact column doubles as an in-result accuracy witness.
+  /** Per-key distinct-user cardinality, approximate (HLL++, rsd 2%).
     * rsd sizes the dense HLL register array quadratically (1% ⇒ 16 K
     * registers per (task, group) buffer, measurably merge-bound even on
     * small data); 2% keeps the guarantee useful at a quarter of the
     * buffer, and small cardinalities stay exact in sparse mode anyway.
+    *
+    * The accuracy witness lives in [[distinctUsersExact]], NOT in this
+    * aggregate: mixing `count_distinct` into the same agg forces Spark's
+    * dual-path distinct rewrite (an Expand that re-feeds every input row
+    * through a second aggregation path), measured at ~4× the cost of the
+    * pure sketch — exactly the shuffle-of-distinct-values the sketch
+    * exists to avoid. FunctionsSpec joins the two queries and pins the
+    * approximation error instead.
     */
   def distinctUsers(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Exact twin of [[distinctUsers]]: the hash-checked accuracy witness. */
+  def distinctUsersExact(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
         count_distinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
 

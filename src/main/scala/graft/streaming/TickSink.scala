@@ -25,10 +25,19 @@ object TickSink {
       extends Sink
   object ConsoleChangelog {
     val stdout: String => Unit = s => scala.Console.println(s)
-    /** Flink-style append ("insert") changelog row. */
+    /** Flink-style append ("insert") changelog row, byte-compatible with
+      * the reference's golden logs (README.md:139-163, 211-226): event-time
+      * columns render as `java.time.LocalDateTime.toString` — `2022-07-20
+      * T20:56`, seconds omitted when zero — exactly how Flink prints its
+      * TIMESTAMP(3) fields, and doubles via `Double.toString` (`0.0`,
+      * `99.71`), matching Java's rendering on both engines.
+      */
     def format(r: Row): String =
-      r.toSeq.map(v => if (v == null) "null" else v.toString)
-        .mkString("+I[", ", ", "]")
+      r.toSeq.map {
+        case null => "null"
+        case t: java.sql.Timestamp => t.toLocalDateTime.toString
+        case v => v.toString
+      }.mkString("+I[", ", ", "]")
   }
   /** Reference `blackhole` sink (tumbling_window.py:253-256). */
   case object Noop extends Sink

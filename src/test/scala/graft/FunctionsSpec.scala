@@ -91,13 +91,16 @@ class FunctionsSpec extends GraftSpec {
     assert(swCounts === isCounts, "per-user session sizes agree")
   }
 
-  test("sketch distinct count tracks the exact count within rsd tolerance") {
-    val got = Sketches.distinctUsers(Tables.load(spark, sf, "events")).collect()
-    assert(got.nonEmpty)
-    got.foreach { r =>
-      val (approx, exact) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approx - exact).toDouble / exact < 0.05,
-        s"approx $approx vs exact $exact")
+  test("sketch distinct count tracks the exact twin within rsd tolerance") {
+    val ev = Tables.load(spark, sf, "events")
+    val approx = Sketches.distinctUsers(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Sketches.distinctUsersExact(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.nonEmpty && approx.keySet === exact.keySet)
+    approx.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)).toDouble / exact(k) < 0.05,
+        s"$k: approx $a vs exact ${exact(k)}")
     }
   }
 
@@ -129,10 +132,11 @@ class FunctionsSpec extends GraftSpec {
       (4L, 2L, "click", 5.0, ts("2024-01-01 00:03:00")))
       .toDF("event_id", "user_id", "event_type", "value", "ts")
     val e = TimeSeries.ewma(ev).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
-    // same IEEE ops in the same order as the engine's fold
-    assert(e(1L) === ((3, 0.2 * 30.0 + 0.8 * (0.2 * 20.0 + 0.8 * 10.0))))
-    assert(e(2L) === ((1, 5.0)))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // same IEEE ops in the same order as the engine's fold (all rows land
+    // in one band, so the banded fold degenerates to the plain sequence)
+    assert(e(1L) === ((3L, 0.2 * 30.0 + 0.8 * (0.2 * 20.0 + 0.8 * 10.0))))
+    assert(e(2L) === ((1L, 5.0)))
 
     val fi = Sketches.frequentItems(ev, k = 1).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap

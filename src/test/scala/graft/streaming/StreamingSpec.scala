@@ -357,6 +357,39 @@ class StreamingSpec extends GraftSpec {
     assert(got === Set("+I[AAPL, 10.5]", "+I[MSFT, 20.0]"))
   }
 
+  test("golden-log byte parity: changelog rows match the reference README samples") {
+    // Reference README golden logs, byte-for-byte: tumbling row
+    // `+I[AAPL, 2022-07-20T20:56, 2022-07-20T20:57, 65.29, 93.06, 0.0, 99.71]`
+    // (README.md:211-226) and sliding row `+I[AMZN, 0.75, 2022-06-06T19:30]`
+    // (README.md:139-163) — Flink's LocalDateTime/Double rendering.
+    def runChangelog(out: DataFrame => DataFrame, batches: Seq[Seq[String]]): Set[String] = {
+      val acc = spark.sparkContext.collectionAccumulator[String]("golden")
+      val input = MemoryStream[String]
+      val q = TickSink.start(
+        out(parsedTicks(input)), TickSink.ConsoleChangelog(acc.add(_)))
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSet
+    }
+
+    val tumbled = runChangelog(StreamingQueries.candlestick(_), Seq(
+      Seq(tickJson("AAPL", 65.29, "2022-07-20T20:56:05.000"),
+        tickJson("AAPL", 0.0, "2022-07-20T20:56:20.000"),
+        tickJson("AAPL", 99.71, "2022-07-20T20:56:40.000"),
+        tickJson("AAPL", 93.06, "2022-07-20T20:56:50.000")),
+      Seq(tickJson("AAPL", 1.0, "2022-07-20T20:58:30.000"))))
+    assert(tumbled.contains(
+      "+I[AAPL, 2022-07-20T20:56, 2022-07-20T20:57, 65.29, 93.06, 0.0, 99.71]"),
+      s"missing golden tumbling row in: $tumbled")
+
+    val slid = runChangelog(StreamingQueries.slidingMin(_), Seq(
+      Seq(tickJson("AMZN", 0.75, "2022-06-06T19:28:30.000"),
+        tickJson("AMZN", 0.9, "2022-06-06T19:29:15.000")),
+      Seq(tickJson("AMZN", 5.0, "2022-06-06T19:32:00.000"))))
+    assert(slid.contains("+I[AMZN, 0.75, 2022-06-06T19:30]"),
+      s"missing golden sliding row in: $slid")
+  }
+
   test("job status surface: statusLine and progressLine read like the reference's poll") {
     val input = MemoryStream[String]
     val name = freshName()
