@@ -106,6 +106,81 @@ object StreamingQueries {
       }
   }
 
+  /** Running EWMA on the Spark 4.x `transformWithState` API — the
+    * successor of [[runningEwma]]'s `mapGroupsWithState` form (which is
+    * soft-deprecated). Same fold, same per-key constant state, plus the
+    * two things the old API lacks that a 100 TB keyed stream needs:
+    * STATE TTL (`ttl` — idle keys expire from the store instead of
+    * living forever; processing-time TimeMode is what arms it) and named
+    * state variables with schema evolution (the `"ewma"` ValueState can
+    * gain fields across restarts). Requires the RocksDB state store —
+    * the job mains' default ([[JobRunner.session]]).
+    *
+    * Both forms stay registered: `mapGroupsWithState` remains supported
+    * API surface (its spec doubles as a cross-API parity check — see
+    * StreamingSpec), and the sessionizer migrates the same way when
+    * needed (its event-time timeout maps onto the new API's
+    * `registerTimer`/`handleExpiredTimer`).
+    *
+    * Caveat (verified in StreamingSpec): with a TTL the query runs in
+    * ProcessingTime TimeMode, under which the operator requests another
+    * micro-batch after EVERY batch so TTL/timers can fire on the wall
+    * clock. The stream therefore never reports "drained":
+    * `processAllAvailable()` never returns and even `Trigger.AvailableNow`
+    * loops empty epochs indefinitely. Drive TTL'd queries as continuous
+    * jobs and stop them explicitly; the spec's restart test shows the
+    * poll-then-stop pattern.
+    */
+  def runningEwmaTws(
+      spark: SparkSession,
+      events: Dataset[EwmaEvent],
+      alpha: Double = 0.2,
+      ttl: Option[java.time.Duration] = None): Dataset[EwmaOut] = {
+    import spark.implicits._
+    // TTL needs processing-time semantics in the store; without a TTL the
+    // query declares TimeMode.None (no timer machinery at all).
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new EwmaProcessor(alpha, ttl), timeMode, OutputMode.Update())
+  }
+
+  /** The [[runningEwmaTws]] StatefulProcessor: one `ValueState[EwmaState]`
+    * per key, folded in (event time, id) order per micro-batch — identical
+    * arithmetic to the `mapGroupsWithState` form, so the two APIs are
+    * bit-compatible on in-order input.
+    */
+  final class EwmaProcessor(alpha: Double, ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EwmaEvent, EwmaOut] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[EwmaState] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[EwmaState](
+        "ewma",
+        org.apache.spark.sql.Encoders.product[EwmaState],
+        ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[EwmaEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[EwmaOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.utc.getTime, e.event_id))
+      var s = if (state.exists()) state.get() else EwmaState(0.0, 0L)
+      sorted.foreach { e =>
+        s = if (s.n == 0L) EwmaState(e.value, 1L)
+        else EwmaState(alpha * e.value + (1 - alpha) * s.ewma, s.n + 1L)
+      }
+      state.update(s)
+      Iterator.single(EwmaOut(user, s.n, s.ewma))
+    }
+  }
+
   // ---- custom stateful operator: gap sessionization ------------------------
 
   final case class SessionEvent(user_id: Long, event_id: Long, utc: java.sql.Timestamp)

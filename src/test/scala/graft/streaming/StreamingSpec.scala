@@ -217,6 +217,90 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("transformWithState running EWMA matches the mapGroupsWithState form") {
+    // the new-API twin of runningEwma: same fold on the same batches must
+    // produce the same final state per key (cross-API parity). Requires
+    // the RocksDB state store, like the job mains.
+    import StreamingQueries.EwmaEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val input = MemoryStream[EwmaEvent]
+      val out = StreamingQueries.runningEwmaTws(spark, input.toDS())
+      def ev(u: Long, id: Long, t: String, v: Double) = EwmaEvent(u, id, ts(t), v)
+      val b1 = Seq(ev(1, 1, "2024-01-01 00:00:00", 10.0),
+        ev(1, 2, "2024-01-01 00:01:00", 20.0), ev(2, 3, "2024-01-01 00:01:30", 5.0))
+      val b2 = Seq(ev(1, 4, "2024-01-01 00:02:00", 30.0))
+      val name = freshName()
+      val q = out.toDF().writeStream
+        .outputMode("update").format("memory").queryName(name).start()
+      try {
+        Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(got(1L) === ((1L, 3L, 0.2 * 30.0 + 0.8 * (0.2 * 20.0 + 0.8 * 10.0))))
+      assert(got(2L) === ((2L, 1L, 5.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState EWMA with state TTL keeps state across a restart within the TTL") {
+    // TTL path: a 1-hour TTL arms processing-time TimeMode + TTLConfig.
+    // In ProcessingTime TimeMode the operator requests another batch after
+    // EVERY batch (so TTL/timers can fire on the wall clock) — verified
+    // here: processAllAvailable never drains and even Trigger.AvailableNow
+    // looped 600+ empty epochs. So drive it like production: run
+    // continuously, poll the sink for the expected output, stop explicitly.
+    // Two runs over one checkpoint prove the RocksDB state survives a
+    // restart (the TTL has not elapsed, so the fold must resume, not reset).
+    import StreamingQueries.EwmaEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("tws-ttl").toString
+      val input = MemoryStream[EwmaEvent]
+      val out = StreamingQueries.runningEwmaTws(
+        spark, input.toDS(), ttl = Some(java.time.Duration.ofHours(1)))
+      def ev(u: Long, id: Long, t: String, v: Double) = EwmaEvent(u, id, ts(t), v)
+      // The memory sink refuses checkpoint recovery, so sink via
+      // foreachBatch into a driver-side buffer (recoverable, any mode).
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      // Runs until the buffer holds a row with n_events >= expectN, then stops.
+      def runUntilEvent(expectN: Long): Unit = {
+        val q = out.toDF().writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            buf.synchronized { buf ++= rows }
+            ()
+          }
+          .start()
+        try {
+          val deadline = System.currentTimeMillis + 120000L
+          def seen(): Boolean = buf.synchronized(buf.exists(_._2 >= expectN))
+          while (!seen() && System.currentTimeMillis < deadline) Thread.sleep(200L)
+          assert(seen(), s"timed out waiting for n_events >= $expectN")
+        } finally q.stop()
+      }
+      input.addData(Seq(ev(7, 1, "2024-01-01 00:00:00", 4.0)))
+      runUntilEvent(1L)
+      input.addData(Seq(ev(7, 2, "2024-01-01 00:01:00", 8.0)))
+      runUntilEvent(2L)
+      val last = buf.synchronized(buf.maxBy(_._2))
+      assert(last === ((7L, 2L, 0.2 * 8.0 + 0.8 * 4.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file source: schema-on-read drops producer-only fields, both ts formats parse") {
     val dir = java.nio.file.Files.createTempDirectory("ticks").toString
     val sqlLine = """{"utc":"2024-01-01 00:00:10.500","type":"x","source":"x",""" +
