@@ -249,4 +249,95 @@ object StreamingQueries {
           }
       }
   }
+
+  /** The sessionizer on the Spark 4.x `transformWithState` API — the
+    * event-time-timer twin of [[sessionize]] (same merge/close/straggler
+    * semantics; StreamingSpec asserts cross-API agreement). The old API's
+    * `setTimeoutTimestamp` (one implicit self-replacing timeout) maps to
+    * explicit timer management here: each update deletes the key's
+    * previous timer and registers close-at = last event + gap; the timer
+    * fires when the WATERMARK passes it (`TimeMode.EventTime`), emitting
+    * the closed session from `handleExpiredTimer`. Unlike the TTL'd EWMA
+    * (processing-time ticks, never drains), event-time timers only fire
+    * when data advances the watermark, so this query drains normally
+    * under `processAllAvailable`.
+    */
+  def sessionizeTws(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("utc", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[sessionizeTws]] StatefulProcessor: one `ValueState[SessionState]`
+    * + one live event-time timer per key (constant state per key — the
+    * same bound as the old-API form).
+    */
+  final class SessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, SessionOut] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    private val gapUs = gapSeconds * 1000000L
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.utc.getTime, e.event_id))
+      var closed = List.empty[SessionOut]
+      var cur = if (state.exists()) Some(state.get()) else None
+      sorted.foreach { e =>
+        val us = e.utc.getTime * 1000L
+        cur match {
+          // within gap of either session edge: merge, extending both
+          // edges (covers cross-batch late events inside the horizon)
+          case Some(s) if us >= s.start_us - gapUs && us <= s.last_us + gapUs =>
+            cur = Some(SessionState(
+              s.start_us min us, s.last_us max us, s.n_events + 1))
+          // beyond gap after the session: close it, start a new one
+          case Some(s) if us > s.last_us + gapUs =>
+            closed ::= SessionOut(user, s.start_us, s.last_us, s.n_events)
+            cur = Some(SessionState(us, us, 1))
+          // more than gap BEFORE the open session: a straggler from an
+          // earlier, already-gone session — emit standalone
+          case Some(_) =>
+            closed ::= SessionOut(user, us, us, 1)
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // One live timer per key: replace whatever was registered before.
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(s.last_us / 1000L + gapSeconds * 1000L)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator.single(SessionOut(user, s.start_us, s.last_us, s.n_events))
+      } else Iterator.empty
+  }
 }

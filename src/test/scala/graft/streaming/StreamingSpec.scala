@@ -189,6 +189,36 @@ class StreamingSpec extends GraftSpec {
       SessionOut(1L, us("2024-01-01 00:02:00"), us("2024-01-01 00:02:00"), 1L)))
   }
 
+  test("transformWithState sessionize matches the flatMapGroupsWithState form") {
+    // the new-API twin of sessionize: same batches through both APIs must
+    // close the same sessions. Event-time timers (registerTimer +
+    // handleExpiredTimer) replace the old API's setTimeoutTimestamp;
+    // unlike the TTL'd EWMA, event-time timers fire off the watermark, so
+    // processAllAvailable drains normally. Requires RocksDB, like the mains.
+    import StreamingQueries.{SessionEvent, SessionOut}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val input = MemoryStream[SessionEvent]
+      val out = StreamingQueries.sessionizeTws(spark, input.toDS(),
+        gapSeconds = 60, watermarkDelay = "0 seconds")
+      def ev(id: Long, t: String) = SessionEvent(1L, id, ts(t))
+      val rows = runStream(input, out.toDF(), Seq(
+        Seq(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:00:30")),
+        Seq(ev(3, "2024-01-01 00:02:00")), // gap > 60s -> closes session 1 inline
+        Seq(ev(4, "2024-01-01 00:10:00")) // watermark passes 00:03 -> timer closes session 2
+      )).map(r => SessionOut(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      def us(t: String) = ts(t).getTime * 1000L
+      assert(rows.toSet === Set(
+        SessionOut(1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:00:30"), 2L),
+        SessionOut(1L, us("2024-01-01 00:02:00"), us("2024-01-01 00:02:00"), 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming running EWMA matches the batch fold bit-for-bit") {
     import StreamingQueries.EwmaEvent
     val input = MemoryStream[EwmaEvent]
