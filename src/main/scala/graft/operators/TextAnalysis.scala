@@ -136,13 +136,58 @@ object TextAnalysis {
       size(split(trim(col("text")), "\\s+")).as("n_words"),
       size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).as("n_bpeish"))
 
+  /** Content fingerprint expression: md5 over whitespace-normalized
+    * lowercase text — the exact-dup key for content-defined dedup across
+    * shards. Exposed as a Column so batch ops and the streaming document
+    * pipeline share the identical expression.
+    */
+  def fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dup key for content-defined dedup across shards.
     */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** One-pass document enrichment: quality score, language ID, token
+    * count, and content fingerprint in a SINGLE scan-side projection —
+    * the fused form of [[qualityStats]] + [[langId]] + [[fingerprints]]
+    * (identical formulas; TextAnalysisSpec pins the equality). A curation
+    * run wants all three anyway, and fusing them reads the corpus once
+    * instead of three times — at 100 TB that's the difference, since each
+    * op alone is scan-dominated. Works on batch AND streaming frames
+    * (pure projection, no shuffle); extra input columns ride along.
+    */
+  def enrich(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", Dedup.tokens(col("text")))
+      // CollapseProject in Spark 4 keeps non-cheap shared exprs (toks)
+      // single-evaluated across the consumers below.
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_stop", hits(stopEn))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0,
+          col("n_stop").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("alpha_ratio",
+        when(col("n_chars") > 0,
+          col("n_alpha").cast("double") / col("n_chars").cast("double")))
+      .withColumn("quality_score",
+        lit(0.4) * col("stop_ratio") + lit(0.3) * col("alpha_ratio") +
+          lit(0.3) * (least(col("n_tokens"), lit(100)).cast("double") / lit(100.0)))
+      .withColumn("en_hits", hits(stopEn))
+      .withColumn("de_hits", hits(stopDe))
+      .withColumn("fr_hits", hits(stopFr))
+      .withColumn("lang_pred",
+        when(greatest(col("en_hits"), col("de_hits"), col("fr_hits")) === 0, "und")
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+      .withColumn("fp", fingerprint(col("text")))
+      .drop("toks", "n_stop", "n_alpha", "en_hits", "de_hits", "fr_hits",
+        "stop_ratio", "alpha_ratio")
 
   /** Rolling-hash fingerprint (Rabin–Karp shape): left-fold
     * h = (h*31 + wordHash) mod (2^31 - 1) over the token stream, where

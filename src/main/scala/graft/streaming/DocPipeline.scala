@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.TextAnalysis
+
+/** Streaming document-curation pipeline: the training-data counterpart of
+  * the tick jobs. Documents stream in as JSON, are enriched scan-side
+  * (quality score + language ID + content fingerprint in ONE projection —
+  * [[TextAnalysis.enrich]]), exact-deduped on the content fingerprint with
+  * watermark-bounded state, gated on a quality threshold, and land in a
+  * language-partitioned sink. Every stage is the SAME expression the batch
+  * operators use, so batch backfill and the stream produce identical
+  * values for identical rows (spec-pinned).
+  *
+  * Scale notes (100 TB stance): enrichment is a pure projection (no
+  * shuffle, fuses into the scan); the dedup is the only stateful stage
+  * and its state is bounded by the watermark horizon via
+  * `dropDuplicatesWithinWatermark` over the RocksDB store (the job mains'
+  * default); the gate threshold is a config constant — a corpus
+  * percentile needs two passes over the full corpus and belongs to the
+  * batch `qualityGate`, whose threshold a stream job takes as input.
+  */
+object DocPipeline {
+
+  /** Producer-side document schema (schema-on-read, like the tick source:
+    * extra producer fields are dropped by enrichment's projection).
+    */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  /** File-stream JSON document source — the ingest stand-in, mirroring
+    * [[TickSource.fileJson]].
+    */
+  def fileJson(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).json(dir)
+
+  /** The curation pipeline on any (batch or streaming) frame with
+    * (doc_id, text, lang): enrich → watermark-bounded exact dedup on
+    * content → static quality gate. `minScore` gates on the composite
+    * quality score; degenerate docs (empty text → null/NaN score) never
+    * pass, matching the batch gate's contract.
+    */
+  def curate(
+      docs: DataFrame,
+      minScore: Double = 0.3,
+      watermarkDelay: String = "30 seconds"): DataFrame =
+    TextAnalysis.enrich(docs)
+      // ingest-time watermark: documents carry no event time, so dedup
+      // state is bounded by arrival time (the standard ingest-ts pattern)
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .filter(col("quality_score").isNotNull && !isnan(col("quality_score")) &&
+        col("quality_score") >= minScore)
+      .select("doc_id", "lang", "lang_pred", "n_tokens", "n_chars",
+        "quality_score", "fp")
+}
+
+/** Document-curation job main:
+  * runMain graft.streaming.DocPipelineJob <inputDir>
+  *   [console|changelog|noop|parquet:<out>:<ckpt>] [--once] [--detach]
+  *   [--min-score=0.3]
+  * Parquet output is partitioned by predicted language — the layout a
+  * downstream training-data reader filters on.
+  */
+object DocPipelineJob {
+  def main(args: Array[String]): Unit = {
+    val inputDir = args(0)
+    val sinkSpec = if (args.length > 1 && !args(1).startsWith("--")) args(1) else "console"
+    val once = args.contains("--once")
+    val minScore = args.collectFirst {
+      case a if a.startsWith("--min-score=") => a.stripPrefix("--min-score=").toDouble
+    }.getOrElse(0.3)
+
+    val spark = JobRunner.session()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = DocPipeline.curate(DocPipeline.fileJson(spark, inputDir), minScore)
+    out.createOrReplaceTempView("curated_docs")
+
+    val sink = JobRunner.parseSink(sinkSpec) match {
+      case TickSink.PartitionedParquet(p, c, _) =>
+        TickSink.PartitionedParquet(p, c, Seq("lang_pred"))
+      case s => s
+    }
+    val q = TickSink.start(out, sink, availableNow = once)
+    if (args.contains("--detach")) {
+      println(JobStatus.statusLine(q))
+      JobStatus.progressLine(q).foreach(println)
+      if (once) { q.awaitTermination(); spark.stop() }
+    } else {
+      q.awaitTermination()
+      if (once) spark.stop()
+    }
+  }
+}

@@ -43,8 +43,11 @@ object TickSink {
   case object Noop extends Sink
   /** Reference kinesis sink stand-in: files partitioned by ticker —
     * the `PARTITIONED BY (ticker)` sink DDL (tumbling_window.py:121).
+    * The document pipeline repartitions by predicted language instead.
     */
-  final case class PartitionedParquet(path: String, checkpoint: String) extends Sink
+  final case class PartitionedParquet(
+      path: String, checkpoint: String,
+      partitionCols: Seq[String] = Seq("ticker")) extends Sink
   /** In-memory table (tests). */
   final case class Memory(tableName: String) extends Sink
   /** Kinesis-shaped batched writer: foreachBatch with a per-batch record
@@ -72,9 +75,9 @@ object TickSink {
     val w = sink match {
       case Console => base.format("console").option("truncate", "false")
       case Noop => base.format("noop")
-      case PartitionedParquet(path, checkpoint) =>
+      case PartitionedParquet(path, checkpoint, cols) =>
         base.format("parquet")
-          .partitionBy("ticker")
+          .partitionBy(cols: _*)
           .option("path", path)
           .option("checkpointLocation", checkpoint)
       case Memory(name) => base.format("memory").queryName(name)

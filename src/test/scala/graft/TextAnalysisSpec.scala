@@ -17,6 +17,33 @@ class TextAnalysisSpec extends GraftSpec {
     assert(r.getAs[Double]("alpha_ratio") === 16.0 / 22.0)
   }
 
+  test("enrich fuses qualityStats + langId + fingerprints, identical values") {
+    // the one-scan fused projection must equal the three standalone ops
+    // row-for-row — bit-exact doubles, same tiebreaks
+    val docs = Tables.load(spark, sf, "documents")
+    val enriched = TextAnalysis.enrich(docs)
+      .select("doc_id", "quality_score", "lang_pred", "fp", "n_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.get(1), r.getString(2), r.getString(3), r.getInt(4))))
+      .toMap
+    val quality = TextAnalysis.qualityStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.get(r.fieldIndex("quality_score")),
+        r.getInt(r.fieldIndex("n_tokens"))))).toMap
+    val lang = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("lang_pred"))).toMap
+    val fp = TextAnalysis.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enriched.keySet === quality.keySet)
+    enriched.foreach { case (id, (score, lp, f, nt)) =>
+      assert((score, nt) === quality(id), s"doc $id quality")
+      assert(lp === lang(id), s"doc $id lang")
+      assert(f === fp(id), s"doc $id fp")
+    }
+    // extra input columns ride along (the streaming pipeline relies on it)
+    assert(TextAnalysis.enrich(
+      docs.withColumn("extra", org.apache.spark.sql.functions.lit(1)))
+      .columns.contains("extra"))
+  }
+
   test("deterministic sample: reproducible, monotone in rate, salt-varied") {
     val docs = Tables.load(spark, sf, "documents")
     val a = TextAnalysis.deterministicSample(docs).collect().map(_.getLong(0)).toSet

@@ -219,6 +219,39 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("doc pipeline: dedups on content, gates on quality, labels language") {
+    // the streaming curation pipeline end-to-end over MemoryStream docs:
+    // content duplicates collapse (whitespace variants share a fingerprint),
+    // the low-quality doc is gated out, languages come from the shared
+    // langId expression, and values match the batch enrich() exactly.
+    val en1 = "The cat is on the mat and it is warm in the sun for now."
+    val de1 = "Der Hund ist nicht zu Hause und ich bin mit der Katze hier."
+    val input = MemoryStream[(Long, String, String)]
+    // 0.25: below the German doc's ~0.273 (the quality stopwords are
+    // English, so non-English text leans on the alpha/length terms alone)
+    // and far above punctuation junk's ~0.009
+    val out = DocPipeline.curate(
+      input.toDS().toDF("doc_id", "text", "lang"), minScore = 0.25)
+    val rows = runStream(input, out, Seq(
+      Seq((1L, en1, "en"), (2L, "  " + en1.replace(" ", "  ") + " ", "en"),
+        (3L, de1, "de")),
+      Seq((4L, "!!! ??? !!!", "en")) // zero alpha, zero stopwords -> gated
+    )).map(r => (r.getLong(0), r.getString(2), r.getDouble(5)))
+    // doc 2 is a whitespace variant of doc 1 -> same fp, deduped; doc 4 gated
+    assert(rows.map(_._1).toSet === Set(1L, 3L))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === "en")
+    assert(byId(3L)._2 === "de")
+    // scores equal the batch enrichment bit-for-bit
+    import org.apache.spark.sql.functions.col
+    val batch = graft.operators.TextAnalysis.enrich(
+      Seq((1L, en1, "en"), (3L, de1, "de")).toDF("doc_id", "text", "lang"))
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(1L)._3 === batch(1L))
+    assert(byId(3L)._3 === batch(3L))
+  }
+
   test("streaming running EWMA matches the batch fold bit-for-bit") {
     import StreamingQueries.EwmaEvent
     val input = MemoryStream[EwmaEvent]
