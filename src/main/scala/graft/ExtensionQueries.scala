@@ -579,6 +579,50 @@ object ExtensionQueries {
         WHERE ('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                 % 100 < 10""")),
 
+    // Stratified deterministic sample: per-language keep rates on the same
+    // md5 coin — corpus rebalancing as a pure scan-side filter.
+    QuerySpec(
+      "sample_stratified",
+      (s, dir) => TextAnalysis.stratifiedSample(docs(s, dir)),
+      Some("""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 100 < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END""")),
+
+    // Per-document TF-IDF top terms: two high-cardinality hash aggs, a
+    // term-keyed join, and a WindowGroupLimit top-k.
+    QuerySpec(
+      "text_tfidf_topk",
+      (s, dir) => TextAnalysis.tfidfTopK(docs(s, dir)),
+      Some(s"""
+        WITH $toksCte,
+        x AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM x GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        r AS (
+          SELECT doc_id, term, tf, df,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY CAST(tf AS DOUBLE) * n / df DESC, term ASC) AS rnk
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3""")),
+
+    // Signed random projection 64 -> 8: exact scaled-long JL reduction,
+    // sign matrix from md5 high bits — scan-side, shuffle-free.
+    QuerySpec(
+      "emb_random_projection",
+      (s, dir) => Similarity.randomProjection(emb(s, dir)),
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        js AS (SELECT unnest(range(0, 8)) AS j)
+        SELECT vec_id, j,
+               CAST(list_sum(list_transform(range(1, len(v) + 1), i ->
+                 (CASE WHEN ('0x' || substring(md5('rp:' || CAST(j AS VARCHAR)
+                        || ':' || CAST(i - 1 AS VARCHAR)), 1, 2))::BIGINT >= 128
+                       THEN 1 ELSE -1 END)
+                 * CAST(FLOOR(v[i] * 1e6 + 0.5) AS BIGINT))) AS BIGINT) AS p
+        FROM v CROSS JOIN js""")),
+
     // Corpus-median quality gate: exact bucketed-percentile threshold.
     QuerySpec(
       "text_quality_gate",
@@ -710,6 +754,20 @@ object ExtensionQueries {
                CAST(SUM(CAST(FLOOR(value*10000 + 0.5) AS BIGINT)) AS DOUBLE)
                  / 10000 / CAST(count(*) AS DOUBLE) AS avg_value
         FROM events GROUP BY 1, 2""")),
+
+    // Trailing 1-hour RANGE frame per user: count + exact scaled sum as of
+    // every event (microsecond range bounds; ns -> us truncation as above).
+    QuerySpec(
+      "ts_range_frame",
+      (s, dir) => TimeSeries.rangeFrameTotals(events(s, dir)),
+      Some("""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_1h,
+               CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER w
+                 AS BIGINT) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""")),
 
     QuerySpec(
       "ts_topk_per_group",

@@ -611,6 +611,78 @@ object RelationalQueries {
                               ORDER BY o_totalprice, o_orderkey) AS quartile
         FROM orders""")),
 
+    // TPC-H Q8 shape (market share): revenue share of one supplier nation
+    // among AMERICA-region customers, by order year. A 6-way join (three
+    // broadcast dims), then a conditional-numerator aggregate — num and
+    // den both exact scaled-long sums, one final IEEE division.
+    QuerySpec(
+      "q31_market_share",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        val n1 = broadcast(t(s, dir, "nation"))
+        val n2 = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+        val r = broadcast(t(s, dir, "region"))
+        val vol = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(10000.0) + lit(0.5)).cast(LongType)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .join(n1, c("c_nationkey") === n1("n_nationkey"))
+          .join(r, n1("n_regionkey") === r("r_regionkey"))
+          .join(n2, su("s_nationkey") === n2("s_nkey"))
+          .filter(r("r_name") === "AMERICA")
+          .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+          .agg(
+            (sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0L)))
+              .cast(DoubleType) /
+              sum(vol).cast(DoubleType)).as("mkt_share"),
+            (sum(vol).cast(DoubleType) / lit(10000.0)).as("total_revenue"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1e4 + 0.5)
+                   AS BIGINT) AS vol,
+                 ns.n_name AS supp_nation
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation nc ON c_nationkey = nc.n_nationkey
+          JOIN region ON nc.n_regionkey = r_regionkey
+          JOIN nation ns ON s_nationkey = ns.n_nationkey
+          WHERE r_name = 'AMERICA')
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)
+                 AS DOUBLE) / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+               CAST(SUM(vol) AS DOUBLE) / 1e4 AS total_revenue
+        FROM v GROUP BY o_year""")),
+
+    // Distribution window functions: cume_dist + percent_rank per nation
+    // over customer balances (unique order key pins both engines to the
+    // same frame; both values are exact integer ratios).
+    QuerySpec(
+      "q32_cume_dist",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_nationkey"))
+          .orderBy(asc("c_acctbal"), asc("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+            cume_dist().over(w).as("cd"),
+            percent_rank().over(w).as("pr"))
+      },
+      Some("""
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               cume_dist() OVER w AS cd,
+               percent_rank() OVER w AS pr
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""")),
+
     // Correlated EXISTS through the SQL path: customers with at least one
     // urgent order — Catalyst decorrelates to a left-semi join.
     QuerySpec(

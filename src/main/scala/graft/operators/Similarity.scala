@@ -68,6 +68,36 @@ object Similarity {
         sum(col("nrm")).as("sum_nrm"),
         sum(when(col("nrm") === 0L, 1L).otherwise(0L)).as("n_zero"))
 
+  /** Deterministic signed random projection (Achlioptas ±1 scheme): reduce
+    * each embedding to `outDim` components p_j = Σ_i c(j,i)·round(v_i·1e6)
+    * with c(j,i) = ±1 from the high bit of md5("rp:j:i") — the cheap
+    * Johnson–Lindenstrauss dimensionality reduction a pipeline runs before
+    * clustering or coarse filtering. The sign matrix is a pure function of
+    * (j,i), materialized as literal arrays: the whole reduction is ONE
+    * scan-side projection (zip_with + aggregate per component), no
+    * shuffle, no per-row hashing, exact integer arithmetic — and therefore
+    * bit-reproducible across engines and runs. Emitted in long (vec_id,
+    * j, p) form, one row per component.
+    */
+  def randomProjection(emb: DataFrame, outDim: Int = 8, dim: Int = 64): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Long = {
+      val h = digest.digest(s"rp:$j:$i".getBytes("UTF-8"))
+      digest.reset()
+      if ((h(0) & 0x80) != 0) 1L else -1L
+    }
+    val projs = (0 until outDim).map { j =>
+      val signs = (0 until dim).map(i => sign(j, i))
+      aggregate(
+        zip_with(col("sv"), typedLit(signs), (e, s) => e * s),
+        lit(0L), (acc, x) => acc + x)
+    }
+    vecs(emb)
+      .withColumn("sv", expr("transform(v, e -> CAST(FLOOR(e * 1e6 + 0.5) AS BIGINT))"))
+      .select(col("vec_id"), posexplode(array(projs: _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("p"))
+  }
+
   /** Cheap one-row dimensionality probe for internal callers: safe WITHOUT
     * the full-corpus uniformity validation because [[lshBuckets]]'s
     * projection raises loudly on any row whose size disagrees — a ragged

@@ -63,6 +63,49 @@ object TextAnalysis {
         md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("long") % 100 < pct)
 
+  /** Stratified deterministic sample: per-language keep rates (e.g.
+    * downsample the dominant language, keep all of a rare one) with the
+    * same content-keyed md5 coin as [[deterministicSample]] — auditable,
+    * reproducible, repartition-stable. Still a pure per-row filter: the
+    * rate lookup is a literal CASE, so the whole predicate pushes to the
+    * scan. The standard corpus-rebalancing move at 100 TB.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      rates: Map[String, Int] = Map("en" -> 50, "de" -> 20),
+      defaultPct: Int = 10,
+      salt: String = "s0"): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"))
+      .filter(conv(substring(
+        md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100 < rate)
+  }
+
+  /** Per-document TF-IDF top-k terms: tf = term count in the doc, df =
+    * docs containing the term, score ∝ tf·N/df (the raw-ratio idf — same
+    * ranking family as log-idf, but exactly representable cross-engine),
+    * deterministic (score desc, term asc) tiebreak. Plan shape: one
+    * (doc, term) hash agg (map-side combinable), one term-keyed df agg,
+    * one term-keyed join, then a per-doc WindowGroupLimit top-k — every
+    * key is high-cardinality, so parallelism scales with the corpus.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(desc("score"), asc("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
   /** Corpus-percentile quality gate: keep documents whose quality score
     * (bucketed to 1e-3) reaches the corpus-wide q-th percentile bucket.
     * Bucketing makes the threshold an exact histogram percentile over a

@@ -50,6 +50,24 @@ object TimeSeries {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Trailing time-RANGE window totals: per user, event count and exact
+    * scaled-long value sum over [ts − window, ts] — the "activity in the
+    * last hour, as of every event" readout. A RANGE frame on microseconds
+    * (not ROWS): all events inside the interval count, however many there
+    * are. Partitioned by high-cardinality user_id, so parallelism scales;
+    * the sum is a windowed long sum (exact, order-independent).
+    */
+  def rangeFrameTotals(events: DataFrame, windowUs: Long = 3600000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-windowUs, 0)
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(floor(col("value") * 10000 + 0.5).cast("long")).over(w))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+  }
+
   /** Lag over a LOW-cardinality key without funnelling the raw table
     * through |keys| reducers: the banded decomposition. A plain
     * `lag() OVER (PARTITION BY event_type ORDER BY ts)` with ~5 distinct

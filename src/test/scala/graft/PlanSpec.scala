@@ -222,6 +222,31 @@ class PlanSpec extends GraftSpec {
       s"expected ≤3 hash exchanges (df cap, posting list, pair agg), got $shuffles:\n$p")
   }
 
+  test("random projection is one scan-side projection — no shuffle at all") {
+    val p = plan(Registry.queries("emb_random_projection")(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"JL reduction must not shuffle (literal sign matrix, per-row fold):\n$p")
+  }
+
+  test("stratified sample predicate evaluates scan-side — no shuffle, no join") {
+    val p = plan(Registry.queries("sample_stratified")(spark, sf))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"rate CASE + md5 coin must stay a per-row filter:\n$p")
+  }
+
+  test("tfidf top-k prunes per-doc partitions before the final exchange") {
+    val p = plan(Registry.queries("text_tfidf_topk")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown expected:\n$p")
+  }
+
+  test("range-frame totals window one keyed exchange on user_id") {
+    val df = Registry.queries("ts_range_frame")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1, s"one user_id exchange expected, got $shuffles:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)
