@@ -244,6 +244,61 @@ object ExtensionQueries {
         SELECT src AS doc_id, min(node) AS cluster
         FROM reach GROUP BY src""")),
 
+    // The curation decision: keep the best-quality doc per near-dup
+    // cluster (bucketed-score max, min-id tiebreak) with multiplicity.
+    QuerySpec(
+      "dedup_canonical_near",
+      (s, dir) => Dedup.nearDupCanonical(docs(s, dir)),
+      benchmark = false, // same iterative clustering core as dedup_clusters
+      oracle = Some(s"""
+        WITH RECURSIVE
+        $minhashCte,
+        bk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash) AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket_key = b.bucket_key
+           AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, node) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+        labels AS (
+          SELECT src AS doc_id, min(node) AS cluster
+          FROM reach GROUP BY src),
+        t AS (
+          SELECT doc_id, text,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents),
+        q AS (
+          SELECT doc_id,
+                 COALESCE(CAST(FLOOR((
+                   CAST(0.4 AS DOUBLE) *
+                     (CAST(len(list_filter(toks, w -> w IN
+                        ('the','a','and','of','to','in','is','it','on','for'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE) *
+                     (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE) *
+                     (CAST(least(len(toks), 100) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                 ) * 1000 + 0.5) AS BIGINT), -1) AS qs
+          FROM t),
+        r AS (
+          SELECT l.cluster, l.doc_id, q.qs,
+                 row_number() OVER (PARTITION BY l.cluster
+                                    ORDER BY q.qs DESC, l.doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY l.cluster) AS n_members
+          FROM labels l JOIN q USING (doc_id))
+        SELECT cluster, doc_id AS keeper, qs, n_members FROM r WHERE rn = 1""")),
+
     // Cluster quality metrics: size distribution of the near-dup
     // components — the dedup-pipeline health readout (how much of the
     // corpus is duplicated, at what multiplicity).

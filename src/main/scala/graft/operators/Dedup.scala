@@ -234,6 +234,32 @@ object Dedup {
       .unionByName(labels)
   }
 
+  /** The curation decision on top of [[nearDupClusters]]: per near-dup
+    * cluster keep the BEST doc — highest bucketed quality score
+    * ([[TextAnalysis.qualityStats]], 1e-3 buckets — exact long compare),
+    * ties to the smallest doc_id — and report the cluster multiplicity.
+    * Degenerate docs (null/NaN score) rank behind every scored doc via
+    * qs = −1 rather than erroring under ANSI. One extra high-cardinality
+    * window pass over (cluster) beyond the clustering itself; like the
+    * clustering, wall time is propagation-round-dominated, so it shares
+    * the benchmark=false flag.
+    */
+  def nearDupCanonical(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(desc("qs"), asc("doc_id"))
+    val scored = TextAnalysis.qualityStats(docs)
+      .select(col("doc_id"),
+        when(col("quality_score").isNull || isnan(col("quality_score")), lit(-1L))
+          .otherwise(floor(col("quality_score") * 1000 + 0.5).cast(LongType)).as("qs"))
+    nearDupClusters(docs, k, rowsPerBand)
+      .join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keeper"), col("qs"), col("n_members"))
+  }
+
   /** 32-bit SimHash over word occurrences. The word hash is the first 32
     * bits of md5(word) (one hex-to-int conversion per word); bit i of the
     * fingerprint is the sign of Σ_words (2·bit_i(h) − 1). Cross-engine-
