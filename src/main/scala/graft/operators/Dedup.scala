@@ -298,11 +298,22 @@ object Dedup {
     // co-occurrence pairs locally (one shuffle on the shingle), instead of
     // a self-join that would rebuild and re-shuffle the shingle stream
     // twice. Per-doc dedup happens scan-side (array_distinct before the
-    // explode — no global distinct shuffle); the |A| set size is likewise
-    // scan-side — size() of the distinct array BEFORE exploding — so it
-    // rides each exploded row for free instead of a window count over
-    // doc_id, which would re-exchange the full |docs| × |shingles| stream
-    // just to recover a number the scan already knew.
+    // explode — no global distinct shuffle); the |A| set size comes from
+    // one window count over doc_id AFTER the explode.
+    //
+    // Why the window, when size() of the array before exploding looks
+    // free? MEASURED (sf0.1, min of reps): carrying `size(array_distinct(
+    // shingles))` past the explode makes Catalyst's Generate-adjacent
+    // projection handling re-inline the non-cheap shingle-construction
+    // expression into every consumer — transform(sequence(...)) appeared
+    // 8× in the physical plan and the query went 1.85 s → 19-24 s.
+    // Packing (shingle, n) structs before the explode was worse still
+    // (size(sh) re-inlined PER ELEMENT: >1000 s), and joining sizes from
+    // a third scan re-inlined too (8.7 s). The window re-exchanges the
+    // exploded stream once, keyed by high-cardinality doc_id with tiny
+    // per-doc groups — strictly cheaper than re-evaluating the shingle
+    // transform even once, locally and at scale. PlanSpec pins the
+    // duplication count, which is the thing that actually regresses.
     //
     // DF-filter blocking bounds the worst case: a shingle occurring in d
     // docs expands d(d-1)/2 pairs, so one stopword-ish shingle in 10^6 docs
@@ -316,14 +327,15 @@ object Dedup {
     // that share them). The DF pass is one count aggregation (map-side
     // combined) and the cap list is tiny, so it rides a broadcast anti-join.
     val exploded = shingleArrays(docs)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
     val hot = exploded.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))
-    val sh = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sh = exploded
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
     sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")) > 1)

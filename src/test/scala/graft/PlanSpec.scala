@@ -209,17 +209,21 @@ class PlanSpec extends GraftSpec {
     }
   }
 
-  test("ngram jaccard computes set sizes scan-side — no per-doc window exchange") {
+  test("ngram jaccard never re-evaluates the shingle construction per consumer") {
     val df = Registry.queries("dedup_ngram_jaccard")(spark, sf)
-    val opt = df.queryExecution.optimizedPlan.toString
-    // |A| rides the scan (size of the distinct shingle array before the
-    // explode); a Window over doc_id would re-exchange the full exploded
-    // |docs| × |shingles| stream just to recover it
-    assert(!opt.contains("Window"), s"set size must not be a window count:\n$opt")
+    // The regression that actually bites (measured 1.85 s -> 19-24 s at
+    // sf0.1, see ngramJaccardPairs scaladoc): carrying the set size past
+    // the explode makes Catalyst re-inline the non-cheap shingle
+    // transform into every consumer. Pin the duplication count: once per
+    // branch (DF-cap branch + posting branch), each appearing in both the
+    // Project and its pushed-down Generate = 4 textual hits max.
     val p = plan(df)
+    val dups = "transform\\(sequence".r.findAllIn(p).size
+    assert(dups <= 4,
+      s"shingle transform must appear ≤4 times (2 branches), got $dups:\n$p")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(shuffles <= 3,
-      s"expected ≤3 hash exchanges (df cap, posting list, pair agg), got $shuffles:\n$p")
+    assert(shuffles <= 4,
+      s"expected ≤4 hash exchanges (df cap, doc_id window, posting list, pair agg), got $shuffles:\n$p")
   }
 
   test("random projection is one scan-side projection — no shuffle at all") {
