@@ -167,6 +167,48 @@ object ExtensionQueries {
                                     ORDER BY score DESC, vec_id) AS rn
           FROM s) WHERE rn <= $k"""
 
+  /** Full Lloyd-trained IVF oracle (the training rounds unrolled in SQL),
+    * parameterized by probe count and training rounds — shared by
+    * `sim_ann_ivf_trained` (nProbe=3, iters=1) and the high-recall
+    * `sim_ann_ivf_probe8` operating point (nProbe=8, iters=2).
+    */
+  private def ivfTrainedOracle(nProbe: Int, iters: Int = 1): String = {
+    val rounds = (1 to iters).map(i =>
+      s"${lloydAssignCte(i, s"c${i - 1}")},\n${lloydUpdateCte(i, s"c${i - 1}")}")
+      .mkString(",\n")
+    val fin = iters + 1 // final assignment under the trained codebook
+    s"""
+        WITH $vecNormCte,
+        c0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 16),
+        $rounds,
+        ${lloydAssignCte(fin, s"c$iters")},
+        e AS (
+          SELECT n.vec_id, n.v, n.nrm, a.cell
+          FROM n JOIN cell$fin a ON n.vec_id = a.vec_id),
+        qp AS (
+          SELECT vec_id AS qid, cent_id AS qcell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, cent_id) AS rn
+            FROM sc$fin WHERE vec_id < 8) WHERE rn <= $nProbe),
+        q AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+        px AS (
+          SELECT q.qid, c.vec_id, q.qnrm, c.nrm,
+                 unnest(q.qv) AS qx, unnest(c.v) AS x
+          FROM e c JOIN qp ON c.cell = qp.qcell JOIN q ON q.qid = qp.qid),
+        dots AS (
+          SELECT qid, vec_id, qnrm, nrm,
+                 CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px GROUP BY qid, vec_id, qnrm, nrm),
+        s AS (
+          SELECT qid, vec_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
+          FROM dots)
+        ${topkTail(10)}"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- deduplication -----------------------------------------------------
@@ -526,37 +568,19 @@ object ExtensionQueries {
       benchmark = false, // iterative: every run re-trains the codebook (driver-looped
       // Lloyd jobs, like the dedup_clusters fixpoint); production trains once and
       // amortizes — sim_ann_ivf is the benchmarked single-shot ANN representative
-      oracle = Some(s"""
-        WITH $vecNormCte,
-        c0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 16),
-        ${lloydAssignCte(1, "c0")},
-        ${lloydUpdateCte(1, "c0")},
-        ${lloydAssignCte(2, "c1")},
-        e AS (
-          SELECT n.vec_id, n.v, n.nrm, a.cell
-          FROM n JOIN cell2 a ON n.vec_id = a.vec_id),
-        qp AS (
-          SELECT vec_id AS qid, cent_id AS qcell FROM (
-            SELECT vec_id, cent_id,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY score DESC, cent_id) AS rn
-            FROM sc2 WHERE vec_id < 8) WHERE rn <= 3),
-        q AS (
-          SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
-        px AS (
-          SELECT q.qid, c.vec_id, q.qnrm, c.nrm,
-                 unnest(q.qv) AS qx, unnest(c.v) AS x
-          FROM e c JOIN qp ON c.cell = qp.qcell JOIN q ON q.qid = qp.qid),
-        dots AS (
-          SELECT qid, vec_id, qnrm, nrm,
-                 CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
-          FROM px GROUP BY qid, vec_id, qnrm, nrm),
-        s AS (
-          SELECT qid, vec_id,
-                 CAST(dot AS DOUBLE) /
-                   sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
-          FROM dots)
-        ${topkTail(10)}""")),
+      oracle = Some(ivfTrainedOracle(nProbe = 3))),
+
+    // The high-recall IVF operating point from the RecallGrid sweep: two
+    // training rounds + 8 of 16 cells probed reaches recall@10 = 0.95
+    // (vs 0.825 at the iters=1/nProbe=3 default on the same grid), with
+    // candidate volume still the nProbe/nCells = 1/2 corpus fraction —
+    // the knob a production corpus turns when the similarity consumer
+    // needs ≥0.95 recall. Plan shape identical to _trained.
+    QuerySpec(
+      "sim_ann_ivf_probe8",
+      (s, dir) => Similarity.annIvfTrained(emb(s, dir), iters = 2, nProbe = 8),
+      benchmark = false, // same driver-looped Lloyd training as _trained
+      oracle = Some(ivfTrainedOracle(nProbe = 8, iters = 2))),
 
     // Embedding-cosine near-dup: LSH-bucket blocking + exact threshold.
     QuerySpec(
@@ -1124,6 +1148,107 @@ object ExtensionQueries {
           FROM b)
         SELECT doc_id, idx AS frame_idx,
                LEAST(64, n_bytes - idx * 64) AS frame_bytes
-        FROM f WHERE idx % 4 = 0"""))
+        FROM f WHERE idx % 4 = 0""")),
+
+    // Fixed-offset binary header decode: big-endian u32 fields + magic tag
+    // read straight out of the blob bytes — the SQL-expressible half of a
+    // format sniffer. Pure projection; DuckDB reads the same offsets out of
+    // the hex encoding (it has no blob substring).
+    QuerySpec(
+      "mm_header_decode",
+      (s, dir) => Multimodal.headerDecode(docs(s, dir)),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n_bytes
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN n_bytes >= 4
+                    THEN ('0x' || substring(hx, 1, 8))::BIGINT END AS width,
+               CASE WHEN n_bytes >= 8
+                    THEN ('0x' || substring(hx, 9, 8))::BIGINT END AS height,
+               CASE WHEN n_bytes >= 9
+                    THEN ('0x' || substring(hx, 17, 2))::BIGINT END AS bit_depth,
+               CASE WHEN n_bytes >= 2
+                    THEN substring(hx, 1, 4) END AS magic_hex
+        FROM b""")),
+
+    // ---- curation pipeline (batch twin of streaming DocPipeline.curate) ----
+    // Flagship §2-B pipeline end-to-end in one DataFrame: fused one-scan
+    // enrichment -> exact dedup on the content fingerprint (min-doc_id
+    // keeper, ONE hash agg on fp) -> static quality gate. Same expressions
+    // and same stage order as the streaming pipeline, so a batch backfill
+    // and the stream agree row-for-row.
+    QuerySpec(
+      "doc_curation",
+      (s, dir) => {
+        TextAnalysis.enrich(docs(s, dir))
+          .groupBy(col("fp"))
+          .agg(org.apache.spark.sql.functions.min_by(
+            org.apache.spark.sql.functions.struct(
+              col("doc_id"), col("lang"), col("lang_pred"), col("n_tokens"),
+              col("n_chars"), col("quality_score")),
+            col("doc_id")).as("r"))
+          .filter(col("r.quality_score").isNotNull &&
+            !org.apache.spark.sql.functions.isnan(col("r.quality_score")) &&
+            col("r.quality_score") >= 0.3)
+          .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+            col("r.lang_pred").as("lang_pred"), col("r.n_tokens").as("n_tokens"),
+            col("r.n_chars").as("n_chars"),
+            col("r.quality_score").as("quality_score"), col("fp"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, lang,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        e AS (
+          SELECT doc_id, lang,
+                 len(toks) AS n_tokens,
+                 length(text) AS n_chars,
+                 CAST(0.4 AS DOUBLE) *
+                   (CASE WHEN len(toks) > 0 THEN
+                     CAST(len(list_filter(toks, w -> w IN
+                       ('the','a','and','of','to','in','is','it','on','for'))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) END)
+                 + CAST(0.3 AS DOUBLE) *
+                   (CASE WHEN length(text) > 0 THEN
+                     CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) END)
+                 + CAST(0.3 AS DOUBLE) *
+                   (CAST(least(len(toks), 100) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                   AS quality_score,
+                 CASE WHEN greatest(
+                        len(list_filter(toks, w -> w IN
+                          ('the','a','and','of','to','in','is','it','on','for'))),
+                        len(list_filter(toks, w -> w IN
+                          ('der','die','das','und','ist','nicht','ein','zu','mit','ich'))),
+                        len(list_filter(toks, w -> w IN
+                          ('le','la','les','et','est','un','une','dans','pour','que')))) = 0
+                      THEN 'und'
+                      WHEN len(list_filter(toks, w -> w IN
+                          ('the','a','and','of','to','in','is','it','on','for'))) >=
+                        len(list_filter(toks, w -> w IN
+                          ('der','die','das','und','ist','nicht','ein','zu','mit','ich')))
+                       AND len(list_filter(toks, w -> w IN
+                          ('the','a','and','of','to','in','is','it','on','for'))) >=
+                        len(list_filter(toks, w -> w IN
+                          ('le','la','les','et','est','un','une','dans','pour','que')))
+                      THEN 'en'
+                      WHEN len(list_filter(toks, w -> w IN
+                          ('der','die','das','und','ist','nicht','ein','zu','mit','ich'))) >=
+                        len(list_filter(toks, w -> w IN
+                          ('le','la','les','et','est','un','une','dans','pour','que')))
+                      THEN 'de'
+                      ELSE 'fr' END AS lang_pred,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM t),
+        d AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM e)
+        SELECT doc_id, lang, lang_pred, n_tokens, n_chars, quality_score, fp
+        FROM d
+        WHERE rn = 1 AND quality_score IS NOT NULL
+          AND NOT isnan(quality_score) AND quality_score >= 0.3"""))
   )
 }

@@ -683,6 +683,25 @@ object RelationalQueries {
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""")),
 
+    // Banded twin of q32: identical results (the oracle IS q32's), but the
+    // window key is (c_nationkey, acctbal band) so the customer table never
+    // sorts through 25 reducers — the scale-safe decomposition, like the
+    // q15/q15_banded lag pair. bandWidth=500 over acctbal's ~[-1000, 10000]
+    // range gives ~22 bands per nation.
+    QuerySpec(
+      "q32_cume_dist_banded",
+      (s, dir) => graft.operators.Percentiles.distributionBanded(
+        t(s, dir, "customer"), "c_nationkey", "c_acctbal", "c_custkey",
+        bandWidth = 500.0)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          col("cd"), col("pr")),
+      Some("""
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               cume_dist() OVER w AS cd,
+               percent_rank() OVER w AS pr
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""")),
+
     // Correlated EXISTS through the SQL path: customers with at least one
     // urgent order — Catalyst decorrelates to a left-semi join.
     QuerySpec(

@@ -239,25 +239,28 @@ object Dedup {
     * ([[TextAnalysis.qualityStats]], 1e-3 buckets — exact long compare),
     * ties to the smallest doc_id — and report the cluster multiplicity.
     * Degenerate docs (null/NaN score) rank behind every scored doc via
-    * qs = −1 rather than erroring under ANSI. One extra high-cardinality
-    * window pass over (cluster) beyond the clustering itself; like the
+    * qs = −1 rather than erroring under ANSI.
+    *
+    * ONE hash aggregation over cluster (map-side combinable): the winner is
+    * `max_by` over the (qs, −doc_id) order struct — unique because doc_id
+    * is — so no per-cluster sort or window pass ever runs. Like the
     * clustering, wall time is propagation-round-dominated, so it shares
     * the benchmark=false flag.
     */
   def nearDupCanonical(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster")).orderBy(desc("qs"), asc("doc_id"))
     val scored = TextAnalysis.qualityStats(docs)
       .select(col("doc_id"),
         when(col("quality_score").isNull || isnan(col("quality_score")), lit(-1L))
           .otherwise(floor(col("quality_score") * 1000 + 0.5).cast(LongType)).as("qs"))
     nearDupClusters(docs, k, rowsPerBand)
       .join(scored, "doc_id")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_members", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
-      .filter(col("rn") === 1)
-      .select(col("cluster"), col("doc_id").as("keeper"), col("qs"), col("n_members"))
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(struct(col("doc_id").as("keeper"), col("qs")),
+          struct(col("qs"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("best.keeper").as("keeper"),
+        col("best.qs").as("qs"), col("n_members"))
   }
 
   /** 32-bit SimHash over word occurrences. The word hash is the first 32

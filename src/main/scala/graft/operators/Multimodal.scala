@@ -55,6 +55,30 @@ object Multimodal {
       hex(substring(blob, 1, 8)).as("header_hex"))
   }
 
+  /** Real scan-side header decode: fixed-offset binary field extraction —
+    * the piece of a format sniffer/decoder that IS SQL-expressible (a PNG
+    * IHDR or BMP header parse has exactly this shape: magic bytes, then
+    * big-endian integer fields at fixed offsets). Reads bytes [1,4] as a
+    * big-endian u32 `width`, [5,8] as `height`, byte 9 as `bit_depth`, and
+    * the first two bytes as the `magic_hex` tag — via binary substring +
+    * hex + base-16 conv, all codegen'd built-ins. Pure projection: the
+    * blob never shuffles, and a metadata-only consumer still prunes it.
+    * Blobs shorter than 9 bytes yield null fields (no ANSI error) — the
+    * honest signal for a truncated payload.
+    */
+  def headerDecode(docs: DataFrame): DataFrame = {
+    val blob = encode(col("text"), "UTF-8")
+    def beField(off: Int, len: Int) =
+      when(octet_length(blob) >= off + len - 1,
+        conv(hex(substring(blob, off, len)), 16, 10).cast("long"))
+    docs.select(
+      col("doc_id"),
+      beField(1, 4).as("width"),
+      beField(5, 4).as("height"),
+      beField(9, 1).as("bit_depth"),
+      when(octet_length(blob) >= 2, hex(substring(blob, 1, 2))).as("magic_hex"))
+  }
+
   /** Deterministic stand-in for a media decode: derives fake dimensions and
     * an 8-float feature vector from the blob's MD5. Runs per-partition over
     * an iterator — the exact batch shape a real decoder (or an Arrow-batch

@@ -24,7 +24,7 @@ object RecallGrid {
     val base = Similarity.annIvf(emb, 8, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     println(f"first-N single-probe recall=${(base & truth).size.toDouble / truth.size}%.3f")
-    for (it <- Seq(1, 2, 3); np <- Seq(2, 3)) {
+    for (it <- Seq(1, 2, 3); np <- Seq(2, 3, 4, 6, 8)) {
       val t = Similarity.annIvfTrained(emb, 8, 10, 16, it, np).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"iters=$it nprobe=$np recall=${(t & truth).size.toDouble / truth.size}%.3f")

@@ -251,6 +251,35 @@ class PlanSpec extends GraftSpec {
     assert(shuffles === 1, s"one user_id exchange expected, got $shuffles:\n$p")
   }
 
+  test("banded cume_dist equals the single-window form, keyed by (key, band)") {
+    val banded = Registry.queries("q32_cume_dist_banded")(spark, sf)
+    val single = Registry.queries("q32_cume_dist")(spark, sf)
+    assert(banded.collect().map(_.toSeq).toSet ===
+      single.collect().map(_.toSeq).toSet,
+      "decomposition must be result-identical to the single window")
+    val p = plan(banded)
+    // the bulk window runs per (c_nationkey, band) — parallelism scales
+    // with |keys| × |bands|, never 25 reducers over raw rows — and the
+    // tiny prefix/total table joins by broadcast
+    assert("hashpartitioning\\(c_nationkey#\\d+, band#".r.findFirstIn(p).isDefined,
+      s"raw rows must partition by (key, band):\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("doc curation is one corpus scan + one fp exchange") {
+    val df = Registry.queries("doc_curation")(spark, sf)
+    val p = plan(df)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"fused enrichment must read the corpus once, got $scans scans:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1, s"one fp exchange expected, got $shuffles:\n$p")
+  }
+
+  test("header decode is a pure projection — blob never shuffles") {
+    val p = plan(Registry.queries("mm_header_decode")(spark, sf))
+    assert(!p.contains("Exchange"), s"fixed-offset field extraction must stay scan-side:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)
