@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
+
+  /** RocksDB state-store provider (same constant the job mains default
+    * to) — the streaming throughput numbers should measure the production
+    * state path, not the heap store.
+    */
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** 1-minute system load average (or -1 where the JVM can't see it). A
+    * loaded machine inflates every wall-clock number silently — r4's
+    * driver artifact recorded 2-3x join times from exactly that — so the
+    * bench records load at start AND end, making a distorted run
+    * diagnosable from the JSON alone.
+    */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,6 +31,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg
     // Pruning-proof action: a noop-format write consumes every output
     // column of every row, so Catalyst cannot collapse projection-only
     // pipelines into a parquet row count the way `.count()` could (column
@@ -30,33 +50,97 @@ object Bench {
       .selectExpr("size(embedding) s")))
     warm(exec(graft.operators.Dedup.minhashSignatures(
       spark.read.parquet(s"$sfDir/documents.parquet").limit(64))))
-    // Each query runs `reps` times; report the min over SUCCESSFUL reps —
-    // single-machine timing noise (GC, page cache, JIT recompiles) is
-    // strictly additive, so the min is the least-noise estimate of the
-    // plan's cost. A rep that throws contributes nothing (a fast failure
-    // must not masquerade as a fast query); all-reps-failed reports -1 so
-    // the breakage is visible in the JSON instead of a bogus latency.
-    val results = Registry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+    // Each query runs `reps` times; the headline per-query number is the
+    // min over SUCCESSFUL reps — single-machine timing noise (GC, page
+    // cache, JIT recompiles) is strictly additive, so the min is the
+    // least-noise estimate of the plan's cost. ALL rep times are emitted
+    // too (`reps_all`): a rep spread far above its min is the signature of
+    // a loaded machine, visible in the artifact without a rerun. A rep
+    // that throws contributes nothing (a fast failure must not masquerade
+    // as a fast query); all-reps-failed reports -1 so the breakage is
+    // visible in the JSON instead of a bogus latency.
+    val results: Seq[(String, Seq[Double])] =
+      Registry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }
+        name -> times
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val mins = results.map { case (k, ts) => k -> (if (ts.isEmpty) -1.0 else ts.min) }
+    val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val repsAll = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // The headline total covers benchmark=true queries only; name the
     // excluded set in the output so totals are comparable across rounds.
     val excluded = Registry.all.filterNot(_.benchmark).map(_.name).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"noop-write","excluded":$excluded}""")
+    val total = mins.map(_._2).sum
+    val streaming =
+      if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0")) "{}"
+      else streamingBench(spark, sfDir)
+    val loadEnd = loadAvg
+    val env = s"""{"cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_all":$repsAll,"streaming":$streaming,"env":$env,"sf":"$sfDir","reps":$reps,"action":"noop-write","excluded":$excluded}""")
     // The per-query line above can exceed a bounded tail capture (r1 and r3
     // both recorded parsed:null when the head of the line was cut off), so
     // repeat the headline as a short, self-contained JSON line LAST: any
     // tail window that sees the end of the output parses the total.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"action":"noop-write","nqueries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"action":"noop-write","nqueries":${mins.size},"env":$env}""")
     spark.stop()
+  }
+
+  /** Streaming-path throughput over a FIXED replay, so regressions in the
+    * stateful operators show up round-over-round: the three job-main
+    * pipelines (tumbling candlestick, two-level sliding min, document
+    * curation) each drain a deterministic input directory under
+    * Trigger.AvailableNow into a noop sink on the RocksDB state store
+    * (the job mains' default). The readout is processing rows/s =
+    * Σ numInputRows / Σ triggerExecution over the run's progress events —
+    * input generation and query startup are excluded. A failed pipeline
+    * reports -1 rather than vanishing.
+    */
+  private def streamingBench(spark: SparkSession, sfDir: String): String = {
+    import graft.streaming._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
+    // Fixed tick replay: the seeded producer shape, 200k rows over 16 JSON
+    // files (the file-per-task parallelism a sharded source would have),
+    // wire format = the SQL timestamp standard the sources declare.
+    TickSource.syntheticBatch(spark, 200000L).repartition(16)
+      .write.mode("overwrite").option("timestampFormat", Tick.TsFormatSql)
+      .json(s"$tmp/ticks")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang").repartition(8)
+      .write.mode("overwrite").json(s"$tmp/docs")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    def rps(out: DataFrame): Double = {
+      val q = TickSink.start(out, TickSink.Noop, availableNow = true)
+      q.awaitTermination()
+      val ps = q.recentProgress
+      val rows = ps.map(_.numInputRows).sum
+      val ms = ps.flatMap(p => Option(p.durationMs.get("triggerExecution"))
+        .map(_.toLong)).sum
+      if (ms <= 0) -1.0 else rows * 1000.0 / ms
+    }
+    def one(f: => Double): Double =
+      try f catch { case _: Throwable => -1.0 }
+    val lines = Seq(
+      "candlestick_rps" -> one(rps(StreamingQueries.candlestick(
+        TickSource.fileJson(spark, s"$tmp/ticks")))),
+      "sliding_min_rps" -> one(rps(StreamingQueries.slidingMinTwoLevel(
+        TickSource.fileJson(spark, s"$tmp/ticks")))),
+      "doc_curation_rps" -> one(rps(DocPipeline.curate(
+        DocPipeline.fileJson(spark, s"$tmp/docs")))))
+    prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    (lines :+ ("tick_rows" -> 200000.0))
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
   }
 }
