@@ -171,31 +171,46 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
-  /** Near-duplicate clusters: connected components over the MinHash
-    * candidate-pair graph, labelled by the component's minimum doc_id
-    * (which is also the canonical "keep one" representative). Every doc
-    * appears — singletons label themselves.
+  /** Connected components over an undirected (doc_a, doc_b) pair graph:
+    * labels every node that appears in a pair with its component's minimum
+    * id. Returns (labels, rounds) — the round count is the scalability
+    * contract the spec pins.
     *
-    * Shape: iterative min-label propagation (the dedup-pipeline standard
-    * for pairs → clusters at scale). Each round is one join + one
-    * aggregation, state is (doc, label); rounds are bounded by component
-    * diameter, and near-dup components are tiny in practice, so this
-    * converges in 2–4 rounds. The driver only ever sees a converged/not
-    * count — no data is collected.
+    * Each round is min-label propagation PLUS a pointer-halving shortcut
+    * (the star-contraction move of the MapReduce-CC family — large-star/
+    * small-star, Kiveris et al.):
+    *
+    *   1. propagate: ℓ'(u) = min(ℓ(u), min over edges (u,v) of ℓ(v)) —
+    *      one join + one map-side-combinable aggregation.
+    *   2. shortcut:  ℓ''(u) = ℓ'(ℓ'(u)) — one self-join of the label
+    *      table. Labels are min-monotone (ℓ(u) ≤ u and every label IS a
+    *      node of the same component), so jumping to the label's label
+    *      stays in-component and only ever decreases.
+    *
+    * Propagation alone needs O(diameter) rounds — a 10⁶-node chain (the
+    * adversarial shape: pairwise-chained near-dups) would run 10⁶ joins.
+    * With the shortcut the label horizon doubles per round:
+    * O(log diameter) rounds, ≤ ⌈log₂ n⌉ + 1 on the worst-case chain
+    * (DedupSpec pins exactly that bound). Convergence is detected by the
+    * strictly-monotone label sum — one cheap scalar per round; no data
+    * ever collects to the driver.
     */
-  def nearDupClusters(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // The pair graph is consumed once per propagation round, so it is
-    // cached for the loop's duration and released after the loop (the
-    // returned plan reads only the persisted `connected` and `labels`).
-    val pairs = minhashCandidatePairs(docs, k, rowsPerBand).persist()
+  private[graft] def connectedComponents(pairs0: DataFrame): (DataFrame, Int) = {
+    // The pair graph is consumed once per round, so it is cached for the
+    // loop's duration and released after (the returned plan reads only the
+    // checkpointed final labels).
+    val pairs = pairs0.persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // Iterate only over docs that have an edge — singletons can never
-    // change label and union back in at the end, so each round touches
-    // |connected docs|, not |corpus|. Persisted separately (it is tiny —
-    // one id column) so the pair graph can be released after the loop.
-    val connected = edges.select(col("src").as("doc_id")).distinct().persist()
-    var labels = connected.withColumn("cluster", col("doc_id")).persist()
+    // Each round's label table is EAGERLY localCheckpoint-ed: the shortcut
+    // self-join references the round's plan twice, so without lineage
+    // truncation the logical plan doubles per round — exponential analysis
+    // cost that OOMs the driver long before the data is big (measured on a
+    // 64-node chain). Checkpointed label tables are (id, label) rows —
+    // tiny, bounded by the round cap; a production run over unreliable
+    // executors would swap in reliable checkpoints, same shape.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
     // Labels only ever decrease, so sum(cluster) is strictly monotone
     // until the fixpoint: one cheap scalar per round detects convergence.
     // (SUM over zero rows is NULL — a pair-free corpus converges at once.)
@@ -211,25 +226,41 @@ object Dedup {
         .unionByName(labels.select(col("doc_id"), col("cluster")))
         .groupBy(col("doc_id"))
         .agg(min(col("cluster")).as("cluster"))
-        .persist()
-      val s = labelSum(propagated)
+      // pointer halving: follow the label's own label. Every label is a
+      // node in `propagated` (labels start as node ids and min() only
+      // selects existing labels), so the inner join is total; the alias
+      // disambiguates the self-join.
+      val l = propagated.select(col("doc_id").as("t_id"), col("cluster").as("t_cluster"))
+      val shortcut = propagated
+        .join(l, col("cluster") === col("t_id"))
+        .select(col("doc_id"), col("t_cluster").as("cluster"))
+        .localCheckpoint(true)
+      val s = labelSum(shortcut)
       converged = s == prevSum
       prevSum = s
-      labels.unpersist()
-      labels = propagated
+      labels = shortcut
       rounds += 1
     }
     if (!converged)
       Console.err.println(
-        s"nearDupClusters: round cap ($rounds) hit before convergence — " +
+        s"connectedComponents: round cap ($rounds) hit before convergence — " +
           "labels for high-diameter components may be non-minimal")
-    // The pair graph is only consumed during propagation; release it so
-    // repeated calls in one session don't accumulate cached blocks. The
-    // returned (lazy) plan references only `connected` and the final
-    // `labels`, both persisted and both tiny (ids + labels, no corpus data).
     pairs.unpersist()
+    (labels, rounds)
+  }
+
+  /** Near-duplicate clusters: connected components over the MinHash
+    * candidate-pair graph ([[connectedComponents]] — min-label
+    * propagation with the pointer-halving shortcut, O(log diameter)
+    * rounds), labelled by the component's minimum doc_id (which is also
+    * the canonical "keep one" representative). Every doc appears —
+    * singletons label themselves and never enter the iteration, so each
+    * round touches |connected docs|, not |corpus|.
+    */
+  def nearDupClusters(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val (labels, _) = connectedComponents(minhashCandidatePairs(docs, k, rowsPerBand))
     docs.select(col("doc_id"))
-      .join(connected, Seq("doc_id"), "left_anti")
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("cluster", col("doc_id"))
       .unionByName(labels)
   }

@@ -73,6 +73,29 @@ class DedupSpec extends GraftSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("connected components: chain graph converges in O(log n) rounds") {
+    // The adversarial shape for plain min-label propagation: a single
+    // chain 0-1-2-...-63 has diameter 63, so propagation alone needs ~63
+    // rounds. The pointer-halving shortcut doubles the label horizon per
+    // round: ≤ ⌈log₂ n⌉ + 1 rounds (the +1 is the fixpoint-detection
+    // round where the label sum stops moving).
+    val n = 64
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponents(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    got.foreach { case (_, c) => assert(c === 0L) }
+    val bound = (math.log(n) / math.log(2)).ceil.toInt + 1
+    assert(rounds <= bound, s"chain-$n must converge in <= $bound rounds, took $rounds")
+  }
+
+  test("connected components: two components + self-pair edge cases") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L), (7L, 7L)).toDF("doc_a", "doc_b")
+    val (labels, _) = Dedup.connectedComponents(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L, 7L -> 7L))
+  }
+
   test("dedup by content fingerprint collapses whitespace variants") {
     val docs = docsDf((1L, "a  b\tc"), (2L, " a b c "), (3L, "a b d"))
     val fps = graft.operators.TextAnalysis.fingerprints(docs).collect()
