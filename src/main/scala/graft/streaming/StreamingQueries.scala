@@ -340,4 +340,131 @@ object StreamingQueries {
         Iterator.single(SessionOut(user, s.start_us, s.last_us, s.n_events))
       } else Iterator.empty
   }
+
+  // ---- custom stateful operator: stream-stream as-of enrichment ------------
+
+  final case class AsofSideEvent(
+      user_id: Long, event_id: Long, utc: java.sql.Timestamp, value: Double)
+  final case class AsofTagged(
+      user_id: Long, side: String, event_id: Long, utc: java.sql.Timestamp, value: Double)
+  final case class AsofQuote(us: Long, event_id: Long, value: Double)
+  final case class AsofProbe(us: Long, event_id: Long)
+  final case class AsofMatched(
+      event_id: Long, user_id: Long, us: Long, asof_event_id: Long, asof_value: Double)
+
+  /** Stream-stream as-of join via `transformWithState` — the streaming twin
+    * of [[graft.operators.Joins.asofJoin]] (each probe matched to the most
+    * recent quote of the same key with quote.ts <= probe.ts; probes with no
+    * prior quote drop; quote ties on ts break to max event_id). The
+    * curation-pipeline use: enrich a document stream with the latest
+    * quality-model version as of each doc's event time.
+    *
+    * This is the multi-state exercise the old `mapGroupsWithState` API
+    * couldn't express cleanly: TWO named state variables per key — the
+    * quote book (ListState) and the pending-probe buffer (ListState) — plus
+    * an event-time timer that flushes probes once the watermark guarantees
+    * no earlier quote can still arrive. Out-of-order arrival within the
+    * watermark horizon is therefore handled EXACTLY (unlike the running
+    * EWMA, which folds at arrival position): a probe only emits when its
+    * event time is final.
+    *
+    * State bounds (100 TB stance): the probe buffer holds at most one
+    * watermark horizon of probes per key; the quote book is pruned on every
+    * timer to quotes newer than the watermark plus ONE floor quote (the
+    * latest at-or-below — the only older quote any future probe can match).
+    */
+  def asofJoinStream(
+      spark: SparkSession,
+      probes: Dataset[AsofSideEvent],
+      quotes: Dataset[AsofSideEvent],
+      watermarkDelay: String = "10 seconds"): Dataset[AsofMatched] = {
+    import spark.implicits._
+    probes.map(e => AsofTagged(e.user_id, "p", e.event_id, e.utc, e.value))
+      .unionByName(quotes.map(e => AsofTagged(e.user_id, "q", e.event_id, e.utc, e.value)))
+      .withWatermark("utc", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new AsofProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[asofJoinStream]] StatefulProcessor. Emission rule: a probe is
+    * final once the watermark passes it STRICTLY (equal-ts quotes are
+    * still admissible while watermark == ts, so the flush timer registers
+    * at probe time + 1 ms).
+    */
+  final class AsofProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AsofTagged, AsofMatched] {
+    @transient private var quotes: org.apache.spark.sql.streaming.ListState[AsofQuote] = _
+    @transient private var probes: org.apache.spark.sql.streaming.ListState[AsofProbe] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      quotes = getHandle.getListState[AsofQuote](
+        "quotes", org.apache.spark.sql.Encoders.product[AsofQuote],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      probes = getHandle.getListState[AsofProbe](
+        "probes", org.apache.spark.sql.Encoders.product[AsofProbe],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    /** Latest quote at-or-before `us` — (us, event_id) max, mirroring the
+      * batch union ordering (right rows sort before left at equal ts, ties
+      * to max event_id).
+      */
+    private def matchProbe(p: AsofProbe, book: Seq[AsofQuote]): Option[AsofMatched] = {
+      val eligible = book.filter(_.us <= p.us)
+      if (eligible.isEmpty) None
+      else {
+        val q = eligible.maxBy(q => (q.us, q.event_id))
+        Some(AsofMatched(p.event_id, -1L, p.us, q.event_id, q.value))
+      }
+    }
+
+    private def emitReady(
+        user: Long, wmMs: Long): Iterator[AsofMatched] = {
+      val book = quotes.get().toSeq
+      val pending = probes.get().toSeq
+      // strict: a probe at exactly the watermark could still gain an
+      // equal-ts quote in a later batch
+      val (ready, rest) = pending.partition(_.us / 1000L < wmMs)
+      val out = ready.sortBy(p => (p.us, p.event_id))
+        .flatMap(p => matchProbe(p, book).map(_.copy(user_id = user)))
+      probes.clear()
+      if (rest.nonEmpty) {
+        probes.put(rest.toArray)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(rest.map(_.us).min / 1000L + 1L)
+      }
+      // prune the quote book: everything below the watermark is dominated
+      // by the latest at-or-below quote (the floor) — keep floor + future
+      val (below, above) = book.partition(_.us / 1000L <= wmMs)
+      if (below.nonEmpty) {
+        val floor = below.maxBy(q => (q.us, q.event_id))
+        quotes.clear()
+        quotes.put((floor +: above).toArray)
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[AsofTagged],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AsofMatched] = {
+      rows.foreach { e =>
+        val us = e.utc.getTime * 1000L
+        if (e.side == "q") quotes.appendValue(AsofQuote(us, e.event_id, e.value))
+        else probes.appendValue(AsofProbe(us, e.event_id))
+      }
+      emitReady(user, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AsofMatched] =
+      emitReady(user, timerValues.getCurrentWatermarkInMs())
+  }
 }

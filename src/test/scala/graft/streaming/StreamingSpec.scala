@@ -219,6 +219,75 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream-stream as-of join matches the batch as-of on the same input") {
+    // the transformWithState multi-state exercise: quote book + pending-
+    // probe buffer per key, event-time timer flushing probes once the
+    // watermark makes their event time final. Must reproduce the batch
+    // Joins.asofJoin rows exactly on the same events — including the
+    // no-prior-quote drop, the equal-ts "<=" match, and the max-event_id
+    // tie on equal quote timestamps. Requires RocksDB, like the mains.
+    import StreamingQueries.{AsofSideEvent, AsofMatched}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      def ev(u: Long, id: Long, t: String, v: Double) = AsofSideEvent(u, id, ts(t), v)
+      // u1: quote tie at 00:00:10 (102 wins), later quote equal to probe 3's
+      // ts (the "<=" edge); u2: probe BEFORE any quote -> drops
+      val quotesB1 = Seq(
+        ev(1, 101, "2024-01-01 00:00:10", 5.0),
+        ev(1, 102, "2024-01-01 00:00:10", 7.0),
+        ev(2, 201, "2024-01-01 00:00:05", 1.0))
+      val probesB1 = Seq(
+        ev(1, 1, "2024-01-01 00:00:20", 0.0),
+        ev(2, 2, "2024-01-01 00:00:03", 0.0))
+      val quotesB2 = Seq(ev(1, 103, "2024-01-01 00:00:25", 9.0))
+      val probesB2 = Seq(ev(1, 3, "2024-01-01 00:00:25", 0.0))
+      // sentinel quote on a probe-free key: advances the global watermark
+      // far past every probe, firing all flush timers
+      val sentinel = Seq(ev(99, 999, "2024-01-01 01:00:00", 0.0))
+
+      val inP = MemoryStream[AsofSideEvent]
+      val inQ = MemoryStream[AsofSideEvent]
+      val out = StreamingQueries.asofJoinStream(
+        spark, inP.toDS(), inQ.toDS(), watermarkDelay = "0 seconds")
+      val name = freshName()
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        inQ.addData(quotesB1); inP.addData(probesB1); q.processAllAvailable()
+        inQ.addData(quotesB2); inP.addData(probesB2); q.processAllAvailable()
+        inQ.addData(sentinel); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => AsofMatched(r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+
+      // batch truth on the same events (sentinel excluded: probe-free key)
+      val lDf = (probesB1 ++ probesB2)
+        .map(e => (e.event_id, e.user_id, e.utc)).toDF("event_id", "user_id", "ts")
+      val rDf = (quotesB1 ++ quotesB2)
+        .map(e => (e.event_id, e.user_id, e.utc, e.value))
+        .toDF("event_id", "user_id", "ts", "value")
+      val expected = graft.operators.Joins.asofJoin(lDf, rDf)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+          $"asof_event_id", $"asof_value")
+        .collect()
+        .map(r => AsofMatched(r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got === expected, s"stream=$got batch=$expected")
+      // the semantics the shapes above exercise, pinned explicitly
+      assert(expected.contains(AsofMatched(1L, 1L,
+        ts("2024-01-01 00:00:20").getTime * 1000L, 102L, 7.0)), "tie -> max id")
+      assert(expected.contains(AsofMatched(3L, 1L,
+        ts("2024-01-01 00:00:25").getTime * 1000L, 103L, 9.0)), "equal ts -> <=")
+      assert(!expected.exists(_.event_id == 2L), "probe before any quote drops")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("doc pipeline: dedups on content, gates on quality, labels language") {
     // the streaming curation pipeline end-to-end over MemoryStream docs:
     // content duplicates collapse (whitespace variants share a fingerprint),
