@@ -398,6 +398,42 @@ object ExtensionQueries {
                         ELSE 0 END) AS BIGINT) AS simhash
         FROM b GROUP BY doc_id""")),
 
+    // SimHash near-dup pairs: 4-byte pigeonhole blocking (Hamming <= 3
+    // guarantees one shared byte), exact bit_count(xor) check in-bucket —
+    // all-pairs never materializes.
+    QuerySpec(
+      "dedup_simhash_pairs",
+      (s, dir) => Dedup.simhashNearDupPairs(docs(s, dir)),
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(unnest(
+                    string_split_regex(lower(trim(text)), '\s+'))), 1, 8))::BIGINT AS h
+          FROM documents),
+        bsum AS (
+          SELECT doc_id, i,
+                 CAST(SUM(((h >> i) & 1) * 2 - 1) AS BIGINT) AS s
+          FROM w CROSS JOIN generate_series(0, 31) g(i)
+          GROUP BY doc_id, i),
+        sh AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN CAST(2 ** i AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS simhash
+          FROM bsum GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> (8 * band)) & 255 AS band_val
+          FROM sh CROSS JOIN generate_series(0, 3) g(band)),
+        p AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS ha, b.simhash AS hb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM p WHERE bit_count(xor(ha, hb)) <= 3""")),
+
     // N-gram Jaccard over shingle-sharing pairs (inverted-index blocking).
     // The oracle mirrors the operator's document-frequency cap (maxDf=100):
     // set sizes stay FULL, but intersections ignore corpus-common shingles.

@@ -320,6 +320,52 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-duplicate candidate pairs: docs whose 32-bit [[simhash]]
+    * fingerprints are within `maxHamming` bits — the constant-space member
+    * of the near-dup family (one long per doc vs MinHash's k components).
+    *
+    * Blocking is the pigeonhole decomposition: split the 32-bit
+    * fingerprint into 4 bytes; any two fingerprints within Hamming
+    * distance 3 differ in at most 3 bit positions, so at least ONE of the
+    * 4 bytes is untouched — candidates are exactly the pairs sharing some
+    * (byte index, byte value) bucket. One groupBy on the banded
+    * fingerprint stream, bucket-local pair expansion, exact
+    * `bit_count(xor)` verification in-bucket: all-pairs never
+    * materializes, the same shape as the MinHash LSH blocker. Buckets are
+    * bounded by corpus-wide byte collisions (≤ |docs|/256 expected per
+    * bucket on dispersed fingerprints); the banding expressions are cheap
+    * shift/masks over the AGGREGATED (doc, fingerprint) rows, so no
+    * Generate-side re-inlining hazard exists (the fingerprint is an
+    * aggregation output, not an inline transform — contrast the measured
+    * n-gram case below).
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-byte pigeonhole banding only guarantees recall for maxHamming <= 3")
+    val banded = simhash(docs)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xffL))): _*))
+          .as(Seq("band", "band_val")))
+    banded
+      .groupBy(col("band"), col("band_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2), i ->
+             transform(sequence(i + 1, size(ids) - 1), j ->
+               struct(ids[i].doc_id AS doc_a, ids[j].doc_id AS doc_b,
+                      ids[i].simhash AS h_a, ids[j].simhash AS h_b))))""")).as("p"))
+      // a close pair shares several untouched bytes -> appears in several
+      // buckets; the distinct collapses them before verification
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.h_a").as("h_a"), col("p.h_b").as("h_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** N-gram Jaccard similarity for all candidate pairs that share at least
     * one shingle (inverted-index join on the shingle — the blocking step
     * that replaces the quadratic all-pairs compare at scale).

@@ -43,6 +43,25 @@ class DedupSpec extends GraftSpec {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("simhash pairs: pigeonhole banding finds exactly the brute-force pairs") {
+    // Hamming <= 3 on 32 bits leaves at least one of 4 bytes untouched, so
+    // byte-bucket blocking has PERFECT recall at the threshold — the banded
+    // result must equal the all-pairs scan, not approximate it.
+    val docs = docsDf(
+      (1L, textA), (2L, textA), (3L, textA + " tail"), (4L, textB),
+      (5L, "an entirely unrelated batch of tokens for the fifth document"))
+    val got = Dedup.simhashNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got === brute)
+    assert(got.contains((1L, 2L, 0L)), "identical docs must pair at hamming 0")
+  }
+
   test("ngram jaccard: identical docs score 1.0; shingle-disjoint docs absent") {
     val got = Dedup.ngramJaccardPairs(docsDf((1L, textA), (2L, textA), (3L, textB)))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
