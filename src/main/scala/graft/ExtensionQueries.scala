@@ -460,6 +460,32 @@ object ExtensionQueries {
         WHERE CAST(n_common AS DOUBLE) /
                 CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.05""")),
 
+    // Asymmetric containment over the same blocked pairs: catches the
+    // small-doc-inside-large-doc (quote/boilerplate) case Jaccard scores
+    // low. Shares the inverted-index core and DF cap with the Jaccard op.
+    QuerySpec(
+      "dedup_ngram_containment",
+      (s, dir) => Dedup.ngramContainmentPairs(docs(s, dir)),
+      Some(s"""
+        WITH $shingleCte,
+        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        hotsh AS (SELECT shingle FROM d GROUP BY shingle HAVING count(*) > 100),
+        dc AS (SELECT doc_id, shingle FROM d
+               WHERE shingle NOT IN (SELECT shingle FROM hotsh)),
+        cm AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM dc a JOIN dc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+               CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
+        FROM cm
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE),
+                       CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.5""")),
+
     // ---- similarity search -------------------------------------------------
     // Brute-force cosine top-k: broadcast query set, one corpus scan,
     // WindowGroupLimit prunes to k per query pre-shuffle.
@@ -737,6 +763,30 @@ object ExtensionQueries {
                        THEN 1 ELSE -1 END)
                  * CAST(FLOOR(v[i] * 1e6 + 0.5) AS BIGINT))) AS BIGINT) AS p
         FROM v CROSS JOIN js""")),
+
+    // Symmetric int8 quantization: scale = max|x|/127, q = round(x/scale) —
+    // the 4x memory cut before ANN at corpus scale; one IEEE division then
+    // exact integers, scan-side.
+    QuerySpec(
+      "emb_quantize_int8",
+      (s, dir) => Similarity.quantizeInt8(emb(s, dir)),
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        m AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax
+          FROM v),
+        x AS (
+          SELECT vec_id, amax, amax / 127.0 AS scale,
+                 unnest(v) AS xv,
+                 unnest(range(1, len(v) + 1)) AS i1
+          FROM m)
+        SELECT vec_id, i1 - 1 AS i,
+               CASE WHEN amax > CAST(0.0 AS DOUBLE)
+                    THEN CAST(FLOOR(xv / (amax / 127.0) + 0.5) AS BIGINT)
+                    ELSE 0 END AS q,
+               scale
+        FROM x""")),
 
     // Corpus-median quality gate: exact bucketed-percentile threshold.
     QuerySpec(

@@ -373,7 +373,37 @@ object Dedup {
     * final division.
     */
   def ngramJaccardPairs(
-      docs: DataFrame, minJaccard: Double = 0.05, maxDf: Int = 100): DataFrame = {
+      docs: DataFrame, minJaccard: Double = 0.05, maxDf: Int = 100): DataFrame =
+    ngramPairCounts(docs, maxDf)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+
+  /** N-gram containment for the same candidate pairs: |A∩B|/|A| and
+    * |A∩B|/|B| — the ASYMMETRIC near-dup measure. Jaccard misses the
+    * quote/boilerplate case (a small doc wholly contained in a large one
+    * scores low because the union is large); containment flags it from
+    * either side. Same inverted-index pipeline and DF cap as
+    * [[ngramJaccardPairs]] — one shared core, different final ratios.
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame, minContainment: Double = 0.5, maxDf: Int = 100): DataFrame =
+    ngramPairCounts(docs, maxDf)
+      .withColumn("containment_a",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_b",
+        col("n_common").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("containment_a"), col("containment_b"))
+
+  /** Shared pair-counting core of the n-gram similarity family: one row
+    * per blocked candidate pair with full set sizes and the (DF-capped)
+    * intersection count — `(doc_a, doc_b, n_a, n_b, n_common)`.
+    */
+  private def ngramPairCounts(docs: DataFrame, maxDf: Int): DataFrame = {
     // Inverted index: group the posting list per shingle and expand
     // co-occurrence pairs locally (one shuffle on the shingle), instead of
     // a self-join that would rebuild and re-shuffle the shingle stream
@@ -427,10 +457,5 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 }

@@ -98,6 +98,30 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("p"))
   }
 
+  /** Symmetric int8 quantization per vector: scale = max|x| / 127,
+    * q_i = round(x_i / scale) ∈ [−127, 127] — the 4× memory cut a corpus
+    * takes before building ANN structures at 100 TB (int8 codes + one
+    * float scale per vector instead of float32 components). Emitted in
+    * long (vec_id, i, q, scale) form, one row per component, so the
+    * driver's scalar hash compare applies; q is exact integer arithmetic
+    * after one IEEE division (x / (amax/127) — identical op sequence in
+    * the oracle), and round-half-up (`floor(r + 0.5)`) is deterministic
+    * for negatives on both engines. Zero vectors quantize to q = 0 with
+    * scale 0. Pure scan-side projection: no shuffle, no row expansion
+    * beyond the declared per-component unpivot.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    vecs(emb)
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale", col("amax") / lit(127.0))
+      .select(col("vec_id"), col("scale"),
+        posexplode(expr(
+          """transform(v, x ->
+               CASE WHEN amax > CAST(0.0 AS DOUBLE)
+                    THEN CAST(FLOOR(x / (amax / 127.0) + 0.5) AS BIGINT)
+                    ELSE 0L END)""")).as(Seq("i", "q")))
+      .select(col("vec_id"), col("i").cast("long").as("i"), col("q"), col("scale"))
+
   /** Cheap one-row dimensionality probe for internal callers: safe WITHOUT
     * the full-corpus uniformity validation because [[lshBuckets]]'s
     * projection raises loudly on any row whose size disagrees — a ragged

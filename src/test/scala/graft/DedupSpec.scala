@@ -84,6 +84,26 @@ class DedupSpec extends GraftSpec {
     uncapped.foreach { case (_, j) => assert(math.abs(j - 0.2) < 1e-12) }
   }
 
+  test("ngram containment flags the contained doc that jaccard scores low") {
+    // doc 2 is a strict prefix of doc 1: every doc-2 shingle is in doc 1,
+    // so containment_b = 1.0 while jaccard = 3/13 stays under any
+    // near-dup threshold — the quote/boilerplate case.
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron"
+    val smallDoc = "alpha beta gamma delta epsilon"
+    val docs = docsDf((1L, big), (2L, smallDoc), (3L, textB))
+    val got = Dedup.ngramContainmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set((1L, 2L)))
+    val (nCommon, ca, cb) = got((1L, 2L))
+    assert(nCommon === 3L && cb === 1.0, "small doc fully contained")
+    assert(ca === 3.0 / 13.0)
+    val jac = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "jaccard under a 0.3 near-dup threshold misses the containment pair")
+  }
+
   test("near-dup clusters: components labelled by min doc id, singletons self") {
     // 1-2 identical, 3 identical to both via chain 2-3 (same text), 4 alone
     val docs = docsDf((1L, textA), (2L, textA), (3L, textA), (4L, textB))

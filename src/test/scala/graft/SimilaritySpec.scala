@@ -3,6 +3,23 @@ package graft
 import graft.operators.Similarity
 
 class SimilaritySpec extends GraftSpec {
+
+  test("int8 quantization: codes bounded, round-trip error within scale/2") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(64)
+    val vecs = emb.selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val rows = graft.operators.Similarity.quantizeInt8(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+    assert(rows.length === vecs.map(_._2.size).sum, "one row per component")
+    rows.foreach { case ((id, i), (q, scale)) =>
+      assert(math.abs(q) <= 127, s"code out of int8 range: $q")
+      val x = vecs(id)(i.toInt)
+      if (scale > 0)
+        assert(math.abs(x - q * scale) <= scale / 2 + 1e-12,
+          s"dequant error beyond half a step at ($id, $i)")
+      else assert(q === 0L)
+    }
+  }
   import spark.implicits._
 
   test("brute-force cosine: each query's top hit is itself with score 1.0") {
