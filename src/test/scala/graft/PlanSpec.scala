@@ -280,6 +280,18 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("Exchange"), s"fixed-offset field extraction must stay scan-side:\n$p")
   }
 
+  test("int8 quantization stays scan-side — no shuffle at all") {
+    val p = plan(Registry.queries("emb_quantize_int8")(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"quantization must be a pure projection + declared unpivot:\n$p")
+  }
+
+  test("simhash pairs: banding buckets, never an all-pairs join") {
+    val p = plan(Registry.queries("dedup_simhash_pairs")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair expansion must be bucket-local, not a cross join:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)
