@@ -398,9 +398,9 @@ object ExtensionQueries {
                         ELSE 0 END) AS BIGINT) AS simhash
         FROM b GROUP BY doc_id""")),
 
-    // SimHash near-dup pairs: 4-byte pigeonhole blocking (Hamming <= 3
-    // guarantees one shared byte), exact bit_count(xor) check in-bucket —
-    // all-pairs never materializes.
+    // SimHash near-dup pairs: pigeonhole + multi-probe over 16-bit halves
+    // (Hamming <= 3 leaves <= 1 flip in some half), exact-key x probe-key
+    // equi-join, bit_count(xor) verify — all-pairs never materializes.
     QuerySpec(
       "dedup_simhash_pairs",
       (s, dir) => Dedup.simhashNearDupPairs(docs(s, dir)),
@@ -420,19 +420,22 @@ object ExtensionQueries {
                  CAST(SUM(CASE WHEN s > 0 THEN CAST(2 ** i AS BIGINT)
                           ELSE 0 END) AS BIGINT) AS simhash
           FROM bsum GROUP BY doc_id),
-        bands AS (
-          SELECT doc_id, simhash, band,
-                 (simhash >> (8 * band)) & 255 AS band_val
-          FROM sh CROSS JOIN generate_series(0, 3) g(band)),
-        p AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.simhash AS ha, b.simhash AS hb
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_val = b.band_val
-           AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b,
-               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-        FROM p WHERE bit_count(xor(ha, hb)) <= 3""")),
+        ex AS (
+          SELECT doc_id, simhash, half,
+                 (simhash >> (16 * half)) & 65535 AS hv
+          FROM sh CROSS JOIN generate_series(0, 1) g(half)),
+        pr AS (
+          SELECT doc_id, simhash, half,
+                 xor(hv, CASE WHEN m = 0 THEN 0
+                              ELSE CAST(2 ** (m - 1) AS BIGINT) END) AS hv
+          FROM ex CROSS JOIN generate_series(0, 16) g(m)),
+        cand AS (
+          SELECT e.doc_id AS doc_a, p.doc_id AS doc_b,
+                 CAST(bit_count(xor(e.simhash, p.simhash)) AS BIGINT) AS hamming
+          FROM ex e JOIN pr p
+            ON e.half = p.half AND e.hv = p.hv AND e.doc_id < p.doc_id)
+        SELECT DISTINCT doc_a, doc_b, hamming
+        FROM cand WHERE hamming <= 3""")),
 
     // N-gram Jaccard over shingle-sharing pairs (inverted-index blocking).
     // The oracle mirrors the operator's document-frequency cap (maxDf=100):
