@@ -398,6 +398,35 @@ object ExtensionQueries {
                         ELSE 0 END) AS BIGINT) AS simhash
         FROM b GROUP BY doc_id""")),
 
+    // Train/eval decontamination: the 10% md5-coin slice is the "eval set",
+    // the rest the training corpus; any training doc sharing a MinHash-LSH
+    // bucket with an eval doc is a near-dup leak. Per-doc signatures are
+    // corpus-independent, so the oracle buckets everything once and splits
+    // by the same coin.
+    QuerySpec(
+      "decontaminate_near",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.decontaminateNear(
+          d.filter(TextAnalysis.sampleCoin() >= 10),
+          d.filter(TextAnalysis.sampleCoin() < 10))
+      },
+      Some(s"""
+        WITH $minhashCte,
+        coin AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS c
+          FROM documents),
+        bk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash) AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2)
+        SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id
+        FROM bk t JOIN coin ct ON t.doc_id = ct.doc_id AND ct.c >= 10
+        JOIN bk e ON t.band = e.band AND t.bucket_key = e.bucket_key
+        JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10""")),
+
     // SimHash near-dup pairs: pigeonhole + multi-probe over 16-bit halves
     // (Hamming <= 3 leaves <= 1 flip in some half), exact-key x probe-key
     // equi-join, bit_count(xor) verify — all-pairs never materializes.

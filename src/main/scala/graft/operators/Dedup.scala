@@ -249,6 +249,29 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Train/eval decontamination: training docs whose MinHash-LSH bucket
+    * collides with any eval doc — the near-dup LEAK check a training-data
+    * pipeline runs before shipping a corpus (an eval answer paraphrased
+    * into the training set is exactly a cross-corpus near-dup; byte-exact
+    * leaks are the fingerprint-equi-join special case). Both sides bucket
+    * scan-side ([[minhashBuckets]] — per-doc signatures are independent of
+    * the corpus, so filtering before bucketing changes nothing); the only
+    * exchange is the (band, bucket_key) equi-join, and the eval side is
+    * tiny in practice, so at scale it rides a broadcast while the training
+    * corpus streams through one scan.
+    */
+  def decontaminateNear(
+      train: DataFrame, evalDocs: DataFrame,
+      k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhashBuckets(train, k, rowsPerBand)
+      .select(col("band"), col("bucket_key"), col("doc_id").as("train_doc_id"))
+      .join(
+        minhashBuckets(evalDocs, k, rowsPerBand)
+          .select(col("band"), col("bucket_key"), col("doc_id").as("eval_doc_id")),
+        Seq("band", "bucket_key"))
+      .select(col("train_doc_id"), col("eval_doc_id"))
+      .distinct()
+
   /** Near-duplicate clusters: connected components over the MinHash
     * candidate-pair graph ([[connectedComponents]] — min-label
     * propagation with the pointer-halving shortcut, O(log diameter)

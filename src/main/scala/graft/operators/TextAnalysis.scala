@@ -50,18 +50,25 @@ object TextAnalysis {
         lit(0.4) * col("stop_ratio") + lit(0.3) * col("alpha_ratio") +
           lit(0.3) * (least(col("n_tokens"), lit(100)).cast("double") / lit(100.0)))
 
-  /** Deterministic content-keyed sample: keep a doc iff the first 32 bits
-    * of md5(salt:doc_id) mod 100 land below `pct`. Reproducible across
-    * runs and engines (no RNG state), stable under repartitioning, and the
-    * salt gives independent replicas — the standard way to cut a fixed,
-    * auditable slice of a 100 TB corpus. Pure per-row filter: pushes to
-    * the scan, no shuffle.
+  /** The deterministic sampling coin in [0, 100): first 32 bits of
+    * md5(salt:doc_id) mod 100 — shared by the samplers and the
+    * decontamination split so "the 10% eval slice" means the same docs
+    * everywhere.
+    */
+  def sampleCoin(salt: String = "s0"): org.apache.spark.sql.Column =
+    conv(substring(
+      md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Deterministic content-keyed sample: keep a doc iff [[sampleCoin]]
+    * lands below `pct`. Reproducible across runs and engines (no RNG
+    * state), stable under repartitioning, and the salt gives independent
+    * replicas — the standard way to cut a fixed, auditable slice of a
+    * 100 TB corpus. Pure per-row filter: pushes to the scan, no shuffle.
     */
   def deterministicSample(docs: DataFrame, pct: Int = 10, salt: String = "s0"): DataFrame =
     docs.select(col("doc_id"), col("lang"))
-      .filter(conv(substring(
-        md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 100 < pct)
+      .filter(sampleCoin(salt) < pct)
 
   /** Stratified deterministic sample: per-language keep rates (e.g.
     * downsample the dominant language, keep all of a rare one) with the
@@ -79,9 +86,7 @@ object TextAnalysis {
       case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
     }
     docs.select(col("doc_id"), col("lang"))
-      .filter(conv(substring(
-        md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 100 < rate)
+      .filter(sampleCoin(salt) < rate)
   }
 
   /** Per-document TF-IDF top-k terms: tf = term count in the doc, df =

@@ -104,6 +104,16 @@ class DedupSpec extends GraftSpec {
       "jaccard under a 0.3 near-dup threshold misses the containment pair")
   }
 
+  test("decontamination: only cross-corpus near-dups surface") {
+    // docs 1/2 are near-dups of eval doc 3 -> both leak; the 1-2 pair is
+    // WITHIN the training set and must not appear; 4 is clean
+    val train = docsDf((1L, textA), (2L, textA), (4L, textB))
+    val evalDocs = docsDf((3L, textA))
+    val got = Dedup.decontaminateNear(train, evalDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 3L), (2L, 3L)))
+  }
+
   test("near-dup clusters: components labelled by min doc id, singletons self") {
     // 1-2 identical, 3 identical to both via chain 2-3 (same text), 4 alone
     val docs = docsDf((1L, textA), (2L, textA), (3L, textA), (4L, textB))
