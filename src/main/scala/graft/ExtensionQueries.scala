@@ -820,6 +820,46 @@ object ExtensionQueries {
                scale
         FROM x""")),
 
+    // Quantized-corpus cosine top-k: scales cancel in cosine, so the
+    // int8 score is the exact integer ratio dot/sqrt(qn_a*qn_b) — the
+    // 4x-smaller search path the quantization op feeds.
+    QuerySpec(
+      "sim_cosine_topk_q8",
+      (s, dir) => Similarity.cosineTopKQuantized(emb(s, dir)),
+      Some(s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        m AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax
+          FROM v),
+        q8 AS (
+          SELECT vec_id,
+                 list_transform(v, x ->
+                   CASE WHEN amax > CAST(0.0 AS DOUBLE)
+                        THEN CAST(FLOOR(x / (amax / 127.0) + 0.5) AS BIGINT)
+                        ELSE 0 END) AS qv
+          FROM m),
+        n AS (
+          SELECT vec_id, qv,
+                 CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qn
+          FROM q8),
+        nn AS (SELECT vec_id, qv, qn FROM n WHERE qn > 0),
+        q AS (SELECT vec_id AS qid, qv AS qqv, qn AS qqn FROM nn WHERE vec_id < 8),
+        px AS (
+          SELECT q.qid, c.vec_id, q.qqn, c.qn,
+                 unnest(q.qqv) AS qx, unnest(c.qv) AS x
+          FROM nn c CROSS JOIN q),
+        dots AS (
+          SELECT qid, vec_id, qqn, qn,
+                 CAST(SUM(qx * x) AS BIGINT) AS dot
+          FROM px GROUP BY qid, vec_id, qqn, qn),
+        s AS (
+          SELECT qid, vec_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(qqn AS DOUBLE) * CAST(qn AS DOUBLE)) AS score
+          FROM dots)
+        ${topkTail(10)}""")),
+
     // Corpus-median quality gate: exact bucketed-percentile threshold.
     QuerySpec(
       "text_quality_gate",

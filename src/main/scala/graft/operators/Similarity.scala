@@ -122,6 +122,50 @@ object Similarity {
                     ELSE 0L END)""")).as(Seq("i", "q")))
       .select(col("vec_id"), col("i").cast("long").as("i"), col("q"), col("scale"))
 
+  /** The quantized corpus frame: (vec_id, qv int8-code array, qn exact
+    * integer squared norm), zero-norm vectors dropped (no direction — and
+    * their score division would need an engine-specific 0/0 convention).
+    */
+  private def quantizedVecs(emb: DataFrame): DataFrame =
+    vecs(emb)
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        """transform(v, x ->
+             CASE WHEN amax > CAST(0.0 AS DOUBLE)
+                  THEN CAST(FLOOR(x / (amax / 127.0) + 0.5) AS BIGINT)
+                  ELSE 0L END)"""))
+      .select(col("vec_id"), col("qv"),
+        expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)").as("qn"))
+      .filter(col("qn") > 0L)
+
+  /** Brute-force cosine top-k over the INT8-quantized corpus — the search
+    * path [[quantizeInt8]] exists for. The per-vector scales cancel in
+    * cosine (dot·s_a·s_b / (|a|s_a · |b|s_b)), so the quantized score is
+    * the pure integer ratio dot(qa,qb)/√(qn_a·qn_b): exact cross-engine
+    * arithmetic with ONE IEEE division, no float accumulation anywhere.
+    * Memory per corpus vector is dim bytes + one long instead of 4·dim —
+    * the 4× cut that decides whether a 100 TB corpus's search structures
+    * fit the cluster. Same plan shape as [[cosineTopK]]: broadcast query
+    * set, one corpus scan, WindowGroupLimit pre-prune. SimilaritySpec
+    * reports recall vs the float top-k (int8 on these embeddings loses
+    * almost nothing).
+    */
+  def cosineTopKQuantized(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val e = quantizedVecs(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("qn").as("qqn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("score"), asc("vec_id"))
+    e.crossJoin(broadcast(q))
+      .withColumn("score",
+        expr("aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .cast("double") /
+          sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+  }
+
   /** Cheap one-row dimensionality probe for internal callers: safe WITHOUT
     * the full-corpus uniformity validation because [[lshBuckets]]'s
     * projection raises loudly on any row whose size disagrees — a ragged

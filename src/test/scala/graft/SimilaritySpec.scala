@@ -4,6 +4,19 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends GraftSpec {
 
+  test("quantized cosine top-k: self is top-1, recall vs float top-k reported") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val truth = graft.operators.Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.operators.Similarity.cosineTopKQuantized(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // every query's top hit is itself (cosine 1.0 survives quantization)
+    got.filter(_._3 == 1).foreach { case (qid, vid, _) => assert(qid === vid) }
+    val recall = (got.map(t => (t._1, t._2)).toSet & truth).size.toDouble / truth.size
+    info(f"int8-cosine recall@10 = $recall%.3f vs float top-k")
+    assert(recall >= 0.9, s"int8 quantization should barely move the top-k: $recall")
+  }
+
   test("int8 quantization: codes bounded, round-trip error within scale/2") {
     val emb = Tables.load(spark, sf, "embeddings").limit(64)
     val vecs = emb.selectExpr("vec_id", "cast(embedding as array<double>) v")
