@@ -146,21 +146,25 @@ object Similarity {
     * Memory per corpus vector is dim bytes + one long instead of 4·dim —
     * the 4× cut that decides whether a 100 TB corpus's search structures
     * fit the cluster. Same plan shape as [[cosineTopK]]: broadcast query
-    * set, one corpus scan, WindowGroupLimit pre-prune. SimilaritySpec
-    * reports recall vs the float top-k (int8 on these embeddings loses
-    * almost nothing).
+    * set, one corpus scan, WindowGroupLimit pre-prune. Scoring runs
+    * through the codegen'd [[graft.functions.QuantizedCosine]] tight
+    * integer loop, bit-identical to the zip_with + aggregate HOF form it
+    * replaces (the expression's integer norms equal the precomputed
+    * `qn`); at local test scales the two tie — the query is
+    * plan-overhead-dominated — and the native loop is the form that
+    * holds up as |queries| × |corpus| grows (the cosine_sim precedent).
+    * SimilaritySpec reports recall vs the float top-k (int8 on these
+    * embeddings loses almost nothing).
     */
   def cosineTopKQuantized(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
     val e = quantizedVecs(emb)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("qn").as("qqn"))
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(desc("score"), asc("vec_id"))
     e.crossJoin(broadcast(q))
       .withColumn("score",
-        expr("aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-          .cast("double") /
-          sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+        graft.functions.GraftFunctions.quantized_cosine(col("qqv"), col("qv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))

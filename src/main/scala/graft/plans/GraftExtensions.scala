@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, QuantizedCosine}
 
 /** Engine extension installer: makes the native functions available to SQL
   * (`SELECT cosine_sim(a, b)`) via
@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("quantized_cosine"),
+      new ExpressionInfo(classOf[QuantizedCosine].getName, "quantized_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "quantized_cosine expects exactly 2 arguments")
+        QuantizedCosine(children.head, children(1))
       }))
   }
 }

@@ -55,6 +55,27 @@ class FunctionsSpec extends GraftSpec {
     assert(r === 1.0)
   }
 
+  test("quantized_cosine: hand value, eval↔codegen parity, null contracts, SQL") {
+    import graft.functions.QuantizedCosine
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def lit8(xs: Long*) =
+      Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(LongType))
+    // dot = 3*1 + -1*2 + 2*3 = 7; norms 14 and 14 -> 7/14 = 0.5
+    val interpreted = QuantizedCosine(lit8(3, -1, 2), lit8(1, 2, 3))
+      .eval(null).asInstanceOf[Double]
+    assert(interpreted === 0.5)
+    // identical codes -> exactly 1.0; zero-norm and mismatched dims -> null
+    assert(QuantizedCosine(lit8(5, -7), lit8(5, -7)).eval(null) === 1.0)
+    assert(QuantizedCosine(lit8(0, 0), lit8(1, 2)).eval(null) == null)
+    assert(QuantizedCosine(lit8(1, 2), lit8(1, 2, 3)).eval(null) == null)
+    val viaCodegenPath = spark.sql(
+      """SELECT quantized_cosine(array(3L, -1L, 2L), array(1L, 2L, 3L)) AS s""")
+      .head.getDouble(0)
+    assert(viaCodegenPath === interpreted)
+  }
+
   test("embedding near-dup pairs: thresholded, ordered, score-consistent") {
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val pairs = Similarity.embeddingNearDupPairs(emb).collect()
