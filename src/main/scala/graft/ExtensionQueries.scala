@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Joins, Multimodal, Percentiles, Similarity, Sketches, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions.col
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
@@ -1407,6 +1407,139 @@ object ExtensionQueries {
         SELECT doc_id, lang, lang_pred, n_tokens, n_chars, quality_score, fp
         FROM d
         WHERE rn = 1 AND quality_score IS NOT NULL
-          AND NOT isnan(quality_score) AND quality_score >= 0.3"""))
+          AND NOT isnan(quality_score) AND quality_score >= 0.3""")),
+
+    // ---- corpus assembly (round 6) -----------------------------------------
+    // Intra-document repetition gates: top-token fraction + duplicate-bigram
+    // fraction, both scan-side (linear sorted-run fold, no per-doc explode).
+    QuerySpec(
+      "text_repetition",
+      (s, dir) => TextAnalysis.repetitionStats(docs(s, dir)),
+      Some(s"""
+        WITH $toksCte,
+        x AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        tc AS (SELECT doc_id, w, COUNT(*) AS c FROM x GROUP BY 1, 2),
+        tt AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_token_count
+               FROM tc GROUP BY 1),
+        bg AS (
+          SELECT doc_id, len(t) AS n_tokens,
+                 CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(range(1, len(t)),
+                             i -> concat(t[i], ' ', t[i+1])) END AS bgs
+          FROM toks)
+        SELECT b.doc_id,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               tt.top_token_count,
+               CAST(len(bgs) AS BIGINT) AS n_bigrams,
+               CAST(len(bgs) - len(list_distinct(bgs)) AS BIGINT) AS n_dup_bigrams,
+               CASE WHEN b.n_tokens > 0
+                    THEN CAST(tt.top_token_count AS DOUBLE) /
+                         CAST(b.n_tokens AS DOUBLE) END AS top_token_ratio,
+               CASE WHEN len(bgs) > 0
+                    THEN CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE) /
+                         CAST(len(bgs) AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_ratio
+        FROM bg b JOIN tt ON b.doc_id = tt.doc_id""")),
+
+    // PII / denylist scrub: counts + redaction in ONE text pass, pure
+    // projection. Patterns restricted to the Java-regex/RE2-identical
+    // subset so the oracle runs the same strings.
+    QuerySpec(
+      "text_pii_scrub",
+      (s, dir) => TextAnalysis.scrub(docs(s, dir)),
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '${TextAnalysis.emailPattern}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '${TextAnalysis.ipv4Pattern}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                 '${TextAnalysis.denylistPattern}')) AS BIGINT) AS n_denylist,
+               regexp_replace(text, '${TextAnalysis.denylistPattern}',
+                 '[MASKED]', 'g') AS redacted
+        FROM documents""")),
+
+    // BPE-style pair counting: corpus top-k adjacent token pairs via one
+    // hash agg + TakeOrderedAndProject (never a full sort shuffle).
+    QuerySpec(
+      "vocab_bigram_topk",
+      (s, dir) => TextAnalysis.vocabBigrams(docs(s, dir)),
+      Some(s"""
+        WITH $toksCte,
+        bg AS (
+          SELECT unnest(list_transform(range(1, len(t)),
+                   i -> concat(t[i], ' ', t[i+1]))) AS bigram
+          FROM toks WHERE len(t) >= 2)
+        SELECT bigram, COUNT(*) AS n FROM bg
+        GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""")),
+
+    // Context-window chunking: 64-token chunks at stride 48 (overlap 16),
+    // scan-side transform + posexplode, zero shuffle.
+    QuerySpec(
+      "chunk_fixed_overlap",
+      (s, dir) => TextAnalysis.chunkDocuments(docs(s, dir)),
+      Some(s"""
+        WITH $toksCte,
+        nc AS (
+          SELECT doc_id, t,
+                 greatest(1, (len(t) - 16 + 47) // 48) AS n_chunks
+          FROM toks),
+        ch AS (
+          SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_id FROM nc)
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(t, chunk_id*48 + 1, chunk_id*48 + 64))
+                 AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(t, chunk_id*48 + 1, chunk_id*48 + 64),
+                 ' ') AS chunk_text
+        FROM ch""")),
+
+    // Token-budget sequence packing: per-language running token offsets ->
+    // shard ids, banded two-pass decomposition (lang alone is
+    // low-cardinality; see Packing.packTokenShards).
+    QuerySpec(
+      "pack_token_shards",
+      (s, dir) => Packing.packTokenShards(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM t)
+        SELECT doc_id, lang, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+               CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard_id
+        FROM c""")),
+
+    // Capped domain-mixture weights: weight = min(domain_tokens, cap) /
+    // total over (lang, source) domains — exact-integer numerators and
+    // denominators, one IEEE division each.
+    QuerySpec(
+      "mix_capped_weights",
+      (s, dir) => Packing.mixCappedWeights(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT lang, source,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM documents),
+        d AS (
+          SELECT lang, source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS dom_tokens
+          FROM t GROUP BY 1, 2),
+        c AS (SELECT *, least(dom_tokens, 400) AS capped_tokens FROM d),
+        tot AS (SELECT CAST(SUM(capped_tokens) AS BIGINT) AS total_capped FROM c)
+        SELECT lang, source, n_docs, dom_tokens, capped_tokens,
+               CAST(capped_tokens AS DOUBLE) / CAST(total_capped AS DOUBLE)
+                 AS weight,
+               CAST(capped_tokens * 1000000 AS DOUBLE) /
+                 CAST(total_capped * dom_tokens AS DOUBLE) AS rep_factor
+        FROM c CROSS JOIN tot"""))
   )
 }

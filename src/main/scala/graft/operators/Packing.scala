@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training runs: token-budget sequence
+  * packing (which shard does each document's token stream land in) and
+  * capped domain-mixture weights (how much of each source domain a run
+  * samples). Both are the "turn a curated corpus into a training mix"
+  * steps that follow dedup/gating in an LLM data pipeline.
+  */
+object Packing {
+
+  /** Token-budget packing: lay each language's documents end-to-end in
+    * doc_id order and cut the token stream into `budgetTokens`-sized
+    * shards — every doc gets its global token offset and shard id. This
+    * is a per-language running sum, and `lang` is LOW-cardinality, so the
+    * naive window would funnel the whole corpus through ≤|langs| reducers
+    * (the q15/q32 scale-killer). Banded two-pass decomposition instead:
+    *
+    *   1. in-band running sum over (lang, band = doc_id div bandWidth) —
+    *      high-cardinality keys, parallelism scales with the corpus;
+    *   2. per-(lang, band) totals → prefix sums over the TINY band
+    *      aggregate (rows = bands × langs, independent of corpus rows),
+    *      broadcast back;
+    *   offset = band prefix + in-band cumsum − n_tokens.
+    *
+    * Size `bandWidth` so one (lang, band) slice fits an executor; the
+    * only corpus-sized exchange is the (lang, band) window's.
+    */
+  def packTokenShards(
+      docs: DataFrame,
+      budgetTokens: Long = 4096L,
+      bandWidth: Long = 64L): DataFrame = {
+    val withTok = docs.select(
+      col("doc_id"), col("lang"),
+      size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bandWidth").as("band"))
+    val wBand = Window.partitionBy(col("lang"), col("band"))
+      .orderBy(asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // strictly-previous bands' totals; this window IS keyed by the bare
+    // low-cardinality key, but consumes only the tiny band aggregate
+    val wPrefix = Window.partitionBy(col("lang")).orderBy(asc("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withTok
+      .groupBy(col("lang"), col("band"))
+      .agg(sum(col("n_tokens")).as("band_total"))
+      .withColumn("prefix", coalesce(sum(col("band_total")).over(wPrefix), lit(0L)))
+      .select(col("lang"), col("band"), col("prefix"))
+    withTok
+      .withColumn("cum_in_band", sum(col("n_tokens")).over(wBand))
+      .join(broadcast(prefixes), Seq("lang", "band"))
+      // "offset" is a reserved word in the oracle dialect; tok_offset on
+      // both sides keeps the names aligned for the driver's compare
+      .withColumn("tok_offset", col("prefix") + col("cum_in_band") - col("n_tokens"))
+      .withColumn("shard_id", expr(s"tok_offset div $budgetTokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("tok_offset"), col("shard_id"))
+  }
+
+  /** Capped domain-mixture weights: per (lang, source) domain, weight ∝
+    * min(domain_tokens, cap) — the standard "cap the dominant domains"
+    * rebalancing (an exactly-representable stand-in for temperature
+    * sampling: same shape, but every weight is a single IEEE division of
+    * exact integers, so the oracle matches bit-for-bit where a pow(x, α)
+    * sum would be accumulation-order-dependent). rep_factor is the
+    * expected duplication of each domain under a `targetTokens` budget:
+    * weight · target / domain_tokens, computed as ONE division of two
+    * exact integer products. One hash agg over a scan-side projection +
+    * one broadcast scalar — output rows = |domains|, corpus-independent.
+    */
+  def mixCappedWeights(
+      docs: DataFrame,
+      capTokens: Long = 400L,
+      targetTokens: Long = 1000000L): DataFrame = {
+    val dom = docs
+      .select(col("lang"), col("source"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("dom_tokens"))
+      .withColumn("capped_tokens", least(col("dom_tokens"), lit(capTokens)))
+    val total = dom.agg(sum(col("capped_tokens")).as("total_capped"))
+    dom.crossJoin(broadcast(total))
+      .withColumn("weight",
+        col("capped_tokens").cast("double") / col("total_capped").cast("double"))
+      .withColumn("rep_factor",
+        (col("capped_tokens") * lit(targetTokens)).cast("double") /
+          (col("total_capped") * col("dom_tokens")).cast("double"))
+      .select(col("lang"), col("source"), col("n_docs"), col("dom_tokens"),
+        col("capped_tokens"), col("weight"), col("rep_factor"))
+  }
+}

@@ -237,6 +237,123 @@ object TextAnalysis {
       .drop("toks", "n_stop", "n_alpha", "en_hits", "de_hits", "fr_hits",
         "stop_ratio", "alpha_ratio")
 
+  /** Intra-document repetition signals (the Gopher-style quality gates a
+    * curation run applies before any cross-document dedup): the fraction
+    * of tokens taken by the single most frequent token, and the fraction
+    * of token bigrams that are repeats. Both are pure scan-side per-row
+    * expressions: the top-token count is a LINEAR fold over the sorted
+    * token array (longest equal run = max multiplicity — no per-doc
+    * explode/re-aggregate, no O(distinct²) nested filter), and the bigram
+    * repeat count is `size − size(array_distinct)`. Ratios are one IEEE
+    * division of exact integers, bit-stable cross-engine.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("""
+          aggregate(
+            array_sort(toks),
+            named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+            (acc, w) -> named_struct(
+              'prev', w,
+              'run', IF(w <=> acc.prev, acc.run + 1L, 1L),
+              'best', GREATEST(acc.best, IF(w <=> acc.prev, acc.run + 1L, 1L))),
+            acc -> acc.best)""").as("top_token_count"),
+        expr("""
+          IF(size(toks) < 2, array(),
+             transform(sequence(1, size(toks) - 1),
+                       i -> concat(toks[i-1], ' ', toks[i])))""").as("bigrams"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("top_token_count"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        (size(col("bigrams")) - size(array_distinct(col("bigrams"))))
+          .cast("long").as("n_dup_bigrams"))
+      .withColumn("top_token_ratio",
+        when(col("n_tokens") > 0,
+          col("top_token_count").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("dup_bigram_ratio",
+        when(col("n_bigrams") > 0,
+          col("n_dup_bigrams").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+
+  /** PII / denylist patterns for [[scrub]]: kept to the regex subset with
+    * identical semantics in Java regex and RE2 (character classes, bounded
+    * repetition, word boundaries, alternation — no lookaround, no
+    * backrefs), so the DuckDB oracle runs the very same patterns.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val denylistPattern = "\\b(key|hash|value)\\b"
+
+  /** PII / denylist scrub: per-document match counts for each pattern
+    * class plus the redacted text (denylist terms masked). A compliance
+    * pass over a 100 TB corpus is scan-dominated, and this is a pure
+    * projection — counts and redaction in ONE pass over the text, no
+    * shuffle, pipelined with any downstream gate. The synthetic corpus
+    * contains no emails/IPs (counts 0 — still asserted by the oracle);
+    * TextAnalysisSpec exercises the hit paths on adversarial literals.
+    */
+  def scrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(ipv4Pattern), lit(0)))
+        .cast("long").as("n_ipv4"),
+      size(regexp_extract_all(col("text"), lit(denylistPattern), lit(0)))
+        .cast("long").as("n_denylist"),
+      regexp_replace(col("text"), denylistPattern, "[MASKED]").as("redacted"))
+
+  /** Corpus-wide top-k token bigrams — the pair-count step of BPE-style
+    * vocabulary induction (each merge round is exactly "count adjacent
+    * pairs, take the max"). One scan-side bigram expansion, one
+    * high-cardinality hash agg (map-side combinable), then a global top-k
+    * that Spark executes as TakeOrderedAndProject — per-partition heaps of
+    * k rows to the driver, never a full sort shuffle. Deterministic
+    * (count desc, bigram asc) tiebreak.
+    */
+  def vocabBigrams(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      .select(Dedup.tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        """IF(size(toks) < 2, array(),
+              transform(sequence(1, size(toks) - 1),
+                        i -> concat(toks[i-1], ' ', toks[i])))""")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(k)
+
+  /** Fixed-size overlapping token chunks — the context-window slicing
+    * step that turns curated documents into training sequences (or RAG
+    * passages). Chunk c covers tokens [c·stride, c·stride + chunkSize);
+    * nChunks = max(1, ⌈(n − overlap)/stride⌉) so every token is covered
+    * and no chunk is a strict suffix-duplicate of its predecessor.
+    * Scan-side transform + posexplode: rows expand ≈ n/stride per doc with
+    * ZERO shuffle — the output partitioning is the input's, so a
+    * downstream `.write` streams straight out of the scan stage.
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "chunk must cover its stride")
+    val overlap = chunkSize - stride
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .withColumn("n_chunks",
+        greatest(lit(1L),
+          expr(s"(size(toks) - $overlap + $stride - 1) div $stride")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, n_chunks - 1), c -> slice(toks, c * $stride + 1, $chunkSize))")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_chunk_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+  }
+
   /** Rolling-hash fingerprint (Rabin–Karp shape): left-fold
     * h = (h*31 + wordHash) mod (2^31 - 1) over the token stream, where
     * wordHash is the first 32 bits of md5(word). Order-sensitive (unlike

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Packing
+
+class PackingSpec extends GraftSpec {
+
+  test("pack offsets equal the per-language running token sum (brute force)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = Packing.packTokenShards(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val raw = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").length.toLong))
+    raw.groupBy(_._2).foreach { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, n) =>
+        val r = got(id)
+        assert(r.getAs[Long]("n_tokens") === n, s"doc $id tokens")
+        assert(r.getAs[Long]("tok_offset") === cum, s"doc $id ($lang) offset")
+        assert(r.getAs[Long]("shard_id") === cum / 4096L, s"doc $id shard")
+        cum += n
+      }
+    }
+    assert(got.size === raw.length, "every doc packed exactly once")
+  }
+
+  test("pack is band-width invariant (the banded decomposition is exact)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = Packing.packTokenShards(docs, bandWidth = 64L).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("tok_offset"))).toMap
+    val b = Packing.packTokenShards(docs, bandWidth = 7L).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("tok_offset"))).toMap
+    assert(a === b)
+  }
+
+  test("capped mixture: weights sum to 1, caps bind, rep factor exact") {
+    val docs = Tables.load(spark, sf, "documents")
+    // cap 100 binds on the tiny sf0.001 domains (the registered default,
+    // 400, binds from sf0.01 up — same code path, different knob)
+    val rows = Packing.mixCappedWeights(docs, capTokens = 100L).collect()
+    val total = rows.map(_.getAs[Long]("capped_tokens")).sum
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-9)
+    assert(rows.exists(r =>
+      r.getAs[Long]("capped_tokens") < r.getAs[Long]("dom_tokens")),
+      "at least one domain is capped on this corpus")
+    rows.foreach { r =>
+      val domTokens = r.getAs[Long]("dom_tokens")
+      val capped = r.getAs[Long]("capped_tokens")
+      assert(capped === math.min(domTokens, 100L))
+      assert(r.getAs[Double]("weight") === capped.toDouble / total.toDouble)
+      assert(r.getAs[Double]("rep_factor") ===
+        (capped * 1000000L).toDouble / (total * domTokens).toDouble)
+    }
+  }
+}

@@ -292,6 +292,34 @@ class PlanSpec extends GraftSpec {
       s"pair expansion must be bucket-local, not a cross join:\n$p")
   }
 
+  test("repetition stats and scrub are pure projections — no shuffle") {
+    for (q <- Seq("text_repetition", "text_pii_scrub")) {
+      val p = plan(Registry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"),
+        s"$q must stay a scan-side projection (linear folds / regex):\n$p")
+    }
+  }
+
+  test("chunking explodes scan-side — no shuffle before the sink") {
+    val p = plan(Registry.queries("chunk_fixed_overlap")(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"chunk expansion must keep the input partitioning:\n$p")
+  }
+
+  test("vocab bigram top-k runs as TakeOrderedAndProject over one agg") {
+    val p = plan(Registry.queries("vocab_bigram_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must be per-partition heaps, not a full sort:\n$p")
+  }
+
+  test("packing windows by (lang, band); the prefix table joins broadcast") {
+    val p = plan(Registry.queries("pack_token_shards")(spark, sf))
+    assert("hashpartitioning\\(lang#\\d+, band#".r.findFirstIn(p).isDefined,
+      s"the corpus-sized window must partition by (lang, band):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"band prefix totals must broadcast back:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)

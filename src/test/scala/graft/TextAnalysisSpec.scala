@@ -110,4 +110,81 @@ class TextAnalysisSpec extends GraftSpec {
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(3L))
   }
+
+  test("repetition stats match a brute-force recount on the corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.select("doc_id", "text").collect().foreach { row =>
+      val id = row.getLong(0)
+      val toks = row.getString(1).trim.toLowerCase.split("\\s+").toSeq
+      val top = toks.groupBy(identity).values.map(_.size).max
+      val bgs =
+        if (toks.size < 2) Seq.empty[String]
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val r = got(id)
+      assert(r.getAs[Long]("n_tokens") === toks.size.toLong, s"doc $id n")
+      assert(r.getAs[Long]("top_token_count") === top.toLong, s"doc $id top")
+      assert(r.getAs[Long]("n_bigrams") === bgs.size.toLong, s"doc $id bg")
+      assert(r.getAs[Long]("n_dup_bigrams") ===
+        (bgs.size - bgs.distinct.size).toLong, s"doc $id dup")
+    }
+  }
+
+  test("repetition ratios flag a degenerate repeated doc") {
+    import spark.implicits._
+    val r = TextAnalysis.repetitionStats(
+      Seq((9L, "spam spam spam spam"), (10L, "all words here differ"))
+        .toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(9L).getAs[Double]("top_token_ratio") === 1.0)
+    assert(r(9L).getAs[Double]("dup_bigram_ratio") === 2.0 / 3.0)
+    assert(r(10L).getAs[Long]("top_token_count") === 1L)
+    assert(r(10L).getAs[Double]("dup_bigram_ratio") === 0.0)
+  }
+
+  test("scrub counts and redacts; hit paths on adversarial literals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@example.com or alice.smith+x@mail.co via 10.0.0.1"),
+      (2L, "the key of the hash is a value of the key"),
+      (3L, "monkeys hashing valued")) // substrings must NOT match (\b)
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.scrub(docs).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_email") === 2L)
+    assert(r(1L).getAs[Long]("n_ipv4") === 1L)
+    assert(r(2L).getAs[Long]("n_denylist") === 4L)
+    assert(r(2L).getAs[String]("redacted") ===
+      "the [MASKED] of the [MASKED] is a [MASKED] of the [MASKED]")
+    assert(r(3L).getAs[Long]("n_denylist") === 0L)
+    assert(r(3L).getAs[String]("redacted") === "monkeys hashing valued")
+  }
+
+  test("vocab bigrams: pair counts with deterministic tiebreak") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabBigrams(docs, k = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("chunking covers every token at the declared stride") {
+    val docs = Tables.load(spark, sf, "documents")
+    val chunks = TextAnalysis.chunkDocuments(docs).collect().groupBy(_.getLong(0))
+    docs.select("doc_id", "text").collect().foreach { row =>
+      val id = row.getLong(0)
+      val toks = row.getString(1).trim.toLowerCase.split("\\s+").toSeq
+      val cs = chunks(id).sortBy(_.getAs[Long]("chunk_id"))
+      assert(cs.length === math.max(1, (toks.size - 16 + 47) / 48), s"doc $id count")
+      cs.foreach { c =>
+        val start = c.getAs[Long]("chunk_id").toInt * 48
+        val exp = toks.slice(start, start + 64)
+        assert(c.getAs[String]("chunk_text") === exp.mkString(" "),
+          s"doc $id chunk@$start")
+        assert(c.getAs[Long]("n_chunk_tokens") === exp.size.toLong)
+      }
+      val lastStart = cs.last.getAs[Long]("chunk_id").toInt * 48
+      assert(lastStart + 64 >= toks.size, s"doc $id tail covered")
+    }
+  }
 }
