@@ -427,6 +427,37 @@ object ExtensionQueries {
         JOIN bk e ON t.band = e.band AND t.bucket_key = e.bucket_key
         JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10""")),
 
+    // Substring-level dedup: w-token window hashes at a stride; windows in
+    // >= 2 distinct docs are duplicated; per-doc duplicated-window ratio.
+    QuerySpec(
+      "dedup_dup_windows",
+      (s, dir) => Dedup.duplicatedWindowStats(docs(s, dir)),
+      Some(s"""
+        WITH $toksCte,
+        pos AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, (len(t) - 16) // 4 + 1),
+                   p -> ('0x' || substring(md5(array_to_string(
+                          list_slice(t, p*4 + 1, p*4 + 16), ' ')), 1, 12))::BIGINT))
+                   AS whash
+          FROM toks WHERE len(t) >= 16),
+        shared AS (
+          SELECT whash FROM (
+            SELECT whash, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY 1)
+          WHERE nd >= 2),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_windows,
+                 CAST(SUM(CASE WHEN whash IN (SELECT whash FROM shared)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+          FROM pos GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_windows,
+               CASE WHEN COALESCE(a.n_windows, 0) > 0
+                    THEN CAST(a.n_dup AS DOUBLE) / CAST(a.n_windows AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS dup_window_ratio
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""")),
+
     // SimHash near-dup pairs: pigeonhole + multi-probe over 16-bit halves
     // (Hamming <= 3 leaves <= 1 flip in some half), exact-key x probe-key
     // equi-join, bit_count(xor) verify — all-pairs never materializes.

@@ -317,6 +317,54 @@ object Dedup {
         col("best.qs").as("qs"), col("n_members"))
   }
 
+  /** Substring-level dedup signal (the Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better" pass, re-expressed relationally):
+    * hash every w-token window at the given stride, find windows that
+    * occur in ≥2 DISTINCT documents, and report per document how much of
+    * it is covered by cross-document duplicated substrings. This catches
+    * the boilerplate/quote overlap that whole-document fingerprints and
+    * even MinHash miss (a long doc sharing one paragraph with another
+    * scores low Jaccard but high window duplication).
+    *
+    * Shape: one scan-side window expansion (≈ n_tokens/stride rows per
+    * doc — the documented cost of substring dedup; stride trades recall
+    * for volume), a (doc, hash)-distinct + hash-keyed count to find
+    * shared windows, a hash-keyed join back, and one doc-keyed agg.
+    * Every exchange key is high-cardinality; the window hash is a 48-bit
+    * md5 truncation (exact BIGINT, oracle-reproducible). At 100 TB the
+    * shared-hash set rides a bloom filter in front of the join; here the
+    * join IS the exact form of that filter.
+    */
+  def duplicatedWindowStats(docs: DataFrame, w: Int = 16, stride: Int = 4): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(toks) - $w) div $stride),
+              p -> cast(conv(substring(md5(concat_ws(' ',
+                     slice(toks, p * $stride + 1, $w))), 1, 12), 16, 10) as bigint))"""))
+        .as("whash"))
+    val shared = pos.select(col("doc_id"), col("whash")).distinct()
+      .groupBy(col("whash"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("whash"), lit(1L).as("is_dup"))
+    val perDoc = pos
+      .join(shared, Seq("whash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_windows"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_window_ratio",
+        when(col("n_windows") > 0,
+          col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** 32-bit SimHash over word occurrences. The word hash is the first 32
     * bits of md5(word) (one hex-to-int conversion per word); bit i of the
     * fingerprint is the sign of Σ_words (2·bit_i(h) − 1). Cross-engine-

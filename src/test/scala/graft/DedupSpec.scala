@@ -145,6 +145,40 @@ class DedupSpec extends GraftSpec {
     assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L, 7L -> 7L))
   }
 
+  test("duplicated windows: shared paragraph flags both docs, unique text neither") {
+    // docs 1 and 2 share a 20-token run (one "paragraph"); doc 3 is unique;
+    // doc 4 is too short to hold a single 16-token window
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs = docsDf(
+      (1L, s"intro one two three $shared"),
+      (2L, s"$shared outro four five six"),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" ")),
+      (4L, "tiny doc"))
+    val r = Dedup.duplicatedWindowStats(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.size === 4, "every doc reports, even window-less ones")
+    assert(r(4L).getAs[Long]("n_windows") === 0L)
+    assert(r(4L).getAs[Double]("dup_window_ratio") === 0.0)
+    assert(r(3L).getAs[Long]("n_dup_windows") === 0L)
+    assert(r(1L).getAs[Long]("n_dup_windows") > 0L, "shared paragraph detected in 1")
+    assert(r(2L).getAs[Long]("n_dup_windows") > 0L, "shared paragraph detected in 2")
+    // brute-force recount: window at stride-4 positions, dup iff the same
+    // 16-token text occurs (at any position) in some OTHER doc
+    val toks = Map(
+      1L -> s"intro one two three $shared", 2L -> s"$shared outro four five six",
+      3L -> (1 to 30).map(i => s"u$i").mkString(" "), 4L -> "tiny doc")
+      .view.mapValues(_.toLowerCase.split("\\s+").toSeq).toMap
+    def windows(ts: Seq[String]) =
+      (0 to (ts.size - 16) / 4).map(p => ts.slice(p * 4, p * 4 + 16).mkString(" "))
+    val byDoc = toks.filter(_._2.size >= 16).view.mapValues(windows).toMap
+    byDoc.foreach { case (id, ws) =>
+      val others = byDoc.removed(id).values.flatten.toSet
+      val expDup = ws.count(others.contains)
+      assert(r(id).getAs[Long]("n_windows") === ws.size.toLong, s"doc $id windows")
+      assert(r(id).getAs[Long]("n_dup_windows") === expDup.toLong, s"doc $id dups")
+    }
+  }
+
   test("dedup by content fingerprint collapses whitespace variants") {
     val docs = docsDf((1L, "a  b\tc"), (2L, " a b c "), (3L, "a b d"))
     val fps = graft.operators.TextAnalysis.fingerprints(docs).collect()
