@@ -1571,6 +1571,45 @@ object ExtensionQueries {
                  AS weight,
                CAST(capped_tokens * 1000000 AS DOUBLE) /
                  CAST(total_capped * dom_tokens AS DOUBLE) AS rep_factor
-        FROM c CROSS JOIN tot"""))
+        FROM c CROSS JOIN tot""")),
+
+    // Ordered conversion funnel: first view -> first click strictly after
+    // -> first purchase strictly after; single-row stage counts. Staged
+    // conditional aggs + user-keyed joins, one timestamp of state per user.
+    QuerySpec(
+      "ts_funnel_steps",
+      (s, dir) => TimeSeries.funnelSteps(events(s, dir)),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, ts FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')),
+        t1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        t3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM e JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+               (SELECT COUNT(*) FROM t2) AS n_click_after_view,
+               (SELECT COUNT(*) FROM t3) AS n_purchase_after_click""")),
+
+    // Deterministic K-per-group sample: smallest-md5-coin rank per lang,
+    // WindowGroupLimit pre-prunes map-side (low-cardinality group key is
+    // safe because only <= K rows per map task reach the exchange).
+    QuerySpec(
+      "sample_per_group",
+      (s, dir) => TextAnalysis.samplePerGroup(docs(s, dir)),
+      Some("""
+        SELECT doc_id, lang, rnk FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          FROM documents)
+        WHERE rnk <= 20"""))
   )
 }

@@ -89,6 +89,26 @@ object TextAnalysis {
       .filter(sampleCoin(salt) < rate)
   }
 
+  /** Deterministic K-per-group sample: within each group keep the K docs
+    * with the smallest md5 coin (full digest string — collision-free
+    * order, doc_id tiebreak). The per-group uniform eval-slice cut
+    * ("K docs per language") with the samplers' auditability. The group
+    * key may be LOW-cardinality, but rank ≤ K compiles to
+    * WindowGroupLimit: each map task pre-prunes to K rows BEFORE the
+    * exchange, so the per-group reducer sees ≤ K·n_map_partitions rows —
+    * corpus-size-independent — not the whole group.
+    */
+  def samplePerGroup(docs: DataFrame, k: Int = 20, salt: String = "s0"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(asc("coin"), asc("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))).as("coin"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+  }
+
   /** Per-document TF-IDF top-k terms: tf = term count in the doc, df =
     * docs containing the term, score ∝ tf·N/df (the raw-ratio idf — same
     * ranking family as log-idf, but exactly representable cross-engine),

@@ -206,4 +206,34 @@ object TimeSeries {
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("user_id"), col("event_id"), col("session_id"))
   }
+
+  /** Ordered conversion funnel: per user, the first `view`, the first
+    * `click` STRICTLY after it, the first `purchase` strictly after that;
+    * the single-row readout counts users reaching each stage. Stage k+1
+    * depends on stage k's timestamp, so the funnel is staged conditional
+    * aggregations + user-keyed joins — every exchange keys on
+    * high-cardinality user_id, per-stage state is ONE timestamp per user
+    * (never a buffered event list — the same bounded-state stance as the
+    * banded EWMA), and the type filter pushes to the scan so only the
+    * three funnel event types are ever read.
+    */
+  def funnelSteps(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin("view", "click", "purchase"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .agg(
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click_after_view"),
+        count(col("t3")).as("n_purchase_after_click"))
+  }
 }

@@ -40,6 +40,42 @@ class CrossCheckSpec extends GraftSpec {
     }
   }
 
+  test("funnel stage counts agree with brute force on random event streams") {
+    val types = Seq("view", "click", "purchase", "error")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 300).map { i =>
+        (i.toLong,
+          new java.sql.Timestamp(1704067200000L + rnd.nextInt(600000).toLong),
+          rnd.nextInt(12).toLong, types(rnd.nextInt(types.size)))
+      }
+      val df = events.toDF("event_id", "ts", "user_id", "event_type")
+      val got = TimeSeries.funnelSteps(df).collect().head
+
+      def firstAfter(u: Long, tpe: String, after: Option[Long]): Option[Long] =
+        events.filter(e => e._3 == u && e._4 == tpe &&
+            after.forall(a => e._2.getTime > a))
+          .map(_._2.getTime).minOption
+      val users = events.map(_._3).distinct
+      val t1 = users.flatMap(u => firstAfter(u, "view", None).map(u -> _)).toMap
+      val t2 = t1.flatMap { case (u, t) => firstAfter(u, "click", Some(t)).map(u -> _) }
+      val t3 = t2.flatMap { case (u, t) => firstAfter(u, "purchase", Some(t)).map(u -> _) }
+      assert(got.getAs[Long]("n_view") === t1.size.toLong, s"seed $seed t1")
+      assert(got.getAs[Long]("n_click_after_view") === t2.size.toLong, s"seed $seed t2")
+      assert(got.getAs[Long]("n_purchase_after_click") === t3.size.toLong, s"seed $seed t3")
+    }
+    // strictness edge: a click at exactly the first view's ts does not count
+    val edge = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:00:00"), 1L, "click"),
+      (3L, ts("2024-01-01 00:00:01"), 1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val e = TimeSeries.funnelSteps(edge).collect().head
+    assert(e.getAs[Long]("n_view") === 1L)
+    assert(e.getAs[Long]("n_click_after_view") === 0L, "same-ts click excluded")
+    assert(e.getAs[Long]("n_purchase_after_click") === 0L)
+  }
+
   test("range join count agrees with brute force") {
     for (seed <- 1 to 3) {
       val left = randomEvents(seed, 100, 5)

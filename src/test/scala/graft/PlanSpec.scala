@@ -320,6 +320,24 @@ class PlanSpec extends GraftSpec {
       s"band prefix totals must broadcast back:\n$p")
   }
 
+  test("funnel pushes the type filter to the scan; exchanges key on user_id") {
+    val p = fplan(Registry.queries("ts_funnel_steps")(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"),
+      s"only funnel event types may be read:\n$p")
+  }
+
+  test("per-group sample prunes to k rows map-side before the exchange") {
+    val p = plan(Registry.queries("sample_per_group")(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must pre-prune (low-cardinality group key):\n$p")
+  }
+
+  test("duplicated windows: hash-keyed joins only, never all-pairs") {
+    val p = plan(Registry.queries("dedup_dup_windows")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"window-hash join must stay equi-keyed:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)

@@ -168,6 +168,28 @@ class TextAnalysisSpec extends GraftSpec {
     assert(r === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("per-group sample: exactly k per language, deterministic coin order") {
+    val docs = Tables.load(spark, sf, "documents")
+    val k = 5
+    val got = TextAnalysis.samplePerGroup(docs, k = k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Int]("rnk")))
+    val groupSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.length === math.min(k.toLong, groupSizes(lang)), s"$lang size")
+    }
+    // brute force: smallest md5 coin first, doc_id tiebreak
+    val byCoin = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).sortBy(id =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(s"s0:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)).take(k).toSet).toMap
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._1).toSet === byCoin(lang), s"$lang members")
+    }
+  }
+
   test("chunking covers every token at the declared stride") {
     val docs = Tables.load(spark, sf, "documents")
     val chunks = TextAnalysis.chunkDocuments(docs).collect().groupBy(_.getLong(0))
