@@ -122,21 +122,28 @@ object Similarity {
                     ELSE 0L END)""")).as(Seq("i", "q")))
       .select(col("vec_id"), col("i").cast("long").as("i"), col("q"), col("scale"))
 
-  /** The quantized corpus frame: (vec_id, qv int8-code array, qn exact
-    * integer squared norm), zero-norm vectors dropped (no direction — and
-    * their score division would need an engine-specific 0/0 convention).
+  /** The quantized corpus frame: (vec_id, qv int8-code array), zero-norm
+    * vectors dropped (no direction — and their score division would need
+    * an engine-specific 0/0 convention).
+    *
+    * The zero-vector drop filters on `amax > 0`, NOT on the quantized
+    * norm, though they are equivalent (amax > 0 ⟹ the max-|x| component
+    * quantizes to ±127 ⟹ qn > 0; amax = 0 ⟹ all-zero codes): predicate
+    * pushdown re-inlines a computed column's defining expression into the
+    * pushed Filter, and for `qn` that inlined form re-evaluates the
+    * array_max INSIDE the per-element transform lambda — O(dim²) work +
+    * allocations per row, MEASURED as the whole query running 3× slower
+    * (1.10 s vs 0.36 s steady-state, tools/Profile). The amax predicate
+    * re-inlines as one O(dim) pass.
     */
   private def quantizedVecs(emb: DataFrame): DataFrame =
     vecs(emb)
       .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("amax") > 0.0)
       .withColumn("qv", expr(
         """transform(v, x ->
-             CASE WHEN amax > CAST(0.0 AS DOUBLE)
-                  THEN CAST(FLOOR(x / (amax / 127.0) + 0.5) AS BIGINT)
-                  ELSE 0L END)"""))
-      .select(col("vec_id"), col("qv"),
-        expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)").as("qn"))
-      .filter(col("qn") > 0L)
+             CAST(FLOOR(x / (amax / 127.0) + 0.5) AS BIGINT))"""))
+      .select(col("vec_id"), col("qv"))
 
   /** Brute-force cosine top-k over the INT8-quantized corpus — the search
     * path [[quantizeInt8]] exists for. The per-vector scales cancel in

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Scratch profiling main: stage-by-stage wall times for the operators
-  * being tuned. Not part of the driver contract.
+  * being tuned. Not part of the driver contract. Current target: the
+  * ~1.8 s SF-independent fixed cost of sim_cosine_topk_q8 (its float
+  * twin runs 0.3 s on the same corpus).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -25,22 +27,29 @@ object Profile {
       println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-
-    val ev = Tables.load(spark, sfDir, "events")
-    time("warm events")(ev.count())
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // dissect sketch_distinct_users: which term carries the fixed cost?
-    for (i <- 1 to 2) {
-      time(s"approx rsd=0.01 #$i")(run(ev.groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.01))))
-      time(s"approx rsd=0.05 #$i")(run(ev.groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.05))))
-      time(s"exact distinct #$i")(run(ev.groupBy(col("event_type"))
-        .agg(count_distinct(col("user_id")))))
-      time(s"combined rsd=0.01 #$i")(run(graft.operators.Sketches.distinctUsers(ev)))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    time("warm embeddings")(emb.count())
+
+    import graft.operators.Similarity
+    for (i <- 1 to 3) {
+      time(s"float topk #$i")(run(Similarity.cosineTopK(emb)))
+      time(s"q8 topk    #$i")(run(Similarity.cosineTopKQuantized(emb)))
     }
-    spark.stop()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    for (i <- 1 to 2)
+      time(s"q8 topk codegen-off #$i")(run(Similarity.cosineTopKQuantized(emb)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+
+    // stage dissection: quantization scan alone, join+score without the
+    // window, window without the score
+    val qv = Similarity.quantizeInt8(emb)
+    for (i <- 1 to 2) time(s"quantize scan #$i")(run(qv))
+    //
+    //
+    //
+    //
   }
 }
