@@ -730,6 +730,45 @@ object ExtensionQueries {
         FROM d
         WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35""")),
 
+    // Semantic dedup end-to-end: embedding near-dup pairs -> connected
+    // components -> cluster sizes; the embedding-space twin of the MinHash
+    // cluster pipeline (same clustering core, different pair predicate).
+    QuerySpec(
+      "dedup_semantic_clusters",
+      (s, dir) => Similarity.semanticClusters(emb(s, dir)),
+      benchmark = false, // iterative: wall time = propagation rounds
+      oracle = Some(s"""
+        WITH RECURSIVE
+        $vecNormCte,
+        $lshBucketCte,
+        e AS (
+          SELECT n.vec_id, n.v, n.nrm, bk.bucket
+          FROM n JOIN bk ON n.vec_id = bk.vec_id),
+        px AS (
+          SELECT a.vec_id AS va_id, b.vec_id AS vb_id, a.nrm AS na, b.nrm AS nb,
+                 unnest(a.v) AS xa, unnest(b.v) AS xb
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        d AS (
+          SELECT va_id, vb_id, na, nb,
+                 CAST(SUM(CAST(FLOOR(xa*xb*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px GROUP BY va_id, vb_id, na, nb),
+        pairs AS (
+          SELECT va_id AS doc_a, vb_id AS doc_b FROM d
+          WHERE CAST(dot AS DOUBLE) /
+                sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, node) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.node = ed.src)
+        SELECT cluster, COUNT(*) AS n_members FROM (
+          SELECT src AS doc_id, min(node) AS cluster
+          FROM reach GROUP BY src)
+        GROUP BY cluster""")),
+
     // Embedding hygiene: per-dim norm stats, the pre-ANN corpus QA pass.
     QuerySpec(
       "emb_norm_stats",

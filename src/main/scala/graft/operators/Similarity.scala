@@ -444,4 +444,27 @@ object Similarity {
       .filter(col("score") >= minScore)
       .select(col("vec_a"), col("vec_b"), col("score"))
   }
+
+  /** End-to-end SEMANTIC dedup: [[embeddingNearDupPairs]] →
+    * [[Dedup.connectedComponents]] (min-label + pointer-halving, O(log
+    * diameter) rounds) → per-cluster membership counts, singletons
+    * labelling themselves. The embedding-space twin of the MinHash
+    * cluster pipeline — same clustering core, different pair predicate —
+    * so a corpus can run lexical and semantic dedup off one harness and
+    * diff the decisions. Cluster id = min vec_id = the canonical keeper.
+    * Like the MinHash clusters, wall time is propagation-round-dominated
+    * (benchmark=false); every per-round exchange keys on vec ids.
+    */
+  def semanticClusters(
+      emb: DataFrame, bits: Int = 6, minScore: Double = 0.35): DataFrame = {
+    val pairs = embeddingNearDupPairs(emb, bits, minScore)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val (labels, _) = Dedup.connectedComponents(pairs)
+    vecs(emb).select(col("vec_id").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left_anti")
+      .withColumn("cluster", col("doc_id"))
+      .unionByName(labels)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+  }
 }

@@ -163,4 +163,29 @@ class SimilaritySpec extends GraftSpec {
     // hits at full k can only be re-ranked away by better candidates
     assert(multi.nonEmpty)
   }
+
+  test("semantic clusters equal the transitive closure of the pair graph") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val got = Similarity.semanticClusters(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = emb.count()
+    assert(got.values.sum === n, "clusters partition the corpus")
+    // brute-force union-find over the collected pair graph
+    val pairs = Similarity.embeddingNearDupPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    val exp = ids.groupBy(find).map { case (root, members) =>
+      members.min -> members.length.toLong // min id IS the root by merge rule
+    }
+    assert(got === exp)
+  }
 }
