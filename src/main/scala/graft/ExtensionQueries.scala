@@ -1637,6 +1637,46 @@ object ExtensionQueries {
                (SELECT COUNT(*) FROM t2) AS n_click_after_view,
                (SELECT COUNT(*) FROM t3) AS n_purchase_after_click""")),
 
+    // Weekly retention cohorts: first-event week per user; retained =
+    // any event in cohort week + 7 days.
+    QuerySpec(
+      "ts_retention_cohorts",
+      (s, dir) => TimeSeries.retentionCohorts(events(s, dir)),
+      Some("""
+        WITH f AS (
+          SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+          FROM events GROUP BY 1),
+        w AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+        r AS (
+          SELECT f.cohort_week, COUNT(*) AS n_retained
+          FROM f JOIN w ON f.user_id = w.user_id
+           AND w.w = f.cohort_week + INTERVAL 7 DAY
+          GROUP BY 1),
+        u AS (
+          SELECT cohort_week, COUNT(*) AS n_users FROM f GROUP BY 1)
+        SELECT u.cohort_week, u.n_users,
+               COALESCE(r.n_retained, 0) AS n_retained,
+               CAST(COALESCE(r.n_retained, 0) AS DOUBLE) /
+                 CAST(u.n_users AS DOUBLE) AS retention
+        FROM u LEFT JOIN r ON u.cohort_week = r.cohort_week""")),
+
+    // Trailing 7-day distinct active users: (day, user) distinct ->
+    // constant 7-day contribution fan-out -> distinct -> per-day count.
+    QuerySpec(
+      "ts_rolling_distinct_users",
+      (s, dir) => TimeSeries.rollingDistinctUsers(events(s, dir)),
+      Some("""
+        WITH du AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        days AS (SELECT DISTINCT d FROM du),
+        contrib AS (
+          SELECT DISTINCT du.user_id, du.d + CAST(g.i AS INTEGER) AS day
+          FROM du CROSS JOIN generate_series(0, 6) g(i))
+        SELECT c.day, COUNT(*) AS n_users_7d
+        FROM contrib c JOIN days ON c.day = days.d
+        GROUP BY 1""")),
+
     // Deterministic K-per-group sample: smallest-md5-coin rank per lang,
     // WindowGroupLimit pre-prunes map-side (low-cardinality group key is
     // safe because only <= K rows per map task reach the exchange).

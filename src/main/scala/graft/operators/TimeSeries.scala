@@ -207,6 +207,59 @@ object TimeSeries {
       .select(col("user_id"), col("event_id"), col("session_id"))
   }
 
+  /** Weekly retention cohorts: users grouped by the week of their first
+    * event; a user is retained if any event lands in the cohort week + 7
+    * days. Two aggregations keyed by high-cardinality user_id, one
+    * user-keyed join, then a per-cohort rollup whose input is already ONE
+    * row per user (and map-side combinable), so the low-cardinality
+    * cohort key never sees raw events. The ratio is one IEEE division of
+    * exact counts.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val first = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val weeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    val retained = first.join(weeks, Seq("user_id"))
+      .filter(col("w") === col("cohort_week") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_retained"))
+    first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(retained, Seq("cohort_week"), "left")
+      .select(col("cohort_week"),
+        col("n_users"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .withColumn("retention",
+        col("n_retained").cast("double") / col("n_users").cast("double"))
+  }
+
+  /** Trailing 7-day distinct active users per day (the rolling-DAU/WAU
+    * readout). Exact rolling distinct is not a window aggregate — COUNT
+    * (DISTINCT) over a moving frame re-counts each user once per day it
+    * covers — so it decomposes as: distinct (day, user) pairs → each pair
+    * CONTRIBUTES to 7 target days (scan-side explode, constant fan-out) →
+    * distinct (target, user) → per-day count. Every exchange keys on the
+    * high-cardinality (day, user); only the final count (input = one row
+    * per user per day, map-side combinable) touches the low-cardinality
+    * day key. Days with no events report nothing; trailing windows only
+    * cover days that exist in the data (semi-join with the day set).
+    */
+  def rollingDistinctUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val dayUsers = events
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val days = dayUsers.select(col("d")).distinct()
+    dayUsers
+      .select(col("user_id"), explode(expr(
+        s"transform(sequence(0, ${windowDays - 1}), i -> date_add(d, i))")).as("day"))
+      .distinct()
+      .join(days.withColumnRenamed("d", "day"), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users_7d"))
+  }
+
   /** Ordered conversion funnel: per user, the first `view`, the first
     * `click` STRICTLY after it, the first `purchase` strictly after that;
     * the single-row readout counts users reaching each stage. Stage k+1

@@ -76,6 +76,42 @@ class CrossCheckSpec extends GraftSpec {
     assert(e.getAs[Long]("n_purchase_after_click") === 0L)
   }
 
+  test("retention cohorts agree with brute force on the corpus") {
+    val ev = Tables.load(spark, sf, "events")
+    val got = TimeSeries.retentionCohorts(ev).collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = ev.select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    def week(t: java.sql.Timestamp): Long = {
+      val d = t.toLocalDateTime.toLocalDate
+      d.minusDays(d.getDayOfWeek.getValue - 1L).toEpochDay // Monday start
+    }
+    val firstWeek = rows.groupBy(_._1).view
+      .mapValues(es => week(es.minBy(_._2.getTime)._2)).toMap
+    val userWeeks = rows.map { case (u, t) => (u, week(t)) }.toSet
+    val cohorts = firstWeek.groupBy(_._2).map { case (wk, us) =>
+      wk -> ((us.size.toLong,
+        us.keys.count(u => userWeeks.contains((u, wk + 7))).toLong))
+    }
+    val gotByEpoch = got.map { case (ts, v) =>
+      ts.toLocalDateTime.toLocalDate.toEpochDay -> v
+    }
+    assert(gotByEpoch === cohorts)
+  }
+
+  test("rolling 7-day distinct users agree with brute force on the corpus") {
+    val ev = Tables.load(spark, sf, "events")
+    val got = TimeSeries.rollingDistinctUsers(ev).collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
+    val rows = ev.select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toLocalDateTime.toLocalDate.toEpochDay))
+    val days = rows.map(_._2).distinct
+    val exp = days.map { d =>
+      d -> rows.filter(r => r._2 <= d && r._2 > d - 7).map(_._1).distinct.length.toLong
+    }.toMap
+    assert(got === exp)
+  }
+
   test("range join count agrees with brute force") {
     for (seed <- 1 to 3) {
       val left = randomEvents(seed, 100, 5)
