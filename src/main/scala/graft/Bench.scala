@@ -53,21 +53,29 @@ object Bench {
     // Each query runs `reps` times; the headline per-query number is the
     // min over SUCCESSFUL reps — single-machine timing noise (GC, page
     // cache, JIT recompiles) is strictly additive, so the min is the
-    // least-noise estimate of the plan's cost. ALL rep times are emitted
-    // too (`reps_all`): a rep spread far above its min is the signature of
-    // a loaded machine, visible in the artifact without a rerun. A rep
-    // that throws contributes nothing (a fast failure must not masquerade
-    // as a fast query); all-reps-failed reports -1 so the breakage is
-    // visible in the JSON instead of a bogus latency.
-    val results: Seq[(String, Seq[Double])] =
-      Registry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to reps).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
-        }
-        name -> times
-      }
+    // least-noise estimate of the plan's cost. Reps INTERLEAVE across
+    // queries (full pass over all queries, then the next pass): a
+    // transient host spike then lands on one rep of many queries — which
+    // min-of-reps discards — instead of on every rep of one query, which
+    // nothing could discard (measured failure mode on this round's noisy
+    // host: back-to-back reps of one query spreading 3.9 s to 114 s). ALL
+    // rep times are emitted too (`reps_all`, in pass order): a rep spread
+    // far above its min is the signature of a loaded machine, visible in
+    // the artifact without a rerun. A rep that throws contributes nothing
+    // (a fast failure must not masquerade as a fast query);
+    // all-reps-failed reports -1 so the breakage is visible in the JSON
+    // instead of a bogus latency.
+    val qseq = Registry.benchQueries.toSeq.sortBy(_._1)
+    val acc = scala.collection.mutable.LinkedHashMap(
+      qseq.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+    for (_ <- 1 to reps; (name, fn) <- qseq) {
+      val t0 = System.nanoTime()
+      try {
+        exec(fn(spark, sfDir))
+        acc(name) = acc(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => () }
+    }
+    val results: Seq[(String, Seq[Double])] = acc.toSeq
     val mins = results.map { case (k, ts) => k -> (if (ts.isEmpty) -1.0 else ts.min) }
     val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

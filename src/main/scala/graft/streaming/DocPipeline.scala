@@ -59,6 +59,21 @@ object DocPipeline {
         col("quality_score") >= minScore)
       .select("doc_id", "lang", "lang_pred", "n_tokens", "n_chars",
         "quality_score", "fp")
+
+  /** Training-sequence emission on any (batch or streaming) frame with
+    * (doc_id, text): PII/denylist redaction ([[TextAnalysis.scrub]]) then
+    * fixed-overlap context-window chunking
+    * ([[TextAnalysis.chunkDocuments]]) — the last hop from curated
+    * documents to model-ready sequences. Both stages are stateless
+    * scan-side projections (the chunker is a generator), so the SAME code
+    * runs under a streaming plan with no watermark or state, and batch
+    * backfill equals the stream row-for-row (spec-pinned).
+    */
+  def sequences(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame =
+    TextAnalysis.chunkDocuments(
+      TextAnalysis.scrub(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("redacted").as("text")),
+      chunkSize, stride)
 }
 
 /** Document-curation job main:

@@ -321,6 +321,26 @@ class StreamingSpec extends GraftSpec {
     assert(byId(3L)._3 === batch(3L))
   }
 
+  test("streaming sequences (scrub + chunk) equal the batch stage row-for-row") {
+    // stateless projections must stream unchanged: redaction + chunking
+    // over a MemoryStream equals the batch call on the same rows
+    val docs = Seq(
+      (1L, ("the key is " + (1 to 80).map(i => s"w$i").mkString(" "))),
+      (2L, "short hash doc"),
+      (3L, "mail me at bob@example.com " + (1 to 50).map(i => s"x$i").mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val out = DocPipeline.sequences(input.toDS().toDF("doc_id", "text"))
+    val streamed = runStream(input, out, Seq(docs.take(2), docs.drop(2)))
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    val batch = DocPipeline.sequences(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(streamed === batch)
+    // the redaction really ran: denylist terms masked inside chunk text
+    // (lowercased — the chunker shares the corpus tokenizer)
+    assert(batch((1L, 0L))._2.startsWith("the [masked] is"))
+    assert(batch.size > docs.size, "long docs chunked into multiple sequences")
+  }
+
   test("streaming running EWMA matches the batch fold bit-for-bit") {
     import StreamingQueries.EwmaEvent
     val input = MemoryStream[EwmaEvent]
