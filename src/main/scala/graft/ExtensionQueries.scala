@@ -960,6 +960,39 @@ object ExtensionQueries {
         thr AS (SELECT qs AS thr FROM r WHERE rn = CEIL(n * 0.5))
         SELECT c.doc_id, c.qs, thr.thr FROM c, thr WHERE c.qs >= thr.thr""")),
 
+    // Per-language percentile gate: each language keeps its own top half,
+    // so the dominant language's score distribution never gates the rest.
+    QuerySpec(
+      "text_quality_gate_by_lang",
+      (s, dir) => TextAnalysis.qualityGateByLang(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, lang,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang,
+                 CAST(FLOOR((
+                   CAST(0.4 AS DOUBLE) *
+                     (CAST(len(list_filter(toks, w -> w IN
+                        ('the','a','and','of','to','in','is','it','on','for'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE) *
+                     (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE) *
+                     (CAST(least(len(toks), 100) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                 ) * 1000 + 0.5) AS BIGINT) AS qs
+          FROM t),
+        r AS (
+          SELECT lang, qs,
+                 row_number() OVER (PARTITION BY lang ORDER BY qs) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM c WHERE qs IS NOT NULL),
+        thr AS (SELECT lang, qs AS thr FROM r WHERE rn = CEIL(n * 0.5))
+        SELECT c.doc_id, c.lang, c.qs, thr.thr
+        FROM c JOIN thr USING (lang) WHERE c.qs >= thr.thr""")),
+
     QuerySpec(
       "text_lang_id",
       (s, dir) => TextAnalysis.langId(docs(s, dir)),

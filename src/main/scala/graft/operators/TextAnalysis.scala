@@ -157,6 +157,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("qs"), col("thr"))
   }
 
+  /** Per-language percentile quality gate: [[qualityGate]]'s histogram
+    * threshold computed PER language — each language keeps its own top
+    * (1−q) share, so a rare language is not gated by the dominant one's
+    * score distribution (the practical failure of a global threshold on a
+    * multilingual corpus: the quality heuristics favor the stopword
+    * list's language). Same scale shape as the global gate, now on real
+    * group keys: the windowed data is the per-(lang, bucket) histogram —
+    * ≤ |langs|·1001 rows — and the 5-row threshold table broadcasts back.
+    */
+  def qualityGateByLang(docs: DataFrame, q: Double = 0.5): DataFrame = {
+    val scored = enrich(docs)
+      .filter(col("quality_score").isNotNull && !isnan(col("quality_score")))
+      .select(col("doc_id"), col("lang"),
+        floor(col("quality_score") * 1000 + 0.5).cast("long").as("qs"))
+    val thr = Percentiles.percentileDisc(scored, "lang", "qs", Seq(q))
+      .select(col("lang"), col("pct_value").as("thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("qs") >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("qs"), col("thr"))
+  }
+
   /** N-gram-heuristic language ID: count stopword hits per candidate
     * language; argmax with deterministic (hit-count desc, language asc)
     * tiebreak; 'und' (undetermined) when nothing hits.

@@ -168,6 +168,28 @@ class TextAnalysisSpec extends GraftSpec {
     assert(r === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("per-language gate: each language thresholds on its own median") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val got = TextAnalysis.qualityGateByLang(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val scored = TextAnalysis.enrich(docs)
+      .filter(col("quality_score").isNotNull && !isnan(col("quality_score")))
+      .select(col("doc_id"), col("lang"),
+        floor(col("quality_score") * 1000 + 0.5).cast("long").as("qs"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = scored.groupBy(_._2).flatMap { case (lang, rows) =>
+      val sorted = rows.map(_._3).sorted
+      val thr = sorted(math.ceil(sorted.length * 0.5).toInt - 1)
+      rows.filter(_._3 >= thr).map(r => (r._1, lang, r._3, thr)).toSeq
+    }.toSet
+    assert(got === exp)
+    val thresholds = got.map(x => x._2 -> x._4).toMap
+    info(s"per-lang thresholds: ${thresholds.toSeq.sortBy(_._1)}")
+    assert(thresholds.values.toSet.size > 1,
+      "languages threshold independently on this corpus")
+  }
+
   test("per-group sample: exactly k per language, deterministic coin order") {
     val docs = Tables.load(spark, sf, "documents")
     val k = 5
