@@ -1670,6 +1670,36 @@ object ExtensionQueries {
                (SELECT COUNT(*) FROM t2) AS n_click_after_view,
                (SELECT COUNT(*) FROM t3) AS n_purchase_after_click""")),
 
+    // Conversion-window funnel, per-user stages: the funnel anchors at the
+    // first view; click/purchase stages count only inside (t1, t1 + 1 day].
+    // The window is what makes the streaming twin (funnelStream) final-izable.
+    QuerySpec(
+      "ts_funnel_users",
+      (s, dir) => TimeSeries.funnelUserStages(events(s, dir)),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, ts FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')),
+        t1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t1
+            AND e.ts <= t1.t1 + INTERVAL 86400 SECOND
+          GROUP BY 1),
+        t3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM e JOIN t1 ON e.user_id = t1.user_id
+               JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            AND e.ts <= t1.t1 + INTERVAL 86400 SECOND
+          GROUP BY 1)
+        SELECT t1.user_id, t1.t1, t2.t2, t3.t3
+        FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+             LEFT JOIN t3 ON t1.user_id = t3.user_id""")),
+
     // Weekly retention cohorts: first-event week per user; retained =
     // any event in cohort week + 7 days.
     QuerySpec(

@@ -260,6 +260,36 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_users_7d"))
   }
 
+  /** Per-user funnel stages under a CONVERSION WINDOW (attribution-window
+    * semantics, the form a production funnel actually uses): the funnel
+    * anchors at the user's first `view` (t1) and later stages only count
+    * within (t1, t1 + horizon] — first `click` strictly after t1, first
+    * `purchase` strictly after that click, both inside the window. Emits
+    * one row per user who viewed, with nullable t2/t3. The window is what
+    * makes a STREAMING twin well-defined (a user's funnel is final once
+    * the watermark passes t1 + horizon — see
+    * `streaming.StreamingQueries.funnelStream`); this batch form is the
+    * backfill, same staged-aggregation shape as [[funnelSteps]].
+    */
+  def funnelUserStages(events: DataFrame, horizonSeconds: Long = 86400L): DataFrame = {
+    val iv = expr(s"INTERVAL $horizonSeconds SECONDS")
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin("view", "click", "purchase"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + iv)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t12 = t1.join(t2, Seq("user_id"), "left")
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t12.filter(col("t2").isNotNull), "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t1") + iv)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t12.join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+  }
+
   /** Ordered conversion funnel: per user, the first `view`, the first
     * `click` STRICTLY after it, the first `purchase` strictly after that;
     * the single-row readout counts users reaching each stage. Stage k+1

@@ -467,4 +467,145 @@ object StreamingQueries {
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AsofMatched] =
       emitReady(user, timerValues.getCurrentWatermarkInMs())
   }
+
+  // ---- custom stateful operator: conversion-window funnel -------------------
+
+  final case class FunnelEvent(user_id: Long, event_type: String, utc: java.sql.Timestamp)
+  final case class FunnelBuffered(us: Long, tpe: String)
+  final case class FunnelStages(
+      user_id: Long, t1: java.sql.Timestamp,
+      t2: Option[java.sql.Timestamp], t3: Option[java.sql.Timestamp])
+
+  /** Streaming conversion-window funnel — the streaming twin of
+    * [[graft.operators.TimeSeries.funnelUserStages]]: per user, the first
+    * `view` anchors the window; the first click strictly after it and the
+    * first purchase strictly after that click count if inside
+    * (t1, t1 + horizon]. A user's row emits exactly once, when the
+    * watermark strictly passes t1 + horizon (every event that could still
+    * change any stage has then arrived — including a late view lowering
+    * t1 itself, which is why finalization waits on t1's horizon rather
+    * than emitting stages eagerly).
+    *
+    * State bounds (per user): the min view timestamp, one done flag, and
+    * a click/purchase buffer that keeps ONLY (a) events inside the
+    * current window and (b) above-watermark orphans that an even-earlier
+    * late view could still claim — everything at-or-below the watermark
+    * that no admissible view can precede is pruned on every batch and
+    * timer. Buffer size is therefore bounded by the user's events in one
+    * horizon + one watermark delay, never the full history.
+    */
+  def funnelStream(
+      spark: SparkSession,
+      events: Dataset[FunnelEvent],
+      horizonSeconds: Long = 86400L,
+      watermarkDelay: String = "10 seconds"): Dataset[FunnelStages] = {
+    import spark.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .withWatermark("utc", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor(horizonSeconds * 1000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[funnelStream]] StatefulProcessor (horizon in milliseconds). */
+  final class FunnelProcessor(horizonMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelStages] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[FunnelBuffered] = _
+    @transient private var minViewUs: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var done: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[FunnelBuffered](
+        "buf", org.apache.spark.sql.Encoders.product[FunnelBuffered],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      minViewUs = getHandle.getValueState[Long](
+        "minView", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      done = getHandle.getValueState[Boolean](
+        "done", org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def horizonUs: Long = horizonMs * 1000L
+
+    /** Drop buffered events no admissible view can ever claim. An event
+      * counts only with some view strictly before it inside the window;
+      * views at-or-below the watermark can no longer arrive, so a
+      * buffered event is dead once (a) it sits at-or-below BOTH the
+      * watermark and the current min view (no earlier view is coming) or
+      * (b) a min view exists and the event is past its horizon (t1 only
+      * ever DECREASES, so the window's right edge only moves earlier).
+      */
+    private def prune(wmMs: Long): Unit = {
+      val mv = if (minViewUs.exists()) Some(minViewUs.get()) else None
+      val kept = buf.get().toSeq.filter { e =>
+        val deadBelow = e.us / 1000L <= wmMs && mv.forall(e.us <= _)
+        val deadAbove = mv.exists(v => e.us > v + horizonUs)
+        !deadBelow && !deadAbove
+      }
+      buf.clear()
+      if (kept.nonEmpty) buf.put(kept.toArray)
+    }
+
+    private def finalizeIfReady(user: Long, wmMs: Long): Iterator[FunnelStages] = {
+      if (done.exists() && done.get()) return Iterator.empty
+      if (!minViewUs.exists()) {
+        prune(wmMs)
+        // orphans above the watermark survive the prune; make sure a
+        // timer exists to revisit (and eventually free) them
+        if (buf.get().nonEmpty && !getHandle.listTimers().hasNext) {
+          val minUs = buf.get().map(_.us).min
+          getHandle.registerTimer(minUs / 1000L + 1L)
+        }
+        return Iterator.empty
+      }
+      val t1 = minViewUs.get()
+      // strict: an event AT t1 + horizon is admissible while wm == its ts
+      if (wmMs <= (t1 + horizonUs) / 1000L) { prune(wmMs); return Iterator.empty }
+      val events = buf.get().toSeq
+      val inWin = events.filter(e => e.us > t1 && e.us <= t1 + horizonUs)
+      val t2 = inWin.filter(_.tpe == "click").map(_.us).minOption
+      val t3 = t2.flatMap(c =>
+        inWin.filter(e => e.tpe == "purchase" && e.us > c).map(_.us).minOption)
+      buf.clear(); minViewUs.clear(); done.update(true)
+      def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+      Iterator.single(FunnelStages(user, ts(t1), t2.map(ts), t3.map(ts)))
+    }
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[FunnelEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelStages] = {
+      if (done.exists() && done.get()) { rows.foreach(_ => ()); return Iterator.empty }
+      var viewLowered = false
+      rows.foreach { e =>
+        val us = e.utc.getTime * 1000L
+        if (e.event_type == "view") {
+          if (!minViewUs.exists() || us < minViewUs.get()) {
+            minViewUs.update(us); viewLowered = true
+          }
+        } else buf.appendValue(FunnelBuffered(us, e.event_type))
+      }
+      if (viewLowered) {
+        // one live timer per user: finalize when wm strictly passes t1+H
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer((minViewUs.get() + horizonUs) / 1000L + 1L)
+      }
+      // (orphan buffers with no view get their revisit timer inside
+      // finalizeIfReady, after the prune)
+      finalizeIfReady(user, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelStages] =
+      finalizeIfReady(user, timerValues.getCurrentWatermarkInMs())
+  }
 }

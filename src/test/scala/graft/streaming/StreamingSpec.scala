@@ -288,6 +288,74 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming conversion-window funnel matches the batch stages") {
+    // per-user funnel with a 60 s conversion window over out-of-order
+    // events: late view LOWERS the anchor (invalidating an eager click
+    // match), in-window click/purchase order is strict, events past the
+    // window are ignored, a user emits exactly once. RocksDB, like the
+    // mains.
+    import StreamingQueries.{FunnelEvent, FunnelStages}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      def ev(u: Long, t: String, tpe: String) = FunnelEvent(u, tpe, ts(t))
+      // u1: full funnel inside the window; u2: purchase BEFORE the click
+      // (must not count) then click past the window; u3: orphan click
+      // first, then a LATE view before it (arrives in batch 2, still
+      // above watermark) -> the click converts; u4: view only
+      val b1 = Seq(
+        ev(1, "2024-01-01 00:00:00", "view"),
+        ev(1, "2024-01-01 00:00:20", "click"),
+        ev(1, "2024-01-01 00:00:40", "purchase"),
+        ev(2, "2024-01-01 00:00:05", "purchase"),
+        ev(2, "2024-01-01 00:00:02", "view"),
+        ev(3, "2024-01-01 00:00:30", "click"),
+        ev(4, "2024-01-01 00:00:01", "view"))
+      val b2 = Seq(
+        ev(2, "2024-01-01 00:02:00", "click"), // past u2's 60s window
+        ev(3, "2024-01-01 00:00:10", "view")) // late anchor, claims the click
+      // sentinel far ahead: watermark passes every window, all users emit
+      val sentinel = Seq(ev(99, "2024-01-01 01:00:00", "view"))
+
+      val input = MemoryStream[FunnelEvent]
+      // 60 s allowed lateness: u3's anchor view arrives a batch after its
+      // click, below the batch-1 max event time but inside the lateness
+      val out = StreamingQueries.funnelStream(
+        spark, input.toDS(), horizonSeconds = 60L, watermarkDelay = "60 seconds")
+      val name = freshName()
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(b1); q.processAllAvailable()
+        input.addData(b2); q.processAllAvailable()
+        input.addData(sentinel); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getTimestamp(3))).filter(_._1 != 99L).toSet
+
+      val batch = graft.operators.TimeSeries.funnelUserStages(
+        (b1 ++ b2).map(e => (e.user_id, e.event_type, e.utc))
+          .toDF("user_id", "event_type", "ts"),
+        horizonSeconds = 60L).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getTimestamp(3))).toSet
+      assert(got === batch, s"stream=$got batch=$batch")
+      // the semantics pinned explicitly
+      val byUser = got.map(x => x._1 -> x).toMap
+      assert(byUser(1L)._3 != null && byUser(1L)._4 != null, "u1 full funnel")
+      assert(byUser(2L)._3 == null && byUser(2L)._4 == null,
+        "u2: pre-click purchase and past-window click both excluded")
+      assert(byUser(3L)._2 === ts("2024-01-01 00:00:10"), "u3 late anchor")
+      assert(byUser(3L)._3 === ts("2024-01-01 00:00:30"), "u3 claimed click")
+      assert(byUser(4L)._3 == null, "u4 view only")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("doc pipeline: dedups on content, gates on quality, labels language") {
     // the streaming curation pipeline end-to-end over MemoryStream docs:
     // content duplicates collapse (whitespace variants share a fingerprint),
