@@ -473,6 +473,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("containment_a"), col("containment_b"))
 
+  /** Jaccard AND containment in ONE pass over the shared pair core — the
+    * fused form of [[ngramJaccardPairs]] + [[ngramContainmentPairs]]. The
+    * two measures share `ngramPairCounts` exactly (same inverted index,
+    * same DF cap, same candidate pairs); running them as separate queries
+    * prices the expensive core twice, which at 100 TB is a full second
+    * corpus-wide shingle pass for three extra ratio columns. A pair
+    * survives if EITHER measure flags it, so each sibling's output is a
+    * filter+projection of this frame.
+    */
+  def ngramPairStats(
+      docs: DataFrame,
+      minJaccard: Double = 0.05,
+      minContainment: Double = 0.5,
+      maxDf: Int = 100): DataFrame =
+    ngramPairCounts(docs, maxDf)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .withColumn("containment_a",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_b",
+        col("n_common").cast("double") / col("n_b").cast("double"))
+      .filter(col("jaccard") >= minJaccard ||
+        greatest(col("containment_a"), col("containment_b")) >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("jaccard"), col("containment_a"), col("containment_b"))
+
   /** Shared pair-counting core of the n-gram similarity family: one row
     * per blocked candidate pair with full set sizes and the (DF-capped)
     * intersection count — `(doc_a, doc_b, n_a, n_b, n_common)`.

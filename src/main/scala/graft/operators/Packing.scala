@@ -67,8 +67,12 @@ object Packing {
     * exact integers, so the oracle matches bit-for-bit where a pow(x, α)
     * sum would be accumulation-order-dependent). rep_factor is the
     * expected duplication of each domain under a `targetTokens` budget:
-    * weight · target / domain_tokens, computed as ONE division of two
-    * exact integer products. One hash agg over a scan-side projection +
+    * weight · target / domain_tokens. Each factor is cast to double
+    * BEFORE the multiply: a Long×Long product (capTokens · dom_tokens)
+    * silently wraps past 2^63 at corpus scale while the DuckDB oracle
+    * would raise — double·double rounds identically on both engines
+    * (one IEEE multiply each side, one final division), so parity holds
+    * with no overflow cliff. One hash agg over a scan-side projection +
     * one broadcast scalar — output rows = |domains|, corpus-independent.
     */
   def mixCappedWeights(
@@ -86,8 +90,8 @@ object Packing {
       .withColumn("weight",
         col("capped_tokens").cast("double") / col("total_capped").cast("double"))
       .withColumn("rep_factor",
-        (col("capped_tokens") * lit(targetTokens)).cast("double") /
-          (col("total_capped") * col("dom_tokens")).cast("double"))
+        (col("capped_tokens").cast("double") * lit(targetTokens).cast("double")) /
+          (col("total_capped").cast("double") * col("dom_tokens").cast("double")))
       .select(col("lang"), col("source"), col("n_docs"), col("dom_tokens"),
         col("capped_tokens"), col("weight"), col("rep_factor"))
   }

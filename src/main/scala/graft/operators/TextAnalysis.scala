@@ -137,8 +137,12 @@ object TextAnalysis {
     * BOUNDED domain (≤ 1001 distinct buckets), so the single-group window
     * in the threshold computation sees ≤ 1001 rows regardless of corpus
     * size — the trick that keeps an exact global percentile scale-safe.
-    * Two scans by construction (score + threshold, then gate); cache the
-    * scored frame when both run in one job.
+    * The scored (doc_id, qs) projection is eagerly localCheckpoint-ed so
+    * the CORPUS is read once: threshold and gate both replay the ~16-byte/
+    * row checkpoint instead of re-running the text heuristics over a
+    * second full scan (the same lineage-cut precedent as
+    * [[Dedup.connectedComponents]]; at 100 TB a production run would
+    * checkpoint the scored table to reliable storage instead).
     */
   def qualityGate(docs: DataFrame, q: Double = 0.5): DataFrame = {
     // degenerate docs (empty text -> 0/0 ratios) score NaN in Spark and
@@ -150,6 +154,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         floor(col("quality_score") * 1000 + 0.5).cast("long").as("qs"))
       .withColumn("corpus", lit(1L))
+      .localCheckpoint()
     val thr = Percentiles.percentileDisc(scored, "corpus", "qs", Seq(q))
       .select(col("pct_value").as("thr"))
     scored.crossJoin(broadcast(thr))
@@ -165,12 +170,17 @@ object TextAnalysis {
     * list's language). Same scale shape as the global gate, now on real
     * group keys: the windowed data is the per-(lang, bucket) histogram —
     * ≤ |langs|·1001 rows — and the 5-row threshold table broadcasts back.
+    * Like [[qualityGate]], the scored projection is eagerly
+    * localCheckpoint-ed: ONE corpus scan runs the enrichment heuristics,
+    * and both the threshold histogram and the gate join replay the tiny
+    * (doc_id, lang, qs) checkpoint (PlanSpec pins the single scan).
     */
   def qualityGateByLang(docs: DataFrame, q: Double = 0.5): DataFrame = {
     val scored = enrich(docs)
       .filter(col("quality_score").isNotNull && !isnan(col("quality_score")))
       .select(col("doc_id"), col("lang"),
         floor(col("quality_score") * 1000 + 0.5).cast("long").as("qs"))
+      .localCheckpoint()
     val thr = Percentiles.percentileDisc(scored, "lang", "qs", Seq(q))
       .select(col("lang"), col("pct_value").as("thr"))
     scored.join(broadcast(thr), Seq("lang"))

@@ -12,6 +12,25 @@ import graft.operators.Windows
   */
 object StreamingQueries {
 
+  /** Event time in FULL microseconds. `Timestamp.getTime` returns millis
+    * (including the nanos' integral-millisecond part); the sub-millisecond
+    * microseconds live only in `getNanos`. A bare `getTime * 1000` drops
+    * them, so strict boundaries (click > t1, quote <= probe, window right
+    * edges) could diverge stream-vs-batch on microsecond-resolution data —
+    * the batch twins compare full-precision timestamps.
+    */
+  private[streaming] def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Inverse of [[micros]]: a Timestamp carrying the full microsecond
+    * precision (sub-ms micros restored via setNanos).
+    */
+  private[streaming] def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Tumbling candlestick with bounded lateness (reference
     * `flink/tumbling_window.py`: 1-minute tumble, 20 s watermark).
     * Append mode: a window emits once the watermark passes its end —
@@ -95,7 +114,7 @@ object StreamingQueries {
       .groupByKey(_.user_id)
       .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout()) {
         (user: Long, it: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.utc.getTime, e.event_id))
+          val sorted = it.toSeq.sortBy(e => (micros(e.utc), e.event_id))
           var s = state.getOption.getOrElse(EwmaState(0.0, 0L))
           sorted.foreach { e =>
             s = if (s.n == 0L) EwmaState(e.value, 1L)
@@ -170,7 +189,7 @@ object StreamingQueries {
         user: Long,
         rows: Iterator[EwmaEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[EwmaOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.utc.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (micros(e.utc), e.event_id))
       var s = if (state.exists()) state.get() else EwmaState(0.0, 0L)
       sorted.foreach { e =>
         s = if (s.n == 0L) EwmaState(e.value, 1L)
@@ -216,11 +235,11 @@ object StreamingQueries {
             state.remove()
             Iterator.single(SessionOut(user, s.start_us, s.last_us, s.n_events))
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.utc.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e => (micros(e.utc), e.event_id))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
-              val us = e.utc.getTime * 1000L
+              val us = micros(e.utc)
               cur match {
                 // within gap of either session edge: merge, extending both
                 // edges (covers cross-batch late events inside the horizon)
@@ -298,11 +317,11 @@ object StreamingQueries {
         user: Long,
         rows: Iterator[SessionEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.utc.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (micros(e.utc), e.event_id))
       var closed = List.empty[SessionOut]
       var cur = if (state.exists()) Some(state.get()) else None
       sorted.foreach { e =>
-        val us = e.utc.getTime * 1000L
+        val us = micros(e.utc)
         cur match {
           // within gap of either session edge: merge, extending both
           // edges (covers cross-batch late events inside the horizon)
@@ -454,7 +473,7 @@ object StreamingQueries {
         rows: Iterator[AsofTagged],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AsofMatched] = {
       rows.foreach { e =>
-        val us = e.utc.getTime * 1000L
+        val us = micros(e.utc)
         if (e.side == "q") quotes.appendValue(AsofQuote(us, e.event_id, e.value))
         else probes.appendValue(AsofProbe(us, e.event_id))
       }
@@ -492,7 +511,15 @@ object StreamingQueries {
     * late view could still claim — everything at-or-below the watermark
     * that no admissible view can precede is pruned on every batch and
     * timer. Buffer size is therefore bounded by the user's events in one
-    * horizon + one watermark delay, never the full history.
+    * horizon + one watermark delay, never the full history. The `done`
+    * flag is a DELIBERATE permanent tombstone (one boolean per emitted
+    * user): the funnel's contract is one row per user ever, so the flag
+    * must outlive the window to block a fresh above-horizon view from
+    * re-opening the user and emitting a second row (the batch twin
+    * anchors at the GLOBAL first view). TTL can't expire it here —
+    * event-time TimeMode has no TTL — and a production deployment over an
+    * unbounded user space would bound it by partitioning the job per
+    * retention epoch (new checkpoint per epoch), not by per-key state.
     */
   def funnelStream(
       spark: SparkSession,
@@ -574,8 +601,8 @@ object StreamingQueries {
       val t3 = t2.flatMap(c =>
         inWin.filter(e => e.tpe == "purchase" && e.us > c).map(_.us).minOption)
       buf.clear(); minViewUs.clear(); done.update(true)
-      def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
-      Iterator.single(FunnelStages(user, ts(t1), t2.map(ts), t3.map(ts)))
+      Iterator.single(FunnelStages(
+        user, microsToTs(t1), t2.map(microsToTs), t3.map(microsToTs)))
     }
 
     override def handleInputRows(
@@ -585,7 +612,7 @@ object StreamingQueries {
       if (done.exists() && done.get()) { rows.foreach(_ => ()); return Iterator.empty }
       var viewLowered = false
       rows.foreach { e =>
-        val us = e.utc.getTime * 1000L
+        val us = micros(e.utc)
         if (e.event_type == "view") {
           if (!minViewUs.exists() || us < minViewUs.get()) {
             minViewUs.update(us); viewLowered = true

@@ -47,9 +47,6 @@ object Profile {
     // window, window without the score
     val qv = Similarity.quantizeInt8(emb)
     for (i <- 1 to 2) time(s"quantize scan #$i")(run(qv))
-    //
-    //
-    //
-    //
+    spark.stop()
   }
 }

@@ -104,6 +104,33 @@ class DedupSpec extends GraftSpec {
       "jaccard under a 0.3 near-dup threshold misses the containment pair")
   }
 
+  test("ngram fused pair stats: union of the sibling queries, same ratios") {
+    // The fused query prices the shared pair core once; its output must be
+    // exactly the union of what the two siblings flag, with identical
+    // ratio values (same arithmetic over the same counts).
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron"
+    val docs = docsDf(
+      (1L, big), (2L, "alpha beta gamma delta epsilon"),
+      (3L, textA), (4L, textA + " tail"), (5L, textB))
+    val fused = Dedup.ngramPairStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val jac = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val con = Dedup.ngramContainmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(fused.keySet === jac.keySet ++ con.keySet)
+    jac.foreach { case (k, (n, j)) =>
+      assert(fused(k)._1 === n && fused(k)._2 === j) }
+    con.foreach { case (k, (n, ca, cb)) =>
+      assert(fused(k)._1 === n && fused(k)._3 === ca && fused(k)._4 === cb) }
+    // the containment-only pair (strict prefix) must survive the fused
+    // OR-filter even though its jaccard is under the threshold
+    assert(fused.contains((1L, 2L)) && fused((1L, 2L))._2 < 0.3)
+  }
+
   test("decontamination: only cross-corpus near-dups surface") {
     // docs 1/2 are near-dups of eval doc 3 -> both leak; the 1-2 pair is
     // WITHIN the training set and must not appear; 4 is clean

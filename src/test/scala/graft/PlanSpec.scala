@@ -275,6 +275,21 @@ class PlanSpec extends GraftSpec {
     assert(shuffles === 1, s"one fp exchange expected, got $shuffles:\n$p")
   }
 
+  test("quality gates read the corpus once — gate replays the scored checkpoint") {
+    // The scored (doc_id[, lang], qs) projection is eagerly
+    // localCheckpoint-ed, so by the time the gate plan exists the one
+    // corpus scan has already happened: the threshold histogram and the
+    // gate join must both replay the checkpoint — ZERO parquet scans in
+    // the final plan, with the tiny threshold table joining by broadcast.
+    for (q <- Seq("text_quality_gate", "text_quality_gate_by_lang")) {
+      val p = plan(Registry.queries(q)(spark, sf))
+      assert(!p.contains("Scan parquet"),
+        s"$q must score the corpus in ONE scan (checkpointed), got:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q threshold must join back by broadcast:\n$p")
+    }
+  }
+
   test("header decode is a pure projection — blob never shuffles") {
     val p = plan(Registry.queries("mm_header_decode")(spark, sf))
     assert(!p.contains("Exchange"), s"fixed-offset field extraction must stay scan-side:\n$p")
