@@ -768,6 +768,40 @@ object ExtensionQueries {
         FROM d
         WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35""")),
 
+    // Semantic decontamination: the embedding twin of decontaminate_near —
+    // same md5-coin eval slice (over vec_id), leak = shared LSH bucket +
+    // exact cosine over threshold. Catches the paraphrase the lexical
+    // MinHash check misses.
+    QuerySpec(
+      "decontaminate_semantic",
+      (s, dir) => Similarity.decontaminateSemantic(emb(s, dir)),
+      Some(s"""
+        WITH $vecNormCte,
+        $lshBucketCte,
+        coin AS (
+          SELECT vec_id,
+                 ('0x' || substring(md5('s0:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS c
+          FROM embeddings),
+        e AS (
+          SELECT n.vec_id, n.v, n.nrm, bk.bucket, coin.c
+          FROM n JOIN bk ON n.vec_id = bk.vec_id
+          JOIN coin ON n.vec_id = coin.vec_id),
+        px AS (
+          SELECT t.vec_id AS train_vec_id, ev.vec_id AS eval_vec_id,
+                 t.nrm AS na, ev.nrm AS nb,
+                 unnest(t.v) AS xa, unnest(ev.v) AS xb
+          FROM e t JOIN e ev ON t.bucket = ev.bucket
+          WHERE t.c >= 10 AND ev.c < 10),
+        d AS (
+          SELECT train_vec_id, eval_vec_id, na, nb,
+                 CAST(SUM(CAST(FLOOR(xa*xb*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px GROUP BY train_vec_id, eval_vec_id, na, nb)
+        SELECT train_vec_id, eval_vec_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS score
+        FROM d
+        WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35""")),
+
     // Semantic dedup end-to-end: embedding near-dup pairs -> connected
     // components -> cluster sizes; the embedding-space twin of the MinHash
     // cluster pipeline (same clustering core, different pair predicate).
@@ -1416,6 +1450,28 @@ object ExtensionQueries {
         SELECT event_type, q, rn, n, value AS pct_value
         FROM r CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q) qs
         WHERE rn = CEIL(n * q)""")),
+
+    // The sketches' accuracy contracts as hash-checked queries: the sketch
+    // VALUES are engine-specific (can never match a DuckDB oracle), but
+    // "the error respects the published bound" is a boolean the oracle can
+    // produce from the exact side alone — all-true rows. A sketch drifting
+    // out of bound flips a boolean and the driver's hash check goes red,
+    // so the artifact now carries the accuracy witness, not just the spec.
+    QuerySpec(
+      "sketch_distinct_users_bound",
+      (s, dir) => Sketches.distinctUsersBound(events(s, dir)),
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM events GROUP BY event_type""")),
+
+    QuerySpec(
+      "sketch_value_quantiles_bound",
+      (s, dir) => Sketches.valueQuantilesBound(events(s, dir)),
+      Some("""
+        SELECT event_type, q, COUNT(*) AS n_events, TRUE AS within_bound
+        FROM events CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q) qs
+        GROUP BY event_type, q""")),
 
     // ---- multimodal --------------------------------------------------------
     // Binary payload features: pure projection, blob never shuffles.

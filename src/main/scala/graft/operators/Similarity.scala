@@ -445,6 +445,38 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("score"))
   }
 
+  /** Semantic (embedding-space) train/eval decontamination — the embedding
+    * twin of [[graft.operators.Dedup.decontaminateNear]]: the eval side is
+    * the same deterministic md5-coin slice ([[TextAnalysis.sampleCoin]],
+    * here over vec_id), and a training vector LEAKS if it shares an LSH
+    * bucket with an eval vector and their exact cosine reaches `minScore`.
+    * Lexical MinHash catches shared phrasing; this catches the paraphrase
+    * an embedding model maps next to the eval answer — the two checks a
+    * pipeline runs together before shipping a corpus. Bucketing is
+    * corpus-independent and scan-side on both sides (filtering before
+    * bucketing changes nothing), and the eval slice is ~`evalPct`% of the
+    * corpus, so it rides a broadcast while the training side streams
+    * through ONE scan — no shuffle of training vectors at all.
+    */
+  def decontaminateSemantic(
+      emb: DataFrame,
+      bits: Int = 6,
+      minScore: Double = 0.35,
+      evalPct: Int = 10): DataFrame = {
+    val coin = TextAnalysis.sampleCoin(idCol = col("vec_id"))
+    val e = vecs(emb).join(lshBuckets(emb, bits, probeDim(emb)), "vec_id")
+    val train = e.filter(coin >= evalPct)
+      .select(col("bucket"), col("vec_id").as("train_vec_id"), col("v").as("va"))
+    val ev = e.filter(coin < evalPct)
+      .select(col("bucket").as("bucket_b"), col("vec_id").as("eval_vec_id"),
+        col("v").as("vb"))
+    train.join(broadcast(ev), col("bucket") === col("bucket_b"))
+      .withColumn("score",
+        graft.functions.GraftFunctions.cosine_sim(col("va"), col("vb")))
+      .filter(col("score") >= minScore)
+      .select(col("train_vec_id"), col("eval_vec_id"), col("score"))
+  }
+
   /** End-to-end SEMANTIC dedup: [[embeddingNearDupPairs]] →
     * [[Dedup.connectedComponents]] (min-label + pointer-halving, O(log
     * diameter) rounds) → per-cluster membership counts, singletons

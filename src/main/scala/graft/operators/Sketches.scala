@@ -43,6 +43,26 @@ object Sketches {
         count_distinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
 
+  /** The [[distinctUsers]] accuracy contract as an ORACLE-CHECKABLE query:
+    * join the sketch against its exact twin and emit, per key, the exact
+    * count plus whether the relative error respects the bound. The sketch
+    * VALUE is engine-specific (Spark HLL++) and can never hash-match a
+    * DuckDB oracle — but the bound can: when the sketch honors its
+    * contract every row is (key, exact_users, within_bound = true), which
+    * the oracle produces from the exact aggregation alone. A sketch
+    * drifting out of bound flips the boolean and the driver's hash check
+    * goes red — the FunctionsSpec assertion, now standing in the
+    * correctness artifact. Bound: 2.5× the declared rsd (0.02) — HLL++
+    * rsd is one standard deviation, so a 2.5σ gate is a stable-yet-real
+    * contract (false-alarm odds ~1%, independent per key).
+    */
+  def distinctUsersBound(events: DataFrame, maxRelErr: Double = 0.05): DataFrame =
+    distinctUsers(events)
+      .join(distinctUsersExact(events).drop("n_events"), "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= maxRelErr).as("within_bound"))
+
   /** Heavy hitters: top-k users per event_type by event count — the exact
     * groupBy top-k that stands where a count-min sketch would if the
     * group-by were unaffordable. One count aggregation (map-side combine)
@@ -77,4 +97,31 @@ object Sketches {
         element_at(qArr, col("pos") + 1).as("q"),
         col("value"))
   }
+
+  /** The [[valueQuantiles]] accuracy contract as an oracle-checkable query
+    * (the quantile sibling of [[distinctUsersBound]]). percentile_approx's
+    * guarantee is on RANK, not value: the returned value's rank is within
+    * n/accuracy of ceil(q·n). The check re-ranks each sketch value against
+    * the raw distribution — lo/hi = counts strictly-below / at-or-below,
+    * so the value occupies rank interval [lo+1, hi] — and asserts that
+    * interval intersects [ceil(q·n) − n/acc, ceil(q·n) + n/acc]. One
+    * corpus scan + a broadcast of the |keys|·|qs|-row sketch table; when
+    * the contract holds the output is (key, q, n_events, true) rows the
+    * oracle reproduces exactly.
+    */
+  def valueQuantilesBound(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events
+      .join(broadcast(valueQuantiles(events).withColumnRenamed("value", "qv")),
+        Seq("event_type"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("qv"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("value") <= col("qv"), 1L).otherwise(0L)).as("hi"))
+      .select(col("event_type"), col("q"), col("n_events"),
+        (col("hi").cast("double") >=
+          ceil(col("n_events") * col("q")) - col("n_events").cast("double") / accuracy &&
+          (col("lo") + 1).cast("double") <=
+            ceil(col("n_events") * col("q")) + col("n_events").cast("double") / accuracy)
+          .as("within_bound"))
 }

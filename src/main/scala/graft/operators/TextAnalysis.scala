@@ -55,9 +55,11 @@ object TextAnalysis {
     * decontamination split so "the 10% eval slice" means the same docs
     * everywhere.
     */
-  def sampleCoin(salt: String = "s0"): org.apache.spark.sql.Column =
+  def sampleCoin(
+      salt: String = "s0",
+      idCol: org.apache.spark.sql.Column = col("doc_id")): org.apache.spark.sql.Column =
     conv(substring(
-      md5(concat(lit(salt), lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      md5(concat(lit(salt), lit(":"), idCol.cast("string"))), 1, 8), 16, 10)
       .cast("long") % 100
 
   /** Deterministic content-keyed sample: keep a doc iff [[sampleCoin]]

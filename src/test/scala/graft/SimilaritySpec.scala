@@ -164,6 +164,31 @@ class SimilaritySpec extends GraftSpec {
     assert(multi.nonEmpty)
   }
 
+  test("semantic decontamination = cross-split slice of the near-dup pair graph") {
+    // A (train, eval) leak is exactly an embedding near-dup pair with one
+    // vector on each side of the md5-coin split: the unordered projection
+    // of decontaminateSemantic must equal embeddingNearDupPairs filtered
+    // to split-crossing pairs (same buckets, same exact-cosine threshold).
+    val emb = Tables.load(spark, sf, "embeddings")
+    def coin(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"s0:$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val got = Similarity.decontaminateSemantic(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (t, e) =>
+      assert(coin(t) >= 10 && coin(e) < 10, s"split violated: ($t, $e)")
+    }
+    val expected = Similarity.embeddingNearDupPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (coin(a) < 10) != (coin(b) < 10) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(got.map { case (t, e) =>
+      (math.min(t, e), math.max(t, e)) }.toSet === expected)
+  }
+
   test("semantic clusters equal the transitive closure of the pair graph") {
     val emb = Tables.load(spark, sf, "embeddings")
     val got = Similarity.semanticClusters(emb).collect()
