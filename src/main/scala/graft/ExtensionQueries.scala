@@ -37,6 +37,38 @@ object ExtensionQueries {
          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
          FROM documents)"""
 
+  /** One unrolled BPE round for the `vocab_bpe_merges` oracle: from the
+    * dense-position token table t$i, pick the argmax adjacent pair (b$i),
+    * select greedy non-overlapping occurrences via gaps-and-islands (s$i),
+    * rewrite survivors (r$i), re-number to t${i+1} — the SQL mirror of one
+    * `TextAnalysis.bpeMerges` iteration.
+    */
+  private def bpeRoundCte(i: Int): String = s"""
+        p$i AS (SELECT doc_id, pos, tok,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+               FROM t$i),
+        b$i AS (SELECT tok AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS n
+                FROM p$i WHERE nxt IS NOT NULL
+                GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+        o$i AS (SELECT p.doc_id, p.pos
+                FROM p$i p JOIN b$i ON p.tok = b$i.a AND p.nxt = b$i.b),
+        s$i AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos, row_number() OVER (
+                           PARTITION BY doc_id, grp ORDER BY pos) AS rn
+                  FROM (SELECT doc_id, pos, pos - row_number() OVER (
+                          PARTITION BY doc_id ORDER BY pos) AS grp FROM o$i))
+                WHERE rn % 2 = 1),
+        r$i AS (SELECT p.doc_id, p.pos,
+                       CASE WHEN s.pos IS NOT NULL THEN p.tok || ' ' || p.nxt
+                            ELSE p.tok END AS tok
+                FROM p$i p
+                LEFT JOIN s$i s ON p.doc_id = s.doc_id AND p.pos = s.pos
+                LEFT JOIN s$i d ON p.doc_id = d.doc_id AND p.pos = d.pos + 1
+                WHERE d.pos IS NULL),
+        t${i + 1} AS (SELECT doc_id, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY pos) AS pos, tok
+                      FROM r$i)"""
+
   /** Shared oracle CTE: word 3-gram shingles (mirrors Dedup.shingled;
     * DuckDB lists are 1-based where Spark arrays are 0-based — both
     * enumerate the n-2 consecutive triples).
@@ -1528,6 +1560,47 @@ object ExtensionQueries {
                     THEN substring(hx, 1, 4) END AS magic_hex
         FROM b""")),
 
+    // Pixel stats through the REAL codec path: synthesize a valid binary
+    // P6 PPM per doc (SQL binary plumbing), parse it with the hand-rolled
+    // netpbm decoder, and aggregate ACTUAL decoded pixels. The oracle
+    // derives the same stats arithmetically from the document bytes
+    // (pixel plane = text bytes zero-padded to 8×h×3), so a parser that
+    // misreads the header, drops padding, or misaligns channels fails the
+    // hash — the decode is verified, not stubbed.
+    QuerySpec(
+      "mm_pixel_stats",
+      (s, dir) => Multimodal.pixelStats(s, docs(s, dir)),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        d AS (
+          SELECT doc_id, hx, n,
+                 greatest(1, CAST(ceil(n / 24.0) AS BIGINT)) AS h
+          FROM b),
+        idx AS (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM d),
+        vals AS (
+          SELECT doc_id, i,
+                 ('0x' || substring(hx, CAST(2*i + 1 AS INT), 2))::BIGINT AS v
+          FROM idx),
+        sums AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS sr,
+                 SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS sg,
+                 SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS sb
+          FROM vals GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(8 AS BIGINT) AS width,
+               d.h AS height,
+               8 * d.h AS n_px,
+               CAST(COALESCE(s.sr, 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(s.sg, 0) AS BIGINT) AS sum_g,
+               CAST(COALESCE(s.sb, 0) AS BIGINT) AS sum_b,
+               (299 * COALESCE(s.sr, 0) + 587 * COALESCE(s.sg, 0)
+                  + 114 * COALESCE(s.sb, 0)) / (1000.0 * 8 * d.h) AS mean_luma
+        FROM d LEFT JOIN sums s ON d.doc_id = s.doc_id""")),
+
     // ---- curation pipeline (batch twin of streaming DocPipeline.curate) ----
     // Flagship §2-B pipeline end-to-end in one DataFrame: fused one-scan
     // enrichment -> exact dedup on the content fingerprint (min-doc_id
@@ -1669,6 +1742,28 @@ object ExtensionQueries {
           FROM toks WHERE len(t) >= 2)
         SELECT bigram, COUNT(*) AS n FROM bg
         GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""")),
+
+    // Iterative BPE: 3 merge rounds, each "count adjacent pairs, merge the
+    // argmax greedily" — the loop vocab_bigram_topk is one step of.
+    // Driver-looped (only argmax rows reach the driver), oracle-unrolled,
+    // bench-excluded — the Lloyd-IVF pattern for iterative operators.
+    QuerySpec(
+      "vocab_bpe_merges",
+      (s, dir) => TextAnalysis.bpeMerges(docs(s, dir)),
+      benchmark = false,
+      oracle = Some(s"""
+        WITH $toksCte,
+        t1 AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+                      unnest(t) AS tok
+               FROM toks),
+        ${bpeRoundCte(1)},
+        ${bpeRoundCte(2)},
+        ${bpeRoundCte(3)}
+        SELECT CAST(1 AS BIGINT) AS merge_round, a || ' ' || b AS bigram, n FROM b1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS merge_round, a || ' ' || b AS bigram, n FROM b2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT) AS merge_round, a || ' ' || b AS bigram, n FROM b3""")),
 
     // Context-window chunking: 64-token chunks at stride 48 (overlap 16),
     // scan-side transform + posexplode, zero shuffle.

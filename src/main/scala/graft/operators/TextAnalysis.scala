@@ -380,6 +380,73 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("bigram"))
       .limit(k)
 
+  /** Iterative BPE merge loop — the k-round completion of [[vocabBigrams]]
+    * (which is exactly ONE round's pair count). Round r: count adjacent
+    * token pairs corpus-wide, pick the argmax (count desc, pair asc —
+    * deterministic), then REWRITE every greedy non-overlapping occurrence
+    * into a single merged token before the next round — the
+    * `get_stats`/`merge_vocab` loop of Sennrich-style BPE at word level,
+    * run as relational algebra. Driver-looped like
+    * [[Similarity.ivfCentroidsTrained]]: only the k argmax rows ever reach
+    * the driver (metadata, not data), the oracle unrolls the rounds in
+    * SQL, and the query is bench-excluded (wall time = round count).
+    *
+    * The greedy left-to-right overlap rule ("x x x" merges once, third x
+    * survives) is gaps-and-islands, not a fold: occurrences at dense
+    * positions group into runs (pos − row_number is constant within a
+    * run), and a run keeps its odd-indexed members. Every step is a
+    * per-doc window or a hash agg — high-cardinality doc_id partitions,
+    * no driver-side token data, and each round's survivor table is
+    * localCheckpoint-ed so k rounds can't stack plans
+    * ([[Dedup.connectedComponents]] precedent).
+    */
+  def bpeMerges(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    var toks = docs.select(col("doc_id"),
+      posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, Long)]
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
+      val byDoc = w.partitionBy(col("doc_id")).orderBy(col("pos"))
+      // re-number to dense 1-based positions so run detection is pure
+      // position arithmetic even after prior rounds removed rows
+      val pairs = toks
+        .withColumn("p", row_number().over(byDoc))
+        .select(col("doc_id"), col("p"), col("tok"))
+        .withColumn("nxt",
+          lead(col("tok"), 1).over(w.partitionBy(col("doc_id")).orderBy(col("p"))))
+      val top = pairs.filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok"), asc("nxt")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((merges.size + 1L, a + " " + b, n))
+        val occ = pairs.filter(col("tok") === lit(a) && col("nxt") === lit(b))
+          .select(col("doc_id"), col("p"))
+        val sel = occ
+          .withColumn("grp", col("p") -
+            row_number().over(w.partitionBy(col("doc_id")).orderBy(col("p"))))
+          .withColumn("rn",
+            row_number().over(w.partitionBy(col("doc_id"), col("grp")).orderBy(col("p"))))
+          .filter(col("rn") % 2 === 1)
+          .select(col("doc_id"), col("p"))
+        toks = pairs
+          .join(sel.withColumn("m", lit(true)), Seq("doc_id", "p"), "left")
+          .join(sel.select(col("doc_id"), (col("p") + 1).as("p"))
+            .withColumn("drp", lit(true)), Seq("doc_id", "p"), "left")
+          .filter(col("drp").isNull)
+          .select(col("doc_id"), col("p").as("pos"),
+            when(col("m"), concat(col("tok"), lit(" "), col("nxt")))
+              .otherwise(col("tok")).as("tok"))
+          .localCheckpoint()
+      }
+    }
+    val sp = docs.sparkSession
+    import sp.implicits._
+    merges.toSeq.toDF("merge_round", "bigram", "n")
+  }
+
   /** Fixed-size overlapping token chunks — the context-window slicing
     * step that turns curated documents into training sequences (or RAG
     * passages). Chunk c covers tokens [c·stride, c·stride + chunkSize);

@@ -28,29 +28,64 @@ class MultimodalSpec extends GraftSpec {
     assert(!meta.queryExecution.optimizedPlan.output.map(_.name).contains("blob"))
   }
 
-  test("decode stub: deterministic, partition-independent features") {
-    val a = Multimodal.decodeStub(spark, docs).collect().sortBy(_.doc_id)
-    val b = Multimodal.decodeStub(spark, docs.repartition(3)).collect().sortBy(_.doc_id)
-    assert(a.length === 3)
-    a.zip(b).foreach { case (x, y) =>
-      assert(x.doc_id === y.doc_id)
-      assert(x.width === y.width && x.height === y.height)
-      assert(x.features.toSeq === y.features.toSeq)
-      assert(x.width >= 16 && x.width <= 143)
-      assert(x.features.length === 8)
-      assert(x.features.forall(f => f >= 0f && f <= 1f))
+  test("ppm round-trip: synthesized blob parses back to the exact pixels") {
+    val imgs = Multimodal.decodePpm(spark, Multimodal.ppmBlob(docs))
+      .collect().sortBy(_.doc_id)
+    assert(imgs.length === 3)
+    val byId = imgs.map(i => i.doc_id -> i).toMap
+    // doc 1: 11 payload bytes -> one 8x1 image, text bytes then 0x00 pad
+    val d1 = byId(1L)
+    assert((d1.width, d1.height) === (8, 1))
+    assert(d1.pixels.length === 24)
+    assert(d1.pixels.take(11).toSeq === "hello world".getBytes("UTF-8").toSeq)
+    assert(d1.pixels.drop(11).forall(_ == 0), "padding must decode as 0x00")
+    // doc 3: 300 bytes -> ceil(300/24) = 13 rows
+    val d3 = byId(3L)
+    assert((d3.width, d3.height) === (8, 13))
+    assert(d3.pixels.length === 312)
+    assert(d3.pixels.take(300).forall(_ == 'x'.toByte))
+    // partition-independent
+    val re = Multimodal.decodePpm(spark,
+      Multimodal.ppmBlob(docs.repartition(3))).collect().sortBy(_.doc_id)
+    imgs.zip(re).foreach { case (a, b) =>
+      assert(a.doc_id === b.doc_id && a.pixels.toSeq === b.pixels.toSeq)
     }
   }
 
-  test("resize stub halves dimensions and pools features 2:1") {
-    val feats = Multimodal.decodeStub(spark, docs)
-    val resized = Multimodal.resizeStub(spark, feats).collect().sortBy(_.doc_id)
-    val orig = feats.collect().sortBy(_.doc_id)
-    orig.zip(resized).foreach { case (o, r) =>
-      assert(r.width === math.max(1, o.width / 2))
-      assert(r.features.length === o.features.length / 2)
-      assert(r.features(0) === (o.features(0) + o.features(1)) / 2.0f)
-    }
+  test("ppm parser: comments honored, malformed input fails loudly") {
+    def blob(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    // a hand-written PPM with header comments, 2x1, known pixels
+    val ok = Multimodal.parseP6(blob("P6\n# a comment\n2 1\n# more\n255\n" +
+      "\u0001\u0002\u0003\u0004\u0005\u0006"))
+    assert((ok._1, ok._2) === (2, 1))
+    assert(ok._3.toSeq === Seq[Byte](1, 2, 3, 4, 5, 6))
+    // wrong magic, truncated raster, oversize maxval all throw
+    intercept[IllegalArgumentException](Multimodal.parseP6(blob("P5\n1 1\n255\nabc")))
+    intercept[IllegalArgumentException](Multimodal.parseP6(blob("P6\n2 2\n255\nab")))
+    intercept[IllegalArgumentException](Multimodal.parseP6(blob("P6\n1 1\n65535\nabc")))
+  }
+
+  test("pixel stats come from decoded pixels; 2x2 resize pools actual bytes") {
+    val stats = Multimodal.pixelStats(spark, docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1 "hello world": channel sums of the padded byte plane, by hand
+    val bs = "hello world".getBytes("UTF-8").map(_ & 0xff)
+    def ch(m: Int) = bs.zipWithIndex.filter(_._2 % 3 == m).map(_._1.toLong).sum
+    val r1 = stats(1L)
+    assert(r1.getAs[Long]("sum_r") === ch(0))
+    assert(r1.getAs[Long]("sum_g") === ch(1))
+    assert(r1.getAs[Long]("sum_b") === ch(2))
+    assert(r1.getAs[Double]("mean_luma") ===
+      (299L * ch(0) + 587L * ch(1) + 114L * ch(2)).toDouble / (1000.0 * 8))
+    // resize: 8x13 -> 4x7; output pixel (0,0,R) = floor-mean of the 2x2
+    // block's R channel, hand-computed from doc 3's constant 'x' plane
+    val d3 = Multimodal.decodePpm(spark, Multimodal.ppmBlob(docs))
+      .filter(_.doc_id == 3L)
+    val rz = Multimodal.resizeHalf(spark, d3).collect().head
+    assert((rz.width, rz.height) === (4, 7))
+    assert(rz.pixels.length === 4 * 7 * 3)
+    // interior block fully inside the 'x' region: mean of four 'x' bytes
+    assert((rz.pixels(0) & 0xff) === 'x'.toInt)
   }
 
   test("frame sample: every stride-th fixed-size frame, 1 row -> n rows") {

@@ -5,6 +5,45 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends GraftSpec {
   import spark.implicits._
 
+  test("bpe merges: brute-force rounds, greedy non-overlapping rewrite") {
+    // "x x x x" must merge to two "x x" tokens in round 1 (greedy
+    // left-to-right, no overlap); the merged token then participates as a
+    // unit in later rounds. Brute-force the same loop on driver strings.
+    val docs = Seq(
+      (1L, "x x x x a b"),
+      (2L, "a b c a b c"),
+      (3L, "x x a b")).toDF("doc_id", "text")
+    def brute(corpus: Seq[Seq[String]], k: Int): Seq[(Long, String, Long)] = {
+      var c = corpus
+      (1 to k).map { r =>
+        val counts = c.flatMap(t => t.zip(t.drop(1)))
+          .groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+        val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        c = c.map { t =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < t.length) {
+            if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+              out += s"$a $b"; i += 2
+            } else { out += t(i); i += 1 }
+          }
+          out.toSeq
+        }
+        (r.toLong, s"$a $b", n)
+      }
+    }
+    val corpus = Seq("x x x x a b", "a b c a b c", "x x a b")
+      .map(_.split(" ").toSeq)
+    val expected = brute(corpus, 3)
+    val got = TextAnalysis.bpeMerges(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got === expected)
+    // round 1 merges the most frequent pair; on this corpus that is
+    // ("a","b") ×4 (the x-x run contributes only 3 adjacent pairs)
+    assert(got.head._2 === "a b" && got.head._3 === 4L)
+  }
+
   test("quality stats: hand-computed counts and ratios") {
     val docs = Seq((1L, "The cat is on the mat.")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityStats(docs).collect().head
