@@ -635,4 +635,161 @@ object StreamingQueries {
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelStages] =
       finalizeIfReady(user, timerValues.getCurrentWatermarkInMs())
   }
+
+  // ---- custom stateful operator: streaming SimHash near-dup detection ------
+
+  final case class SimhashDoc(doc_id: Long, text: String, utc: java.sql.Timestamp)
+  final case class SimhashKeyed(
+      bkey: Long, exact: Boolean, doc_id: Long, simhash: Long, utc: java.sql.Timestamp)
+  final case class SimhashEntry(exact: Boolean, doc_id: Long, simhash: Long, us: Long)
+  final case class SimhashPairOut(
+      doc_a: Long, doc_b: Long, hamming: Long, pair_ts: java.sql.Timestamp)
+
+  /** Scala twin of [[graft.operators.Dedup.simhash]]'s SQL expression:
+    * identical tokenization (trim → lowercase → `\s+` split), identical
+    * per-word hash (first 8 hex chars of md5 as an unsigned 32-bit int),
+    * identical sign-sum fingerprint. StreamingSpec pins the parity by
+    * comparing the stream's pairs against the batch operator's on the
+    * same documents — a drift here is a test failure, not a silent skew.
+    */
+  private[streaming] def simhash32(text: String): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Long](32)
+    text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
+      val hex = digest.digest(w.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      digest.reset()
+      val h = java.lang.Long.parseLong(hex, 16)
+      var i = 0
+      while (i < 32) { sums(i) += ((h >> i) & 1L) * 2L - 1L; i += 1 }
+    }
+    (0 until 32).map(i => if (sums(i) > 0) 1L << i else 0L).sum
+  }
+
+  /** Streaming near-duplicate detection — the `transformWithState` twin of
+    * [[graft.operators.Dedup.simhashNearDupPairs]], for the ingestion
+    * pipeline that must flag near-dups AS DOCUMENTS ARRIVE instead of in a
+    * nightly batch. Same pigeonhole blocking: each doc's 32-bit SimHash
+    * splits into two 16-bit halves, and every doc posts 2 exact
+    * (half, value) keys plus 34 single-bit-probe keys; ≤3 flipped bits
+    * leave ≤1 in some half, so every true pair collides on some key —
+    * perfect recall by the same pigeonhole guarantee as the batch join,
+    * now as STATE KEYS (the bucket space partitions the stream 2^17 ways,
+    * the same fine-grained distribution the batch plan was chosen for).
+    * The exact `bitCount(xor) <= maxHamming` check verifies in-bucket
+    * before anything emits, and a downstream
+    * `dropDuplicatesWithinWatermark` collapses the multi-key duplicates
+    * (all emissions of a pair fire in the arrival micro-batch of its
+    * second doc, with one deterministic pair_ts = max of the two event
+    * times, so the dedup state never races the watermark).
+    *
+    * State bounds (per bucket key): entries live one `horizonSeconds`
+    * past their event time — an event-time timer prunes expired entries,
+    * so state is the docs of one horizon, not the stream's history. The
+    * streaming semantics is therefore "pairs among docs within one
+    * horizon of each other" — the bounded-state restriction of the batch
+    * operator's corpus-wide pairs (StreamingSpec pins stream ≡ batch on
+    * a corpus inside one horizon, out-of-order arrival included).
+    */
+  def simhashPairsStream(
+      spark: SparkSession,
+      docs: Dataset[SimhashDoc],
+      maxHamming: Int = 3,
+      watermarkDelay: String = "10 seconds",
+      horizonSeconds: Long = 3600L): Dataset[SimhashPairOut] = {
+    import spark.implicits._
+    require(maxHamming <= 3,
+      "two-half single-bit probing only guarantees recall for maxHamming <= 3")
+    val keyed = docs.flatMap { d =>
+      val sh = simhash32(d.text)
+      val halves = Seq(0L -> (sh & 0xffffL), 1L -> ((sh >> 16) & 0xffffL))
+      val masks = 0L +: (0 until 16).map(1L << _).toSeq
+      halves.flatMap { case (half, hv) =>
+        SimhashKeyed((half << 17) | hv, exact = true, d.doc_id, sh, d.utc) +:
+          masks.map(m =>
+            SimhashKeyed((half << 17) | (hv ^ m), exact = false, d.doc_id, sh, d.utc))
+      }
+    }
+    keyed
+      .withWatermark("utc", watermarkDelay)
+      .groupByKey(_.bkey)
+      // the 3-arg overload DECLARES pair_ts as the output's event-time
+      // column, so the watermark propagates into the chained dedup below
+      // (re-declaring one via withWatermark on a stateful output is
+      // disallowed)
+      .transformWithState(
+        new SimhashPairProcessor(maxHamming, horizonSeconds * 1000L),
+        "pair_ts",
+        OutputMode.Append())
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+  }
+
+  /** The [[simhashPairsStream]] StatefulProcessor: one ListState of
+    * (exact?, doc_id, simhash, event-us) entries per bucket key, pruned by
+    * an event-time timer once the watermark passes entry time + horizon.
+    * Pair emission mirrors the batch join exactly: an exact entry pairs
+    * with a probe entry of a LARGER doc_id (the batch join's
+    * `doc_id < p_doc` orientation), so the candidate multiset — and after
+    * the downstream dedup, the pair set — matches the batch operator.
+    */
+  final class SimhashPairProcessor(maxHamming: Int, horizonMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SimhashKeyed, SimhashPairOut] {
+    @transient private var entries: org.apache.spark.sql.streaming.ListState[SimhashEntry] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      entries = getHandle.getListState[SimhashEntry](
+        "entries", org.apache.spark.sql.Encoders.product[SimhashEntry],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def resetTimer(minUs: Long): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(minUs / 1000L + horizonMs + 1L)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[SimhashKeyed],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SimhashPairOut] = {
+      val buf = scala.collection.mutable.ArrayBuffer(entries.get().toSeq: _*)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SimhashPairOut]
+      rows.toSeq.sortBy(r => (micros(r.utc), r.doc_id, r.exact)).foreach { r =>
+        val rUs = micros(r.utc)
+        buf.foreach { e =>
+          // batch orientation: exact side carries the smaller doc_id
+          val cand =
+            if (r.exact && !e.exact && r.doc_id < e.doc_id)
+              Some((r.doc_id, e.doc_id, r.simhash, e.simhash, e.us))
+            else if (!r.exact && e.exact && e.doc_id < r.doc_id)
+              Some((e.doc_id, r.doc_id, e.simhash, r.simhash, e.us))
+            else None
+          cand.foreach { case (a, b, sa, sb, otherUs) =>
+            val ham = java.lang.Long.bitCount(sa ^ sb).toLong
+            if (ham <= maxHamming)
+              out += SimhashPairOut(a, b, ham, microsToTs(math.max(rUs, otherUs)))
+          }
+        }
+        buf += SimhashEntry(r.exact, r.doc_id, r.simhash, rUs)
+      }
+      entries.clear()
+      entries.put(buf.toArray)
+      resetTimer(buf.map(_.us).min)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SimhashPairOut] = {
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val kept = entries.get().toSeq.filter(e => e.us / 1000L + horizonMs >= wmMs)
+      entries.clear()
+      if (kept.nonEmpty) {
+        entries.put(kept.toArray)
+        resetTimer(kept.map(_.us).min)
+      }
+      Iterator.empty
+    }
+  }
 }

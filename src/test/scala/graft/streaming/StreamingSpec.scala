@@ -736,6 +736,47 @@ class StreamingSpec extends GraftSpec {
     assert(got === batchDedup)
   }
 
+  test("streaming simhash near-dup pairs equal the batch operator, out of order") {
+    import StreamingQueries.SimhashDoc
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      1L -> base,
+      2L -> base, // identical to 1: hamming 0
+      3L -> (base + " tail"), // near-dup of the pair
+      4L -> "a completely different set of tokens with nothing shared here",
+      5L -> (base + " extra trailing words"),
+      6L -> "another unrelated document body entirely disjoint from everything")
+    val times = Map(
+      1L -> "2024-01-01 00:00:05", 2L -> "2024-01-01 00:00:01",
+      3L -> "2024-01-01 00:00:06", 4L -> "2024-01-01 00:00:02",
+      5L -> "2024-01-01 00:00:04", 6L -> "2024-01-01 00:00:03")
+    def doc(id: Long) = SimhashDoc(id, corpus.toMap.apply(id),
+      java.sql.Timestamp.valueOf(times(id)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val input = MemoryStream[SimhashDoc]
+      val out = StreamingQueries.simhashPairsStream(spark, input.toDS()).toDF()
+      // delivery order deliberately violates event-time order (doc 2, the
+      // EARLIEST event and half of the hamming-0 pair, arrives last) while
+      // staying inside the watermark delay
+      val rows = runStream(input, out,
+        Seq(Seq(doc(1), doc(3)), Seq(doc(4), doc(6)), Seq(doc(5), doc(2))))
+      val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+      val batch = graft.operators.Dedup.simhashNearDupPairs(
+        corpus.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === batch, "stream pairs must equal the batch operator's")
+      assert(got.contains((1L, 2L, 0L)), "identical docs pair at hamming 0")
+      assert(got.size >= 3, s"the clustered corpus must yield its near-dups: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("synthetic generators match the producer record shape") {
     assert(TickSource.rateSynthetic(spark).schema.fieldNames.toSeq ===
       Seq("ticker", "price", "utc"))
