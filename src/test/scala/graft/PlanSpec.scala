@@ -226,6 +226,39 @@ class PlanSpec extends GraftSpec {
       s"expected ≤4 hash exchanges (df cap, doc_id window, posting list, pair agg), got $shuffles:\n$p")
   }
 
+  test("fused ngram pair stats shares the sibling plan shape and scan count") {
+    // The fused query exists to price the pair core ONCE — so its plan
+    // must be the sibling plan plus cheap ratio projections, not a wider
+    // one: same shingle-duplication cap, same exchange budget, and no
+    // extra corpus scans (2: DF-cap branch + posting branch).
+    val p = plan(Registry.queries("dedup_ngram_pair_stats")(spark, sf))
+    val dups = "transform\\(sequence".r.findAllIn(p).size
+    assert(dups <= 4, s"shingle transform must appear ≤4 times, got $dups:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 4, s"expected ≤4 hash exchanges, got $shuffles:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"fused form must not add corpus scans, got $scans:\n$p")
+  }
+
+  test("semantic decontamination broadcasts the eval slice — one training scan") {
+    val p = plan(Registry.queries("decontaminate_semantic")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ~10% eval slice must ride a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket blocking must be an equi-join, never all-pairs:\n$p")
+  }
+
+  test("sketch bound queries: one corpus scan per aggregation side, broadcast join") {
+    // distinct-users bound: two aggs over the same scan joined on the
+    // 5-row key space; quantiles bound: the 15-row sketch table must
+    // broadcast back onto the single re-ranking scan.
+    val pq = plan(Registry.queries("sketch_value_quantiles_bound")(spark, sf))
+    assert(pq.contains("BroadcastHashJoin"),
+      s"the |keys|x|qs| sketch table must broadcast:\n$pq")
+    val scansQ = "Scan parquet".r.findAllIn(pq).size
+    assert(scansQ <= 2, s"re-ranking must not multiply corpus scans, got $scansQ:\n$pq")
+  }
+
   test("random projection is one scan-side projection — no shuffle at all") {
     val p = plan(Registry.queries("emb_random_projection")(spark, sf))
     assert(!p.contains("Exchange"),
