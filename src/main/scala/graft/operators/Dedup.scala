@@ -266,11 +266,38 @@ object Dedup {
     minhashBuckets(train, k, rowsPerBand)
       .select(col("band"), col("bucket_key"), col("doc_id").as("train_doc_id"))
       .join(
-        minhashBuckets(evalDocs, k, rowsPerBand)
-          .select(col("band"), col("bucket_key"), col("doc_id").as("eval_doc_id")),
+        broadcast(minhashBuckets(evalDocs, k, rowsPerBand)
+          .select(col("band"), col("bucket_key"), col("doc_id").as("eval_doc_id"))),
         Seq("band", "bucket_key"))
       .select(col("train_doc_id"), col("eval_doc_id"))
       .distinct()
+
+  /** [[decontaminateNear]] when train and eval are a SPLIT of one corpus
+    * (the registered query's shape): bucket the corpus ONCE and eagerly
+    * localCheckpoint the tiny (doc_id, band, bucket_key) table, then
+    * filter both sides out of the checkpoint — the shingle+MinHash
+    * signature pass (the expensive scan-side work) runs once instead of
+    * once per side. Same quality-gate lineage-cut precedent; identical
+    * results to calling [[decontaminateNear]] on the two filtered frames
+    * (the r7 bench's second-highest cold line, 2.9 s, was exactly the
+    * doubled signature pass).
+    */
+  def decontaminateNearSplit(
+      docs: DataFrame, evalPct: Int = 10,
+      k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bk = minhashBuckets(docs, k, rowsPerBand)
+      .select(col("doc_id"), col("band"), col("bucket_key"))
+      .localCheckpoint()
+    val coin = TextAnalysis.sampleCoin()
+    bk.filter(coin >= evalPct)
+      .select(col("band"), col("bucket_key"), col("doc_id").as("train_doc_id"))
+      .join(
+        broadcast(bk.filter(coin < evalPct)
+          .select(col("band"), col("bucket_key"), col("doc_id").as("eval_doc_id"))),
+        Seq("band", "bucket_key"))
+      .select(col("train_doc_id"), col("eval_doc_id"))
+      .distinct()
+  }
 
   /** Near-duplicate clusters: connected components over the MinHash
     * candidate-pair graph ([[connectedComponents]] — min-label

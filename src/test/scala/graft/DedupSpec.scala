@@ -131,6 +131,17 @@ class DedupSpec extends GraftSpec {
     assert(fused.contains((1L, 2L)) && fused((1L, 2L))._2 < 0.3)
   }
 
+  test("split decontamination equals the two-frame form on the same coin split") {
+    val docs = Tables.load(spark, sf, "documents")
+    val coin = graft.operators.TextAnalysis.sampleCoin()
+    val two = Dedup.decontaminateNear(
+      docs.filter(coin >= 10), docs.filter(coin < 10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = Dedup.decontaminateNearSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(split === two, "single-scan split form must not change the leak set")
+  }
+
   test("decontamination: only cross-corpus near-dups surface") {
     // docs 1/2 are near-dups of eval doc 3 -> both leak; the 1-2 pair is
     // WITHIN the training set and must not appear; 4 is clean

@@ -240,6 +240,18 @@ class PlanSpec extends GraftSpec {
     assert(scans <= 2, s"fused form must not add corpus scans, got $scans:\n$p")
   }
 
+  test("split decontamination buckets the corpus once — checkpoint + broadcast") {
+    // The signature pass (shingle + MinHash) is the expensive scan-side
+    // work; the split form runs it ONCE into a checkpointed bucket table,
+    // so the final plan replays the checkpoint for both sides (zero
+    // parquet scans) and the ~10% eval slice joins by broadcast.
+    val p = plan(Registry.queries("decontaminate_near")(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      s"both split sides must replay the checkpointed buckets:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval slice must ride a broadcast:\n$p")
+  }
+
   test("semantic decontamination broadcasts the eval slice — one training scan") {
     val p = plan(Registry.queries("decontaminate_semantic")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
