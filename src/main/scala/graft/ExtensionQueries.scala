@@ -1598,6 +1598,52 @@ object ExtensionQueries {
                   + 114 * COALESCE(s.sb, 0)) / (1000.0 * 8 * d.h) AS mean_luma
         FROM d LEFT JOIN sums s ON d.doc_id = s.doc_id""")),
 
+    // Stats of the RESIZED pixel plane: decode -> 2x2 floor-mean box
+    // filter -> channel sums. The oracle recomputes every block's
+    // floor-mean from the document bytes (full padded plane, so counts
+    // come out of the group), hash-verifying the filter geometry itself —
+    // including the odd-height 1x2 edge blocks.
+    QuerySpec(
+      "mm_resize_stats",
+      (s, dir) => Multimodal.resizeStats(s, docs(s, dir)),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        d AS (
+          SELECT doc_id, hx, n,
+                 greatest(1, CAST(ceil(n / 24.0) AS BIGINT)) AS h
+          FROM b),
+        idx AS (SELECT doc_id, hx, n, h, unnest(range(0, h * 24)) AS i FROM d),
+        vals AS (
+          SELECT doc_id, h, i,
+                 CASE WHEN i < n
+                      THEN ('0x' || substring(hx, CAST(2*i + 1 AS INT), 2))::BIGINT
+                      ELSE 0 END AS v
+          FROM idx),
+        blocks AS (
+          SELECT doc_id, h,
+                 (i // 24) // 2 AS oy, ((i % 24) // 3) // 2 AS ox, i % 3 AS c,
+                 SUM(v) AS s, COUNT(*) AS cnt
+          FROM vals GROUP BY 1, 2, 3, 4, 5),
+        sums AS (
+          SELECT doc_id, h,
+                 SUM(CASE WHEN c = 0 THEN s // cnt ELSE 0 END) AS sr,
+                 SUM(CASE WHEN c = 1 THEN s // cnt ELSE 0 END) AS sg,
+                 SUM(CASE WHEN c = 2 THEN s // cnt ELSE 0 END) AS sb
+          FROM blocks GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(4 AS BIGINT) AS width,
+               (h + 1) // 2 AS height,
+               4 * ((h + 1) // 2) AS n_px,
+               CAST(sr AS BIGINT) AS sum_r,
+               CAST(sg AS BIGINT) AS sum_g,
+               CAST(sb AS BIGINT) AS sum_b,
+               (299 * sr + 587 * sg + 114 * sb)
+                 / (1000.0 * 4 * ((h + 1) // 2)) AS mean_luma
+        FROM sums""")),
+
     // ---- curation pipeline (batch twin of streaming DocPipeline.curate) ----
     // Flagship §2-B pipeline end-to-end in one DataFrame: fused one-scan
     // enrichment -> exact dedup on the content fingerprint (min-doc_id
@@ -1725,6 +1771,38 @@ object ExtensionQueries {
                regexp_replace(text, '${TextAnalysis.denylistPattern}',
                  '[MASKED]', 'g') AS redacted
         FROM documents""")),
+
+    // The curated-docs -> model-ready-sequences hop as ONE oracle query:
+    // denylist redaction then fixed-overlap chunking (the exact
+    // DocPipeline.sequences stage that runs batch AND streaming). The
+    // oracle tokenizes the REDACTED text, so the scrub->chunk ordering
+    // is hash-verified — masking after chunking would shift tokens and
+    // mismatch.
+    QuerySpec(
+      "doc_sequences",
+      (s, dir) => graft.streaming.DocPipeline.sequences(docs(s, dir)),
+      Some(s"""
+        WITH red AS (
+          SELECT doc_id,
+                 regexp_replace(text, '${TextAnalysis.denylistPattern}',
+                   '[MASKED]', 'g') AS rtext
+          FROM documents),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(rtext)), '\\s+') AS t
+          FROM red),
+        nc AS (
+          SELECT doc_id, t,
+                 greatest(1, (len(t) - 16 + 47) // 48) AS n_chunks
+          FROM toks),
+        ch AS (
+          SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_id FROM nc)
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(t, chunk_id*48 + 1, chunk_id*48 + 64))
+                 AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(t, chunk_id*48 + 1, chunk_id*48 + 64),
+                 ' ') AS chunk_text
+        FROM ch""")),
 
     // BPE-style pair counting: corpus top-k adjacent token pairs via one
     // hash agg + TakeOrderedAndProject (never a full sort shuffle).

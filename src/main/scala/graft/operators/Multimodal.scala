@@ -181,9 +181,27 @@ object Multimodal {
     * a parser that misreads the header, drops padding, or misaligns
     * channels hash-mismatches immediately.
     */
-  def pixelStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def pixelStats(spark: SparkSession, docs: DataFrame): DataFrame =
+    statsOf(spark, decodePpm(spark, ppmBlob(docs)))
+
+  /** Pixel statistics of the RESIZED plane — the oracle-checkable readout
+    * of the resize path: [[ppmBlob]] → [[decodePpm]] → [[resizeHalf]] →
+    * channel sums. The DuckDB oracle recomputes every 2×2 block's
+    * floor-mean arithmetically from the document bytes, so the box filter
+    * itself (block geometry, odd-edge 1×2 blocks, floor division) is
+    * hash-verified, not just spec-tested.
+    */
+  def resizeStats(spark: SparkSession, docs: DataFrame): DataFrame =
+    statsOf(spark, resizeHalf(spark, decodePpm(spark, ppmBlob(docs))))
+
+  /** Shared exact channel-sum readout: per image, per-channel byte sums
+    * + mean BT.601 luma (integer numerator, ONE IEEE division —
+    * bit-identical cross-engine).
+    */
+  private def statsOf(
+      spark: SparkSession, imgs: Dataset[DecodedImage]): DataFrame = {
     import spark.implicits._
-    decodePpm(spark, ppmBlob(docs))
+    imgs
       .map { img =>
         var (r, g, b) = (0L, 0L, 0L)
         var i = 0
