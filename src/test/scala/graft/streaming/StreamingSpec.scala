@@ -736,6 +736,22 @@ class StreamingSpec extends GraftSpec {
     assert(got === batchDedup)
   }
 
+  test("scala simhash32 equals the SQL simhash expression on the real corpus") {
+    // The streaming operator computes fingerprints in JVM code; the batch
+    // operator in SQL expressions. Pin them equal doc-for-doc on the real
+    // corpus — stronger than the pair-level parity below, which could
+    // mask compensating drifts under the hamming threshold.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sql = graft.operators.Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, tx) =>
+      assert(StreamingQueries.simhash32(tx) === sql(id),
+        s"fingerprint drift on doc $id")
+    }
+  }
+
   test("streaming simhash near-dup pairs equal the batch operator, out of order") {
     import StreamingQueries.SimhashDoc
     val base = "the quick brown fox jumps over the lazy dog again and again"
