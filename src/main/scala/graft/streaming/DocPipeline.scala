@@ -114,3 +114,54 @@ object DocPipelineJob {
     }
   }
 }
+
+/** Streaming near-duplicate detection job main:
+  * runMain graft.streaming.NearDupJob <inputDir>
+  *   [console|changelog|noop|parquet:<out>:<ckpt>] [--once] [--detach]
+  *   [--max-hamming=3] [--horizon-seconds=3600]
+  * Input: a JSON document stream with (doc_id, text, utc); output: the
+  * near-dup pair stream of [[StreamingQueries.simhashPairsStream]].
+  * Requires the RocksDB state store ([[JobRunner.session]]'s default —
+  * transformWithState needs column families the heap store lacks).
+  */
+object NearDupJob {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+  val nearDupDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("utc", TimestampType)))
+
+  def main(args: Array[String]): Unit = {
+    val inputDir = args(0)
+    val sinkSpec = if (args.length > 1 && !args(1).startsWith("--")) args(1) else "console"
+    val once = args.contains("--once")
+    val maxHamming = args.collectFirst {
+      case a if a.startsWith("--max-hamming=") => a.stripPrefix("--max-hamming=").toInt
+    }.getOrElse(3)
+    val horizonSeconds = args.collectFirst {
+      case a if a.startsWith("--horizon-seconds=") =>
+        a.stripPrefix("--horizon-seconds=").toLong
+    }.getOrElse(3600L)
+
+    val spark = JobRunner.session()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.readStream.schema(nearDupDocSchema).json(inputDir)
+      .as[StreamingQueries.SimhashDoc]
+    val out = StreamingQueries.simhashPairsStream(
+      spark, docs, maxHamming, horizonSeconds = horizonSeconds).toDF()
+    out.createOrReplaceTempView("near_dup_pairs")
+
+    val q = TickSink.start(out, JobRunner.parseSink(sinkSpec), availableNow = once)
+    if (args.contains("--detach")) {
+      println(JobStatus.statusLine(q))
+      JobStatus.progressLine(q).foreach(println)
+      if (once) { q.awaitTermination(); spark.stop() }
+    } else {
+      q.awaitTermination()
+      if (once) spark.stop()
+    }
+  }
+}
