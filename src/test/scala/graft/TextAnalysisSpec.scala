@@ -42,6 +42,24 @@ class TextAnalysisSpec extends GraftSpec {
     // round 1 merges the most frequent pair; on this corpus that is
     // ("a","b") ×4 (the x-x run contributes only 3 adjacent pairs)
     assert(got.head._2 === "a b" && got.head._3 === 4L)
+
+    // randomized cross-check: seeded random corpora over a tiny alphabet
+    // (maximizing overlapping-run and tie cases), distributed loop ==
+    // driver brute force for every round
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val corpus = (1 to 6).map { _ =>
+        (1 to (5 + rnd.nextInt(20))).map(_ => s"w${rnd.nextInt(3)}")
+      }
+      val rdocs = corpus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val exp = brute(corpus, 3)
+      val g = TextAnalysis.bpeMerges(rdocs, k = 3).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
+      assert(g === exp, s"trial $trial diverged on corpus $corpus")
+    }
   }
 
   test("quality stats: hand-computed counts and ratios") {
