@@ -456,6 +456,37 @@ object ExtensionQueries {
         JOIN bk e ON t.band = e.band AND t.bucket_key = e.bucket_key
         JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10""")),
 
+    // Exact n-gram-collision decontamination: the third triad member next
+    // to MinHash (near-dup) and embedding (semantic) — train docs sharing
+    // a VERBATIM 13-token window with an eval doc, the copied-sentence
+    // case neither whole-doc check moves on. Same coin split; window
+    // table computed once (checkpointed), eval side broadcast.
+    QuerySpec(
+      "decontaminate_ngram",
+      (s, dir) => Dedup.decontaminateNgramSplit(docs(s, dir)),
+      Some(s"""
+        WITH $toksCte,
+        pos AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, len(t) - 13 + 1),
+                   p -> ('0x' || substring(md5(array_to_string(
+                          list_slice(t, p + 1, p + 13), ' ')), 1, 12))::BIGINT))
+                   AS whash
+          FROM toks WHERE len(t) >= 13),
+        d AS (SELECT DISTINCT doc_id, whash FROM pos),
+        coin AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS c
+          FROM documents)
+        SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM d t
+        JOIN coin ct ON t.doc_id = ct.doc_id AND ct.c >= 10
+        JOIN d e ON t.whash = e.whash
+        JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10
+        GROUP BY 1, 2""")),
+
     // Substring-level dedup: w-token window hashes at a stride; windows in
     // >= 2 distinct docs are duplicated; per-doc duplicated-window ratio.
     QuerySpec(

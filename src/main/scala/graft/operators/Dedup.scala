@@ -363,14 +363,7 @@ object Dedup {
     * join IS the exact form of that filter.
     */
   def duplicatedWindowStats(docs: DataFrame, w: Int = 16, stride: Int = 4): DataFrame = {
-    val pos = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= w)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, (size(toks) - $w) div $stride),
-              p -> cast(conv(substring(md5(concat_ws(' ',
-                     slice(toks, p * $stride + 1, $w))), 1, 12), 16, 10) as bigint))"""))
-        .as("whash"))
+    val pos = windowHashes(docs, w, stride)
     val shared = pos.select(col("doc_id"), col("whash")).distinct()
       .groupBy(col("whash"))
       .agg(count(lit(1)).as("nd"))
@@ -390,6 +383,54 @@ object Dedup {
         when(col("n_windows") > 0,
           col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  /** Per-doc `w`-token window hashes at `stride` — the scan-side expansion
+    * shared by [[duplicatedWindowStats]] and [[decontaminateNgramSplit]]:
+    * one row per window position, hash = 48-bit md5 truncation of the
+    * space-joined token slice (exact BIGINT, oracle-reproducible). Docs
+    * shorter than `w` tokens produce no windows.
+    */
+  private def windowHashes(docs: DataFrame, w: Int, stride: Int): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(toks) - $w) div $stride),
+              p -> cast(conv(substring(md5(concat_ws(' ',
+                     slice(toks, p * $stride + 1, $w))), 1, 12), 16, 10) as bigint))"""))
+        .as("whash"))
+
+  /** EXACT n-gram-collision decontamination — the third member of the
+    * decontamination triad, next to the probabilistic
+    * [[decontaminateNearSplit]] (MinHash buckets: whole-doc NEAR-dup
+    * similarity) and the semantic
+    * [[Similarity.decontaminateSemantic]] (embedding cosine): a training
+    * doc is flagged against an eval doc iff they share at least one
+    * VERBATIM `w`-token window — the "13-gram overlap" check training-data
+    * pipelines run against benchmark suites, which catches a single
+    * copied sentence that moves neither the whole-doc MinHash nor the
+    * embedding. Stride 1 on both sides (exactness demands every offset;
+    * at 100 TB a stride >1 is the documented recall-for-volume dial).
+    * The (doc, whash)-distinct window table is computed ONCE and eagerly
+    * checkpointed (same split shape as [[decontaminateNearSplit]]); the
+    * ~`evalPct`% eval side broadcasts, and `n_shared` counts the distinct
+    * shared windows per flagged pair — exact integers end-to-end.
+    */
+  def decontaminateNgramSplit(
+      docs: DataFrame, evalPct: Int = 10, w: Int = 13): DataFrame = {
+    val wh = windowHashes(docs, w, stride = 1)
+      .select(col("doc_id"), col("whash")).distinct()
+      .localCheckpoint()
+    val coin = TextAnalysis.sampleCoin()
+    wh.filter(coin >= evalPct)
+      .select(col("whash"), col("doc_id").as("train_doc_id"))
+      .join(
+        broadcast(wh.filter(coin < evalPct)
+          .select(col("whash"), col("doc_id").as("eval_doc_id"))),
+        Seq("whash"))
+      .groupBy(col("train_doc_id"), col("eval_doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** 32-bit SimHash over word occurrences. The word hash is the first 32

@@ -131,6 +131,33 @@ class DedupSpec extends GraftSpec {
     assert(fused.contains((1L, 2L)) && fused((1L, 2L))._2 < 0.3)
   }
 
+  test("ngram decontamination flags a verbatim 13-gram, not a 12-gram") {
+    // coin(doc_id): md5-coin in [0,100) — find ids on each side of the split
+    def coin(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"s0:$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val evalId = (1L to 200L).find(coin(_) < 10).get
+    val trainIds = (1L to 200L).filter(coin(_) >= 10).take(3)
+    val thirteen = (1 to 13).map(i => s"g$i").mkString(" ")
+    val twelve = (1 to 12).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      evalId -> s"eval preamble $thirteen eval tail",
+      // shares the full 13-gram (inside unrelated context) -> flagged
+      trainIds(0) -> s"train alpha text $thirteen closing words",
+      // shares only 12 of the 13 tokens contiguously -> NOT flagged
+      trainIds(1) -> s"train beta text $twelve different ending",
+      // nothing shared -> not flagged
+      trainIds(2) -> "wholly unrelated training content here"
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateNgramSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((trainIds(0), evalId, 1L)),
+      s"exactly the verbatim-13-gram pair must flag, got ${got.toSeq}")
+  }
+
   test("split decontamination equals the two-frame form on the same coin split") {
     val docs = Tables.load(spark, sf, "documents")
     val coin = graft.operators.TextAnalysis.sampleCoin()
