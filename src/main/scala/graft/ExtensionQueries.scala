@@ -1871,6 +1871,26 @@ object ExtensionQueries {
         UNION ALL
         SELECT CAST(3 AS BIGINT) AS merge_round, a || ' ' || b AS bigram, n FROM b3""")),
 
+    // BPE apply: re-tokenize the corpus with the learned merge table (the
+    // artifact a tokenizer ships). Learning is the same driver loop as
+    // vocab_bpe_merges (hence bench-excluded); the APPLY itself is one
+    // scan-side fold per rule, zero shuffle. Oracle = the unrolled rounds'
+    // final token table: applying rules 1..3 in order must reproduce the
+    // learner's round-by-round corpus token for token.
+    QuerySpec(
+      "tokenize_bpe",
+      (s, dir) => TextAnalysis.tokenizeBpe(docs(s, dir)),
+      benchmark = false,
+      oracle = Some(s"""
+        WITH $toksCte,
+        t1 AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+                      unnest(t) AS tok
+               FROM toks),
+        ${bpeRoundCte(1)},
+        ${bpeRoundCte(2)},
+        ${bpeRoundCte(3)}
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM t4""")),
+
     // Context-window chunking: 64-token chunks at stride 48 (overlap 16),
     // scan-side transform + posexplode, zero shuffle.
     QuerySpec(

@@ -401,10 +401,25 @@ object TextAnalysis {
     * ([[Dedup.connectedComponents]] precedent).
     */
   def bpeMerges(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    bpeLearn(docs, k)
+      .map { case (r, a, b, n) => (r, a + " " + b, n) }
+      .toDF("merge_round", "bigram", "n")
+  }
+
+  /** The learning loop behind [[bpeMerges]], returning the merge table as
+    * driver-side (round, left, right, count) rows — the (a, b) split that
+    * [[tokenizeBpe]] needs to APPLY the rules (the concatenated `bigram`
+    * string alone is ambiguous once merged tokens themselves contain
+    * spaces).
+    */
+  private[graft] def bpeLearn(
+      docs: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
     val w = org.apache.spark.sql.expressions.Window
     var toks = docs.select(col("doc_id"),
       posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
-    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, Long)]
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     for (_ <- 1 to k if !exhausted) {
       val byDoc = w.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -421,7 +436,7 @@ object TextAnalysis {
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((merges.size + 1L, a + " " + b, n))
+        merges += ((merges.size + 1L, a, b, n))
         val occ = pairs.filter(col("tok") === lit(a) && col("nxt") === lit(b))
           .select(col("doc_id"), col("p"))
         val sel = occ
@@ -442,9 +457,39 @@ object TextAnalysis {
           .localCheckpoint()
       }
     }
-    val sp = docs.sparkSession
-    import sp.implicits._
-    merges.toSeq.toDF("merge_round", "bigram", "n")
+    merges.toSeq
+  }
+
+  /** BPE APPLY — re-tokenize the corpus with a learned merge table, the
+    * artifact a tokenizer pipeline actually ships (learn once on a sample,
+    * apply everywhere). The k merge rules come back from [[bpeLearn]] as
+    * O(k) driver rows (metadata, not data) and are baked into the plan as
+    * literals — applying them is ONE scan with ZERO shuffle: per row, each
+    * rule folds over the token array greedily left-to-right (`aggregate`:
+    * if the accumulator's last token is `a` and the current is `b`, replace
+    * the last with the merged token, else append). Left-to-right fold ≡ the
+    * gaps-and-islands odd-occurrence rule the learner rewrites with — a
+    * freshly merged token can never re-match as `a` within its own rule
+    * ("a b" is strictly longer than "a") — so applying rules 1..k in order
+    * reproduces the learner's round-by-round corpus exactly; the oracle
+    * pins that by replaying the unrolled rounds in SQL and reading the
+    * final token table. Output: (doc_id, pos, tok) with dense 1-based
+    * positions, input-partitioned — a downstream write streams straight
+    * out of the scan stage, and at 100 TB the merge table is still k rows.
+    */
+  def tokenizeBpe(docs: DataFrame, k: Int = 3): DataFrame = {
+    val applied = bpeLearn(docs, k).foldLeft(Dedup.tokens(col("text"))) {
+      case (toksCol, (_, a, b, _)) =>
+        aggregate(toksCol, array().cast("array<string>"),
+          (acc, t) =>
+            when(try_element_at(acc, lit(-1)) === lit(a) && t === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(a + " " + b))))
+              .otherwise(concat(acc, array(t))))
+    }
+    docs
+      .select(col("doc_id"), posexplode(applied).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("tok"))
   }
 
   /** Fixed-size overlapping token chunks — the context-window slicing

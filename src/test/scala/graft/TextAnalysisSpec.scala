@@ -62,6 +62,53 @@ class TextAnalysisSpec extends GraftSpec {
     }
   }
 
+  test("tokenize_bpe applies the learned merges: fold == round-by-round rewrite") {
+    // The scan-side fold (apply rule 1..k over the raw tokens) must equal
+    // the learner's round-by-round corpus rewrite — brute-force the rounds
+    // on driver strings and compare the final token table exactly.
+    def bruteTokens(corpus: Seq[Seq[String]], k: Int): Seq[Seq[String]] = {
+      var c = corpus
+      for (_ <- 1 to k) {
+        val counts = c.flatMap(t => t.zip(t.drop(1)))
+          .groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+        val ((a, b), _) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        c = c.map { t =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < t.length) {
+            if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+              out += s"$a $b"; i += 2
+            } else { out += t(i); i += 1 }
+          }
+          out.toSeq
+        }
+      }
+      c
+    }
+    val rnd = new scala.util.Random(7)
+    val corpora = Seq(
+      Seq("x x x x a b", "a b c a b c", "x x a b").map(_.split(" ").toSeq)) ++
+      (1 to 3).map { _ =>
+        (1 to 6).map { _ =>
+          (5 + rnd.nextInt(20)) match {
+            case n => (1 to n).map(_ => s"w${rnd.nextInt(3)}")
+          }
+        }
+      }
+    for (corpus <- corpora) {
+      val docs = corpus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val expected = bruteTokens(corpus, 3).zipWithIndex.flatMap {
+        case (toks, i) =>
+          toks.zipWithIndex.map { case (tok, p) => (i.toLong, p + 1L, tok) }
+      }.sorted
+      val got = TextAnalysis.tokenizeBpe(docs, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+      assert(got === expected, s"diverged on corpus $corpus")
+    }
+  }
+
   test("quality stats: hand-computed counts and ratios") {
     val docs = Seq((1L, "The cat is on the mat.")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityStats(docs).collect().head
