@@ -299,6 +299,69 @@ object Dedup {
       .distinct()
   }
 
+  /** [[minhashBuckets]] in WIDE form: the input columns plus one STRING
+    * band-key column `bk0..bk{nBands-1}` per LSH band — no row expansion,
+    * no doc filter, so the projection is STREAMING-SAFE (posexplode plus
+    * the <3-token filter is fine in batch, but an ingest-side leak filter
+    * must keep every incoming row exactly once). Docs too short to shingle
+    * get null band keys, which match no real bucket — they cannot leak, so
+    * every join shape built on these columns keeps them. The base-hash
+    * array lands in its own projection (same CollapseProject protection as
+    * [[minhashWide]]: the md5 pass is non-cheap and referenced k times, so
+    * it is computed once per row, not once per consumer).
+    */
+  private[graft] def withBandKeys(
+      docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(k <= minhashMultipliers.size, s"at most ${minhashMultipliers.size} components")
+    val nBands = (k + rowsPerBand - 1) / rowsPerBand
+    val toks = tokens(col("text"))
+    val sh = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val hs = transform(sh, s =>
+      conv(substring(md5(s), 1, 12), 16, 10).cast(LongType))
+    val mins = (0 until k).map(j => array_min(
+      transform(col("__hs"), h => (lit(minhashMultipliers(j)) * h) % minhashMod)))
+    val bandKeys = (0 until nBands).map { b =>
+      val slice = (b * rowsPerBand until math.min((b + 1) * rowsPerBand, k))
+        .map(mins)
+      array_join(transform(array_sort(array(slice: _*)), x => x.cast("string")),
+        "|").as(s"bk$b")
+    }
+    docs.withColumn("__hs", hs)
+      .select(docs.columns.map(col) ++ bandKeys: _*)
+  }
+
+  /** Ingest-side decontamination FILTER: drop every doc whose MinHash-LSH
+    * bucket collides with the precomputed eval bucket table (the
+    * [[minhashBuckets]] of the eval corpus — tiny by construction, k/rpb
+    * rows per eval doc), keep the rest. Complement of
+    * [[decontaminateNear]]'s leak REPORT, restated so the same code runs
+    * under a STREAMING plan: "no band collides" is one broadcast LEFT ANTI
+    * join per band on the wide band-key columns ([[withBandKeys]]) —
+    * stream-static, stateless, zero shuffle on the doc side, and the eval
+    * side rides a broadcast exactly as in the batch operator. Docs too
+    * short to shingle have null band keys, match nothing, and pass — they
+    * cannot leak. At 100 TB the corpus streams through one scan and the
+    * nBands anti-joins share the one broadcast-sized eval table.
+    */
+  def decontaminateFilter(
+      docs: DataFrame, evalBuckets: DataFrame,
+      k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val nBands = (k + rowsPerBand - 1) / rowsPerBand
+    val keyed = withBandKeys(docs, k, rowsPerBand)
+    (0 until nBands).foldLeft(keyed) { (df, b) =>
+      // no distinct() on the build side: LeftAnti only tests existence,
+      // and deduplicating would cost the eval projection a shuffle
+      df.join(
+        broadcast(evalBuckets.filter(col("band") === b)
+          .select(col("bucket_key").as(s"__ek$b"))),
+        col(s"bk$b") === col(s"__ek$b"), "left_anti")
+    }.select(docs.columns.map(col): _*)
+  }
+
   /** Near-duplicate clusters: connected components over the MinHash
     * candidate-pair graph ([[connectedComponents]] — min-label
     * propagation with the pointer-halving shortcut, O(log diameter)

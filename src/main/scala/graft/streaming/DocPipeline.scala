@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, TextAnalysis}
 
 /** Streaming document-curation pipeline: the training-data counterpart of
   * the tick jobs. Documents stream in as JSON, are enriched scan-side
@@ -60,6 +60,23 @@ object DocPipeline {
       .select("doc_id", "lang", "lang_pred", "n_tokens", "n_chars",
         "quality_score", "fp")
 
+  /** [[curate]] with an ingest-side DECONTAMINATION stage in front: drop
+    * every incoming doc whose MinHash-LSH bucket collides with the
+    * precomputed eval bucket table (the [[graft.operators.Dedup.minhashBuckets]]
+    * of the eval corpus — broadcast-sized by construction) BEFORE
+    * enrichment and dedup, so a leaked doc can never consume the dedup
+    * slot of a clean copy. The filter is nBands stateless broadcast
+    * stream-static anti-joins ([[graft.operators.Dedup.decontaminateFilter]]);
+    * the same code path runs in batch, and the spec pins stream ≡ batch on
+    * out-of-order input.
+    */
+  def curateDecontaminated(
+      docs: DataFrame,
+      evalBuckets: DataFrame,
+      minScore: Double = 0.3,
+      watermarkDelay: String = "30 seconds"): DataFrame =
+    curate(Dedup.decontaminateFilter(docs, evalBuckets), minScore, watermarkDelay)
+
   /** Training-sequence emission on any (batch or streaming) frame with
     * (doc_id, text): PII/denylist redaction ([[TextAnalysis.scrub]]) then
     * fixed-overlap context-window chunking
@@ -79,9 +96,12 @@ object DocPipeline {
 /** Document-curation job main:
   * runMain graft.streaming.DocPipelineJob <inputDir>
   *   [console|changelog|noop|parquet:<out>:<ckpt>] [--once] [--detach]
-  *   [--min-score=0.3]
+  *   [--min-score=0.3] [--eval-buckets=<parquetDir>]
   * Parquet output is partitioned by predicted language — the layout a
-  * downstream training-data reader filters on.
+  * downstream training-data reader filters on. With --eval-buckets, docs
+  * colliding with the precomputed eval bucket table (a (band, bucket_key)
+  * parquet from [[graft.operators.Dedup.minhashBuckets]] over the eval
+  * corpus) are dropped at ingest.
   */
 object DocPipelineJob {
   def main(args: Array[String]): Unit = {
@@ -91,11 +111,19 @@ object DocPipelineJob {
     val minScore = args.collectFirst {
       case a if a.startsWith("--min-score=") => a.stripPrefix("--min-score=").toDouble
     }.getOrElse(0.3)
+    val evalBucketsDir = args.collectFirst {
+      case a if a.startsWith("--eval-buckets=") => a.stripPrefix("--eval-buckets=")
+    }
 
     val spark = JobRunner.session()
     spark.sparkContext.setLogLevel("WARN")
 
-    val out = DocPipeline.curate(DocPipeline.fileJson(spark, inputDir), minScore)
+    val in = DocPipeline.fileJson(spark, inputDir)
+    val out = evalBucketsDir match {
+      case Some(dir) =>
+        DocPipeline.curateDecontaminated(in, spark.read.parquet(dir), minScore)
+      case None => DocPipeline.curate(in, minScore)
+    }
     out.createOrReplaceTempView("curated_docs")
 
     val sink = JobRunner.parseSink(sinkSpec) match {

@@ -398,6 +398,20 @@ class PlanSpec extends GraftSpec {
       s"window-hash join must stay equi-keyed:\n$p")
   }
 
+  test("decontamination filter: per-band broadcast anti-joins, doc side never shuffles") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text", "lang")
+    val evalBuckets = Dedup.minhashBuckets(
+      Tables.load(spark, sf, "documents").select("doc_id", "text").limit(50))
+    val p = plan(Dedup.decontaminateFilter(docs, evalBuckets))
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      s"each band's leak check must be a broadcast anti-join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the doc side must stream through one scan, never shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the eval side is broadcast-sized by design:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)

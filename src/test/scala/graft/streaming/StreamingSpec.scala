@@ -389,6 +389,46 @@ class StreamingSpec extends GraftSpec {
     assert(byId(3L)._3 === batch(3L))
   }
 
+  test("streaming decontamination drops eval leaks at ingest, stream == batch") {
+    // ingest-side leak filter: docs colliding with the precomputed eval
+    // bucket table never enter the pipeline. Exact copies of eval docs
+    // share every LSH bucket (deterministic collision); a clean doc and a
+    // too-short-to-shingle doc must pass. Out-of-order delivery (the leak
+    // arrives after a clean doc, another in a later batch) must not change
+    // the kept set, and the stream must equal the batch filter exactly —
+    // which in turn must be the complement of decontaminateNear's report.
+    import graft.operators.Dedup
+    val e1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val e2 = "one two three four five six seven eight nine"
+    val evalDf = Seq((100L, e1), (101L, e2)).toDF("doc_id", "text")
+    val evalBuckets = Dedup.minhashBuckets(evalDf)
+    val clean1 = "the quick brown fox jumps over the lazy dog today"
+    val clean2 = "completely different content about weather and shipping lanes"
+    val train = Seq(
+      (1L, clean1, "en"), (2L, e1, "en"), (3L, "hi", "en"),
+      (4L, clean2, "en"), (5L, e2, "en"))
+    val input = MemoryStream[(Long, String, String)]
+    val out = DocPipeline.curateDecontaminated(
+      input.toDS().toDF("doc_id", "text", "lang"), evalBuckets, minScore = 0.0)
+    val streamedIds = runStream(input, out, Seq(
+      Seq(train(0), train(1), train(2)), // leak #2 after clean #1
+      Seq(train(3), train(4)))           // leak #5 in a later batch
+    ).map(_.getLong(0)).toSet
+    // batch twin of the SAME filter on the same rows
+    val batchIds = Dedup.decontaminateFilter(
+      train.toDF("doc_id", "text", "lang"), evalBuckets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamedIds === Set(1L, 3L, 4L))
+    assert(batchIds === streamedIds)
+    // complement check: the dropped ids are exactly decontaminateNear's
+    // reported train-side leak set on the same corpora
+    val reported = Dedup.decontaminateNear(
+      train.toDF("doc_id", "text", "lang").select($"doc_id", $"text"), evalDf)
+      .select("train_doc_id").collect().map(_.getLong(0)).toSet
+    assert(reported === train.map(_._1).toSet -- batchIds)
+    assert(reported === Set(2L, 5L))
+  }
+
   test("streaming sequences (scrub + chunk) equal the batch stage row-for-row") {
     // stateless projections must stream unchanged: redaction + chunking
     // over a MemoryStream equals the batch call on the same rows
