@@ -75,6 +75,8 @@ private[streaming] object JobRunner {
     case Array("changelog") => TickSink.ConsoleChangelog()
     case Array("noop") => TickSink.Noop
     case Array("parquet", out, ckpt) => TickSink.PartitionedParquet(out, ckpt)
+    // manifest-committed exactly-once file sink (restart-safe)
+    case Array("parquet-once", out, ckpt) => TickSink.ExactlyOnceParquet(out, ckpt)
     case other => sys.error(s"unknown sink spec: ${other.mkString(":")}")
   }
 

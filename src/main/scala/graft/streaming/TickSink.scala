@@ -50,6 +50,25 @@ object TickSink {
       partitionCols: Seq[String] = Seq("ticker")) extends Sink
   /** In-memory table (tests). */
   final case class Memory(tableName: String) extends Sink
+  /** EXACTLY-ONCE parquet sink: foreachBatch writer with a batch-id commit
+    * manifest — the deployment-grade piece the format("parquet") sink
+    * lacks when a job dies between writing files and recording the batch
+    * in its checkpoint (the replayed batch then lands twice). Recipe:
+    *   1. batch data writes to a DETERMINISTIC per-batch directory
+    *      (`data/batch_id=<id>`, mode overwrite) — a replay overwrites the
+    *      same files instead of appending new ones, so the write is
+    *      idempotent even mid-flight;
+    *   2. a zero-byte marker `_manifest/<id>` is created (create+rename —
+    *      atomic on HDFS-shaped stores) strictly AFTER the data lands;
+    *      an already-present marker short-circuits the replay entirely;
+    *   3. readers go through [[committedRows]], which lists the manifest
+    *      and reads ONLY committed batch directories — a torn half-written
+    *      directory from a crash is invisible until its marker exists.
+    * Restart safety = checkpoint (Spark replays the uncommitted batch id)
+    * + manifest (the sink ignores or overwrites it); spec-pinned by
+    * deleting the checkpoint's last commit record and re-running.
+    */
+  final case class ExactlyOnceParquet(path: String, checkpoint: String) extends Sink
   /** Kinesis-shaped batched writer: foreachBatch with a per-batch record
     * cap mirroring `sink.producer.collection-max-count` (tumbling_window
     * .py:128); `send` stands in for the PutRecords call.
@@ -115,6 +134,23 @@ object TickSink {
             bufs.foreach { case (k, b) => if (b.nonEmpty) s(k, b.toSeq) }
           }
         }
+      case ExactlyOnceParquet(path, checkpoint) =>
+        base
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+              batch.sparkSession.sparkContext.hadoopConfiguration)
+            val marker = new org.apache.hadoop.fs.Path(s"$path/_manifest/$batchId")
+            if (!fs.exists(marker)) {
+              batch.write.mode("overwrite")
+                .parquet(s"$path/data/batch_id=$batchId")
+              val tmp = new org.apache.hadoop.fs.Path(
+                s"$path/_manifest/.$batchId.inprogress")
+              fs.create(tmp, true).close()
+              require(fs.rename(tmp, marker),
+                s"ExactlyOnceParquet: commit marker rename failed for batch $batchId")
+            }
+          }
       case ConsoleChangelog(emit) =>
         base.foreachBatch { (batch: DataFrame, _: Long) =>
           val e = emit
@@ -127,4 +163,23 @@ object TickSink {
 
   def start(df: DataFrame, sink: Sink, availableNow: Boolean = false): StreamingQuery =
     writer(df, sink, availableNow).start()
+
+  /** The read side of [[ExactlyOnceParquet]]: only batch directories whose
+    * manifest marker exists are visible — a crash between data files and
+    * marker leaves a torn directory that no reader ever sees (the next
+    * replay overwrites it and then commits). `basePath` keeps `batch_id`
+    * as a partition column over the explicit committed-directory list.
+    */
+  def committedRows(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val manifestDir = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids =
+      if (!fs.exists(manifestDir)) Array.empty[String]
+      else fs.listStatus(manifestDir).map(_.getPath.getName)
+        .filter(_.forall(_.isDigit))
+    if (ids.isEmpty) spark.emptyDataFrame
+    else spark.read.option("basePath", s"$path/data")
+      .parquet(ids.map(id => s"$path/data/batch_id=$id").toIndexedSeq: _*)
+  }
 }

@@ -621,6 +621,62 @@ class StreamingSpec extends GraftSpec {
     assert(Files.exists(Paths.get(s"$out/ticker=MSFT")))
   }
 
+  test("exactly-once sink: replay after a torn commit writes no duplicate rows") {
+    // Crash window: the job dies AFTER the sink wrote batch N's files but
+    // BEFORE the checkpoint recorded N — on restart Spark replays N, and a
+    // plain file sink would land the rows twice. Simulate exactly that by
+    // deleting the newest record in <ckpt>/commits between two runs over
+    // the same input, and pin that the manifest-committed row set still
+    // equals the input set.
+    val dir = java.nio.file.Files.createTempDirectory("graft_e1s").toString
+    val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    for (f <- 0 until 3) {
+      val rows = (0 until 3)
+        .map(i => s"""{"id":${f * 3 + i},"v":"r${f * 3 + i}"}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/f$f.json"),
+        rows.mkString("\n").getBytes)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    // the checkpoint-path lock is released on the async listener bus after
+    // termination, so an immediate restart can transiently see "multiple
+    // streaming queries are concurrently using" — retry until it clears
+    def runOnce(attempts: Int = 40): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val q = TickSink.start(src, TickSink.ExactlyOnceParquet(out, ckpt),
+        availableNow = true)
+      try { q.awaitTermination(); q.stop() }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if e.getMessage.contains("concurrently using") && attempts > 0 =>
+          Thread.sleep(250); runOnce(attempts - 1)
+      }
+    }
+    runOnce()
+    val first = TickSink.committedRows(spark, out)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(first === (0L until 9L).toArray, "all input rows committed once")
+    // tear the last checkpoint commit: Spark will replay that batch id
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length >= 2, "file-per-trigger must yield multiple batches")
+    assert(commits.last.delete())
+    runOnce()
+    val after = TickSink.committedRows(spark, out)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(after === (0L until 9L).toArray,
+      "the replayed batch must not duplicate rows")
+    // the manifest still lists each batch exactly once
+    val manifested = new java.io.File(s"$out/_manifest").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toInt).sorted
+    assert(manifested === (0 until commits.length).toArray)
+  }
+
   test("job config: reference property-group shape round-trips") {
     val conf = JobConfig.parse("""[
       {"PropertyGroupId": "consumer.config.0",
