@@ -16,6 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     order-dependent and WILL eventually hash-mismatch.
   *   - Deterministic top-k: ORDER BY always ends in a unique key.
   *   - MIN_BY/MAX_BY (DuckDB arg_min/arg_max) only over unique order keys.
+  *
+  * Construction eagerness: most `run` functions only BUILD a plan, but the
+  * split/checkpoint operators (quality gates, split decontamination, BPE,
+  * IVF-trained ANN) run Spark jobs at DataFrame-construction time — an
+  * eager localCheckpoint cutting a shared subtree's lineage, or a driver
+  * loop over O(k) metadata rows. Timing a query must therefore wrap the
+  * `run` CALL, not just the action (Bench does); checkpointed partitions
+  * are reclaimed by the ContextCleaner once the returned frame is GC'd.
   */
 final case class QuerySpec(
     name: String,

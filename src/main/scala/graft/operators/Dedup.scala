@@ -479,19 +479,28 @@ object Dedup {
     * checkpointed (same split shape as [[decontaminateNearSplit]]); the
     * ~`evalPct`% eval side broadcasts, and `n_shared` counts the distinct
     * shared windows per flagged pair — exact integers end-to-end.
+    *
+    * Broadcast ceiling (unlike [[decontaminateNearSplit]], whose eval
+    * bucket table is k/rpb rows per doc, this one is ~1 row per eval
+    * TOKEN): at ~16 bytes a (whash, doc_id) row, Spark's 8 GB broadcast
+    * hard cap lands near ~10^8 distinct eval windows (~100 M eval tokens —
+    * far above any benchmark suite, far below an eval corpus misused as a
+    * second training split). Past that, pass `broadcastEval = false`: the
+    * join keys both sides on `whash` anyway, so it degrades to one
+    * well-keyed shuffle join, not a rewrite.
     */
   def decontaminateNgramSplit(
-      docs: DataFrame, evalPct: Int = 10, w: Int = 13): DataFrame = {
+      docs: DataFrame, evalPct: Int = 10, w: Int = 13,
+      broadcastEval: Boolean = true): DataFrame = {
     val wh = windowHashes(docs, w, stride = 1)
       .select(col("doc_id"), col("whash")).distinct()
       .localCheckpoint()
     val coin = TextAnalysis.sampleCoin()
+    val evalSide = wh.filter(coin < evalPct)
+      .select(col("whash"), col("doc_id").as("eval_doc_id"))
     wh.filter(coin >= evalPct)
       .select(col("whash"), col("doc_id").as("train_doc_id"))
-      .join(
-        broadcast(wh.filter(coin < evalPct)
-          .select(col("whash"), col("doc_id").as("eval_doc_id"))),
-        Seq("whash"))
+      .join(if (broadcastEval) broadcast(evalSide) else evalSide, Seq("whash"))
       .groupBy(col("train_doc_id"), col("eval_doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
