@@ -982,6 +982,38 @@ object ExtensionQueries {
           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3""")),
 
+    // Corpus-bigram LM scoring (KenLM-shaped quality filter): add-1
+    // smoothed bigram probabilities floor-scaled to exact longs; the
+    // per-doc sum is pure integer arithmetic, only the mean divides.
+    QuerySpec(
+      "text_lm_score",
+      (s, dir) => TextAnalysis.lmScore(docs(s, dir)),
+      Some(s"""
+        WITH $toksCte,
+        pr AS (
+          SELECT doc_id, t[i] AS a, t[i+1] AS b
+          FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        uni AS (
+          SELECT a, COUNT(*) AS ca
+          FROM (SELECT unnest(t) AS a FROM toks) GROUP BY 1),
+        voc AS (SELECT COUNT(*) AS vocab FROM uni),
+        model AS (
+          SELECT a, b,
+                 CAST(FLOOR(1e6 * CAST(cab + 1 AS DOUBLE) /
+                      CAST(ca + vocab AS DOUBLE)) AS BIGINT) AS pq
+          FROM (SELECT a, b, COUNT(*) AS cab FROM pr GROUP BY 1, 2)
+          JOIN uni USING (a) CROSS JOIN voc),
+        scored AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams, SUM(pq) AS lm_score
+          FROM pr JOIN model USING (a, b) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(s.lm_score, 0) AS BIGINT) AS lm_score,
+               CASE WHEN s.n_bigrams IS NOT NULL
+                    THEN CAST(s.lm_score AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+                    ELSE 0.0 END AS mean_p6
+        FROM documents d LEFT JOIN scored s USING (doc_id)""")),
+
     // Signed random projection 64 -> 8: exact scaled-long JL reduction,
     // sign matrix from md5 high bits — scan-side, shuffle-free.
     QuerySpec(
@@ -1226,6 +1258,56 @@ object ExtensionQueries {
                CAST(SUM(CAST(FLOOR(value*10000 + 0.5) AS BIGINT)) AS DOUBLE)
                  / 10000 / CAST(count(*) AS DOUBLE) AS avg_value
         FROM events GROUP BY 1, 2""")),
+
+    // Gap-fill + linear interpolation to a fixed 15-minute grid: empty
+    // buckets interpolate between neighboring observed buckets (IGNORE
+    // NULLS frames); integer epoch-micros bucketing, one fixed double
+    // expression tree -> bit-exact on both engines.
+    QuerySpec(
+      "ts_gapfill",
+      (s, dir) => TimeSeries.gapfillInterpolate(events(s, dir)),
+      Some("""
+        WITH obs AS (
+          SELECT event_type,
+                 ((epoch_ns(ts) // 1000) // 900000000) * 900000000 AS bus,
+                 count(*) AS n,
+                 CAST(SUM(CAST(FLOOR(value*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+          FROM events GROUP BY 1, 2),
+        oav AS (
+          SELECT event_type, bus, n,
+                 CAST(sq AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE) AS av
+          FROM obs),
+        bounds AS (
+          SELECT event_type, min(bus) AS b0, max(bus) AS b1 FROM obs GROUP BY 1),
+        grid AS (
+          SELECT event_type,
+                 unnest(range(b0, b1 + 900000000, 900000000)) AS bus
+          FROM bounds),
+        j AS (
+          SELECT g.event_type, g.bus, o.n, o.av
+          FROM grid g LEFT JOIN oav o
+            ON g.event_type = o.event_type AND g.bus = o.bus),
+        w AS (
+          SELECT event_type, bus, n, av,
+                 last_value(av IGNORE NULLS) OVER wp AS pv,
+                 last_value(CASE WHEN av IS NOT NULL THEN bus END IGNORE NULLS)
+                   OVER wp AS pb,
+                 first_value(av IGNORE NULLS) OVER wn AS nv,
+                 first_value(CASE WHEN av IS NOT NULL THEN bus END IGNORE NULLS)
+                   OVER wn AS nb
+          FROM j
+          WINDOW wp AS (PARTITION BY event_type ORDER BY bus
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY event_type ORDER BY bus
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, make_timestamp(bus) AS bucket,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+               CASE WHEN av IS NOT NULL THEN av
+                    ELSE pv + (nv - pv) *
+                         (CAST(bus - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+               END AS value_filled,
+               av IS NULL AS interpolated
+        FROM w""")),
 
     // Trailing 1-hour RANGE frame per user: count + exact scaled sum as of
     // every event (microsecond range bounds; ns -> us truncation as above).
@@ -1958,6 +2040,34 @@ object ExtensionQueries {
                  AS weight,
                (CAST(capped_tokens AS DOUBLE) * CAST(1000000 AS DOUBLE)) /
                  (CAST(total_capped AS DOUBLE) * CAST(dom_tokens AS DOUBLE))
+                 AS rep_factor
+        FROM c CROSS JOIN tot""")),
+
+    // Temperature-scaled mixture weights (alpha = 1/2): weight_i =
+    // sqrt(tokens_i) / sum_j sqrt(tokens_j) — sqrt is correctly rounded on
+    // both engines (a general pow is not), floor-scaled to exact longs.
+    QuerySpec(
+      "mix_temperature",
+      (s, dir) => Packing.mixTemperature(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT lang, source,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM documents),
+        d AS (
+          SELECT lang, source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS dom_tokens
+          FROM t GROUP BY 1, 2),
+        c AS (SELECT *,
+                CAST(FLOOR(1000.0 * sqrt(CAST(dom_tokens AS DOUBLE)))
+                  AS BIGINT) AS s_alpha
+              FROM d),
+        tot AS (SELECT CAST(SUM(s_alpha) AS BIGINT) AS total_alpha FROM c)
+        SELECT lang, source, n_docs, dom_tokens, s_alpha,
+               CAST(s_alpha AS DOUBLE) / CAST(total_alpha AS DOUBLE) AS weight,
+               ((CAST(s_alpha AS DOUBLE) / CAST(total_alpha AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE)) / CAST(dom_tokens AS DOUBLE)
                  AS rep_factor
         FROM c CROSS JOIN tot""")),
 

@@ -75,6 +75,35 @@ object Packing {
     * with no overflow cliff. One hash agg over a scan-side projection +
     * one broadcast scalar — output rows = |domains|, corpus-independent.
     */
+  /** Temperature-scaled mixture weights — the multilingual source-balancing
+    * formula (mC4/XLM-R style): sample domain i with probability
+    * p_i^α / Σ_j p_j^α, flattening the head so low-resource domains
+    * surface. Pinned at α = 1/2, where p^α is `sqrt` — correctly rounded
+    * in IEEE 754 on every engine (a general `pow` is not), so parity
+    * holds bit-for-bit: each sqrt floor-scales to a long (exact sum, no
+    * accumulation-order dependence) and only the final weight divides.
+    * Same shape as [[mixCappedWeights]]: one hash agg over a scan-side
+    * projection + one broadcast scalar; output rows = |domains|.
+    */
+  def mixTemperature(docs: DataFrame, targetTokens: Long = 1000000L): DataFrame = {
+    val dom = docs
+      .select(col("lang"), col("source"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("dom_tokens"))
+      .withColumn("s_alpha",
+        floor(lit(1000.0) * sqrt(col("dom_tokens").cast("double"))).cast("long"))
+    val total = dom.agg(sum(col("s_alpha")).as("total_alpha"))
+    dom.crossJoin(broadcast(total))
+      .withColumn("weight",
+        col("s_alpha").cast("double") / col("total_alpha").cast("double"))
+      .withColumn("rep_factor",
+        (col("weight") * lit(targetTokens).cast("double")) /
+          col("dom_tokens").cast("double"))
+      .select(col("lang"), col("source"), col("n_docs"), col("dom_tokens"),
+        col("s_alpha"), col("weight"), col("rep_factor"))
+  }
+
   def mixCappedWeights(
       docs: DataFrame,
       capTokens: Long = 400L,

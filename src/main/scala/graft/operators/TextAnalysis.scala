@@ -519,6 +519,57 @@ object TextAnalysis {
         array_join(col("col"), " ").as("chunk_text"))
   }
 
+  /** Corpus-LM document scoring — the KenLM-shaped quality filter real
+    * curation pipelines run (CCNet/RefinedWeb score documents against an
+    * n-gram language model and gate on the score): train an add-1-smoothed
+    * bigram model on the corpus, then score each doc by its mean smoothed
+    * bigram probability. Cross-engine-exact by construction: each
+    * probability is ONE correctly-rounded double division
+    * (1e6·(c(a,b)+1))/(c(a)+V) floor-scaled to a long, so the per-doc SUM
+    * is exact integer arithmetic — no accumulation-order dependence — and
+    * only the final mean divides.
+    *
+    * Shape (two passes, both keyed): a TRAIN pass builds the model — one
+    * bigram hash agg + one unigram hash agg + the vocab scalar — and a
+    * SCORE pass equi-joins doc bigrams to the model on (a, b) and
+    * hash-aggs per doc. At 100 TB the model is the shipped artifact
+    * (rows = |distinct bigrams|, corpus-bounded): training amortizes over
+    * every corpus it scores, and the scoring join stays a well-keyed
+    * shuffle (or a broadcast when the model fits). Docs with <2 tokens
+    * score 0 over 0 bigrams.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        """IF(size(t) < 2, array(),
+              transform(sequence(1, size(t) - 1),
+                        i -> struct(t[i-1] AS a, t[i] AS b)))""")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val uni = docs
+      .select(explode(Dedup.tokens(col("text"))).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    val model = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .join(uni, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col("a"), col("b"),
+        floor(lit(1e6) * (col("cab") + 1).cast("double") /
+          (col("ca") + col("vocab")).cast("double")).cast("long").as("pq"))
+    val scored = pairs
+      .join(model, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pq")).as("lm_score"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"),
+        when(col("n_bigrams").isNotNull,
+          col("lm_score").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("mean_p6"))
+  }
+
   /** Rolling-hash fingerprint (Rabin–Karp shape): left-fold
     * h = (h*31 + wordHash) mod (2^31 - 1) over the token stream, where
     * wordHash is the first 32 bits of md5(word). Order-sensitive (unlike

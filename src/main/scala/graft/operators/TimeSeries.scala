@@ -22,6 +22,68 @@ object TimeSeries {
         col("n"), col("sum_value"),
         (col("sum_value") / col("n").cast("double")).as("avg_value"))
 
+  /** Gap-fill with linear interpolation — the regularization step that
+    * turns an irregular event stream into the fixed-grid series a
+    * downstream model or chart consumes (the `time_bucket_gapfill` /
+    * `interpolate` shape of the time-series engines). Per key: bucket to a
+    * fixed grid (exact integer epoch-micros division), generate the full
+    * grid between the key's first and last observed bucket (`sequence` +
+    * explode — scan-side, rows ≈ span/width per key), left-join the
+    * observations back (keyed equi-join), and fill each empty bucket by
+    * linear interpolation between its neighboring observed buckets via
+    * IGNORE NULLS window frames. Empty buckets always have both neighbors
+    * (the grid is bounded by observations). Float math is a fixed
+    * expression tree over deterministically-derived doubles — exact
+    * cross-engine.
+    *
+    * Scale: one shuffle for the bucket agg, one for the per-key window.
+    * The window partitions by event_type (low cardinality) — at corpus
+    * scale the banded two-pass decomposition (q15/q32 precedent) applies:
+    * band the grid, run the IGNORE NULLS frames per (key, band), then
+    * patch band edges with the per-band first/last observation table
+    * (broadcast-small). Kept single-window here: the grid is
+    * span/width · |keys| rows — BOUNDED BY TIME, not by corpus size, so
+    * unlike row-keyed windows it grows with the calendar, not the data.
+    */
+  def gapfillInterpolate(events: DataFrame, widthMinutes: Int = 15): DataFrame = {
+    val busWidth = widthMinutes * 60L * 1000000L
+    val obs = events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) div ${busWidth}L) * ${busWidth}L").as("bus"),
+        col("value"))
+      .groupBy(col("event_type"), col("bus"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000 + 0.5).cast("long")).as("sq"))
+      .withColumn("av",
+        col("sq").cast("double") / lit(10000.0) / col("n").cast("double"))
+    val grid = obs
+      .groupBy(col("event_type"))
+      .agg(min(col("bus")).as("b0"), max(col("bus")).as("b1"))
+      .select(col("event_type"),
+        explode(sequence(col("b0"), col("b1"), lit(busWidth))).as("bus"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .join(obs.select(col("event_type"), col("bus"), col("n"), col("av")),
+        Seq("event_type", "bus"), "left")
+      .withColumn("pv", last(col("av"), ignoreNulls = true).over(wPrev))
+      .withColumn("pb", last(when(col("av").isNotNull, col("bus")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("av"), ignoreNulls = true).over(wNext))
+      .withColumn("nb", first(when(col("av").isNotNull, col("bus")),
+        ignoreNulls = true).over(wNext))
+      .select(
+        col("event_type"),
+        timestamp_micros(col("bus")).as("bucket"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        when(col("av").isNotNull, col("av"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("bus") - col("pb")).cast("double") /
+              (col("nb") - col("pb")).cast("double"))).as("value_filled"),
+        col("av").isNull.as("interpolated"))
+  }
+
   /** Top-k rows per group (rank pushdown: the rn<=k filter becomes a
     * WindowGroupLimit, so partitions pre-prune to k rows per key before
     * the exchange).

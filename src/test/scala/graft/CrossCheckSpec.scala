@@ -40,6 +40,44 @@ class CrossCheckSpec extends GraftSpec {
     }
   }
 
+  test("gap-fill interpolation agrees with brute force on sparse random events") {
+    val width = 15 * 60 * 1000000L
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // sparse: ~13 events per type over 24 buckets -> real gaps
+      val events = (1 to 40).map { i =>
+        (i.toLong, s"t${rnd.nextInt(3)}",
+          new java.sql.Timestamp(1704067200000L + rnd.nextInt(6 * 3600) * 1000L),
+          math.rint(rnd.nextDouble() * 1000) / 100)
+      }
+      val got = TimeSeries.gapfillInterpolate(
+        events.toDF("event_id", "event_type", "ts", "value")).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+
+      val expected = events.groupBy(_._2).flatMap { case (tp, es) =>
+        val obs = es.groupBy(e => e._3.getTime * 1000L / width * width)
+          .map { case (b, g) =>
+            val sq = g.map(e => math.floor(e._4 * 10000 + 0.5).toLong).sum
+            b -> (g.size.toLong, sq.toDouble / 10000.0 / g.size.toDouble)
+          }
+        val (b0, b1) = (obs.keys.min, obs.keys.max)
+        (b0 to b1 by width).map { b =>
+          (tp, b / 1000L) -> (obs.get(b) match {
+            case Some((n, av)) => (n, av, false)
+            case None =>
+              val pb = obs.keys.filter(_ < b).max
+              val nb = obs.keys.filter(_ > b).min
+              val (pv, nv) = (obs(pb)._2, obs(nb)._2)
+              (0L, pv + (nv - pv) * ((b - pb).toDouble / (nb - pb).toDouble), true)
+          })
+        }
+      }
+      assert(got === expected, s"seed $seed")
+      assert(got.values.exists(_._3), s"seed $seed produced no gaps — weak test")
+    }
+  }
+
   test("funnel stage counts agree with brute force on random event streams") {
     val types = Seq("view", "click", "purchase", "error")
     for (seed <- 1 to 3) {

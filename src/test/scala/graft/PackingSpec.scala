@@ -52,4 +52,29 @@ class PackingSpec extends GraftSpec {
         (capped * 1000000L).toDouble / (total * domTokens).toDouble)
     }
   }
+
+  test("temperature mixture: sqrt-scaled weights sum to 1 and flatten the head") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = Packing.mixTemperature(docs).collect()
+    val total = rows.map(_.getAs[Long]("s_alpha")).sum
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val domTokens = r.getAs[Long]("dom_tokens")
+      val s = r.getAs[Long]("s_alpha")
+      assert(s === math.floor(1000.0 * math.sqrt(domTokens.toDouble)).toLong)
+      assert(r.getAs[Double]("weight") === s.toDouble / total.toDouble)
+      assert(r.getAs[Double]("rep_factor") ===
+        (s.toDouble / total.toDouble) * 1000000.0 / domTokens.toDouble)
+    }
+    // alpha = 1/2 flattens: the head domain's share shrinks vs proportional,
+    // the tail domain's grows
+    val byTokens = rows.sortBy(_.getAs[Long]("dom_tokens"))
+    val allTokens = rows.map(_.getAs[Long]("dom_tokens")).sum.toDouble
+    val head = byTokens.last
+    val tail = byTokens.head
+    assert(head.getAs[Double]("weight") <
+      head.getAs[Long]("dom_tokens").toDouble / allTokens)
+    assert(tail.getAs[Double]("weight") >
+      tail.getAs[Long]("dom_tokens").toDouble / allTokens)
+  }
 }

@@ -109,6 +109,34 @@ class TextAnalysisSpec extends GraftSpec {
     }
   }
 
+  test("bigram LM scoring agrees with brute force; short docs score zero") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1 to 8).map { i =>
+        i.toLong -> (1 to (if (i == 1) 1 else 3 + rnd.nextInt(12)))
+          .map(_ => s"w${rnd.nextInt(5)}").mkString(" ")
+      }
+      val got = TextAnalysis.lmScore(corpus.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+      val uni = toks.flatMap(_._2).groupBy(identity).map { case (a, v) => a -> v.size.toLong }
+      val v = uni.size.toLong
+      val bi = toks.flatMap { case (_, t) => t.zip(t.drop(1)) }
+        .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      val expected = toks.map { case (id, t) =>
+        val pqs = t.zip(t.drop(1)).map { case (a, b) =>
+          math.floor(1e6 * (bi((a, b)) + 1).toDouble / (uni(a) + v).toDouble).toLong
+        }
+        val n = pqs.size.toLong
+        id -> (n, pqs.sum,
+          if (n > 0) pqs.sum.toDouble / n.toDouble else 0.0)
+      }.toMap
+      assert(got === expected, s"seed $seed")
+      assert(got(1L) === ((0L, 0L, 0.0)), "1-token doc has no bigrams")
+    }
+  }
+
   test("quality stats: hand-computed counts and ratios") {
     val docs = Seq((1L, "The cat is on the mat.")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityStats(docs).collect().head
