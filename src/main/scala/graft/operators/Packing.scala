@@ -93,6 +93,9 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("dom_tokens"))
       .withColumn("s_alpha",
         floor(lit(1000.0) * sqrt(col("dom_tokens").cast("double"))).cast("long"))
+      // |domains| rows — checkpointed so the total agg and the weight
+      // projection replay it: ONE corpus scan, not two
+      .localCheckpoint()
     val total = dom.agg(sum(col("s_alpha")).as("total_alpha"))
     dom.crossJoin(broadcast(total))
       .withColumn("weight",
@@ -114,6 +117,9 @@ object Packing {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("dom_tokens"))
       .withColumn("capped_tokens", least(col("dom_tokens"), lit(capTokens)))
+      // |domains| rows — checkpointed so the total agg and the weight
+      // projection replay it: ONE corpus scan, not two
+      .localCheckpoint()
     val total = dom.agg(sum(col("capped_tokens")).as("total_capped"))
     dom.crossJoin(broadcast(total))
       .withColumn("weight",

@@ -546,9 +546,15 @@ object TextAnalysis {
               transform(sequence(1, size(t) - 1),
                         i -> struct(t[i-1] AS a, t[i] AS b)))""")).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    // vocab-sized and bigram-vocab-sized tables, eagerly checkpointed:
+    // the vocab scalar and the model join replay them instead of
+    // re-expanding the corpus, and the scoring join reads the MODEL as
+    // the materialized artifact it is in a real pipeline — three corpus
+    // scans total (unigram count, bigram count, scoring) instead of five
     val uni = docs
       .select(explode(Dedup.tokens(col("text"))).as("a"))
       .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      .localCheckpoint()
     val vocab = uni.agg(count(lit(1)).as("vocab"))
     val model = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
       .join(uni, Seq("a"))
@@ -556,6 +562,7 @@ object TextAnalysis {
       .select(col("a"), col("b"),
         floor(lit(1e6) * (col("cab") + 1).cast("double") /
           (col("ca") + col("vocab")).cast("double")).cast("long").as("pq"))
+      .localCheckpoint()
     val scored = pairs
       .join(model, Seq("a", "b"))
       .groupBy(col("doc_id"))

@@ -56,6 +56,10 @@ object TimeSeries {
         sum(floor(col("value") * 10000 + 0.5).cast("long")).as("sq"))
       .withColumn("av",
         col("sq").cast("double") / lit(10000.0) / col("n").cast("double"))
+      // |observed buckets| rows — eagerly checkpointed so the bounds agg
+      // and the grid join replay it instead of re-scanning the corpus
+      // (quality-gate precedent; ONE event scan total)
+      .localCheckpoint()
     val grid = obs
       .groupBy(col("event_type"))
       .agg(min(col("bus")).as("b0"), max(col("bus")).as("b1"))

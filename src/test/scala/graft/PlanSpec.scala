@@ -398,6 +398,27 @@ class PlanSpec extends GraftSpec {
       s"window-hash join must stay equi-keyed:\n$p")
   }
 
+  test("gap-fill and mixture weights replay their checkpointed aggregates — zero rescans") {
+    // construction runs the ONE corpus scan into a tiny checkpoint; the
+    // executed plan (bounds/total agg + join/window) must not re-scan
+    for (q <- Seq("ts_gapfill", "mix_temperature", "mix_capped_weights")) {
+      val p = plan(Registry.queries(q)(spark, sf))
+      assert(!p.contains("Scan parquet"),
+        s"$q must replay its checkpoint, not re-scan the corpus:\n$p")
+    }
+  }
+
+  test("LM scoring: the model is a checkpointed artifact; scoring re-expands once") {
+    val p = plan(Registry.queries("text_lm_score")(spark, sf))
+    // scoring pass: one corpus scan for the doc bigrams + one pruned
+    // doc_id scan for the left join; the model/unigram tables are
+    // checkpointed RDDs from construction (2 more scans there — 4 total,
+    // measured down from 5 unshared)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"scoring must replay the checkpointed model:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("decontamination filter: per-band broadcast anti-joins, doc side never shuffles") {
     import graft.operators.Dedup
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text", "lang")
