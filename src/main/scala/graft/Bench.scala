@@ -165,7 +165,8 @@ object Bench {
     case n if n.startsWith("mm_") => "multimodal"
     case n if n.startsWith("ts_") => "timeseries"
     case n if n.startsWith("sketch_") => "sketches"
-    case n if n.startsWith("pack_") || n.startsWith("mix_") => "packing"
+    case n if n.startsWith("pack_") || n.startsWith("mix_") ||
+      n.startsWith("split_") || n.startsWith("shuffle_") => "packing"
     case _ => "windows" // candlestick_*, sliding_*, tick_*
   }
 

@@ -518,6 +518,39 @@ object ExtensionQueries {
                     ELSE CAST(0.0 AS DOUBLE) END AS dup_window_ratio
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""")),
 
+    // Passage-level exact dedup: non-overlapping 32-token passages, first
+    // corpus-wide occurrence (by doc_id, window idx) survives; per-doc
+    // surviving passage/token counts. One rank exchange keyed by passage.
+    QuerySpec(
+      "dedup_passages",
+      (s, dir) => Dedup.passageDedup(docs(s, dir)),
+      Some(s"""
+        WITH $toksCte,
+        np AS (
+          SELECT doc_id, t,
+                 greatest(1, (len(t) + 31) // 32) AS n_p
+          FROM toks),
+        p AS (
+          SELECT doc_id, t, unnest(range(0, n_p)) AS widx FROM np),
+        pp AS (
+          SELECT doc_id, widx,
+                 array_to_string(list_slice(t, widx*32 + 1, widx*32 + 32), ' ')
+                   AS ptext,
+                 len(list_slice(t, widx*32 + 1, widx*32 + 32)) AS ntok
+          FROM p),
+        r AS (
+          SELECT doc_id, ntok,
+                 row_number() OVER (PARTITION BY ptext ORDER BY doc_id, widx)
+                   AS rn
+          FROM pp)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_passages,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_dropped,
+               CAST(SUM(CASE WHEN rn = 1 THEN ntok ELSE 0 END) AS BIGINT)
+                 AS n_tokens_kept
+        FROM r GROUP BY doc_id""")),
+
     // SimHash near-dup pairs: pigeonhole + multi-probe over 16-bit halves
     // (Hamming <= 3 leaves <= 1 flip in some half), exact-key x probe-key
     // equi-join, bit_count(xor) verify — all-pairs never materializes.
@@ -2070,6 +2103,43 @@ object ExtensionQueries {
                  * CAST(1000000 AS DOUBLE)) / CAST(dom_tokens AS DOUBLE)
                  AS rep_factor
         FROM c CROSS JOIN tot""")),
+
+    // Deterministic train/holdout split: md5(doc_id) bucket mod 100, top
+    // 5 buckets are holdout. Pure scan-side projection — zero exchanges.
+    QuerySpec(
+      "split_train_holdout",
+      (s, dir) => Packing.splitTrainHoldout(docs(s, dir)),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS n_tokens,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+          FROM documents)
+        SELECT doc_id, lang, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+               CASE WHEN bucket < 95 THEN 'train' ELSE 'holdout' END AS split
+        FROM b""")),
+
+    // Deterministic global shuffle: shard = md5(doc_id#seed) prefix mod 8
+    // scan-side, position = rank by (key, doc_id) within the shard — the
+    // epoch-stable training permutation, one corpus-sized exchange total.
+    QuerySpec(
+      "shuffle_global_order",
+      (s, dir) => Packing.shuffleOrder(docs(s, dir)),
+      Some("""
+        WITH k AS (
+          SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR) || '#42') AS skey
+          FROM documents),
+        s AS (
+          SELECT doc_id, skey,
+                 ('0x' || substring(skey, 1, 8))::BIGINT % 8 AS shard
+          FROM k)
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+                 AS BIGINT) AS pos
+        FROM s""")),
 
     // Ordered conversion funnel: first view -> first click strictly after
     // -> first purchase strictly after; single-row stage counts. Staged

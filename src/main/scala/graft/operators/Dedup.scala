@@ -699,4 +699,44 @@ object Dedup {
         col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
   }
+
+  /** Passage-level exact dedup (the RefinedWeb / CCNet line-dedup pass,
+    * adapted to fixed windows because this corpus has no line structure):
+    * cut every doc into non-overlapping `width`-token passages, keep only
+    * the FIRST occurrence of each distinct passage corpus-wide (first =
+    * smallest (doc_id, window index)), and report per doc how many
+    * passages and tokens survive. This removes repeated boilerplate
+    * passages from every doc that carries them — a finer decision than
+    * whole-doc dedup (doc survives, its duplicated passages don't) and a
+    * coarser, much cheaper one than the stride-1 [[dupWindows]] signal.
+    *
+    * Shape: one scan-side window expansion (n_tokens/width rows per doc —
+    * width× cheaper than stride-1), ONE exchange keyed by passage text for
+    * the first-occurrence rank, one map-side-combinable re-aggregation by
+    * doc. At 100 TB the rank key would be a 128-bit passage hash so the
+    * shuffle ships 16-byte keys instead of passage strings (needs ~2^64
+    * passages for a collision); text keying here keeps the operator
+    * bit-exact against the SQL oracle.
+    */
+  def passageDedup(docs: DataFrame, width: Int = 32): DataFrame = {
+    val passages = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, greatest(0, (size(t) + ${width - 1}) div $width - 1)),
+              i -> struct(i AS widx,
+                          array_join(slice(t, i * $width + 1, $width), ' ') AS ptext,
+                          size(slice(t, i * $width + 1, $width)) AS ntok))""")).as("p"))
+      .select(col("doc_id"), col("p.widx").as("widx"),
+        col("p.ptext").as("ptext"), col("p.ntok").as("ntok"))
+    val firstRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ptext")).orderBy(col("doc_id"), col("widx"))
+    passages
+      .withColumn("rn", row_number().over(firstRank))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_dropped"),
+        sum(when(col("rn") === 1, col("ntok").cast(LongType)).otherwise(0L))
+          .as("n_tokens_kept"))
+  }
 }

@@ -130,4 +130,58 @@ object Packing {
       .select(col("lang"), col("source"), col("n_docs"), col("dom_tokens"),
         col("capped_tokens"), col("weight"), col("rep_factor"))
   }
+
+  /** Deterministic train/holdout split: bucket = the first 8 hex digits
+    * of md5(doc_id) mod 100, holdout = the top `holdoutPct` buckets.
+    * Hash-splitting (not random-splitting) is THE way training pipelines
+    * cut eval sets — the assignment is a pure function of the document
+    * identity, so it is stable across re-runs, re-shards, and corpus
+    * growth (a doc never migrates between splits when new data arrives).
+    *
+    * Pure scan-side projection: zero shuffles, zero joins — the split of
+    * a 100 TB corpus costs exactly one pass (PlanSpec pins no Exchange).
+    * md5 (not a seeded 64-bit hash) because the split must be portable:
+    * any engine, any language can recompute the same assignment.
+    */
+  def splitTrainHoldout(docs: DataFrame, holdoutPct: Int = 5): DataFrame = {
+    require(holdoutPct > 0 && holdoutPct < 100, "holdoutPct in (0,100)")
+    docs.select(
+        col("doc_id"), col("lang"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < lit(100L - holdoutPct), lit("train"))
+          .otherwise(lit("holdout")))
+  }
+
+  /** Deterministic global shuffle for training order: each doc's shuffle
+    * key is md5(doc_id # seed); shard = first 8 hex digits mod nShards
+    * (scan-side), position-in-shard = rank by (key, doc_id) within the
+    * shard. The (shard, pos) pair IS the epoch-stable random permutation
+    * a training loader consumes — reproducible from the seed alone, no
+    * stored state.
+    *
+    * Exactly ONE corpus-sized exchange (hash-partition by shard), the
+    * information-theoretic minimum for a global shuffle: assignment is
+    * embarrassingly parallel and ordering is a per-shard local sort. A
+    * different seed is a different permutation with zero reshuffling of
+    * the plan shape. nShards should be O(cluster cores) at scale so each
+    * shard's sort fits an executor.
+    */
+  def shuffleOrder(docs: DataFrame, seed: Long = 42L, nShards: Int = 8): DataFrame = {
+    require(nShards > 0, "nShards > 0")
+    val keyed = docs.select(
+        col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("#"), lit(seed.toString)))
+          .as("skey"))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(skey, 1, 8), 16, 10) AS BIGINT) % $nShards"))
+    keyed
+      .withColumn("pos",
+        row_number()
+          .over(Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 }

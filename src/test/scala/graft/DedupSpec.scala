@@ -251,4 +251,26 @@ class DedupSpec extends GraftSpec {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  test("passage dedup: first corpus-wide occurrence survives (brute force)") {
+    // width=2 passages: doc1 = [a b][c d], doc2 = [a b][x y] (shares one
+    // passage with doc1), doc3 = [c d] twice (in-doc repeat + cross-doc),
+    // doc4 unique, doc5 shorter than one window
+    val docs = docsDf(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d c d"),
+      (4L, "p q r s"),
+      (5L, "z"))
+    val got = graft.operators.Dedup.passageDedup(docs, width = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_passages"), r.getAs[Long]("n_dup_dropped"),
+          r.getAs[Long]("n_tokens_kept"))).toMap
+    // brute force: group occurrences by passage text, keep min (doc, widx)
+    assert(got(1L) === ((2L, 0L, 4L)), "doc1 owns both its passages")
+    assert(got(2L) === ((2L, 1L, 2L)), "doc2 loses [a b] to doc1")
+    assert(got(3L) === ((2L, 2L, 0L)), "doc3 loses both [c d] to doc1's")
+    assert(got(4L) === ((2L, 0L, 4L)))
+    assert(got(5L) === ((1L, 0L, 1L)), "short doc is one sub-width passage")
+  }
 }

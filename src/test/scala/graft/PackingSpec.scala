@@ -77,4 +77,55 @@ class PackingSpec extends GraftSpec {
     assert(tail.getAs[Double]("weight") >
       tail.getAs[Long]("dom_tokens").toDouble / allTokens)
   }
+
+  test("train/holdout split: deterministic, exhaustive, and md5-faithful") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = Packing.splitTrainHoldout(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("bucket"), r.getAs[String]("split")))
+      .toMap
+    val b = Packing.splitTrainHoldout(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("bucket"), r.getAs[String]("split")))
+      .toMap
+    assert(a === b, "split is a pure function of doc_id")
+    assert(a.size === docs.count(), "every doc assigned exactly once")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    a.foreach { case (id, (bucket, split)) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val expect = java.lang.Long.parseLong(hex, 16) % 100
+      assert(bucket === expect, s"doc $id bucket")
+      assert(split === (if (bucket < 95) "train" else "holdout"), s"doc $id split")
+    }
+    // 5% expected holdout; the md5 buckets should land in the right decade
+    val frac = a.values.count(_._2 == "holdout").toDouble / a.size
+    assert(frac > 0.005 && frac < 0.15, s"holdout fraction $frac")
+  }
+
+  test("global shuffle: a seed-stable permutation, contiguous within shards") {
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    val rows = Packing.shuffleOrder(docs).collect()
+    assert(rows.length === n && rows.map(_.getLong(0)).distinct.length === n,
+      "a permutation: every doc exactly once")
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val ps = rs.map(_.getAs[Long]("pos")).sorted
+      assert(ps === (1L to rs.length.toLong).toArray,
+        s"shard $shard positions are 1..${rs.length}")
+    }
+    val again = Packing.shuffleOrder(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+      .toMap
+    assert(rows.map(r => r.getLong(0) ->
+      (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap === again,
+      "same seed, same permutation")
+    val reseeded = Packing.shuffleOrder(docs, seed = 43L).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+      .toMap
+    assert(reseeded !== again, "different seed, different permutation")
+    // the order within a shard must follow the md5 keys, not doc_id
+    val shard0 = rows.filter(_.getAs[Long]("shard") === 0L)
+      .sortBy(_.getAs[Long]("pos")).map(_.getLong(0))
+    assert(shard0.length < 2 || !(shard0.sameElements(shard0.sorted)),
+      "shuffled order is not doc_id order")
+  }
 }

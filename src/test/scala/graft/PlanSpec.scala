@@ -433,6 +433,29 @@ class PlanSpec extends GraftSpec {
       s"the eval side is broadcast-sized by design:\n$p")
   }
 
+  test("train/holdout split is a pure scan-side projection — zero exchanges") {
+    val p = plan(Registry.queries("split_train_holdout")(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"hash-splitting must cost exactly one pass, no shuffle:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+  }
+
+  test("global shuffle: exactly the one corpus-sized exchange a shuffle needs") {
+    val p = plan(Registry.queries("shuffle_global_order")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"shard assignment is scan-side; only the per-shard rank exchanges:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort — ordering is per-shard local:\n$p")
+  }
+
+  test("passage dedup: one scan, rank + re-agg exchanges, nothing else") {
+    val p = plan(Registry.queries("dedup_passages")(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"first-occurrence rank by passage + per-doc re-agg only:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)
