@@ -1900,6 +1900,37 @@ object ExtensionQueries {
                     ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_ratio
         FROM bg b JOIN tt ON b.doc_id = tt.doc_id""")),
 
+    // Gopher rule-based quality filter: 4 published heuristics as exact
+    // cross-multiplied integer comparisons (no division) over one
+    // (doc, token) count pipeline.
+    QuerySpec(
+      "text_gopher_rules",
+      (s, dir) => TextAnalysis.gopherRules(docs(s, dir)),
+      Some(s"""
+        WITH $toksCte,
+        x AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM x GROUP BY 1, 2),
+        d AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(SUM(c * len(tok)) AS BIGINT) AS sum_len,
+                 CAST(MAX(c) AS BIGINT) AS max_cnt,
+                 CAST(SUM(CASE WHEN tok IN ('the','be','to','of','and',
+                   'that','have','with','a','in') THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_stop_distinct
+          FROM tc GROUP BY 1)
+        SELECT doc_id, n_tokens, sum_len, max_cnt, n_stop_distinct,
+               (n_tokens >= 30 AND n_tokens <= 100000) AS r_wordcount,
+               (3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens)
+                 AS r_meanlen,
+               (n_stop_distinct >= 2) AS r_stopwords,
+               (5 * max_cnt <= n_tokens) AS r_maxfreq,
+               ((n_tokens >= 30 AND n_tokens <= 100000)
+                 AND (3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens)
+                 AND (n_stop_distinct >= 2)
+                 AND (5 * max_cnt <= n_tokens)) AS pass
+        FROM d""")),
+
     // PII / denylist scrub: counts + redaction in ONE text pass, pure
     // projection. Patterns restricted to the Java-regex/RE2-identical
     // subset so the oracle runs the same strings.

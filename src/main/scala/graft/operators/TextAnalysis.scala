@@ -593,4 +593,56 @@ object TextAnalysis {
         (acc, w) => (acc * lit(31L) +
           conv(substring(md5(w), 1, 8), 16, 10).cast("long")) % lit(2147483647L))
         .as("rolling_fp"))
+
+  /** Stop list for the Gopher stop-word rule — the published list (Rae et
+    * al. 2021 §A.1.1) plus "a"/"in", which the paper folds into its
+    * larger heuristic set.
+    */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A.1.1 quality heuristics), the
+    * rule-set stage every major corpus (MassiveText, RefinedWeb, Dolma)
+    * runs BEFORE model-based scoring. Four of the published rules apply
+    * to this corpus shape (no lines, no ellipses):
+    *
+    *   r_wordcount — token count in [30, 100000]
+    *   r_meanlen   — mean token length in [3, 10] characters
+    *   r_stopwords — contains >= 2 distinct stop-list words
+    *   r_maxfreq   — most frequent token <= 20% of all tokens
+    *
+    * Every threshold is an exact cross-multiplied integer comparison
+    * (3·n <= sum_len, 5·max_cnt <= n, ...) — no division anywhere, so
+    * pass/fail is bit-identical on any engine and immune to the
+    * ratio-rounding drift that plagues reimplementations of these
+    * filters. Shape: one explode into per-(doc, token) counts (exchange
+    * 1), one map-side-combinable per-doc roll-up (exchange 2), flags as a
+    * final projection. Linear in corpus tokens at any scale.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    perTok
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum(col("c") * length(col("tok"))).as("sum_len"),
+        max(col("c")).as("max_cnt"),
+        sum(when(col("tok").isInCollection(gopherStops), 1L).otherwise(0L))
+          .as("n_stop_distinct"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("sum_len"), col("max_cnt"),
+        col("n_stop_distinct"),
+        (col("n_tokens") >= 30L && col("n_tokens") <= 100000L).as("r_wordcount"),
+        (lit(3L) * col("n_tokens") <= col("sum_len") &&
+          col("sum_len") <= lit(10L) * col("n_tokens")).as("r_meanlen"),
+        (col("n_stop_distinct") >= 2L).as("r_stopwords"),
+        (lit(5L) * col("max_cnt") <= col("n_tokens")).as("r_maxfreq"))
+      .withColumn("pass",
+        col("r_wordcount") && col("r_meanlen") &&
+          col("r_stopwords") && col("r_maxfreq"))
+  }
 }

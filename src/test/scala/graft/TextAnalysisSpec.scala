@@ -363,4 +363,37 @@ class TextAnalysisSpec extends GraftSpec {
       assert(lastStart + 64 >= toks.size, s"doc $id tail covered")
     }
   }
+
+  test("gopher rules: each rule trips on its own violation, exact bounds") {
+    val longOk = (Seq.fill(15)("the quick") ++ Seq.fill(15)("brown fox"))
+      .mkString(" ") // 60 tokens, 4 distinct, max freq 15/60 > 20% -> r_maxfreq fails
+    // 150 tokens; "the"/"of" appear 30x = exactly 20% -> the closed
+    // maxfreq bound (5*30 <= 150) passes on the boundary
+    val balanced = (1 to 30).map(i => s"alpha$i bravo$i chars$i the of")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "too short but the of fine"),         // r_wordcount fails (6 < 30)
+      (2L, balanced),                            // all pass
+      (3L, longOk),                              // r_maxfreq fails
+      (4L, (1 to 40).map(_ => "a b").mkString(" ")) // meanlen 1 < 3 fails
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r(1L).getAs[Boolean]("r_wordcount") && !r(1L).getAs[Boolean]("pass"))
+    assert(r(1L).getAs[Boolean]("r_stopwords"), "'the'+'of' = 2 distinct stops")
+    assert(r(2L).getAs[Boolean]("pass"),
+      s"balanced doc passes all rules: ${r(2L)}")
+    assert(!r(3L).getAs[Boolean]("r_maxfreq") && r(3L).getAs[Boolean]("r_wordcount"))
+    assert(!r(4L).getAs[Boolean]("r_meanlen") && !r(4L).getAs[Boolean]("pass"))
+    // exact boundary: exactly 30 tokens with mean length exactly 3 sits
+    // ON both closed bounds (wordcount lower, meanlen lower) and passes
+    // them; the repeated "abc" trips only maxfreq
+    val edge = Seq((9L, (1 to 28).map(_ => "abc").mkString(" ") + " the and"))
+      .toDF("doc_id", "text")
+    val e = TextAnalysis.gopherRules(edge).collect().head
+    assert(e.getAs[Long]("n_tokens") === 30L && e.getAs[Long]("sum_len") === 90L)
+    assert(e.getAs[Boolean]("r_wordcount") && e.getAs[Boolean]("r_meanlen"),
+      e.toString)
+    assert(!e.getAs[Boolean]("r_maxfreq"), "28/30 'abc' trips maxfreq")
+  }
 }
