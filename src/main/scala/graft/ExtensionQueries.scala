@@ -2135,6 +2135,43 @@ object ExtensionQueries {
                  AS rep_factor
         FROM c CROSS JOIN tot""")),
 
+    // Materialized mixture: per-doc copy counts from the temperature
+    // weights — floor(rep) + one more for the deterministic frac(rep)
+    // md5-bucket fraction. Broadcast weights, zero corpus shuffle.
+    QuerySpec(
+      "mix_apply_sampling",
+      (s, dir) => Packing.mixApplySampling(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT lang, source,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM documents),
+        d AS (
+          SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS dom_tokens
+          FROM t GROUP BY 1, 2),
+        c AS (SELECT *,
+                CAST(FLOOR(1000.0 * sqrt(CAST(dom_tokens AS DOUBLE)))
+                  AS BIGINT) AS s_alpha
+              FROM d),
+        tot AS (SELECT CAST(SUM(s_alpha) AS BIGINT) AS total_alpha FROM c),
+        w AS (
+          SELECT lang, source,
+                 ((CAST(s_alpha AS DOUBLE) / CAST(total_alpha AS DOUBLE))
+                   * CAST(1000000 AS DOUBLE)) / CAST(dom_tokens AS DOUBLE)
+                   AS rep_factor
+          FROM c CROSS JOIN tot)
+        SELECT doc_id, docs.lang, docs.source,
+               CAST(FLOOR(rep_factor) AS BIGINT) +
+                 (CASE WHEN
+                    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#mix'),
+                       1, 8))::BIGINT <
+                    CAST(FLOOR((rep_factor - FLOOR(rep_factor)) * 4294967296.0)
+                      AS BIGINT)
+                  THEN 1 ELSE 0 END) AS n_copies
+        FROM documents docs JOIN w
+          ON docs.lang = w.lang AND docs.source = w.source""")),
+
     // Deterministic train/holdout split: md5(doc_id) bucket mod 100, top
     // 5 buckets are holdout. Pure scan-side projection — zero exchanges.
     QuerySpec(

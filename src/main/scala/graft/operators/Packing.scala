@@ -155,6 +155,40 @@ object Packing {
           .otherwise(lit("holdout")))
   }
 
+  /** Materialize the temperature mixture ([[mixTemperature]]) into
+    * per-document copy counts — the step that turns a weights table into
+    * an actual training set. A domain with rep_factor r contributes
+    * floor(r) copies of every doc plus one more for the deterministic
+    * frac(r) fraction of docs: bucket = first 8 hex digits of
+    * md5(doc_id#mix) (32 bits, uniform), the doc gets the extra copy iff
+    * bucket < floor(frac(r)·2^32). Expected token volume per domain =
+    * r · dom_tokens = its mixture share of the target budget, and the
+    * choice of WHICH docs repeat is a pure function of doc identity —
+    * stable across runs, no RNG state.
+    *
+    * Cost: the weights table is |domains| rows (broadcast); the corpus
+    * side is one scan with a scan-side hash — zero corpus-sized shuffles
+    * at any scale. rep_factor arithmetic is IEEE-deterministic (quotients
+    * of exact integers), so floor/frac/threshold agree bit-for-bit with
+    * the SQL oracle.
+    */
+  def mixApplySampling(docs: DataFrame, targetTokens: Long = 1000000L): DataFrame = {
+    val weights = mixTemperature(docs, targetTokens)
+      .select(col("lang"), col("source"), col("rep_factor"))
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#mix')), 1, 8), 16, 10) AS BIGINT)")
+          .as("bucket"))
+      .join(broadcast(weights), Seq("lang", "source"))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        (floor(col("rep_factor")).cast("long") +
+          when(col("bucket") <
+            floor((col("rep_factor") - floor(col("rep_factor"))) *
+              lit(4294967296.0)).cast("long"), 1L).otherwise(0L))
+          .as("n_copies"))
+  }
+
   /** Deterministic global shuffle for training order: each doc's shuffle
     * key is md5(doc_id # seed); shard = first 8 hex digits mod nShards
     * (scan-side), position-in-shard = rank by (key, doc_id) within the

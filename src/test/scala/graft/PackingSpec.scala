@@ -78,6 +78,40 @@ class PackingSpec extends GraftSpec {
       tail.getAs[Long]("dom_tokens").toDouble / allTokens)
   }
 
+  test("mixture materialization: copy counts replay the weights exactly") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = Packing.mixApplySampling(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_copies")).toMap
+    // brute-force the whole pipeline: domain weights -> rep factor ->
+    // md5 bucket -> copies
+    val raw = docs.select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)),
+        r.getString(3).trim.toLowerCase.split("\\s+").length.toLong))
+    val domTok = raw.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val sAlpha = domTok.view
+      .mapValues(t => math.floor(1000.0 * math.sqrt(t.toDouble)).toLong).toMap
+    val total = sAlpha.values.sum.toDouble
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var totalCopies = 0L
+    raw.foreach { case (id, dom, _) =>
+      val rep = (sAlpha(dom) / total) * 1000000.0 / domTok(dom).toDouble
+      val hex = md.digest(s"$id#mix".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val bucket = java.lang.Long.parseLong(hex, 16)
+      val extra = if (bucket < math.floor((rep - math.floor(rep)) *
+        4294967296.0).toLong) 1L else 0L
+      val expect = math.floor(rep).toLong + extra
+      assert(got(id) === expect, s"doc $id copies")
+      totalCopies += expect
+    }
+    assert(got.size === raw.length)
+    // the materialized mixture should land near the token target in
+    // expectation (hash buckets are uniform)
+    val gotTokens = raw.map { case (id, _, n) => got(id) * n }.sum.toDouble
+    assert(gotTokens > 700000 && gotTokens < 1300000,
+      s"materialized tokens $gotTokens vs target 1000000")
+  }
+
   test("train/holdout split: deterministic, exhaustive, and md5-faithful") {
     val docs = Tables.load(spark, sf, "documents")
     val a = Packing.splitTrainHoldout(docs).collect()

@@ -433,6 +433,14 @@ class PlanSpec extends GraftSpec {
       s"the eval side is broadcast-sized by design:\n$p")
   }
 
+  test("mixture materialization: broadcast weights, zero corpus shuffle") {
+    val p = plan(Registry.queries("mix_apply_sampling")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |domains|-row weights table must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus side is scan + hash projection only:\n$p")
+  }
+
   test("train/holdout split is a pure scan-side projection — zero exchanges") {
     val p = plan(Registry.queries("split_train_holdout")(spark, sf))
     assert(!p.contains("Exchange"),
