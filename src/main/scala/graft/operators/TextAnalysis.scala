@@ -616,23 +616,34 @@ object TextAnalysis {
     * (3·n <= sum_len, 5·max_cnt <= n, ...) — no division anywhere, so
     * pass/fail is bit-identical on any engine and immune to the
     * ratio-rounding drift that plagues reimplementations of these
-    * filters. Shape: one explode into per-(doc, token) counts (exchange
-    * 1), one map-side-combinable per-doc roll-up (exchange 2), flags as a
-    * final projection. Linear in corpus tokens at any scale.
+    * filters.
+    *
+    * Shape: a PURE scan-side projection — every per-doc stat comes from
+    * the doc's own token array (the top-token count is a longest-run fold
+    * over the sorted array; distinct stop hits are an array
+    * intersection), so the filter has ZERO exchanges, fuses into the
+    * scan, and the identical expression runs statelessly under a
+    * streaming plan. The oracle computes the same stats via explode +
+    * GROUP BY — two routes, one semantics.
     */
   def gopherRules(docs: DataFrame): DataFrame = {
-    val perTok = docs
-      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-    perTok
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("n_tokens"),
-        sum(col("c") * length(col("tok"))).as("sum_len"),
-        max(col("c")).as("max_cnt"),
-        sum(when(col("tok").isInCollection(gopherStops), 1L).otherwise(0L))
-          .as("n_stop_distinct"))
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        aggregate(col("t"), lit(0L), (acc, w) => acc + length(w).cast("long"))
+          .as("sum_len"),
+        expr(
+          """aggregate(array_sort(t),
+               named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'mx', 0L),
+               (a, x) -> named_struct(
+                 'prev', x,
+                 'run', IF(a.prev <=> x, a.run + 1, 1L),
+                 'mx', greatest(a.mx, IF(a.prev <=> x, a.run + 1, 1L))),
+               a -> a.mx)""").as("max_cnt"),
+        size(array_intersect(array_distinct(col("t")),
+          array(gopherStops.map(lit): _*))).cast("long").as("n_stop_distinct"))
       .select(
         col("doc_id"), col("n_tokens"), col("sum_len"), col("max_cnt"),
         col("n_stop_distinct"),

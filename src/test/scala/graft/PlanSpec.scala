@@ -433,6 +433,13 @@ class PlanSpec extends GraftSpec {
       s"the eval side is broadcast-sized by design:\n$p")
   }
 
+  test("gopher rules are a pure scan-side projection — zero exchanges") {
+    val p = plan(Registry.queries("text_gopher_rules")(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"every rule stat folds over the doc's own token array:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+  }
+
   test("mixture materialization: broadcast weights, zero corpus shuffle") {
     val p = plan(Registry.queries("mix_apply_sampling")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),

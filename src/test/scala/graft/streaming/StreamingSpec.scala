@@ -449,6 +449,27 @@ class StreamingSpec extends GraftSpec {
     assert(batch.size > docs.size, "long docs chunked into multiple sequences")
   }
 
+  test("streaming gopher rules equal the batch filter row-for-row") {
+    // gopherRules is a pure scan-side projection (zero exchanges,
+    // PlanSpec-pinned), so the SAME expression must run statelessly
+    // under a streaming plan with identical flags
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"alpha$i bravo$i the of").mkString(" ")),
+      (2L, "tiny doc the of"),
+      (3L, (1 to 40).map(_ => "dup dup other the of words here now").mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.gopherRules(
+      input.toDS().toDF("doc_id", "text"))
+    val streamed = runStream(input, out, Seq(docs.take(1), docs.drop(1)))
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = graft.operators.TextAnalysis.gopherRules(
+      docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed === batch)
+    assert(!batch(2L).drop(4).head.asInstanceOf[Boolean],
+      "tiny doc fails r_wordcount in both modes")
+  }
+
   test("streaming running EWMA matches the batch fold bit-for-bit") {
     import StreamingQueries.EwmaEvent
     val input = MemoryStream[EwmaEvent]
