@@ -72,10 +72,26 @@ object Bench {
     val warmReps =
       math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_REPS", "2").toInt)
     val qseq = Registry.benchQueries.toSeq.sortBy(_._1)
+    // Deterministic checkpoint reclaim between reps: the split/checkpoint
+    // operators (quality gates, decontamination, LM scoring, gap-fill,
+    // mixtures — see Registry's eagerness scaladoc) pin localCheckpoint
+    // partitions in executor storage at construction time, and reclaim
+    // normally waits on ContextCleaner GC. Across 100+ queries × 5
+    // constructions at sf0.1 the debris outpaces the cleaner, inflating
+    // the LATE series (warm ran slower than cold; streaming rates sank
+    // ~8×) purely through heap/storage pressure. Every constructed frame
+    // is rep-local garbage by definition, so dropping ALL persistent RDDs
+    // after the timed action is always safe here — and puts the bench
+    // back to measuring plans instead of leak accumulation.
+    def reclaim(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def timed(fn: (SparkSession, String) => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
+      finally reclaim()
     }
     val acc = scala.collection.mutable.LinkedHashMap(
       qseq.map { case (name, _) => name -> Vector.empty[Double] }: _*)
@@ -143,6 +159,12 @@ object Bench {
         // full volumes need ~180 s of headroom; scale linearly below that
         math.min(1.0, math.max(0.0, left / 180.0))
       }.getOrElse(1.0)
+    // Enter the streaming phase on a clean heap: drop any remaining
+    // checkpoint debris and let one full GC run, so streaming throughput
+    // measures the stateful operators, not the batch phase's leftovers.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
     val streaming =
       if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0")
         || streamScale <= 0.0) "{}"
