@@ -456,6 +456,40 @@ object ExtensionQueries {
         JOIN bk e ON t.band = e.band AND t.bucket_key = e.bucket_key
         JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10""")),
 
+    // Incremental delta-vs-index dedup: the daily-crawl shape — a 10%
+    // coin-split delta checked against the standing corpus bucket index
+    // via an explicitly SHUFFLE_HASH-hinted join (the index grows with
+    // the corpus; broadcast is the wrong plan at production scale).
+    QuerySpec(
+      "dedup_incremental",
+      (s, dir) => Dedup.incrementalDedup(docs(s, dir)),
+      Some(s"""
+        WITH $minhashCte,
+        bk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash)
+                   AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2),
+        coin AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS c
+          FROM documents),
+        idx AS (
+          SELECT DISTINCT band, bucket_key
+          FROM bk JOIN coin USING (doc_id) WHERE c >= 10),
+        hits AS (
+          SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bucket_hits
+          FROM bk JOIN coin USING (doc_id)
+          JOIN idx ON bk.band = idx.band AND bk.bucket_key = idx.bucket_key
+          WHERE coin.c < 10 GROUP BY bk.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_bucket_hits, 0) AS BIGINT) AS n_bucket_hits,
+               (COALESCE(h.n_bucket_hits, 0) > 0) AS is_dup
+        FROM documents d
+        JOIN coin c ON d.doc_id = c.doc_id AND c.c < 10
+        LEFT JOIN hits h ON d.doc_id = h.doc_id""")),
+
     // Exact n-gram-collision decontamination: the third triad member next
     // to MinHash (near-dup) and embedding (semantic) — train docs sharing
     // a VERBATIM 13-token window with an eval doc, the copied-sentence

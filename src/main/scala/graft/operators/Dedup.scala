@@ -299,6 +299,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental dedup of a DELTA against the standing corpus — the shape
+    * a daily-crawl pipeline actually runs: the corpus's MinHash bucket
+    * table is a PERSISTED index maintained across runs, and each new
+    * batch is checked against it without rescanning the corpus. Here the
+    * coin split carves a deterministic `deltaPct` slice as "the new
+    * batch" and the rest as "the standing index"; per delta doc, how many
+    * of its LSH buckets collide with the index and the resulting is_dup
+    * verdict (any collision = near-dup candidate, the same candidate
+    * semantics as [[minhashCandidatePairs]]).
+    *
+    * The join is explicitly SHUFFLE_HASH-hinted, NOT broadcast: unlike
+    * the eval slice in [[decontaminateNearSplit]] (k/rpb rows per eval
+    * doc, broadcast-sized by construction), the standing index grows
+    * with the CORPUS — at 100 TB it is nowhere near any broadcast
+    * ceiling, so the honest plan is a shuffle equi-join on
+    * (band, bucket_key) with the k/rpb-rows-per-doc delta side streamed
+    * against the index's hash table (no sort on either side). This is
+    * the scale path ADVICE.md asked to document for the n-gram variant,
+    * expressed as its own operator. PlanSpec pins the join stays
+    * ShuffledHashJoin even when the test-scale index would fit a
+    * broadcast.
+    */
+  def incrementalDedup(
+      docs: DataFrame, deltaPct: Int = 10,
+      k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bk = minhashBuckets(docs, k, rowsPerBand)
+      .select(col("doc_id"), col("band"), col("bucket_key"))
+      .localCheckpoint()
+    val coin = TextAnalysis.sampleCoin("inc")
+    val index = bk.filter(coin >= deltaPct)
+      .select(col("band"), col("bucket_key")).distinct()
+    val delta = bk.filter(coin < deltaPct)
+    val hits = delta
+      .join(index.hint("shuffle_hash"), Seq("band", "bucket_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bucket_hits"))
+    docs.filter(TextAnalysis.sampleCoin("inc") < deltaPct)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bucket_hits"), lit(0L)).as("n_bucket_hits"))
+      .withColumn("is_dup", col("n_bucket_hits") > 0L)
+  }
+
   /** [[minhashBuckets]] in WIDE form: the input columns plus one STRING
     * band-key column `bk0..bk{nBands-1}` per LSH band — no row expansion,
     * no doc filter, so the projection is STREAMING-SAFE (posexplode plus

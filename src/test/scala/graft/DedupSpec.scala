@@ -252,6 +252,35 @@ class DedupSpec extends GraftSpec {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("incremental dedup: delta-vs-index hits match a brute-forced join") {
+    val docs = Tables.load(spark, sf, "documents")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coin(id: Long): Long = {
+      val hex = md.digest(s"inc:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    // independent recomposition: collected bucket rows + Scala-side coin
+    val bk = graft.operators.Dedup.minhashBuckets(docs.select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val index = bk.collect { case (id, b, k) if coin(id) >= 10 => (b, k) }.toSet
+    val expected = bk.filter(t => coin(t._1) < 10)
+      .groupBy(_._1).view
+      .mapValues(_.count(t => index((t._2, t._3))).toLong).toMap
+    val deltaIds = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(coin(_) < 10).toSet
+    val got = graft.operators.Dedup.incrementalDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bucket_hits"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(got.keySet === deltaIds,
+      "every delta doc verdicts exactly once, incl. short docs with no buckets")
+    got.foreach { case (id, (n, dup)) =>
+      assert(n === expected.getOrElse(id, 0L), s"doc $id hits")
+      assert(dup === (n > 0L), s"doc $id flag")
+    }
+    assert(got.values.exists(_._2), "the corpus's known dups collide")
+  }
+
   test("passage dedup: first corpus-wide occurrence survives (brute force)") {
     // width=2 passages: doc1 = [a b][c d], doc2 = [a b][x y] (shares one
     // passage with doc1), doc3 = [c d] twice (in-doc repeat + cross-doc),

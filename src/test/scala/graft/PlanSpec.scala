@@ -433,6 +433,15 @@ class PlanSpec extends GraftSpec {
       s"the eval side is broadcast-sized by design:\n$p")
   }
 
+  test("incremental dedup honors the shuffle-hash hint over broadcast") {
+    val p = plan(Registry.queries("dedup_incremental")(spark, sf))
+    assert(p.contains("ShuffledHashJoin"),
+      s"the standing index is corpus-sized at production — the bucket " +
+        s"join must stay a shuffle equi-join even when the test-scale " +
+        s"index would fit a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("gopher rules are a pure scan-side projection — zero exchanges") {
     val p = plan(Registry.queries("text_gopher_rules")(spark, sf))
     assert(!p.contains("Exchange"),
