@@ -1191,6 +1191,44 @@ object ExtensionQueries {
         thr AS (SELECT qs AS thr FROM r WHERE rn = CEIL(n * 0.5))
         SELECT c.doc_id, c.qs, thr.thr FROM c, thr WHERE c.qs >= thr.thr""")),
 
+    // Percentile quality tiers: every scored doc gets its corpus decile
+    // (1 = lowest) from the same rank-convention cutoffs the gate uses —
+    // deterministic under ties where ntile is not.
+    QuerySpec(
+      "text_quality_deciles",
+      (s, dir) => TextAnalysis.qualityDeciles(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST(FLOOR((
+                   CAST(0.4 AS DOUBLE) *
+                     (CAST(len(list_filter(toks, w -> w IN
+                        ('the','a','and','of','to','in','is','it','on','for'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE) *
+                     (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE) *
+                     (CAST(least(len(toks), 100) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                 ) * 1000 + 0.5) AS BIGINT) AS qs
+          FROM t),
+        r AS (
+          SELECT qs, row_number() OVER (ORDER BY qs) AS rn,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM c WHERE qs IS NOT NULL),
+        cuts AS (
+          SELECT list_sort(list(qs)) AS cl
+          FROM r JOIN (SELECT unnest(range(1, 10)) AS tt) ts
+            ON r.rn = CEIL(r.n * (tt / 10.0)))
+        SELECT c.doc_id, c.qs,
+               CAST(1 + len(list_filter(cuts.cl, x -> c.qs > x)) AS BIGINT)
+                 AS tier
+        FROM c, cuts WHERE c.qs IS NOT NULL""")),
+
     // Per-language percentile gate: each language keeps its own top half,
     // so the dominant language's score distribution never gates the rest.
     QuerySpec(

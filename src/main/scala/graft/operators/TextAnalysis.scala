@@ -594,6 +594,39 @@ object TextAnalysis {
           conv(substring(md5(w), 1, 8), 16, 10).cast("long")) % lit(2147483647L))
         .as("rolling_fp"))
 
+  /** Percentile quality TIERS — the graded form of [[qualityGate]]'s
+    * binary cut, the primitive behind "train on the top 30%, anneal on
+    * the top decile" curricula: every scored doc gets a stable decile
+    * (1 = lowest) from the corpus score distribution. Tier boundaries
+    * are the same rank-convention percentile values the gate uses
+    * (value at rank ceil(n·t/tiles) — r7's dual-scale-verified
+    * convention), so equal scores always share a tier: deterministic
+    * where SQL ntile's tie-splitting is not, and stable when the corpus
+    * grows by a few docs where equal-count tiles are not.
+    *
+    * Shape: the scored (doc_id, qs) checkpoint is ONE corpus scan
+    * (quality-gate precedent); the cutoffs come from the ≤1001-row score
+    * histogram and collapse to a single tiles−1-element array row that
+    * broadcasts; tier assignment is a scan-side count-of-exceeded-cutoffs
+    * over the checkpoint. No corpus-sized exchange anywhere.
+    */
+  def qualityDeciles(docs: DataFrame, tiles: Int = 10): DataFrame = {
+    require(tiles >= 2, "at least two tiers")
+    val scored = qualityStats(docs)
+      .filter(col("quality_score").isNotNull && !isnan(col("quality_score")))
+      .select(col("doc_id"),
+        floor(col("quality_score") * 1000 + 0.5).cast("long").as("qs"))
+      .withColumn("corpus", lit(1L))
+      .localCheckpoint()
+    val cuts = Percentiles
+      .percentileDisc(scored, "corpus", "qs", (1 until tiles).map(_.toDouble / tiles))
+      .agg(sort_array(collect_list(col("pct_value"))).as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("qs"),
+        (lit(1L) + size(filter(col("cuts"), c => col("qs") > c)).cast("long"))
+          .as("tier"))
+  }
+
   /** Stop list for the Gopher stop-word rule — the published list (Rae et
     * al. 2021 §A.1.1) plus "a"/"in", which the paper folds into its
     * larger heuristic set.

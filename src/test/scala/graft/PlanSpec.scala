@@ -433,6 +433,14 @@ class PlanSpec extends GraftSpec {
       s"the eval side is broadcast-sized by design:\n$p")
   }
 
+  test("quality deciles replay the scored checkpoint — zero rescans") {
+    val p = plan(Registry.queries("text_quality_deciles")(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      s"tier assignment must replay the (doc_id, qs) checkpoint:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the cutoff array is a broadcast single row:\n$p")
+  }
+
   test("incremental dedup honors the shuffle-hash hint over broadcast") {
     val p = plan(Registry.queries("dedup_incremental")(spark, sf))
     assert(p.contains("ShuffledHashJoin"),

@@ -364,6 +364,27 @@ class TextAnalysisSpec extends GraftSpec {
     }
   }
 
+  test("quality deciles: brute-forced rank-convention tiers, ties share") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = TextAnalysis.qualityDeciles(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("qs"), r.getAs[Long]("tier")))
+      .toMap
+    val qsById = got.view.mapValues(_._1).toMap
+    val sortedQs = qsById.values.toArray.sorted
+    val n = sortedQs.length
+    val cuts = (1 until 10).map(t => sortedQs(math.ceil(n * (t / 10.0)).toInt - 1))
+    got.foreach { case (id, (qs, tier)) =>
+      assert(tier === 1L + cuts.count(qs > _), s"doc $id tier")
+    }
+    // every decile is populated on the real corpus, ties share a tier,
+    // and the ordering is monotone in score
+    assert(got.values.map(_._2).toSet === (1L to 10L).toSet)
+    val byQs = got.values.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    byQs.foreach { case (qs, tiers) =>
+      assert(tiers.size === 1, s"qs $qs split across tiers $tiers")
+    }
+  }
+
   test("gopher rules: each rule trips on its own violation, exact bounds") {
     val longOk = (Seq.fill(15)("the quick") ++ Seq.fill(15)("brown fox"))
       .mkString(" ") // 60 tokens, 4 distinct, max freq 15/60 > 20% -> r_maxfreq fails
