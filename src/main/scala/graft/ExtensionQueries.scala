@@ -1364,6 +1364,45 @@ object ExtensionQueries {
                  / 10000 / CAST(count(*) AS DOUBLE) AS avg_value
         FROM events GROUP BY 1, 2""")),
 
+    // Causal forward-fill gap-fill: empty buckets carry the LAST observed
+    // average — the only fill a stream can compute at ingest; the batch
+    // twin the streaming grid-fill is spec-pinned against.
+    QuerySpec(
+      "ts_gapfill_ffill",
+      (s, dir) => TimeSeries.gapfillForwardFill(events(s, dir)),
+      Some("""
+        WITH obs AS (
+          SELECT event_type,
+                 ((epoch_ns(ts) // 1000) // 900000000) * 900000000 AS bus,
+                 count(*) AS n,
+                 CAST(SUM(CAST(FLOOR(value*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+          FROM events GROUP BY 1, 2),
+        oav AS (
+          SELECT event_type, bus, n,
+                 CAST(sq AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE) AS av
+          FROM obs),
+        bounds AS (
+          SELECT event_type, min(bus) AS b0, max(bus) AS b1 FROM obs GROUP BY 1),
+        grid AS (
+          SELECT event_type,
+                 unnest(range(b0, b1 + 900000000, 900000000)) AS bus
+          FROM bounds),
+        j AS (
+          SELECT g.event_type, g.bus, o.n, o.av
+          FROM grid g LEFT JOIN oav o
+            ON g.event_type = o.event_type AND g.bus = o.bus),
+        w AS (
+          SELECT event_type, bus, n, av,
+                 last_value(av IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY bus
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+          FROM j)
+        SELECT event_type, make_timestamp(bus) AS bucket,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+               pv AS value_filled,
+               av IS NULL AS filled
+        FROM w""")),
+
     // Gap-fill + linear interpolation to a fixed 15-minute grid: empty
     // buckets interpolate between neighboring observed buckets (IGNORE
     // NULLS frames); integer epoch-micros bucketing, one fixed double

@@ -88,6 +88,46 @@ object TimeSeries {
         col("av").isNull.as("interpolated"))
   }
 
+  /** Forward-fill gap-fill — the CAUSAL half of [[gapfillInterpolate]]:
+    * empty grid buckets carry the last observed bucket average instead of
+    * interpolating toward the (future) next observation. This is the only
+    * fill a STREAM can compute at ingest (interpolation needs the next
+    * value, which hasn't arrived when the gap closes), so this operator
+    * is the batch twin the streaming grid-fill is pinned against —
+    * identical grid, identical bucket averages, one window pass instead
+    * of two.
+    */
+  def gapfillForwardFill(events: DataFrame, widthMinutes: Int = 15): DataFrame = {
+    val busWidth = widthMinutes * 60L * 1000000L
+    val obs = events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) div ${busWidth}L) * ${busWidth}L").as("bus"),
+        col("value"))
+      .groupBy(col("event_type"), col("bus"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000 + 0.5).cast("long")).as("sq"))
+      .withColumn("av",
+        col("sq").cast("double") / lit(10000.0) / col("n").cast("double"))
+      .localCheckpoint()
+    val grid = obs
+      .groupBy(col("event_type"))
+      .agg(min(col("bus")).as("b0"), max(col("bus")).as("b1"))
+      .select(col("event_type"),
+        explode(sequence(col("b0"), col("b1"), lit(busWidth))).as("bus"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(obs.select(col("event_type"), col("bus"), col("n"), col("av")),
+        Seq("event_type", "bus"), "left")
+      .withColumn("pv", last(col("av"), ignoreNulls = true).over(wPrev))
+      .select(
+        col("event_type"),
+        timestamp_micros(col("bus")).as("bucket"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("pv").as("value_filled"),
+        col("av").isNull.as("filled"))
+  }
+
   /** Top-k rows per group (rank pushdown: the rn<=k filter becomes a
     * WindowGroupLimit, so partitions pre-prune to k rows per key before
     * the exchange).

@@ -487,6 +487,128 @@ object StreamingQueries {
       emitReady(user, timerValues.getCurrentWatermarkInMs())
   }
 
+  // ---- custom stateful operator: streaming grid forward-fill ---------------
+
+  final case class FillEvent(
+      event_type: String, utc: java.sql.Timestamp, value: Double)
+  final case class FillBucket(n: Long, sq: Long)
+  final case class FillCarry(last_bus: Long, last_val: Double)
+  final case class FillOut(
+      event_type: String, bus: Long, n_events: Long,
+      value_filled: Double, filled: Boolean)
+
+  /** Streaming grid forward-fill — the streaming twin of
+    * [[graft.operators.TimeSeries.gapfillForwardFill]]: regularize each
+    * event type onto the fixed bucket grid AT INGEST, emitting every grid
+    * bucket in order as the watermark closes it — observed buckets with
+    * their exact average, empty buckets carrying the last observed value.
+    * (The interpolating fill is batch-only by nature: a gap's
+    * interpolation needs the NEXT observation, which hasn't arrived when
+    * the gap's bucket closes.)
+    *
+    * State per event type: the open (not-yet-watermark-closed) buckets'
+    * (n, Σ scaled value) map — bounded by lateness/width buckets, NOT by
+    * stream length — plus one carry pair and ONE live timer at the
+    * earliest open bucket's end. Timers fire as the watermark passes
+    * bucket ends; each firing drains EVERY closed bucket in order,
+    * emitting carry rows for the gaps between observations (grid spans
+    * min..max OBSERVED bucket exactly like the batch twin — no emission
+    * runs ahead of data). Bucket averages use the same floor-scaled
+    * integer sum as batch, so stream ≡ batch bit-for-bit per bucket
+    * (StreamingSpec-pinned on out-of-order input).
+    */
+  def gridForwardFillTws(
+      spark: SparkSession,
+      events: Dataset[FillEvent],
+      widthMinutes: Int = 15,
+      watermarkDelay: String = "10 seconds"): Dataset[FillOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("utc", watermarkDelay)
+      .groupByKey(_.event_type)
+      .transformWithState(
+        new GridFillProcessor(widthMinutes),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[gridForwardFillTws]] StatefulProcessor: a MapState of open
+    * buckets + a ValueState carry + a single live event-time timer.
+    */
+  final class GridFillProcessor(widthMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, FillEvent, FillOut] {
+    private val widthUs = widthMinutes * 60L * 1000000L
+    @transient private var open: org.apache.spark.sql.streaming.MapState[Long, FillBucket] = _
+    @transient private var carry: org.apache.spark.sql.streaming.ValueState[FillCarry] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      open = getHandle.getMapState[Long, FillBucket](
+        "open",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[FillBucket],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      carry = getHandle.getValueState[FillCarry](
+        "carry",
+        org.apache.spark.sql.Encoders.product[FillCarry],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def resetTimer(): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      val ends = open.keys().map(_ + widthUs).toSeq
+      if (ends.nonEmpty) getHandle.registerTimer(ends.min / 1000L)
+    }
+
+    override def handleInputRows(
+        tpe: String,
+        rows: Iterator[FillEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FillOut] = {
+      val emittedPast = if (carry.exists()) carry.get().last_bus else Long.MinValue
+      rows.foreach { e =>
+        val bus = math.floorDiv(micros(e.utc), widthUs) * widthUs
+        // a bucket already emitted can't be amended (watermark closed it);
+        // the upstream watermark drops such rows, this is the backstop
+        if (bus > emittedPast) {
+          val cur = if (open.containsKey(bus)) open.getValue(bus) else FillBucket(0L, 0L)
+          open.updateValue(bus, FillBucket(
+            cur.n + 1, cur.sq + math.floor(e.value * 10000 + 0.5).toLong))
+        }
+      }
+      resetTimer()
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        tpe: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FillOut] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val closed = open.keys().filter(_ + widthUs <= wmUs).toSeq.sorted
+      var out = Vector.empty[FillOut]
+      closed.foreach { bus =>
+        val b = open.getValue(bus)
+        open.removeKey(bus)
+        // carry rows for the gap since the previous observed bucket —
+        // the grid never runs ahead of the first observation
+        if (carry.exists()) {
+          val c = carry.get()
+          var g = c.last_bus + widthUs
+          while (g < bus) {
+            out :+= FillOut(tpe, g, 0L, c.last_val, filled = true)
+            g += widthUs
+          }
+        }
+        val av = b.sq.toDouble / 10000.0 / b.n.toDouble
+        out :+= FillOut(tpe, bus, b.n, av, filled = false)
+        carry.update(FillCarry(bus, av))
+      }
+      resetTimer()
+      out.iterator
+    }
+  }
+
   // ---- custom stateful operator: conversion-window funnel -------------------
 
   final case class FunnelEvent(user_id: Long, event_type: String, utc: java.sql.Timestamp)

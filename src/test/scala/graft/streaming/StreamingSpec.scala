@@ -470,6 +470,67 @@ class StreamingSpec extends GraftSpec {
       "tiny doc fails r_wordcount in both modes")
   }
 
+  test("streaming grid forward-fill equals the batch twin, out of order") {
+    // MapState = its own column family -> requires RocksDB, like the mains
+    import StreamingQueries.FillEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+    val w = 15 * 60 // bucket width in seconds
+    def ev(t: String, off: Int, v: Double) =
+      FillEvent(t, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(off.toLong)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))), v)
+    // type a: buckets 0 and 4 observed (3-bucket gap), two events in
+    // bucket 0; type b: buckets 1 and 2 (no gap). Batch 2 delivers
+    // events OLDER than batch 1's max (true out-of-order, inside the
+    // 1 h lateness horizon).
+    val batch1 = Seq(ev("a", 4 * w + 10, 7.0), ev("a", 5, 1.25))
+    val batch2 = Seq(ev("a", 20, 2.75), ev("b", w + 3, 2.5), ev("b", 2 * w + 9, 4.0))
+    // sentinels: s1 closes everything real; s2 pushes the watermark past
+    // s1's bucket end (+ the 1 h delay) so s1 and its gap emit too
+    val s1 = Seq(ev("a", 96 * w, 9.0), ev("b", 96 * w, 9.0))
+    val s2 = Seq(ev("a", 96 * w + w + 3600 + 60, 9.5),
+      ev("b", 96 * w + w + 3600 + 60, 9.5))
+    val input = MemoryStream[FillEvent]
+    val out = StreamingQueries.gridForwardFillTws(spark, input.toDS(),
+      watermarkDelay = "1 hour").toDF()
+    val streamed = runStream(input, out, Seq(batch1, batch2, s1, s2))
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // batch twin on the same rows; the stream can only have emitted
+    // buckets the final watermark closed — everything up to s1's bucket
+    // (s2's own bucket is still open)
+    val widthUs = 15L * 60 * 1000000L
+    val s1Bus = math.floorDiv(StreamingQueries.micros(s1.head.utc), widthUs) * widthUs
+    val batchClosed = graft.operators.TimeSeries.gapfillForwardFill(
+      (batch1 ++ batch2 ++ s1 ++ s2).map(e => (e.event_type, e.utc, e.value))
+        .toDF("event_type", "ts", "value"))
+      .collect()
+      .map(r => (r.getString(0),
+        StreamingQueries.micros(r.getTimestamp(1))) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+      .filter { case ((_, bus), _) => bus <= s1Bus }
+    assert(streamed === batchClosed,
+      s"stream (${streamed.size} rows) must equal the closed batch grid " +
+        s"(${batchClosed.size} rows)")
+    // the out-of-order event landed: bucket 0 averages (1.25+2.75)/2,
+    // and the 3-bucket gap carries it
+    val base = s1Bus - 96L * w * 1000000L
+    assert(streamed(("a", base)) === ((2L, 2.0, false)))
+    val aGap = (1 to 3).map(i => streamed(("a", base + i * widthUs)))
+    assert(aGap.forall(_ == ((0L, 2.0, true))),
+      s"gap buckets carry (1.25+2.75)/2 = 2.0: $aGap")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming running EWMA matches the batch fold bit-for-bit") {
     import StreamingQueries.EwmaEvent
     val input = MemoryStream[EwmaEvent]
