@@ -172,9 +172,19 @@ object Packing {
     * of exact integers), so floor/frac/threshold agree bit-for-bit with
     * the SQL oracle.
     */
-  def mixApplySampling(docs: DataFrame, targetTokens: Long = 1000000L): DataFrame = {
-    val weights = mixTemperature(docs, targetTokens)
-      .select(col("lang"), col("source"), col("rep_factor"))
+  def mixApplySampling(docs: DataFrame, targetTokens: Long = 1000000L): DataFrame =
+    applyMixture(docs,
+      mixTemperature(docs, targetTokens)
+        .select(col("lang"), col("source"), col("rep_factor")))
+
+  /** The copy-count application on its own, against an ALREADY-COMPUTED
+    * weights table — the form an ingest pipeline runs: weights are a
+    * batch artifact recomputed daily, the corpus (or stream) side only
+    * needs this stateless broadcast join + hash projection. The SAME
+    * expression runs under a streaming plan (StreamingSpec pins stream ≡
+    * batch against [[mixApplySampling]] on identical rows).
+    */
+  def applyMixture(docs: DataFrame, weights: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("lang"), col("source"),
         expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#mix')), 1, 8), 16, 10) AS BIGINT)")
@@ -187,7 +197,6 @@ object Packing {
             floor((col("rep_factor") - floor(col("rep_factor"))) *
               lit(4294967296.0)).cast("long"), 1L).otherwise(0L))
           .as("n_copies"))
-  }
 
   /** Deterministic global shuffle for training order: each doc's shuffle
     * key is md5(doc_id # seed); shard = first 8 hex digits mod nShards

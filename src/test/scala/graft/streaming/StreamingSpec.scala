@@ -531,6 +531,28 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming mixture application equals the batch materialization") {
+    // weights are a batch artifact; applying them is a stateless
+    // broadcast stream-static join + hash projection, so the stream must
+    // reproduce mixApplySampling row-for-row on the same corpus
+    import graft.operators.Packing
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "text")
+    val weights = Packing.mixTemperature(docs)
+      .select(col("lang"), col("source"), col("rep_factor"))
+    val rows = docs.select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val out = Packing.applyMixture(
+      input.toDS().toDF("doc_id", "lang", "source"), weights)
+    val streamed = runStream(input, out,
+      Seq(rows.take(200), rows.drop(200)))
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_copies")).toMap
+    val batch = Packing.mixApplySampling(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_copies")).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming running EWMA matches the batch fold bit-for-bit") {
     import StreamingQueries.EwmaEvent
     val input = MemoryStream[EwmaEvent]
