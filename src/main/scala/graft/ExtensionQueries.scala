@@ -199,6 +199,79 @@ object ExtensionQueries {
                                     ORDER BY score DESC, vec_id) AS rn
           FROM s) WHERE rn <= $k"""
 
+  /** ANN recall-contract oracle: the exact brute-force top-k and the LSH
+    * top-k (single- or multi-probe), both as their already-verified
+    * pipelines, joined per query into (n_exact, n_hit, recall).
+    */
+  private def recallOracleSql(multiProbe: Boolean): String = {
+    val probeQa =
+      if (multiProbe)
+        """qa AS (
+             SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
+                    xor(bucket, m) AS qprobe
+             FROM e CROSS JOIN (
+               SELECT CAST(unnest([0, 1, 2, 4, 8, 16, 32]) AS BIGINT) AS m)
+             WHERE vec_id < 8)"""
+      else
+        """qa AS (
+             SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket AS qprobe
+             FROM e WHERE vec_id < 8)"""
+    s"""
+      WITH $vecNormCte,
+      $lshBucketCte,
+      qe AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+      pxe AS (
+        SELECT qe.qid, c.vec_id, qe.qnrm, c.nrm,
+               unnest(qe.qv) AS qx, unnest(c.v) AS x
+        FROM n c CROSS JOIN qe),
+      dotse AS (
+        SELECT qid, vec_id, qnrm, nrm,
+               CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+        FROM pxe GROUP BY qid, vec_id, qnrm, nrm),
+      se AS (
+        SELECT qid, vec_id,
+               CAST(dot AS DOUBLE) /
+                 sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
+        FROM dotse),
+      te AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS rn
+          FROM se) WHERE rn <= 10),
+      e AS (
+        SELECT n.vec_id, n.v, n.nrm, bk.bucket
+        FROM n JOIN bk ON n.vec_id = bk.vec_id),
+      $probeQa,
+      pxa AS (
+        SELECT qa.qid, c.vec_id, qa.qnrm, c.nrm,
+               unnest(qa.qv) AS qx, unnest(c.v) AS x
+        FROM e c JOIN qa ON c.bucket = qa.qprobe),
+      dotsa AS (
+        SELECT qid, vec_id, qnrm, nrm,
+               CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+        FROM pxa GROUP BY qid, vec_id, qnrm, nrm),
+      sa AS (
+        SELECT qid, vec_id,
+               CAST(dot AS DOUBLE) /
+                 sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
+        FROM dotsa),
+      ta AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS rn
+          FROM sa) WHERE rn <= 10)
+      SELECT te.qid,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN ta.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN ta.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      FROM te LEFT JOIN ta ON te.qid = ta.qid AND te.vec_id = ta.vec_id
+      GROUP BY te.qid"""
+  }
+
   /** Full Lloyd-trained IVF oracle (the training rounds unrolled in SQL),
     * parameterized by probe count and training rounds — shared by
     * `sim_ann_ivf_trained` (nProbe=3, iters=1) and the high-recall
@@ -796,6 +869,23 @@ object ExtensionQueries {
                    sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
           FROM dots)
         ${topkTail(10)}""")),
+
+    // ANN recall contracts: per-query recall@10 of the LSH index vs the
+    // exact brute force, oracle-checked — an index change that silently
+    // costs recall becomes a hash mismatch (sketch-bound discipline).
+    // benchmark=false: each contract re-runs the exact AND approx top-k
+    // pipelines that are already benchmarked individually — including
+    // them in the headline would double-count both.
+    QuerySpec(
+      "sim_recall_lsh",
+      (s, dir) => Similarity.annRecall(emb(s, dir)),
+      Some(recallOracleSql(multiProbe = false)),
+      benchmark = false),
+    QuerySpec(
+      "sim_recall_lsh_probe",
+      (s, dir) => Similarity.annRecall(emb(s, dir), multiProbe = true),
+      Some(recallOracleSql(multiProbe = true)),
+      benchmark = false),
 
     // IVF ANN: deterministic coarse quantizer (first-16 centroids),
     // single-probe search in the query's own cell.

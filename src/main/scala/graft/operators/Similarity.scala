@@ -499,4 +499,34 @@ object Similarity {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"))
   }
+
+  /** ANN recall CONTRACT, in-engine: per query, how many of the exact
+    * brute-force top-k ([[cosineTopK]]) the LSH index ([[annLsh]] or
+    * [[annLshMultiProbe]]) actually returned. Registering this as an
+    * oracle-checked query moves the "recall@10 = X" claim from a
+    * measurement note into the per-round correctness gate — the same
+    * discipline as the sketch error-bound queries: an index change that
+    * silently costs recall becomes a hash mismatch, not a footnote.
+    *
+    * Both sides are the already-pinned top-k pipelines; the join and
+    * roll-up run over nQueries·k rows — driver-free, negligible next to
+    * either index scan.
+    */
+  def annRecall(
+      emb: DataFrame, multiProbe: Boolean = false,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val exact = cosineTopK(emb, nQueries, k).select(col("qid"), col("vec_id"))
+    val approx =
+      (if (multiProbe) annLshMultiProbe(emb, nQueries, k)
+       else annLsh(emb, nQueries, k))
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    exact
+      .join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
 }
