@@ -199,6 +199,33 @@ object ExtensionQueries {
                                     ORDER BY score DESC, vec_id) AS rn
           FROM s) WHERE rn <= $k"""
 
+  /** Exact 13-gram decontamination oracle — shared verbatim by
+    * `decontaminate_ngram` and its bloom-fronted variant (identical
+    * semantics by construction).
+    */
+  private val ngramDecontOracle = s"""
+    WITH $toksCte,
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(t) - 13 + 1),
+               p -> ('0x' || substring(md5(array_to_string(
+                      list_slice(t, p + 1, p + 13), ' ')), 1, 12))::BIGINT))
+               AS whash
+      FROM toks WHERE len(t) >= 13),
+    d AS (SELECT DISTINCT doc_id, whash FROM pos),
+    coin AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS c
+      FROM documents)
+    SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM d t
+    JOIN coin ct ON t.doc_id = ct.doc_id AND ct.c >= 10
+    JOIN d e ON t.whash = e.whash
+    JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10
+    GROUP BY 1, 2"""
+
   /** ANN recall-contract oracle: the exact brute-force top-k and the LSH
     * top-k (single- or multi-probe), both as their already-verified
     * pipelines, joined per query into (n_exact, n_hit, recall).
@@ -571,28 +598,15 @@ object ExtensionQueries {
     QuerySpec(
       "decontaminate_ngram",
       (s, dir) => Dedup.decontaminateNgramSplit(docs(s, dir)),
-      Some(s"""
-        WITH $toksCte,
-        pos AS (
-          SELECT doc_id,
-                 unnest(list_transform(range(0, len(t) - 13 + 1),
-                   p -> ('0x' || substring(md5(array_to_string(
-                          list_slice(t, p + 1, p + 13), ' ')), 1, 12))::BIGINT))
-                   AS whash
-          FROM toks WHERE len(t) >= 13),
-        d AS (SELECT DISTINCT doc_id, whash FROM pos),
-        coin AS (
-          SELECT doc_id,
-                 ('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   % 100 AS c
-          FROM documents)
-        SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_shared
-        FROM d t
-        JOIN coin ct ON t.doc_id = ct.doc_id AND ct.c >= 10
-        JOIN d e ON t.whash = e.whash
-        JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10
-        GROUP BY 1, 2""")),
+      Some(ngramDecontOracle)),
+
+    // The bloom-fronted variant of decontaminate_ngram: SAME oracle —
+    // bloom false positives only admit rows the exact whash join then
+    // rejects, so the hash-match proves the fast path drops nothing.
+    QuerySpec(
+      "decontaminate_ngram_bloom",
+      (s, dir) => Dedup.decontaminateNgramBloom(docs(s, dir)),
+      Some(ngramDecontOracle)),
 
     // Substring-level dedup: w-token window hashes at a stride; windows in
     // >= 2 distinct docs are duplicated; per-doc duplicated-window ratio.

@@ -184,4 +184,26 @@ object GraftFunctions {
     */
   def quantized_cosine(a: Column, b: Column): Column =
     Bridge.column(QuantizedCosine(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Build a bloom filter over a long column — Spark's own runtime-filter
+    * aggregate (`BloomFilterAggregate`), surfaced for explicit use.
+    */
+  def bloom_agg(x: Column, expectedItems: Long, numBits: Long): Column =
+    Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        Bridge.expression(x),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** Codegen'd bloom membership probe against a driver-held filter binary
+    * (inlined as a literal — the form `BloomFilterMightContain` requires;
+    * Spark's own InjectRuntimeFilter uses a scalar subquery the same way).
+    */
+  def bloom_might_contain(bloom: Array[Byte], x: Column): Column =
+    Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloom, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(x)))
 }

@@ -549,6 +549,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[decontaminateNgramSplit]] with the documented 100 TB front: a
+    * BLOOM FILTER over the eval windows' hashes, built with Spark's own
+    * runtime-filter aggregate and probed scan-side
+    * ([[graft.functions.GraftFunctions.bloom_might_contain]] — a
+    * codegen'd expression, no UDF), discards the overwhelming majority
+    * of train windows BEFORE the verify join ever sees them. Semantics
+    * are UNCHANGED — bloom false positives only admit extra rows into
+    * the exact whash equi-join, which rejects them — so this registers
+    * against the SAME oracle as `decontaminate_ngram`: the hash-match
+    * is the proof that the fast path drops nothing.
+    *
+    * The filter binary (~`numBits`/8 bytes, default ~100 KB) is the one
+    * driver-held artifact — the same O(metadata) class as the IVF
+    * centroids — and inlines as a literal, the form
+    * `BloomFilterMightContain` requires (Spark's InjectRuntimeFilter
+    * feeds it a scalar subquery the same way). At 100 TB this is the
+    * shape that keeps working after the eval window table outgrows the
+    * broadcast ceiling: the bloom stays KB–MB regardless of eval size,
+    * the verify join keys on whash either way.
+    */
+  def decontaminateNgramBloom(
+      docs: DataFrame, evalPct: Int = 10, w: Int = 13,
+      expectedItems: Long = 100000L, numBits: Long = 800000L): DataFrame = {
+    val wh = windowHashes(docs, w, stride = 1)
+      .select(col("doc_id"), col("whash")).distinct()
+      .localCheckpoint()
+    val coin = TextAnalysis.sampleCoin()
+    val evalSide = wh.filter(coin < evalPct)
+      .select(col("whash"), col("doc_id").as("eval_doc_id"))
+    val bloom = evalSide
+      .agg(graft.functions.GraftFunctions.bloom_agg(
+        col("whash"), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    wh.filter(coin >= evalPct)
+      .select(col("whash"), col("doc_id").as("train_doc_id"))
+      .filter(graft.functions.GraftFunctions.bloom_might_contain(bloom, col("whash")))
+      .join(broadcast(evalSide), Seq("whash"))
+      .groupBy(col("train_doc_id"), col("eval_doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** 32-bit SimHash over word occurrences. The word hash is the first 32
     * bits of md5(word) (one hex-to-int conversion per word); bit i of the
     * fingerprint is the sign of Σ_words (2·bit_i(h) − 1). Cross-engine-

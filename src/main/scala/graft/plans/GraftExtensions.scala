@@ -31,5 +31,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "quantized_cosine expects exactly 2 arguments")
         QuantizedCosine(children.head, children(1))
       }))
+    // Spark's own runtime-filter bloom expressions, surfaced as SQL
+    // functions: the engine uses these internally for InjectRuntimeFilter
+    // but does not register them. bloom_agg(x, n_items, n_bits) builds a
+    // binary filter; bloom_might_contain(bloom, x) is the codegen'd probe
+    // — no UDF anywhere in a bloom-fronted join.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "bloom_agg expects (value, n_items, n_bits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "bloom_might_contain expects (bloom, value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }

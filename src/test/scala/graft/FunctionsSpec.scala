@@ -190,4 +190,19 @@ class FunctionsSpec extends GraftSpec {
       .toDF("a", "b").select(cosine_sim($"a", $"b").as("s")).head
     assert(viaDf.isNullAt(0), "truncated score would be silently wrong")
   }
+
+  test("bloom_agg/bloom_might_contain: SQL surface, no false negatives") {
+    // build over 0..999, probe members and non-members through plain SQL
+    // (the extension-registered functions, not the DataFrame wrappers)
+    spark.range(1000).createOrReplaceTempView("bf_in")
+    val bf = spark.sql(
+      "SELECT bloom_agg(id, 1000L, 8000L) AS bf FROM bf_in").head.getAs[Array[Byte]](0)
+    val res = spark.range(2000).toDF("id")
+      .select($"id",
+        graft.functions.GraftFunctions.bloom_might_contain(bf, $"id").as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 1000L).forall(res(_)), "a bloom filter has NO false negatives")
+    val fp = (1000L until 2000L).count(res(_))
+    assert(fp < 100, s"false-positive count $fp out of 1000 at 8 bits/item")
+  }
 }

@@ -433,6 +433,16 @@ class PlanSpec extends GraftSpec {
       s"the eval side is broadcast-sized by design:\n$p")
   }
 
+  test("bloom-fronted decontamination probes before it joins") {
+    val p = plan(Registry.queries("decontaminate_ngram_bloom")(spark, sf))
+    assert(p.contains("might_contain"),
+      s"the bloom probe must gate the train windows scan-side:\n$p")
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0 && probeIdx >= 0 && probeIdx > joinIdx,
+      s"filter sits below (prints after) the verify join it feeds:\n$p")
+  }
+
   test("quality deciles replay the scored checkpoint — zero rescans") {
     val p = plan(Registry.queries("text_quality_deciles")(spark, sf))
     assert(!p.contains("Scan parquet"),
