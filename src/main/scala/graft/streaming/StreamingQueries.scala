@@ -487,6 +487,97 @@ object StreamingQueries {
       emitReady(user, timerValues.getCurrentWatermarkInMs())
   }
 
+  // ---- custom stateful operator: streaming heavy hitters -------------------
+
+  final case class HHEvent(shard: Int, token: String)
+  final case class HHEntry(count: Long, err: Long)
+  final case class HHOut(shard: Int, token: String, est: Long, err: Long, n_shard: Long)
+
+  /** Streaming heavy hitters — the SpaceSaving summary (Metwally et al.
+    * 2005, the algorithm behind every production top-k-over-stream) as a
+    * `transformWithState` operator: per hash shard, at most `capacity`
+    * counters; a miss on a full summary evicts the minimum counter and
+    * inherits its count as the newcomer's error bound. Guarantees (the
+    * spec asserts all three against exact replay counts):
+    *   - est >= true count (never undercounts),
+    *   - est - err <= true count (the error is bounded and tracked),
+    *   - any token with true count > N_shard/capacity IS in the summary.
+    *
+    * State per shard is EXACTLY `capacity` map entries regardless of
+    * vocabulary or stream length — the constant-space complement of the
+    * batch `sketch_frequent_items`. Sharding by token hash keeps the
+    * per-key summary small and the operator parallel: shards never
+    * exchange data, and a global top-k is the union of shard summaries
+    * (each shard holds its own heavy tokens exclusively). Update-mode
+    * emission: each micro-batch re-emits the shard's current summary
+    * with the running shard total, so the sink's latest rows per shard
+    * ARE the sketch.
+    */
+  def heavyHittersTws(
+      spark: SparkSession,
+      tokens: Dataset[String],
+      capacity: Int = 64,
+      nShards: Int = 8): Dataset[HHOut] = {
+    import spark.implicits._
+    tokens
+      .map(t => HHEvent(math.floorMod(t.hashCode, nShards), t))
+      .groupByKey(_.shard)
+      .transformWithState(
+        new HeavyHitterProcessor(capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** The [[heavyHittersTws]] StatefulProcessor: one MapState bounded at
+    * `capacity` entries + one running-total ValueState per shard.
+    */
+  final class HeavyHitterProcessor(capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, HHEvent, HHOut] {
+    @transient private var summary: org.apache.spark.sql.streaming.MapState[String, HHEntry] = _
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      summary = getHandle.getMapState[String, HHEntry](
+        "summary",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.product[HHEntry],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      total = getHandle.getValueState[Long](
+        "total",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        shard: Int,
+        rows: Iterator[HHEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[HHOut] = {
+      // work on an in-memory copy: SpaceSaving reads the argmin on every
+      // miss, and one state-store round-trip per token would dominate
+      val m = scala.collection.mutable.Map.empty[String, HHEntry]
+      summary.iterator().foreach { case (t, c) => m(t) = c }
+      var n = if (total.exists()) total.get() else 0L
+      rows.foreach { e =>
+        n += 1
+        m.get(e.token) match {
+          case Some(c) => m(e.token) = HHEntry(c.count + 1, c.err)
+          case None if m.size < capacity => m(e.token) = HHEntry(1L, 0L)
+          case None =>
+            val (minTok, minE) = m.minBy { case (t, c) => (c.count, t) }
+            m.remove(minTok)
+            summary.removeKey(minTok)
+            m(e.token) = HHEntry(minE.count + 1, minE.count)
+        }
+      }
+      m.foreach { case (t, c) => summary.updateValue(t, c) }
+      total.update(n)
+      m.toVector.map { case (t, c) => HHOut(shard, t, c.count, c.err, n) }
+        .iterator
+    }
+  }
+
   // ---- custom stateful operator: streaming grid forward-fill ---------------
 
   final case class FillEvent(

@@ -531,6 +531,56 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming heavy hitters: SpaceSaving bounds hold vs exact replay") {
+    // MapState -> RocksDB, like the mains
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val capacity = 16
+      val nShards = 4
+      val toks = Tables.load(spark, sf, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")))
+        .collect().map(_.getString(0)).toSeq
+      val input = MemoryStream[String]
+      val out = StreamingQueries.heavyHittersTws(
+        spark, input.toDS(), capacity, nShards).toDF()
+      val third = toks.length / 3
+      val rows = runStream(input, out,
+        Seq(toks.take(third), toks.slice(third, 2 * third), toks.drop(2 * third)))
+      // update mode re-emits per batch; the final summary per shard is
+      // the rows carrying that shard's maximum running total
+      val byShard = rows.map(r => (r.getInt(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1)
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      byShard.foreach { case (shard, rs) =>
+        val nShard = rs.map(_._5).max
+        val summary = rs.filter(_._5 == nShard)
+          .map(t => t._2 -> (t._3, t._4)).toMap
+        assert(summary.size <= capacity, s"shard $shard summary bounded")
+        val shardExact = exact.filter { case (t, _) =>
+          math.floorMod(t.hashCode, nShards) == shard }
+        assert(nShard === shardExact.values.sum, s"shard $shard total")
+        summary.foreach { case (t, (est, err)) =>
+          val truth = shardExact(t)
+          assert(est >= truth, s"'$t' never undercounts")
+          assert(est - err <= truth, s"'$t' error bound")
+        }
+        // every token heavier than N/m is caught
+        val threshold = nShard / capacity
+        shardExact.filter(_._2 > threshold).keys.foreach { t =>
+          assert(summary.contains(t), s"heavy '$t' (> $threshold) must surface")
+        }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming mixture application equals the batch materialization") {
     // weights are a batch artifact; applying them is a stateless
     // broadcast stream-static join + hash projection, so the stream must
