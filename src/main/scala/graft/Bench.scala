@@ -304,6 +304,21 @@ object Bench {
         run(StreamingQueries.simhashPairsStream(spark,
           spark.readStream.schema(simDocSchema).json(s"$tmp/simdocs")
             .as[StreamingQueries.SimhashDoc]).toDF())
+      }) ++
+      one("grid_fill", {
+        import spark.implicits._
+        run(StreamingQueries.gridForwardFillTws(spark,
+          TickSource.fileJson(spark, s"$tmp/ticks")
+            .select(col("ticker").as("event_type"), col("utc"),
+              col("price").as("value"))
+            .as[StreamingQueries.FillEvent]).toDF())
+      }) ++
+      one("heavy_hitters", {
+        import spark.implicits._
+        run(StreamingQueries.heavyHittersTws(spark,
+          DocPipeline.fileJson(spark, s"$tmp/docs")
+            .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+            .as[String]).toDF())
       })
     prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
