@@ -581,6 +581,86 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("grid forward-fill state survives a checkpoint restart") {
+    // the carry pair and the open-bucket map are RocksDB state: a gap row
+    // emitted AFTER a restart must still carry the average observed
+    // BEFORE it, and a bucket buffered before the restart must emit with
+    // its exact pre-restart aggregate
+    import StreamingQueries.FillEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_gfr").toString
+      val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeFile(name: String, rows: Seq[(String, String, Double)]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$in/$name"),
+          rows.map { case (t, ts, v) =>
+            s"""{"event_type":"$t","utc":"$ts","value":$v}"""
+          }.mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("utc",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      def runOnce(attempts: Int = 40): Unit = {
+        import spark.implicits._
+        val src = spark.readStream.schema(schema)
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .option("maxFilesPerTrigger", 1).json(in)
+          .as[FillEvent]
+        val q = StreamingQueries.gridForwardFillTws(spark, src,
+          watermarkDelay = "0 seconds").toDF()
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(); q.stop() }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("concurrently using") && attempts > 0 =>
+            Thread.sleep(250); runOnce(attempts - 1)
+        }
+      }
+      // run 1: bucket 0 observed twice (avg 3.0), bucket 4 buffered open
+      writeFile("f0.json", Seq(
+        ("a", "2024-01-01 00:01:40", 2.0),
+        ("a", "2024-01-01 00:03:20", 4.0),
+        ("a", "2024-01-01 01:01:40", 7.0)))
+      runOnce()
+      // run 2 (fresh JVM-side query, same checkpoint): bucket 6 advances
+      // the watermark past buckets 4 and 5
+      writeFile("f1.json", Seq(("a", "2024-01-01 01:31:40", 9.0)))
+      runOnce()
+      val widthUs = 15L * 60 * 1000000L
+      val got = spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("bus") ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("value_filled"),
+            r.getAs[Boolean]("filled"))).toMap
+      val base = got.keys.min
+      // gaps materialize only BETWEEN observations (the batch grid ends
+      // at the last observed bucket, so the stream stays a subset of the
+      // batch twin): buckets 0..4, with 5 pending until a later obs
+      assert(got.size === 5, s"buckets 0..4 closed exactly once: $got")
+      assert(got(base) === ((2L, 3.0, false)), "pre-restart bucket agg exact")
+      (1 to 3).foreach { i =>
+        assert(got(base + i * widthUs) === ((0L, 3.0, true)),
+          s"post-restart gap $i carries the pre-restart average")
+      }
+      assert(got(base + 4 * widthUs) === ((1L, 7.0, false)),
+        "bucket buffered before the restart emits with its exact aggregate")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming mixture application equals the batch materialization") {
     // weights are a batch artifact; applying them is a stateless
     // broadcast stream-static join + hash projection, so the stream must
