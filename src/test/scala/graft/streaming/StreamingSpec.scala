@@ -661,6 +661,80 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("heavy-hitter summaries survive a checkpoint restart") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_hhr").toString
+      val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val toks = Tables.load(spark, sf, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")))
+        .collect().map(_.getString(0)).toSeq
+      val (capacity, nShards) = (16, 4)
+      def writeFile(name: String, ts: Seq[String]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          ts.map(t => s"""{"value":"$t"}""").mkString("\n").getBytes)
+      def runOnce(attempts: Int = 40): Unit = {
+        import spark.implicits._
+        val src = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", 1).json(in).as[String]
+        val q = StreamingQueries.heavyHittersTws(spark, src, capacity, nShards)
+          .toDF()
+          .writeStream.outputMode("update")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(); q.stop() }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("concurrently using") && attempts > 0 =>
+            Thread.sleep(250); runOnce(attempts - 1)
+        }
+      }
+      val half = toks.length / 2
+      writeFile("f0.json", toks.take(half))
+      runOnce()
+      writeFile("f1.json", toks.drop(half))
+      runOnce()
+      // the final summary per shard = rows at that shard's max total;
+      // bounds must hold against the FULL two-run exact counts — only
+      // possible if counts and totals crossed the restart intact
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Int]("shard"), r.getAs[String]("token"),
+          r.getAs[Long]("est"), r.getAs[Long]("err"), r.getAs[Long]("n_shard")))
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      rows.groupBy(_._1).foreach { case (shard, rs) =>
+        val nShard = rs.map(_._5).max
+        val shardExact = exact.filter { case (t, _) =>
+          math.floorMod(t.hashCode, nShards) == shard }
+        assert(nShard === shardExact.values.sum,
+          s"shard $shard running total survives the restart")
+        val summary = rs.filter(_._5 == nShard).map(t => t._2 -> (t._3, t._4)).toMap
+        assert(summary.size <= capacity)
+        summary.foreach { case (t, (est, err)) =>
+          assert(est >= shardExact(t) && est - err <= shardExact(t),
+            s"'$t' bounds hold across the restart")
+        }
+        shardExact.filter(_._2 > nShard / capacity).keys.foreach { t =>
+          assert(summary.contains(t), s"heavy '$t' still surfaces")
+        }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming mixture application equals the batch materialization") {
     // weights are a batch artifact; applying them is a stateless
     // broadcast stream-static join + hash projection, so the stream must
