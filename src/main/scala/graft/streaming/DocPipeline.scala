@@ -193,3 +193,55 @@ object NearDupJob {
     }
   }
 }
+
+/** Streaming grid forward-fill job main:
+  * runMain graft.streaming.GridFillJob <inputDir>
+  *   [console|changelog|noop|parquet:<out>:<ckpt>] [--once] [--detach]
+  *   [--width-minutes=15] [--watermark="10 seconds"]
+  * Input: a JSON event stream with (event_type, utc, value); output: the
+  * regularized bucket grid of [[StreamingQueries.gridForwardFillTws]] —
+  * every closed bucket in order, observed buckets with their exact
+  * average, gaps carrying the last observed value. Requires the RocksDB
+  * state store ([[JobRunner.session]]'s default).
+  */
+object GridFillJob {
+  import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType, TimestampType}
+
+  val fillEventSchema: StructType = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("utc", TimestampType),
+    StructField("value", DoubleType)))
+
+  def main(args: Array[String]): Unit = {
+    val inputDir = args(0)
+    val sinkSpec = if (args.length > 1 && !args(1).startsWith("--")) args(1) else "console"
+    val once = args.contains("--once")
+    val widthMinutes = args.collectFirst {
+      case a if a.startsWith("--width-minutes=") =>
+        a.stripPrefix("--width-minutes=").toInt
+    }.getOrElse(15)
+    val watermark = args.collectFirst {
+      case a if a.startsWith("--watermark=") => a.stripPrefix("--watermark=")
+    }.getOrElse("10 seconds")
+
+    val spark = JobRunner.session()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val events = spark.readStream.schema(fillEventSchema).json(inputDir)
+      .as[StreamingQueries.FillEvent]
+    val out = StreamingQueries
+      .gridForwardFillTws(spark, events, widthMinutes, watermark).toDF()
+    out.createOrReplaceTempView("grid_fill")
+
+    val q = TickSink.start(out, JobRunner.parseSink(sinkSpec), availableNow = once)
+    if (args.contains("--detach")) {
+      println(JobStatus.statusLine(q))
+      JobStatus.progressLine(q).foreach(println)
+      if (once) { q.awaitTermination(); spark.stop() }
+    } else {
+      q.awaitTermination()
+      if (once) spark.stop()
+    }
+  }
+}
