@@ -2296,6 +2296,36 @@ object ExtensionQueries {
                CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard_id
         FROM c""")),
 
+    // Per-shard packing diagnostics: docs/tokens/offset-span/fill per
+    // (lang, shard) over the packing output — the batch shape report.
+    QuerySpec(
+      "pack_shard_stats",
+      (s, dir) => Packing.packShardStats(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM t),
+        p AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+                 CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard_id
+          FROM c)
+        SELECT lang, shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               CAST(MIN(tok_offset) AS BIGINT) AS first_offset,
+               CAST(MAX(tok_offset + n_tokens) AS BIGINT) AS end_offset,
+               CAST(SUM(n_tokens) AS DOUBLE) / 4096.0 AS fill
+        FROM p GROUP BY 1, 2""")),
+
     // Capped domain-mixture weights: weight = min(domain_tokens, cap) /
     // total over (lang, source) domains — exact-integer numerators and
     // denominators, one IEEE division each.

@@ -60,6 +60,26 @@ object Packing {
         col("tok_offset"), col("shard_id"))
   }
 
+  /** Per-shard packing diagnostics over [[packTokenShards]] — the batch
+    * shape report a training loader reads before consuming the shards:
+    * docs and tokens per (lang, shard), span of packed offsets, and the
+    * fill ratio against the token budget. Every shard except each
+    * language's last should sit at (or one doc-boundary under) budget;
+    * a systematically low fill means the budget is smaller than typical
+    * documents and the packer is fragmenting. One map-side-combinable
+    * aggregation over the packing output.
+    */
+  def packShardStats(docs: DataFrame, budgetTokens: Long = 4096L): DataFrame =
+    packTokenShards(docs, budgetTokens)
+      .groupBy(col("lang"), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("tok_offset")).as("first_offset"),
+        max(col("tok_offset") + col("n_tokens")).as("end_offset"))
+      .withColumn("fill",
+        col("shard_tokens").cast("double") / lit(budgetTokens.toDouble))
+
   /** Capped domain-mixture weights: per (lang, source) domain, weight ∝
     * min(domain_tokens, cap) — the standard "cap the dominant domains"
     * rebalancing (an exactly-representable stand-in for temperature

@@ -283,4 +283,62 @@ class CrossCheckSpec extends GraftSpec {
       assert(got === expected, s"seed $seed")
     }
   }
+
+  test("passage dedup agrees with brute force on random repetitive corpora") {
+    // small vocab + short width so cross-doc AND in-doc repeats are dense
+    val width = 3
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1 to 40).map { id =>
+        val n = 1 + rnd.nextInt(11)
+        (id.toLong, (1 to n).map(_ => s"w${rnd.nextInt(4)}").mkString(" "))
+      }
+      val got = graft.operators.Dedup
+        .passageDedup(docs.toDF("doc_id", "text"), width).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_passages"),
+          r.getAs[Long]("n_dup_dropped"), r.getAs[Long]("n_tokens_kept"))).toMap
+      // brute force: global first-occurrence by (doc_id, widx) per text
+      val occ = docs.flatMap { case (id, text) =>
+        val t = text.trim.toLowerCase.split("\\s+").toSeq
+        val nP = math.max(1, (t.size + width - 1) / width)
+        (0 until nP).map { i =>
+          val slice = t.slice(i * width, i * width + width)
+          (slice.mkString(" "), id, i.toLong, slice.size.toLong)
+        }
+      }
+      val keeper = occ.groupBy(_._1).view
+        .mapValues(_.minBy(o => (o._2, o._3))).toMap
+      val expected = occ.groupBy(_._2).map { case (id, os) =>
+        val kept = os.filter(o => keeper(o._1) == o)
+        id -> (os.size.toLong, (os.size - kept.size).toLong,
+          kept.map(_._4).sum)
+      }
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("global shuffle agrees with brute force and balances shards") {
+    val docs = Tables.load(spark, sf, "documents")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def skey(id: Long, seed: Long): String =
+      md.digest(s"$id#$seed".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (seed <- Seq(42L, 7L)) {
+      val got = graft.operators.Packing.shuffleOrder(docs, seed).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+        .toMap
+      val expected = ids.map { id =>
+        val k = skey(id, seed)
+        (id, k, java.lang.Long.parseLong(k.substring(0, 8), 16) % 8)
+      }.groupBy(_._3).flatMap { case (shard, rows) =>
+        rows.sortBy(r => (r._2, r._1)).zipWithIndex.toSeq.map { case (r, i) =>
+          r._1 -> (shard, i + 1L)
+        }
+      }
+      assert(got === expected, s"seed $seed")
+      // hash sharding balances: no shard more than 3x the mean
+      val sizes = got.values.groupBy(_._1).view.mapValues(_.size).values
+      assert(sizes.max <= 3 * (ids.length / 8 + 1), s"seed $seed balance")
+    }
+  }
 }
