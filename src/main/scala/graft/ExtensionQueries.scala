@@ -1468,6 +1468,34 @@ object ExtensionQueries {
                  / 10000 / CAST(count(*) AS DOUBLE) AS avg_value
         FROM events GROUP BY 1, 2""")),
 
+    // Time-series subsequence similarity: top-k length-8 bucket-total
+    // windows nearest the latest 'click' window, exact integer distances.
+    QuerySpec(
+      "ts_subseq_topk",
+      (s, dir) => TimeSeries.subseqTopK(events(s, dir)),
+      Some("""
+        WITH tot AS (
+          SELECT event_type,
+                 ((epoch_ns(ts) // 1000) // 900000000) * 900000000 AS bus,
+                 CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total
+          FROM events GROUP BY 1, 2),
+        w AS (
+          SELECT event_type, bus,
+                 list(total) OVER (PARTITION BY event_type ORDER BY bus
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+          FROM tot),
+        f AS (SELECT * FROM w WHERE len(win) = 8),
+        q AS (
+          SELECT win AS qwin FROM f WHERE event_type = 'click'
+          ORDER BY bus DESC LIMIT 1)
+        SELECT event_type, make_timestamp(bus) AS win_start,
+               CAST(list_sum(list_transform(range(1, 9),
+                 i -> (win[i] - qwin[i]) * (win[i] - qwin[i]))) AS BIGINT)
+                 AS dist2
+        FROM f, q
+        ORDER BY dist2, event_type, bus LIMIT 10""")),
+
     // Causal forward-fill gap-fill: empty buckets carry the LAST observed
     // average — the only fill a stream can compute at ingest; the batch
     // twin the streaming grid-fill is spec-pinned against.

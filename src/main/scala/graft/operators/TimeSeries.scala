@@ -128,6 +128,52 @@ object TimeSeries {
         col("av").isNull.as("filled"))
   }
 
+  /** Time-series subsequence similarity search (the EDBT 2019 "Time
+    * Series Similarity Search for Streaming Data in Distributed Systems"
+    * problem shape, batch form): resample each event type onto the fixed
+    * bucket grid, slide a length-L window over every type's bucket-total
+    * series, and return the k windows most similar to the QUERY window —
+    * the latest complete window of `queryType` (which therefore ranks
+    * itself first at distance 0, a built-in sanity anchor).
+    *
+    * Distances are EXACT: bucket totals are sums of floor-scaled longs
+    * (1e2 — sized so an L-term sum of squared diffs stays far from Long
+    * overflow at realistic volumes) and dist² = Σ(a_i−b_i)² is pure
+    * integer arithmetic, so ordering is bit-identical cross-engine; ties
+    * break on (event_type, bus). Shape: one resample aggregation, ONE
+    * window pass gathering L-length arrays (frame-ordered collect_list —
+    * rows carry L longs each, no row expansion), query broadcast as a
+    * single row, `TakeOrderedAndProject` top-k. Subsequence count is
+    * |grid|, calendar-sized like the gap-fill grid, NOT corpus-sized.
+    */
+  def subseqTopK(
+      events: DataFrame, widthMinutes: Int = 15, length: Int = 8,
+      k: Int = 10, queryType: String = "click"): DataFrame = {
+    val busWidth = widthMinutes * 60L * 1000000L
+    val tot = events
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) div ${busWidth}L) * ${busWidth}L").as("bus"),
+        floor(col("value") * 100 + 0.5).cast("long").as("sv"))
+      .groupBy(col("event_type"), col("bus"))
+      .agg(sum(col("sv")).as("total"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bus"))
+      .rowsBetween(Window.currentRow, length - 1)
+    val wins = tot
+      .withColumn("win", collect_list(col("total")).over(w))
+      .filter(size(col("win")) === length)
+      .select(col("event_type"), col("bus"), col("win"))
+    val q = wins.filter(col("event_type") === queryType)
+      .orderBy(desc("bus")).limit(1)
+      .select(col("win").as("qwin"))
+    wins.crossJoin(broadcast(q))
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(win, qwin, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .orderBy(asc("dist2"), asc("event_type"), asc("bus"))
+      .limit(k)
+      .select(col("event_type"),
+        timestamp_micros(col("bus")).as("win_start"), col("dist2"))
+  }
+
   /** Top-k rows per group (rank pushdown: the rn<=k filter becomes a
     * WindowGroupLimit, so partitions pre-prune to k rows per key before
     * the exchange).

@@ -284,6 +284,42 @@ class CrossCheckSpec extends GraftSpec {
     }
   }
 
+  test("subsequence top-k agrees with brute force on random series") {
+    val width = 15 * 60 * 1000000L
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val types = Seq("click", "view", "error")
+      val events = (1 to 300).map { i =>
+        (i.toLong, types(rnd.nextInt(3)),
+          new java.sql.Timestamp(1704067200000L + rnd.nextInt(30) * 900000L +
+            rnd.nextInt(900000).toLong),
+          math.rint(rnd.nextDouble() * 1000) / 100)
+      }
+      val df = events.toDF("event_id", "event_type", "ts", "value")
+      val got = TimeSeries.subseqTopK(df, length = 4, k = 5).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000L,
+          r.getLong(2))).toSeq
+      // brute force: bucket totals -> all length-4 windows -> distances
+      val tot = events.groupBy(e => (e._2, e._3.getTime * 1000L / width * width))
+        .view.mapValues(_.map(e => math.floor(e._4 * 100 + 0.5).toLong).sum)
+        .toMap
+      // row-frame semantics like the operator: the next 4 OBSERVED
+      // buckets in bus order, contiguous or not
+      val wins = tot.keys.groupBy(_._1).flatMap { case (t, ks) =>
+        val buses = ks.map(_._2).toSeq.sorted
+        buses.sliding(4).filter(_.length == 4)
+          .map(s => (t, s.head, s.map(b => tot((t, b))).toVector))
+      }.toSeq
+      val qwin = wins.filter(_._1 == "click").maxBy(_._2)._3
+      val expected = wins
+        .map { case (t, b, w) =>
+          (t, b, w.zip(qwin).map { case (a, q) => (a - q) * (a - q) }.sum)
+        }
+        .sortBy { case (t, b, d) => (d, t, b) }.take(5)
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("passage dedup agrees with brute force on random repetitive corpora") {
     // small vocab + short width so cross-doc AND in-doc repeats are dense
     val width = 3

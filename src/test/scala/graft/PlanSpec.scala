@@ -433,6 +433,16 @@ class PlanSpec extends GraftSpec {
       s"the eval side is broadcast-sized by design:\n$p")
   }
 
+  test("subsequence top-k: one window pass, broadcast query, TakeOrdered") {
+    val p = plan(Registry.queries("ts_subseq_topk")(spark, sf))
+    assert("Window ".r.findAllIn(p).size <= 2, // gather pass + query's own
+      s"window arrays gather in a single frame pass per side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must not be a full sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the query window rides a broadcast:\n$p")
+  }
+
   test("bloom-fronted decontamination probes before it joins") {
     val p = plan(Registry.queries("decontaminate_ngram_bloom")(spark, sf))
     assert(p.contains("might_contain"),
