@@ -487,6 +487,118 @@ object StreamingQueries {
       emitReady(user, timerValues.getCurrentWatermarkInMs())
   }
 
+  // ---- custom stateful operator: streaming subsequence matcher -------------
+
+  final case class SubseqRing(buses: Seq[Long], totals: Seq[Long])
+  final case class SubseqOut(event_type: String, bus: Long, dist2: Long)
+
+  /** Streaming subsequence similarity matcher — the streaming form of
+    * [[graft.operators.TimeSeries.subseqTopK]] (EDBT 2019's actual
+    * setting): the query window is a PRECOMPUTED artifact (length-L
+    * vector of scaled bucket totals, e.g. the batch operator's own query
+    * window), and as the watermark closes each bucket the operator forms
+    * the window ENDING at it from the last L closed totals and emits its
+    * exact integer distance. Downstream keeps a running top-k or
+    * thresholds — the match stream is one row per closed bucket, grid-
+    * sized, never corpus-sized.
+    *
+    * State per type: the open-bucket aggregate map (lateness-bounded,
+    * same as [[GridFillProcessor]]) plus a ring of the last L−1 closed
+    * totals — constant space. Windows span the last L OBSERVED buckets
+    * in bus order (row-frame semantics), exactly like the batch twin, so
+    * stream ≡ batch distance-for-distance on the closed prefix
+    * (StreamingSpec-pinned).
+    */
+  def subseqMatchTws(
+      spark: SparkSession,
+      events: Dataset[FillEvent],
+      queryWin: Seq[Long],
+      widthMinutes: Int = 15,
+      watermarkDelay: String = "10 seconds"): Dataset[SubseqOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("utc", watermarkDelay)
+      .groupByKey(_.event_type)
+      .transformWithState(
+        new SubseqMatchProcessor(widthMinutes, queryWin),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[subseqMatchTws]] StatefulProcessor: open-bucket MapState + a
+    * ValueState ring of the last L−1 closed (bus, total) pairs.
+    */
+  final class SubseqMatchProcessor(widthMinutes: Int, queryWin: Seq[Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, FillEvent, SubseqOut] {
+    private val widthUs = widthMinutes * 60L * 1000000L
+    private val L = queryWin.length
+    @transient private var open: org.apache.spark.sql.streaming.MapState[Long, FillBucket] = _
+    @transient private var ring: org.apache.spark.sql.streaming.ValueState[SubseqRing] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      open = getHandle.getMapState[Long, FillBucket](
+        "open",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[FillBucket],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      ring = getHandle.getValueState[SubseqRing](
+        "ring",
+        org.apache.spark.sql.Encoders.product[SubseqRing],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def resetTimer(): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      val ends = open.keys().map(_ + widthUs).toSeq
+      if (ends.nonEmpty) getHandle.registerTimer(ends.min / 1000L)
+    }
+
+    override def handleInputRows(
+        tpe: String,
+        rows: Iterator[FillEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SubseqOut] = {
+      val closedPast = if (ring.exists()) ring.get().buses.lastOption.getOrElse(Long.MinValue)
+        else Long.MinValue
+      rows.foreach { e =>
+        val bus = math.floorDiv(micros(e.utc), widthUs) * widthUs
+        if (bus > closedPast) {
+          val cur = if (open.containsKey(bus)) open.getValue(bus) else FillBucket(0L, 0L)
+          open.updateValue(bus, FillBucket(
+            cur.n + 1, cur.sq + math.floor(e.value * 100 + 0.5).toLong))
+        }
+      }
+      resetTimer()
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        tpe: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SubseqOut] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val closed = open.keys().filter(_ + widthUs <= wmUs).toSeq.sorted
+      var r = if (ring.exists()) ring.get() else SubseqRing(Nil, Nil)
+      var out = Vector.empty[SubseqOut]
+      closed.foreach { bus =>
+        val b = open.getValue(bus)
+        open.removeKey(bus)
+        val buses = (r.buses :+ bus).takeRight(L)
+        val totals = (r.totals :+ b.sq).takeRight(L)
+        r = SubseqRing(buses, totals)
+        if (totals.length == L) {
+          val d = totals.zip(queryWin)
+            .map { case (a, q) => (a - q) * (a - q) }.sum
+          out :+= SubseqOut(tpe, buses.head, d)
+        }
+      }
+      ring.update(r)
+      resetTimer()
+      out.iterator
+    }
+  }
+
   // ---- custom stateful operator: streaming heavy hitters -------------------
 
   final case class HHEvent(shard: Int, token: String)

@@ -735,6 +735,46 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming subsequence matcher emits batch-exact window distances") {
+    import StreamingQueries.FillEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val w = 15 * 60
+      def ev(t: String, off: Int, v: Double) =
+        FillEvent(t, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(off.toLong)
+            .format(java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss"))), v)
+      // type a: buckets 0,1,2 then 4 (a row-frame window skips the gap);
+      // type b: only two buckets — never forms a length-3 window
+      val qwin = Seq(100L, 200L, 300L)
+      val b1 = Seq(ev("a", 5, 1.0), ev("a", w + 5, 2.0),
+        ev("a", 2 * w + 10, 3.0), ev("b", 5, 9.0), ev("b", w + 5, 9.0))
+      val b2 = Seq(ev("a", 4 * w + 10, 5.0))
+      val b3 = Seq(ev("a", 8 * w, 7.0), ev("b", 8 * w, 7.0))
+      val input = MemoryStream[FillEvent]
+      val out = StreamingQueries.subseqMatchTws(spark, input.toDS(), qwin,
+        watermarkDelay = "0 seconds").toDF()
+      val rows = runStream(input, out, Seq(b1, b2, b3))
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val widthUs = 15L * 60 * 1000000L
+      val base = StreamingQueries.micros(b1.head.utc) / widthUs * widthUs
+      // window [b0,b1,b2] totals (100,200,300) == query -> dist 0;
+      // window [b1,b2,b4] totals (200,300,500) -> 100^2+100^2+200^2
+      assert(rows === Map(
+        ("a", base) -> 0L,
+        ("a", base + widthUs) -> (100L * 100 + 100L * 100 + 200L * 200)),
+        s"closed windows only, row-frame over observed buckets: $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming mixture application equals the batch materialization") {
     // weights are a batch artifact; applying them is a stateless
     // broadcast stream-static join + hash projection, so the stream must
