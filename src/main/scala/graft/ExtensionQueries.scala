@@ -226,6 +226,81 @@ object ExtensionQueries {
     JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10
     GROUP BY 1, 2"""
 
+  /** IVF recall-contract oracle: the exact brute-force top-k against the
+    * Lloyd-trained IVF top-k (training rounds unrolled like
+    * [[ivfTrainedOracle]], approx-side CTEs renamed to coexist with the
+    * exact side), joined per query into (n_exact, n_hit, recall).
+    */
+  private def ivfRecallOracleSql(nProbe: Int, iters: Int): String = {
+    val rounds = (1 to iters).map(i =>
+      s"${lloydAssignCte(i, s"c${i - 1}")},\n${lloydUpdateCte(i, s"c${i - 1}")}")
+      .mkString(",\n")
+    val fin = iters + 1
+    s"""
+      WITH $vecNormCte,
+      qe AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+      pxe AS (
+        SELECT qe.qid, c.vec_id, qe.qnrm, c.nrm,
+               unnest(qe.qv) AS qx, unnest(c.v) AS x
+        FROM n c CROSS JOIN qe),
+      dotse AS (
+        SELECT qid, vec_id, qnrm, nrm,
+               CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+        FROM pxe GROUP BY qid, vec_id, qnrm, nrm),
+      se AS (
+        SELECT qid, vec_id,
+               CAST(dot AS DOUBLE) /
+                 sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
+        FROM dotse),
+      te AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS rn
+          FROM se) WHERE rn <= 10),
+      c0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 16),
+      $rounds,
+      ${lloydAssignCte(fin, s"c$iters")},
+      e AS (
+        SELECT n.vec_id, n.v, n.nrm, a.cell
+        FROM n JOIN cell$fin a ON n.vec_id = a.vec_id),
+      qp AS (
+        SELECT vec_id AS qid, cent_id AS qcell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY score DESC, cent_id) AS rn
+          FROM sc$fin WHERE vec_id < 8) WHERE rn <= $nProbe),
+      qa AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+      pxa AS (
+        SELECT qa.qid, c.vec_id, qa.qnrm, c.nrm,
+               unnest(qa.qv) AS qx, unnest(c.v) AS x
+        FROM e c JOIN qp ON c.cell = qp.qcell JOIN qa ON qa.qid = qp.qid),
+      dotsa AS (
+        SELECT qid, vec_id, qnrm, nrm,
+               CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+        FROM pxa GROUP BY qid, vec_id, qnrm, nrm),
+      sa AS (
+        SELECT qid, vec_id,
+               CAST(dot AS DOUBLE) /
+                 sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
+        FROM dotsa),
+      ta AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS rn
+          FROM sa) WHERE rn <= 10)
+      SELECT te.qid,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN ta.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN ta.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      FROM te LEFT JOIN ta ON te.qid = ta.qid AND te.vec_id = ta.vec_id
+      GROUP BY te.qid"""
+  }
+
   /** ANN recall-contract oracle: the exact brute-force top-k and the LSH
     * top-k (single- or multi-probe), both as their already-verified
     * pipelines, joined per query into (n_exact, n_hit, recall).
@@ -899,6 +974,13 @@ object ExtensionQueries {
       "sim_recall_lsh_probe",
       (s, dir) => Similarity.annRecall(emb(s, dir), multiProbe = true),
       Some(recallOracleSql(multiProbe = true)),
+      benchmark = false),
+    // The high-recall IVF operating point's contract: probe8 over the
+    // 2-round Lloyd codebook vs exact brute force.
+    QuerySpec(
+      "sim_recall_ivf_probe8",
+      (s, dir) => Similarity.annRecallIvf(emb(s, dir), iters = 2, nProbe = 8),
+      Some(ivfRecallOracleSql(nProbe = 8, iters = 2)),
       benchmark = false),
 
     // IVF ANN: deterministic coarse quantizer (first-16 centroids),

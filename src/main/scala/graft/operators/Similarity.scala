@@ -514,19 +514,30 @@ object Similarity {
     */
   def annRecall(
       emb: DataFrame, multiProbe: Boolean = false,
-      nQueries: Int = 8, k: Int = 10): DataFrame = {
-    val exact = cosineTopK(emb, nQueries, k).select(col("qid"), col("vec_id"))
-    val approx =
-      (if (multiProbe) annLshMultiProbe(emb, nQueries, k)
-       else annLsh(emb, nQueries, k))
-        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-    exact
-      .join(approx, Seq("qid", "vec_id"), "left")
+      nQueries: Int = 8, k: Int = 10): DataFrame =
+    annRecallAgainst(
+      cosineTopK(emb, nQueries, k),
+      if (multiProbe) annLshMultiProbe(emb, nQueries, k)
+      else annLsh(emb, nQueries, k))
+
+  /** [[annRecall]] for the Lloyd-trained IVF index — the contract behind
+    * the high-recall probe8 operating point.
+    */
+  def annRecallIvf(
+      emb: DataFrame, iters: Int = 2, nProbe: Int = 8,
+      nQueries: Int = 8, k: Int = 10): DataFrame =
+    annRecallAgainst(
+      cosineTopK(emb, nQueries, k),
+      annIvfTrained(emb, nQueries, k, iters = iters, nProbe = nProbe))
+
+  private def annRecallAgainst(exactK: DataFrame, approxK: DataFrame): DataFrame =
+    exactK.select(col("qid"), col("vec_id"))
+      .join(approxK.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+        Seq("qid", "vec_id"), "left")
       .groupBy(col("qid"))
       .agg(
         count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_exact").cast("double"))
-  }
 }
