@@ -982,6 +982,14 @@ object ExtensionQueries {
       (s, dir) => Similarity.annRecallIvf(emb(s, dir), iters = 2, nProbe = 8),
       Some(ivfRecallOracleSql(nProbe = 8, iters = 2)),
       benchmark = false),
+    // And the cheap operating point (probe3, 1 round): registering both
+    // ends makes the recall/cost knob's effect a gate-checked curve, not
+    // a tuning anecdote.
+    QuerySpec(
+      "sim_recall_ivf",
+      (s, dir) => Similarity.annRecallIvf(emb(s, dir), iters = 1, nProbe = 3),
+      Some(ivfRecallOracleSql(nProbe = 3, iters = 1)),
+      benchmark = false),
 
     // IVF ANN: deterministic coarse quantizer (first-16 centroids),
     // single-probe search in the query's own cell.

@@ -1,0 +1,51 @@
+package graft
+
+/** Registry hygiene: the invariants the driver contract and the bench
+  * depend on but nothing else would catch until a round's CORRECTNESS or
+  * BENCH artifact silently shrank.
+  */
+class RegistrySpec extends GraftSpec {
+
+  test("query names are unique — a duplicate would shadow in the maps") {
+    val names = Registry.all.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate registrations: ${dups.mkString(", ")}")
+  }
+
+  test("every query constructs a frame with at least one column") {
+    // construction only (no execution) for the lazy ops; the eager
+    // checkpoint ops run their construction jobs, which is their contract
+    Registry.all.foreach { q =>
+      val df = q.run(spark, sf)
+      assert(df.columns.nonEmpty, q.name)
+      assert(df.columns.distinct.length === df.columns.length,
+        s"${q.name}: duplicate output column names break the driver's " +
+          s"sort-by-name compare: ${df.columns.mkString(",")}")
+    }
+  }
+
+  test("oracle coverage: every rows-only query is a documented exception") {
+    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    // the two sketch estimators are rows-only BY DESIGN (randomized
+    // internals), each flanked by a hash-matched exact twin and a
+    // hash-matched error-bound query; everything else must carry SQL
+    assert(noOracle === Set("sketch_distinct_users", "sketch_value_quantiles"),
+      s"undocumented rows-only queries: $noOracle")
+  }
+
+  test("bench exclusions carry a reason in this spec's ledger") {
+    val excluded = Registry.all.filterNot(_.benchmark).map(_.name).toSet
+    // iterative multi-job ops (wall time = round count, not engine
+    // throughput) or contract queries that re-run already-priced
+    // pipelines; keep this ledger in sync when flagging a new one
+    val ledger = Set(
+      "dedup_canonical_near", "dedup_cluster_sizes", "dedup_clusters",
+      "dedup_ngram_containment", "dedup_ngram_jaccard",
+      "dedup_semantic_clusters", "sim_ann_ivf_probe8", "sim_ann_ivf_trained",
+      "tokenize_bpe", "vocab_bpe_merges",
+      "sim_recall_lsh", "sim_recall_lsh_probe",
+      "sim_recall_ivf", "sim_recall_ivf_probe8")
+    assert(excluded === ledger,
+      s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
+  }
+}
