@@ -371,8 +371,13 @@ object Dedup {
     val bandKeys = (0 until nBands).map { b =>
       val slice = (b * rowsPerBand until math.min((b + 1) * rowsPerBand, k))
         .map(mins)
-      array_join(transform(array_sort(array(slice: _*)), x => x.cast("string")),
-        "|").as(s"bk$b")
+      // guard, not a convenience: array_min over the empty shingle array
+      // yields null mins and array_join SKIPS nulls, so without the when()
+      // a <3-token doc would key as "" — a real (if improbable) bucket —
+      // instead of the null that the null-matches-nothing contract needs
+      when(size(col("__hs")) > 0,
+        array_join(transform(array_sort(array(slice: _*)), x => x.cast("string")),
+          "|")).as(s"bk$b")
     }
     docs.withColumn("__hs", hs)
       .select(docs.columns.map(col) ++ bandKeys: _*)
@@ -498,7 +503,7 @@ object Dedup {
     * space-joined token slice (exact BIGINT, oracle-reproducible). Docs
     * shorter than `w` tokens produce no windows.
     */
-  private def windowHashes(docs: DataFrame, w: Int, stride: Int): DataFrame =
+  private[graft] def windowHashes(docs: DataFrame, w: Int, stride: Int): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= w)

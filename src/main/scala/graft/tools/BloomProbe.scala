@@ -39,9 +39,26 @@ object BloomProbe {
       time(s"split (broadcast join) #$i")(run(Dedup.decontaminateNgramSplit(docs)))
       time(s"bloom-fronted         #$i")(run(Dedup.decontaminateNgramBloom(docs)))
     }
-    // admission rate of the bloom front alone
-    val wh = Dedup.decontaminateNgramBloom(docs)
-    println(s"[bloom] result rows: ${wh.count()}")
+    // admission rate of the bloom front ALONE: survivors of the scan-side
+    // bloom probe BEFORE the verify join (true matches + false positives),
+    // next to the train-window total and the post-join result rows
+    import org.apache.spark.sql.functions.col
+    val wh = Dedup.windowHashes(docs, w = 13, stride = 1)
+      .select(col("doc_id"), col("whash")).distinct()
+      .localCheckpoint()
+    val coin = graft.operators.TextAnalysis.sampleCoin()
+    val bloom = wh.filter(coin < 10)
+      .agg(graft.functions.GraftFunctions.bloom_agg(
+        col("whash"), 100000L, 800000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val train = wh.filter(coin >= 10)
+    val total = train.count()
+    val admitted = train
+      .filter(graft.functions.GraftFunctions.bloom_might_contain(bloom, col("whash")))
+      .count()
+    println(s"[bloom] train windows: $total, bloom-admitted: $admitted " +
+      f"(${100.0 * admitted / total}%.3f%%)")
+    println(s"[bloom] post-verify-join result rows: ${Dedup.decontaminateNgramBloom(docs).count()}")
     spark.stop()
   }
 }
