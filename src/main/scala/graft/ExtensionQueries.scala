@@ -226,6 +226,39 @@ object ExtensionQueries {
     JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10
     GROUP BY 1, 2"""
 
+  /** Incremental delta-vs-index dedup oracle — shared verbatim by
+    * `dedup_incremental` (in-plan coin split) and
+    * `dedup_incremental_persisted` (parquet-artifact round trip): the
+    * persisted path hash-matching the same SQL proves the write → load →
+    * check loop loses nothing vs the single-plan form.
+    */
+  private val incrementalDedupOracle = Some(s"""
+    WITH $minhashCte,
+    bk AS (
+      SELECT doc_id, j // 2 AS band,
+             string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash)
+               AS bucket_key
+      FROM mh GROUP BY doc_id, j // 2),
+    coin AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS c
+      FROM documents),
+    idx AS (
+      SELECT DISTINCT band, bucket_key
+      FROM bk JOIN coin USING (doc_id) WHERE c >= 10),
+    hits AS (
+      SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bucket_hits
+      FROM bk JOIN coin USING (doc_id)
+      JOIN idx ON bk.band = idx.band AND bk.bucket_key = idx.bucket_key
+      WHERE coin.c < 10 GROUP BY bk.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_bucket_hits, 0) AS BIGINT) AS n_bucket_hits,
+           (COALESCE(h.n_bucket_hits, 0) > 0) AS is_dup
+    FROM documents d
+    JOIN coin c ON d.doc_id = c.doc_id AND c.c < 10
+    LEFT JOIN hits h ON d.doc_id = h.doc_id""")
+
   /** IVF recall-contract oracle: the exact brute-force top-k against the
     * Lloyd-trained IVF top-k (training rounds unrolled like
     * [[ivfTrainedOracle]], approx-side CTEs renamed to coexist with the
@@ -638,32 +671,27 @@ object ExtensionQueries {
     QuerySpec(
       "dedup_incremental",
       (s, dir) => Dedup.incrementalDedup(docs(s, dir)),
-      Some(s"""
-        WITH $minhashCte,
-        bk AS (
-          SELECT doc_id, j // 2 AS band,
-                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash)
-                   AS bucket_key
-          FROM mh GROUP BY doc_id, j // 2),
-        coin AS (
-          SELECT doc_id,
-                 ('0x' || substring(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   % 100 AS c
-          FROM documents),
-        idx AS (
-          SELECT DISTINCT band, bucket_key
-          FROM bk JOIN coin USING (doc_id) WHERE c >= 10),
-        hits AS (
-          SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bucket_hits
-          FROM bk JOIN coin USING (doc_id)
-          JOIN idx ON bk.band = idx.band AND bk.bucket_key = idx.bucket_key
-          WHERE coin.c < 10 GROUP BY bk.doc_id)
-        SELECT d.doc_id,
-               CAST(COALESCE(h.n_bucket_hits, 0) AS BIGINT) AS n_bucket_hits,
-               (COALESCE(h.n_bucket_hits, 0) > 0) AS is_dup
-        FROM documents d
-        JOIN coin c ON d.doc_id = c.doc_id AND c.c < 10
-        LEFT JOIN hits h ON d.doc_id = h.doc_id""")),
+      incrementalDedupOracle),
+
+    // The persisted round trip of the same check: the standing index is
+    // written as a parquet artifact, the delta is verdicted against the
+    // LOADED artifact, and the delta's buckets are appended — the full
+    // read-check-update loop a daily crawl runs. SAME oracle as
+    // dedup_incremental: the hash-match proves the parquet round trip
+    // loses nothing vs the in-plan split.
+    QuerySpec(
+      "dedup_incremental_persisted",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val coin = TextAnalysis.sampleCoin("inc")
+        // deterministic scratch path per SF; the overwrite in
+        // writeBucketIndex resets it, so reps stay idempotent
+        val path = s"${sys.props("java.io.tmpdir")}/graft_inc_index_${
+          Integer.toHexString(dir.hashCode)}"
+        Dedup.writeBucketIndex(d.filter(coin >= 10), path)
+        Dedup.incrementalDedupPersisted(d.filter(coin < 10), path)
+      },
+      incrementalDedupOracle),
 
     // Exact n-gram-collision decontamination: the third triad member next
     // to MinHash (near-dup) and embedding (semantic) — train docs sharing

@@ -19,7 +19,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Construction eagerness: most `run` functions only BUILD a plan, but the
   * split/checkpoint operators (quality gates, split decontamination, BPE,
-  * IVF-trained ANN) run Spark jobs at DataFrame-construction time — an
+  * IVF-trained ANN, and the persisted incremental-dedup round trip —
+  * which also WRITES its index artifact and appends the delta's buckets)
+  * run Spark jobs at DataFrame-construction time — an
   * eager localCheckpoint cutting a shared subtree's lineage, or a driver
   * loop over O(k) metadata rows. Timing a query must therefore wrap the
   * `run` CALL, not just the action (Bench does); checkpointed partitions

@@ -281,6 +281,49 @@ class DedupSpec extends GraftSpec {
     assert(got.values.exists(_._2), "the corpus's known dups collide")
   }
 
+  test("persisted incremental dedup: appended index at N+1 equals a fresh build") {
+    // the daily-crawl ratchet: base index on batch 0, verdict+append batch
+    // 1, then batch 2's verdicts over the APPENDED index must equal its
+    // verdicts over an index built fresh from batches 0+1
+    val base = docsDf(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "red green blue yellow purple"))
+    val d1 = docsDf(
+      (11L, "alpha beta gamma delta epsilon"), // dup of 1
+      (12L, "totally novel content about ships"))
+    val d2 = docsDf(
+      (21L, "totally novel content about ships"), // dup of 12 — ONLY via the append
+      (22L, "one two three four five six"),      // dup of 2 — via the base
+      (23L, "hi"),                               // too short to shingle
+      (24L, "fresh unseen words entirely here"))
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bucket_hits"), r.getAs[Boolean]("is_dup"))).toMap
+    val path = java.nio.file.Files.createTempDirectory("graft_incidx").toString
+    Dedup.writeBucketIndex(base, path)
+    val v1 = verdicts(Dedup.incrementalDedupPersisted(d1, path))
+    assert(v1(11L)._2 && !v1(12L)._2)
+    // batch 2 against the ratcheted index...
+    val v2 = verdicts(Dedup.incrementalDedupPersisted(d2, path))
+    // ...equals batch 2 against a fresh index over batches 0+1
+    val path2 = java.nio.file.Files.createTempDirectory("graft_incidx2").toString
+    Dedup.writeBucketIndex(base.unionByName(d1), path2)
+    val v2fresh = verdicts(
+      Dedup.incrementalDedupPersisted(d2, path2, append = false))
+    assert(v2 === v2fresh)
+    assert(v2(21L)._2, "doc 21 collides only with appended batch-1 buckets")
+    assert(v2(22L)._2 && !v2(24L)._2)
+    assert(v2(23L) === (0L, false), "short docs verdict once, with no buckets")
+    // the artifact grew by exactly the delta's bucket rows (4 bands/doc;
+    // doc 23 contributes none), and the eager verdict checkpoint means v2
+    // was computed before its own append landed
+    val idxRows = spark.read.parquet(path).count()
+    val baseRows = Dedup.minhashBuckets(base).count()
+    val dRows = Dedup.minhashBuckets(d1).count() + Dedup.minhashBuckets(d2).count()
+    assert(idxRows === baseRows + dRows)
+  }
+
   test("passage dedup: first corpus-wide occurrence survives (brute force)") {
     // width=2 passages: doc1 = [a b][c d], doc2 = [a b][x y] (shares one
     // passage with doc1), doc3 = [c d] twice (in-doc repeat + cross-doc),
