@@ -2151,6 +2151,59 @@ object ExtensionQueries {
                  / (1000.0 * 4 * ((h + 1) // 2)) AS mean_luma
         FROM sums""")),
 
+    // Perceptual image near-dup: aHash over the DECODED pixel plane (8x8
+    // grid, cross-multiplied integer mean compares), pairs within Hamming
+    // 7 via the 64-bit pigeonhole probe join. The oracle re-derives the
+    // hash arithmetically from the document bytes (padded plane -> integer
+    // luma -> grid cells -> two 32-bit halves) and brute-forces all pairs,
+    // so grid geometry, empty-cell bits, and the blocker's recall are all
+    // hash-verified.
+    QuerySpec(
+      "mm_phash_pairs",
+      (s, dir) => Multimodal.phashPairs(s, docs(s, dir)),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        d AS (
+          SELECT doc_id, hx, n,
+                 greatest(1, CAST(ceil(n / 24.0) AS BIGINT)) AS h
+          FROM b),
+        idx AS (SELECT doc_id, hx, n, h, unnest(range(0, h * 24)) AS i FROM d),
+        vals AS (
+          SELECT doc_id, h, i // 3 AS p, i % 3 AS c,
+                 CASE WHEN i < n
+                      THEN ('0x' || substring(hx, CAST(2*i + 1 AS INT), 2))::BIGINT
+                      ELSE 0 END AS v
+          FROM idx),
+        px AS (
+          SELECT doc_id, h, p,
+                 SUM(v * CASE c WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) AS l
+          FROM vals GROUP BY 1, 2, 3),
+        cells AS (
+          SELECT doc_id, ((p // 8) * 8) // h AS oy, p % 8 AS ox,
+                 SUM(l) AS cs, COUNT(*) AS cc
+          FROM px GROUP BY 1, 2, 3),
+        tot AS (SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc FROM cells GROUP BY 1),
+        bits AS (
+          SELECT c.doc_id, oy * 8 + ox AS k
+          FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+          WHERE cs * tc > ts * cc),
+        hashes AS (
+          SELECT d.doc_id,
+                 COALESCE(SUM(CASE WHEN k < 32
+                   THEN CAST(2 ** k AS BIGINT) ELSE 0 END), 0) AS lo,
+                 COALESCE(SUM(CASE WHEN k >= 32
+                   THEN CAST(2 ** (k - 32) AS BIGINT) ELSE 0 END), 0) AS hi
+          FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
+          GROUP BY 1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7""")),
+
     // ---- curation pipeline (batch twin of streaming DocPipeline.curate) ----
     // Flagship §2-B pipeline end-to-end in one DataFrame: fused one-scan
     // enrichment -> exact dedup on the content fingerprint (min-doc_id

@@ -705,26 +705,47 @@ object Dedup {
     * 100 TB corpus checkpoints the (doc_id, simhash) table first — it is
     * 16 bytes per doc.
     */
-  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      "two-half single-bit probing only guarantees recall for maxHamming <= 3")
-    val fp = simhash(docs)
-    val halves = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array(
-        col("simhash").bitwiseAND(lit(0xffffL)),
-        shiftright(col("simhash"), 16).bitwiseAND(lit(0xffffL))))
-        .as(Seq("half", "hv")))
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingProbePairs(simhash(docs), "simhash", nBits = 32, maxHamming)
+
+  /** The pigeonhole + multi-probe Hamming blocker behind
+    * [[simhashNearDupPairs]] and [[Multimodal.phashPairs]], generalized to
+    * any 16-bit-segmented fingerprint width: an `nBits`-bit fingerprint
+    * splits into nBits/16 segments; `maxHamming` flips spread over the
+    * segments leave SOME segment with ≤ ⌊maxHamming / nSeg⌋ flips, so with
+    * single-bit probes (value XOR {0, 1<<0..1<<15}) recall is guaranteed —
+    * by construction, not tuning — for maxHamming ≤ 2·nSeg − 1. Candidates
+    * surface from an equi-join between each doc's exact (segment, value)
+    * keys and every doc's 17 probe keys; the exact bit_count(xor) check
+    * verifies in-bucket, pre-distinct. 16-bit keys partition 256× finer
+    * than byte bands and no aggregation row ever buffers a bucket's pair
+    * expansion (the measured rationale at the 32-bit scale is documented
+    * above; it only strengthens at 64 bits, where byte-band zero-segments
+    * of short/padded inputs would be the hottest keys in the corpus).
+    */
+  private[graft] def hammingProbePairs(
+      fp: DataFrame, fpCol: String, nBits: Int, maxHamming: Int): DataFrame = {
+    require(nBits % 16 == 0, "fingerprint width must split into 16-bit segments")
+    val nSeg = nBits / 16
+    require(maxHamming <= 2 * nSeg - 1,
+      s"$nSeg-segment single-bit probing only guarantees recall for " +
+        s"maxHamming <= ${2 * nSeg - 1}")
+    val segs = fp.select(col("doc_id"), col(fpCol),
+      posexplode(array((0 until nSeg).map(s =>
+        // arithmetic shift is fine: the segment mask discards fill bits
+        shiftright(col(fpCol), 16 * s).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("seg", "sv")))
     val masks = array((0L +: (0 until 16).map(1L << _).toSeq).map(lit): _*)
-    val probes = halves.select(col("doc_id").as("p_doc"), col("simhash").as("p_sim"),
-        col("half").as("p_half"),
-        explode(masks).as("m"), col("hv").as("hv0"))
-      .select(col("p_doc"), col("p_sim"), col("p_half"),
-        col("hv0").bitwiseXOR(col("m")).as("p_hv"))
-    halves.join(probes,
-        col("half") === col("p_half") && col("hv") === col("p_hv") &&
+    val probes = segs.select(col("doc_id").as("p_doc"), col(fpCol).as("p_fp"),
+        col("seg").as("p_seg"),
+        explode(masks).as("m"), col("sv").as("sv0"))
+      .select(col("p_doc"), col("p_fp"), col("p_seg"),
+        col("sv0").bitwiseXOR(col("m")).as("p_sv"))
+    segs.join(probes,
+        col("seg") === col("p_seg") && col("sv") === col("p_sv") &&
           col("doc_id") < col("p_doc"))
       .select(col("doc_id").as("doc_a"), col("p_doc").as("doc_b"),
-        expr("bit_count(simhash ^ p_sim)").cast(LongType).as("hamming"))
+        expr(s"bit_count($fpCol ^ p_fp)").cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -249,6 +249,67 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash (aHash) over the DECODED pixel plane — the
+    * image twin of [[Dedup.simhash]]: downsample the raster onto an 8×8
+    * grid (cell (oy, ox) collects the pixels with oy = ⌊y·8/h⌋,
+    * ox = ⌊x·8/w⌋ — for h < 8 some cells are empty and their bit is 0),
+    * compare each cell's mean luma to the whole image's mean, bit k =
+    * oy·8+ox set iff the cell is strictly brighter. All integer ops:
+    * luma is the BT.601 numerator (299r+587g+114b, never divided) and
+    * the mean compare is cross-multiplied (cell_sum·n_total >
+    * total_sum·n_cell), so the 64-bit fingerprint is bit-identical
+    * cross-engine — the oracle re-derives it arithmetically from the
+    * document bytes exactly like `mm_pixel_stats`. Chains after
+    * [[decodePpm]] with no shuffle; 8 bytes per image downstream.
+    */
+  def aHash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodePpm(spark, ppmBlob(docs))
+      .map { img =>
+        val w = img.width; val h = img.height
+        val cellSum = new Array[Long](64)
+        val cellCnt = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val oy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val base = (y * w + x) * 3
+            val l = 299L * (img.pixels(base) & 0xff) +
+              587L * (img.pixels(base + 1) & 0xff) +
+              114L * (img.pixels(base + 2) & 0xff)
+            val k = oy * 8 + x * 8 / w
+            cellSum(k) += l; cellCnt(k) += 1; total += l
+            x += 1
+          }
+          y += 1
+        }
+        val nPx = w.toLong * h
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (cellSum(k) * nPx > total * cellCnt(k)) hash |= 1L << k
+          k += 1
+        }
+        (img.doc_id, hash)
+      }
+      .toDF("doc_id", "phash")
+  }
+
+  /** Perceptual image near-duplicate pairs: images whose [[aHash]]
+    * fingerprints are within `maxHamming` bits — image dedup at 100 TB,
+    * completing decode → stats → dedup. Blocking reuses the SimHash
+    * pigeonhole machinery ([[Dedup.hammingProbePairs]]) at 64-bit width:
+    * four 16-bit segments × single-bit probes guarantee recall for
+    * maxHamming ≤ 7 by construction; the exact bit_count(xor) verifies
+    * in-bucket. Per-image work is one decode + 8 fingerprint bytes, so
+    * the corpus-sized stages are exactly the SimHash ones.
+    */
+  def phashPairs(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 7): DataFrame =
+    Dedup.hammingProbePairs(aHash(spark, docs), "phash", nBits = 64, maxHamming)
+
   /** Frame-sampling shape for video-like payloads: split the blob into
     * fixed-size "frames" and keep every `stride`-th — the plumbing (one
     * input row → variable output rows, no shuffle) of real frame sampling.

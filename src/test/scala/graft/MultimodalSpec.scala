@@ -88,6 +88,44 @@ class MultimodalSpec extends GraftSpec {
     assert((rz.pixels(0) & 0xff) === 'x'.toInt)
   }
 
+  test("aHash: brute-forced from raw bytes; pairs = exact all-pairs Hamming") {
+    // independent Scala recomposition of the hash from the TEXT bytes —
+    // no decoder, no Spark expressions — on the real sf0.001 corpus
+    def brute(text: String): Long = {
+      val payload = text.getBytes("UTF-8")
+      val h = math.max(1L, math.ceil(payload.length / 24.0).toLong).toInt
+      def byteAt(i: Int): Int = if (i < payload.length) payload(i) & 0xff else 0
+      val cs = new Array[Long](64); val cc = new Array[Long](64)
+      var total = 0L
+      for (p <- 0 until h * 8) {
+        val l = 299L * byteAt(p * 3) + 587L * byteAt(p * 3 + 1) +
+          114L * byteAt(p * 3 + 2)
+        val k = (p / 8 * 8 / h) * 8 + p % 8
+        cs(k) += l; cc(k) += 1; total += l
+      }
+      (0 until 64).foldLeft(0L) { (acc, k) =>
+        if (cs(k) * (8L * h) > total * cc(k)) acc | (1L << k) else acc
+      }
+    }
+    val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1))
+    val expectedFp = texts.map { case (id, t) => id -> brute(t) }.toMap
+    val gotFp = Multimodal.aHash(spark, corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFp === expectedFp)
+    // pair recall is a pigeonhole GUARANTEE: the blocked join must equal
+    // the quadratic all-pairs compare exactly, at the recall-bound radius
+    val expectedPairs = (for {
+      (a, fa) <- expectedFp.toSeq; (b, fb) <- expectedFp.toSeq if a < b
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    val gotPairs = Multimodal.phashPairs(spark, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotPairs === expectedPairs)
+    assert(gotPairs.nonEmpty, "the corpus's known dups must collide")
+    assert(gotPairs.exists(_._3 === 0L), "exact dups hash identically")
+  }
+
   test("frame sample: every stride-th fixed-size frame, 1 row -> n rows") {
     val got = Multimodal.frameSample(docs, frameBytes = 64, stride = 4).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))

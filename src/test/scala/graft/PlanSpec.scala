@@ -352,6 +352,12 @@ class PlanSpec extends GraftSpec {
       s"pair expansion must be bucket-local, not a cross join:\n$p")
   }
 
+  test("phash pairs: probe-join buckets, never an all-pairs join") {
+    val p = plan(Registry.queries("mm_phash_pairs")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair expansion must ride the segment equi-join, not a cross join:\n$p")
+  }
+
   test("repetition stats and scrub are pure projections — no shuffle") {
     for (q <- Seq("text_repetition", "text_pii_scrub")) {
       val p = plan(Registry.queries(q)(spark, sf))
