@@ -111,6 +111,35 @@ object ExtensionQueries {
                      x -> CAST(FLOOR(x*x*1e6 + 0.5) AS BIGINT))) AS BIGINT) AS nrm
          FROM v)"""
 
+  /** Shared oracle CTEs: IVF cell assignment under the deterministic
+    * first-16 coarse quantizer (mirrors Similarity.ivfCells; needs
+    * [[vecNormCte]] in scope) — used by `sim_ann_ivf` and
+    * `mix_cluster_balanced`.
+    */
+  private val ivfCellCte =
+    """cents AS (
+          SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+          FROM n WHERE vec_id < 16),
+        cpx AS (
+          SELECT n.vec_id, c.cent_id, n.nrm, c.cnrm,
+                 unnest(n.v) AS x, unnest(c.cv) AS cx
+          FROM n CROSS JOIN cents c),
+        cd AS (
+          SELECT vec_id, cent_id, nrm, cnrm,
+                 CAST(SUM(CAST(FLOOR(x*cx*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM cpx GROUP BY vec_id, cent_id, nrm, cnrm),
+        csc AS (
+          SELECT vec_id, cent_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) AS score
+          FROM cd),
+        cell AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, cent_id) AS rn
+            FROM csc) WHERE rn = 1)"""
+
   /** Shared oracle CTEs: sign-LSH bucket per vector (mirrors
     * Similarity.lshBuckets; needs [[vecNormCte]] in scope).
     */
@@ -1026,28 +1055,7 @@ object ExtensionQueries {
       (s, dir) => Similarity.annIvf(emb(s, dir)),
       Some(s"""
         WITH $vecNormCte,
-        cents AS (
-          SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-          FROM n WHERE vec_id < 16),
-        cpx AS (
-          SELECT n.vec_id, c.cent_id, n.nrm, c.cnrm,
-                 unnest(n.v) AS x, unnest(c.cv) AS cx
-          FROM n CROSS JOIN cents c),
-        cd AS (
-          SELECT vec_id, cent_id, nrm, cnrm,
-                 CAST(SUM(CAST(FLOOR(x*cx*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
-          FROM cpx GROUP BY vec_id, cent_id, nrm, cnrm),
-        csc AS (
-          SELECT vec_id, cent_id,
-                 CAST(dot AS DOUBLE) /
-                   sqrt(CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) AS score
-          FROM cd),
-        cell AS (
-          SELECT vec_id, cent_id AS cell FROM (
-            SELECT vec_id, cent_id,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY score DESC, cent_id) AS rn
-            FROM csc) WHERE rn = 1),
+        $ivfCellCte,
         e AS (
           SELECT n.vec_id, n.v, n.nrm, cell.cell
           FROM n JOIN cell ON n.vec_id = cell.vec_id),
@@ -2615,6 +2623,38 @@ object ExtensionQueries {
                   THEN 1 ELSE 0 END) AS n_copies
         FROM documents docs JOIN w
           ON docs.lang = w.lang AND docs.source = w.source""")),
+
+    // Cluster-balanced sampling: IVF cell assignment (same first-16
+    // coarse quantizer as sim_ann_ivf, shared CTE) -> sqrt(cell size)
+    // temperature weights -> per-vector copy counts via the md5-bucket
+    // scheme — the embedding-space twin of the domain mixture.
+    QuerySpec(
+      "mix_cluster_balanced",
+      (s, dir) => Packing.mixClusterBalanced(emb(s, dir)),
+      Some(s"""
+        WITH $vecNormCte,
+        $ivfCellCte,
+        cl AS (
+          SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(FLOOR(1000.0 * sqrt(CAST(COUNT(*) AS DOUBLE)))
+                   AS BIGINT) AS s_alpha
+          FROM cell GROUP BY cell),
+        tot AS (SELECT CAST(SUM(s_alpha) AS BIGINT) AS total_alpha FROM cl),
+        wts AS (
+          SELECT cell, n_vecs,
+                 ((CAST(s_alpha AS DOUBLE) / CAST(total_alpha AS DOUBLE))
+                   * CAST(100000 AS DOUBLE)) / CAST(n_vecs AS DOUBLE)
+                   AS rep_factor
+          FROM cl CROSS JOIN tot)
+        SELECT c.vec_id, c.cell, w.n_vecs,
+               CAST(FLOOR(rep_factor) AS BIGINT) +
+                 (CASE WHEN
+                    ('0x' || substring(md5(CAST(c.vec_id AS VARCHAR) || '#cmix'),
+                       1, 8))::BIGINT <
+                    CAST(FLOOR((rep_factor - FLOOR(rep_factor)) * 4294967296.0)
+                      AS BIGINT)
+                  THEN 1 ELSE 0 END) AS n_copies
+        FROM cell c JOIN wts w ON c.cell = w.cell""")),
 
     // Deterministic train/holdout split: md5(doc_id) bucket mod 100, top
     // 5 buckets are holdout. Pure scan-side projection — zero exchanges.

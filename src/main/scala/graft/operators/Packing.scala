@@ -218,6 +218,56 @@ object Packing {
               lit(4294967296.0)).cast("long"), 1L).otherwise(0L))
           .as("n_copies"))
 
+  /** Cluster-balanced sampling — the EMBEDDING-SPACE twin of the domain
+    * mixture, closing the loop from ANN structure to corpus assembly:
+    * every vector is assigned to its IVF cell ([[Similarity.ivfCells]] —
+    * semantic clusters from the coarse quantizer), cells are weighted by
+    * the α = 1/2 temperature formula over their SIZES
+    * (weight_c ∝ sqrt(n_vecs_c) — flattens the head so rare semantic
+    * regions surface, exactly [[mixTemperature]] with cluster cardinality
+    * where that op uses domain tokens), and the weights materialize into
+    * per-vector copy counts by the same deterministic md5-bucket scheme
+    * as [[applyMixture]]. Expected sample volume per cell =
+    * rep_factor·n_vecs = its sqrt-share of `targetVecs`.
+    *
+    * Shape at 100 TB: the cell assignment is one corpus scan against a
+    * broadcast codebook; the (vec_id, cell) table is eagerly checkpointed
+    * — it is the pipeline's cluster-index artifact (16 bytes/row, the
+    * same class as the persisted dedup index), and both the size
+    * aggregation and the per-vec apply replay it instead of re-running
+    * assignment. Cell weights are |cells| rows (broadcast); no
+    * corpus-sized shuffle anywhere. All weight arithmetic is the
+    * oracle-exact sqrt + floor-scale + IEEE-division chain of
+    * [[mixTemperature]].
+    */
+  def mixClusterBalanced(
+      emb: DataFrame, targetVecs: Long = 100000L, nCells: Int = 16): DataFrame = {
+    val cells = Similarity.ivfCells(emb, nCells).localCheckpoint()
+    val cl = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("s_alpha",
+        floor(lit(1000.0) * sqrt(col("n_vecs").cast("double"))).cast("long"))
+      .localCheckpoint()
+    val total = cl.agg(sum(col("s_alpha")).as("total_alpha"))
+    val weights = cl.crossJoin(broadcast(total))
+      .withColumn("weight",
+        col("s_alpha").cast("double") / col("total_alpha").cast("double"))
+      .withColumn("rep_factor",
+        (col("weight") * lit(targetVecs).cast("double")) /
+          col("n_vecs").cast("double"))
+      .select(col("cell"), col("n_vecs"), col("rep_factor"))
+    cells
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), '#cmix')), 1, 8), 16, 10) AS BIGINT)"))
+      .join(broadcast(weights), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("n_vecs"),
+        (floor(col("rep_factor")).cast("long") +
+          when(col("bucket") <
+            floor((col("rep_factor") - floor(col("rep_factor"))) *
+              lit(4294967296.0)).cast("long"), 1L).otherwise(0L))
+          .as("n_copies"))
+  }
+
   /** Deterministic global shuffle for training order: each doc's shuffle
     * key is md5(doc_id # seed); shard = first 8 hex digits mod nShards
     * (scan-side), position-in-shard = rank by (key, doc_id) within the

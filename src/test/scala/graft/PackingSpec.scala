@@ -112,6 +112,41 @@ class PackingSpec extends GraftSpec {
       s"materialized tokens $gotTokens vs target 1000000")
   }
 
+  test("cluster-balanced sampling: copy counts replay sqrt(cell-size) weights") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val got = Packing.mixClusterBalanced(emb).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("cell"), r.getAs[Long]("n_vecs"),
+          r.getAs[Long]("n_copies"))).toMap
+    // independent recomposition of the mixture arithmetic from the
+    // operator's OWN cell assignment (the assignment itself is verified
+    // against the brute-forced sim_ann_ivf oracle CTE at the gate)
+    val cells = graft.operators.Similarity.ivfCells(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === cells.keySet, "every vector samples exactly once")
+    val sizes = cells.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sAlpha = sizes.view
+      .mapValues(n => math.floor(1000.0 * math.sqrt(n.toDouble)).toLong).toMap
+    val total = sAlpha.values.sum.toDouble
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, (cell, nVecs, copies)) =>
+      assert(cell === cells(id))
+      assert(nVecs === sizes(cell))
+      val rep = (sAlpha(cell) / total) * 100000.0 / sizes(cell).toDouble
+      val hex = md.digest(s"$id#cmix".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val bucket = java.lang.Long.parseLong(hex, 16)
+      val extra = if (bucket < math.floor((rep - math.floor(rep)) *
+        4294967296.0).toLong) 1L else 0L
+      assert(copies === math.floor(rep).toLong + extra, s"vec $id copies")
+    }
+    // flattening: a small cell's expected per-vec duplication exceeds a
+    // large cell's (weight ∝ sqrt(size) ⇒ rep ∝ 1/sqrt(size))
+    val reps = sizes.keys.map(c =>
+      sizes(c) -> (sAlpha(c) / total) * 100000.0 / sizes(c).toDouble).toSeq
+    assert(reps.minBy(_._1)._2 > reps.maxBy(_._1)._2)
+  }
+
   test("train/holdout split: deterministic, exhaustive, and md5-faithful") {
     val docs = Tables.load(spark, sf, "documents")
     val a = Packing.splitTrainHoldout(docs).collect()
