@@ -205,18 +205,26 @@ object Packing {
     * batch against [[mixApplySampling]] on identical rows).
     */
   def applyMixture(docs: DataFrame, weights: DataFrame): DataFrame =
+    withCopyCounts(docs.select(col("doc_id"), col("lang"), col("source")), weights)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_copies"))
+
+  /** [[applyMixture]] preserving EVERY input column — the composable form
+    * a pipeline stage uses mid-stream (curation columns ride along, the
+    * mixture only appends `n_copies`). Same stateless broadcast
+    * stream-static join + scan-side hash; the weights frame carries
+    * (lang, source, rep_factor).
+    */
+  def withCopyCounts(docs: DataFrame, weights: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("lang"), col("source"),
-        expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#mix')), 1, 8), 16, 10) AS BIGINT)")
-          .as("bucket"))
+      .withColumn("__bucket",
+        expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#mix')), 1, 8), 16, 10) AS BIGINT)"))
       .join(broadcast(weights), Seq("lang", "source"))
-      .select(
-        col("doc_id"), col("lang"), col("source"),
-        (floor(col("rep_factor")).cast("long") +
-          when(col("bucket") <
+      .withColumn("n_copies",
+        floor(col("rep_factor")).cast("long") +
+          when(col("__bucket") <
             floor((col("rep_factor") - floor(col("rep_factor"))) *
               lit(4294967296.0)).cast("long"), 1L).otherwise(0L))
-          .as("n_copies"))
+      .drop("__bucket", "rep_factor")
 
   /** Cluster-balanced sampling — the EMBEDDING-SPACE twin of the domain
     * mixture, closing the loop from ANN structure to corpus assembly:

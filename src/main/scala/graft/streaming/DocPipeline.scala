@@ -77,6 +77,44 @@ object DocPipeline {
       watermarkDelay: String = "30 seconds"): DataFrame =
     curate(Dedup.decontaminateFilter(docs, evalBuckets), minScore, watermarkDelay)
 
+  /** The full deployment composition: decontaminate (optional) → curate →
+    * MIXTURE → sink-ready frame. After the quality gate, each surviving
+    * doc picks up its `n_copies` under a precomputed mixture-weights
+    * artifact ([[graft.operators.Packing.mixTemperature]]'s
+    * (lang, source, rep_factor) output — recomputed batch-side daily,
+    * exactly like the eval bucket table) via
+    * [[graft.operators.Packing.withCopyCounts]]: a stateless broadcast
+    * stream-static join + scan-side hash, so the SAME expression runs
+    * under the streaming plan and the spec pins stream ≡ batch copy
+    * counts. Requires `source` on the input frame (the producer schema
+    * carries it); the curation projection keeps it so the mixture can key
+    * on (lang, source). Inner-join semantics are the artifact contract:
+    * a domain absent from the weights table has weight 0 — its docs are
+    * not sampled.
+    */
+  def curateMixed(
+      docs: DataFrame,
+      weights: DataFrame,
+      evalBuckets: Option[DataFrame] = None,
+      minScore: Double = 0.3,
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val in = evalBuckets match {
+      case Some(b) => Dedup.decontaminateFilter(docs, b)
+      case None => docs
+    }
+    val curated = TextAnalysis.enrich(in)
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .filter(col("quality_score").isNotNull && !isnan(col("quality_score")) &&
+        col("quality_score") >= minScore)
+      .select("doc_id", "lang", "source", "lang_pred", "n_tokens", "n_chars",
+        "quality_score", "fp")
+    graft.operators.Packing.withCopyCounts(curated, weights)
+      .select("doc_id", "lang", "source", "lang_pred", "n_tokens", "n_chars",
+        "quality_score", "fp", "n_copies")
+  }
+
   /** Training-sequence emission on any (batch or streaming) frame with
     * (doc_id, text): PII/denylist redaction ([[TextAnalysis.scrub]]) then
     * fixed-overlap context-window chunking
@@ -95,13 +133,18 @@ object DocPipeline {
 
 /** Document-curation job main:
   * runMain graft.streaming.DocPipelineJob <inputDir>
-  *   [console|changelog|noop|parquet:<out>:<ckpt>] [--once] [--detach]
-  *   [--min-score=0.3] [--eval-buckets=<parquetDir>]
+  *   [console|changelog|noop|parquet:<out>:<ckpt>|parquet-once:<out>:<ckpt>]
+  *   [--once] [--detach]
+  *   [--min-score=0.3] [--eval-buckets=<parquetDir>] [--weights=<parquetDir>]
   * Parquet output is partitioned by predicted language — the layout a
   * downstream training-data reader filters on. With --eval-buckets, docs
   * colliding with the precomputed eval bucket table (a (band, bucket_key)
   * parquet from [[graft.operators.Dedup.minhashBuckets]] over the eval
-  * corpus) are dropped at ingest.
+  * corpus) are dropped at ingest. With --weights (a (lang, source,
+  * rep_factor) parquet — [[graft.operators.Packing.mixTemperature]]'s
+  * artifact), every curated doc additionally carries its mixture copy
+  * count, so decontaminate → curate → mixture → exactly-once sink is one
+  * deployment main.
   */
 object DocPipelineJob {
   def main(args: Array[String]): Unit = {
@@ -114,15 +157,21 @@ object DocPipelineJob {
     val evalBucketsDir = args.collectFirst {
       case a if a.startsWith("--eval-buckets=") => a.stripPrefix("--eval-buckets=")
     }
+    val weightsDir = args.collectFirst {
+      case a if a.startsWith("--weights=") => a.stripPrefix("--weights=")
+    }
 
     val spark = JobRunner.session()
     spark.sparkContext.setLogLevel("WARN")
 
     val in = DocPipeline.fileJson(spark, inputDir)
-    val out = evalBucketsDir match {
-      case Some(dir) =>
+    val out = (weightsDir, evalBucketsDir) match {
+      case (Some(w), buckets) =>
+        DocPipeline.curateMixed(in, spark.read.parquet(w),
+          buckets.map(spark.read.parquet(_)), minScore)
+      case (None, Some(dir)) =>
         DocPipeline.curateDecontaminated(in, spark.read.parquet(dir), minScore)
-      case None => DocPipeline.curate(in, minScore)
+      case (None, None) => DocPipeline.curate(in, minScore)
     }
     out.createOrReplaceTempView("curated_docs")
 

@@ -797,6 +797,55 @@ class StreamingSpec extends GraftSpec {
     assert(streamed === batch)
   }
 
+  test("deployment pipeline: decontaminate -> curate -> mixture, stream == batch") {
+    // the full DocPipelineJob --eval-buckets --weights composition on the
+    // real corpus: both artifacts are batch-side tables, every stage is
+    // the shared expression, so the stream must equal the batch twin's
+    // copy counts doc-for-doc
+    import graft.operators.{Dedup, Packing, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, isnan, min_by, struct}
+    val corpus = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    // eval corpus = verbatim copies of two long corpus docs — their
+    // originals must leak-filter out at ingest
+    val leaky = rows.filter(_._2.split("\\s+").length > 10).take(2)
+    val evalDocs = leaky.zipWithIndex
+      .map { case (r, i) => (90000L + i, r._2) }.toSeq.toDF("doc_id", "text")
+    val evalBuckets = Dedup.minhashBuckets(evalDocs).localCheckpoint()
+    val weights = Packing.mixTemperature(corpus)
+      .select(col("lang"), col("source"), col("rep_factor")).localCheckpoint()
+    val input = MemoryStream[(Long, String, String, String)]
+    val out = DocPipeline.curateMixed(
+      input.toDS().toDF("doc_id", "text", "lang", "source"),
+      weights, Some(evalBuckets))
+    val streamed = runStream(input, out,
+      Seq(rows.take(150).toSeq, rows.drop(150).toSeq))
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_copies")).toMap
+    // batch twin: same filter, same enrichment, min-doc_id dedup (the
+    // stream sees ascending doc_ids, so first-arrival == min), same gate,
+    // same copy-count join
+    val curatedB = TextAnalysis.enrich(
+      Dedup.decontaminateFilter(corpus, evalBuckets))
+      .groupBy(col("fp"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source"),
+        col("quality_score")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.source").as("source"),
+        col("r.quality_score").as("quality_score"))
+      .filter(col("quality_score").isNotNull && !isnan(col("quality_score")) &&
+        col("quality_score") >= 0.3)
+    val batch = Packing.withCopyCounts(curatedB, weights).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "the pipeline must keep most of the corpus")
+    leaky.foreach { r =>
+      assert(!streamed.contains(r._1), s"leaked doc ${r._1} must be dropped")
+    }
+  }
+
   test("streaming running EWMA matches the batch fold bit-for-bit") {
     import StreamingQueries.EwmaEvent
     val input = MemoryStream[EwmaEvent]
