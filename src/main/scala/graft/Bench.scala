@@ -282,10 +282,30 @@ object Bench {
         .map(_.stateOperators.map(_.memoryUsedBytes).sum.toDouble).getOrElse(0.0)
       (if (ms <= 0) -1.0 else rows * 1000.0 / ms, stateRows, stateBytes)
     }
+    // Each section runs `streamReps` times (fresh query + fresh TEMP
+    // checkpoint per rep — the noop sink never pins one) and the headline
+    // `*_rps` is the MAX of reps: the r8 artifacts showed the two newest
+    // sections swinging 2-3x between single-shot runs (grid-fill
+    // 256k<->103k, heavy hitters 83k<->38k), which hid any streaming
+    // regression smaller than the swing. A transient host stall only ever
+    // SLOWS a rep, so max-of-reps prices the operator the way min-of-reps
+    // prices the batch plans; every rep is emitted (`*_rps_rep{i}`) so a
+    // spread far above the max stays diagnosable from the JSON. Under a
+    // deadline scale < 1 the reps drop to 1 — honest volumes first.
+    val streamReps =
+      if (scale < 1.0) 1
+      else math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS", "2").toInt)
     def one(name: String, f: => (Double, Double, Double)): Seq[(String, Double)] = {
-      val (rps, sr, sb) = try f catch { case _: Throwable => (-1.0, -1.0, -1.0) }
-      Seq(s"${name}_rps" -> rps, s"${name}_state_rows" -> sr,
-        s"${name}_state_bytes" -> sb)
+      val outcomes = (1 to streamReps).map { _ =>
+        try f catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+      }
+      val ok = outcomes.filter(_._1 >= 0)
+      val best = if (ok.isEmpty) (-1.0, -1.0, -1.0) else ok.maxBy(_._1)
+      Seq(s"${name}_rps" -> best._1, s"${name}_state_rows" -> best._2,
+        s"${name}_state_bytes" -> best._3) ++
+        (if (streamReps > 1)
+          outcomes.zipWithIndex.map { case (o, i) => s"${name}_rps_rep${i + 1}" -> o._1 }
+        else Seq.empty)
     }
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
     val simDocSchema = StructType(Seq(
