@@ -2159,6 +2159,42 @@ object ExtensionQueries {
                  / (1000.0 * 4 * ((h + 1) // 2)) AS mean_luma
         FROM sums""")),
 
+    // Audio features: blob as signed 16-bit LE PCM -> exact integer
+    // energy / zero-crossings / peak in the codec's mapPartitions slot.
+    // The oracle re-derives samples (incl. sign extension) from the hex
+    // encoding and replays the adjacent-sample crossing rule via lag().
+    QuerySpec(
+      "mm_audio_features",
+      (s, dir) => Multimodal.audioFeatures(s, docs(s, dir)),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        s AS (
+          SELECT doc_id, i,
+                 ('0x' || substring(hx, CAST(4*i + 1 AS INT), 2))::BIGINT
+                   + 256 * ('0x' || substring(hx, CAST(4*i + 3 AS INT), 2))::BIGINT
+                   AS raw
+          FROM (SELECT doc_id, hx, unnest(range(0, n // 2)) AS i FROM b)),
+        v AS (
+          SELECT doc_id, i,
+                 CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+          FROM s),
+        f AS (
+          SELECT doc_id, v,
+                 lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+          FROM v)
+        SELECT b.doc_id,
+               CAST(b.n // 2 AS BIGINT) AS n_samples,
+               CAST(COALESCE(SUM(v*v), 0) AS BIGINT) AS energy,
+               CAST(COALESCE(SUM(CASE WHEN (pv < 0 AND v > 0)
+                      OR (pv > 0 AND v < 0) THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_zero_cross,
+               CAST(COALESCE(MAX(abs(v)), 0) AS BIGINT) AS peak
+        FROM b LEFT JOIN f ON b.doc_id = f.doc_id
+        GROUP BY b.doc_id, b.n""")),
+
     // Perceptual image near-dup: aHash over the DECODED pixel plane (8x8
     // grid, cross-multiplied integer mean compares), pairs within Hamming
     // 7 via the 64-bit pigeonhole probe join. The oracle re-derives the

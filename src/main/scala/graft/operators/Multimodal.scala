@@ -310,6 +310,44 @@ object Multimodal {
       spark: SparkSession, docs: DataFrame, maxHamming: Int = 7): DataFrame =
     Dedup.hammingProbePairs(aHash(spark, docs), "phash", nBits = 64, maxHamming)
 
+  /** Audio feature extraction — the PCM twin of the image decode path:
+    * the blob is interpreted as signed 16-bit little-endian mono PCM
+    * (the WAV data-chunk layout; a trailing odd byte is not a sample and
+    * drops), and the classic scan-side features come out as EXACT
+    * integers: sample count, total energy (Σ v² — the loudness readout),
+    * zero crossings (adjacent-sample sign flips — the crude pitch/noise
+    * discriminator), and peak amplitude. Runs in the same
+    * `mapPartitions` iterator slot as [[decodePpm]] (the batch shape any
+    * codec occupies); per-row work is linear in the blob, no shuffle,
+    * and the oracle re-derives every feature arithmetically from the
+    * document bytes — decode and features are hash-verified.
+    */
+  def audioFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    withBlob(docs).select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, blob) =>
+          val n = blob.length / 2
+          var energy = 0L
+          var crossings = 0L
+          var peak = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val v = ((blob(2 * i) & 0xff) | (blob(2 * i + 1) << 8)).toShort.toInt
+            energy += v.toLong * v
+            if (i > 0 && (prev < 0 && v > 0 || prev > 0 && v < 0)) crossings += 1
+            if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+            prev = v
+            i += 1
+          }
+          (id, n.toLong, energy, crossings, peak)
+        }
+      }
+      .toDF("doc_id", "n_samples", "energy", "n_zero_cross", "peak")
+  }
+
   /** Frame-sampling shape for video-like payloads: split the blob into
     * fixed-size "frames" and keep every `stride`-th — the plumbing (one
     * input row → variable output rows, no shuffle) of real frame sampling.

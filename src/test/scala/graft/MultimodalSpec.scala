@@ -88,6 +88,33 @@ class MultimodalSpec extends GraftSpec {
     assert((rz.pixels(0) & 0xff) === 'x'.toInt)
   }
 
+  test("audio features: signed 16-bit LE decode, energy/crossings/peak exact") {
+    // brute-force from the UTF-8 bytes directly (independent of the
+    // operator's decode), incl. sign extension and the odd trailing byte
+    def brute(text: String): (Long, Long, Long, Long) = {
+      val b = text.getBytes("UTF-8")
+      val vs = (0 until b.length / 2).map(i =>
+        (((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort).toInt)
+      val crossings = vs.sliding(2).count {
+        case Seq(p, v) => (p < 0 && v > 0) || (p > 0 && v < 0)
+        case _ => false
+      }
+      (vs.length.toLong, vs.map(v => v.toLong * v).sum, crossings.toLong,
+        if (vs.isEmpty) 0L else vs.map(v => math.abs(v.toLong)).max)
+    }
+    // multibyte chars produce bytes >= 0x80 -> negative samples, so the
+    // sign-extension and crossing paths are genuinely exercised
+    val rows = Seq((1L, "hello world"), (2L, "héllo wörld with çhars"),
+      (3L, "x"), (4L, "ab"))
+    val got = Multimodal.audioFeatures(spark, rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    rows.foreach { case (id, t) => assert(got(id) === brute(t), s"doc $id") }
+    assert(got(3L) === (0L, 0L, 0L, 0L), "odd single byte is not a sample")
+    assert(got(2L)._3 > 0L,
+      "multibyte bytes in the high position go negative -> sign crossings")
+  }
+
   test("aHash: brute-forced from raw bytes; pairs = exact all-pairs Hamming") {
     // independent Scala recomposition of the hash from the TEXT bytes —
     // no decoder, no Spark expressions — on the real sf0.001 corpus
