@@ -255,6 +255,52 @@ object ExtensionQueries {
     JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10
     GROUP BY 1, 2"""
 
+  /** BM25 oracle, BUILT from [[TextAnalysis.Bm25Queries]]: per-term
+    * floor-scaled-long scores with the identical IEEE op chain the Spark
+    * side declares (log-free idf, k1 = 1.2, b = 0.75), summed exactly,
+    * top-20 per query by (score DESC, doc_id).
+    */
+  private val bm25Oracle: String = {
+    val queries = TextAnalysis.Bm25Queries
+    val terms = queries.flatMap(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n             ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    ).mkString(",\n             ")
+    def term(i: Int) =
+      s"CAST(FLOOR(1000000.0 * ((((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE)" +
+        s" + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) * (CAST(tf_$i AS DOUBLE) * 2.2))" +
+        s" / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)" +
+        s" / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))) AS BIGINT)"
+    val qSelects = queries.map { case (qid, qterms) =>
+      s"SELECT CAST($qid AS BIGINT) AS qid, doc_id,\n" +
+        s"       (${qterms.map(t => term(idx(t))).mkString("\n        + ")}) AS score\n" +
+        s"FROM scored"
+    }.mkString("\nUNION ALL\n")
+    s"""
+      WITH $toksCte,
+      base AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+             $tfCols
+        FROM toks),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_dl,
+             $dfCols
+        FROM base),
+      scored AS (SELECT * FROM base CROSS JOIN stats),
+      q AS ($qSelects)
+      SELECT qid, doc_id, score, rn FROM (
+        SELECT qid, doc_id, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rn
+        FROM q WHERE score > 0)
+      WHERE rn <= 20"""
+  }
+
   /** Incremental delta-vs-index dedup oracle — shared verbatim by
     * `dedup_incremental` (in-plan coin split) and
     * `dedup_incremental_persisted` (parquet-artifact round trip): the
@@ -1260,6 +1306,17 @@ object ExtensionQueries {
         SELECT doc_id, lang FROM documents
         WHERE ('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                 % 100 < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END""")),
+
+    // BM25 top-k retrieval: log-free idf variant + floor-scaled-long
+    // per-term scores (exact integer sums) so the ranking hash-matches;
+    // tf columns are scan-side array folds, corpus stats one single-row
+    // agg over the checkpointed projection. Oracle SQL is BUILT from the
+    // same TextAnalysis.Bm25Queries list, so the engines can never score
+    // different terms.
+    QuerySpec(
+      "text_bm25_topk",
+      (s, dir) => TextAnalysis.bm25TopK(docs(s, dir)),
+      Some(bm25Oracle)),
 
     // Per-document TF-IDF top terms: two high-cardinality hash aggs, a
     // term-keyed join, and a WindowGroupLimit top-k.

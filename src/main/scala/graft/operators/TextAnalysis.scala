@@ -689,4 +689,72 @@ object TextAnalysis {
         col("r_wordcount") && col("r_meanlen") &&
           col("r_stopwords") && col("r_maxfreq"))
   }
+
+  /** The canonical retrieval benchmark queries for [[bm25TopK]] — shared
+    * with the oracle-SQL builder so both engines score the same terms.
+    */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join", "merge"),
+    2 -> Seq("window", "sort", "order"),
+    3 -> Seq("stream", "batch", "data"))
+
+  /** BM25 top-k retrieval — the lexical ranking function every
+    * training-data/RAG pipeline keeps next to its embedding index
+    * (Robertson–Spärck Jones; k1 = 1.2, b = 0.75, and the log-free
+    * idf = (N − df + ½)/(df + ½) variant so every per-term score is a
+    * fixed chain of individual IEEE ops — no transcendental whose last
+    * ulp could differ across engines). Each term score floor-scales to a
+    * long and the per-query score is an exact integer SUM of those longs
+    * (order-free), so rankings hash-match the oracle bit-for-bit.
+    *
+    * Shape at 100 TB: term frequencies are scan-side array folds over
+    * the token array (wide tf columns, no explode — the per-doc-stats
+    * precedent), checkpointed once as the (doc_id, dl, tf_*) projection;
+    * corpus stats (N, total length, per-term df) are ONE single-row agg
+    * over the checkpoint, broadcast back; scoring + the per-query top-k
+    * replay the checkpoint — one corpus scan total, and the only
+    * exchange is the top-k window's (WindowGroupLimit prunes to k rows
+    * per partition before it). Queries are few by nature, so the
+    * per-qid window partitioning is not a funnel.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries,
+      k: Int = 20): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    val base = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
+        }: _*)
+      .localCheckpoint()
+    val statCols = count(lit(1)).cast("long").as("n_docs") +:
+      sum(col("dl")).as("total_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    def termScore(i: Int): org.apache.spark.sql.Column = {
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val idf = (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+      val norm = lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)
+      val denom = tf + lit(1.2) * norm
+      floor(lit(1000000.0) * ((idf * (tf * lit(2.2))) / denom)).cast("long")
+    }
+    val perQuery = queries.map { case (qid, qterms) =>
+      scored.select(lit(qid).cast("long").as("qid"), col("doc_id"),
+        qterms.map(t => termScore(idx(t))).reduce(_ + _).as("score"))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("score"), asc("doc_id"))
+    perQuery
+      .filter(col("score") > 0L)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rn"))
+  }
 }

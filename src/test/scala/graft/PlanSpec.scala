@@ -352,6 +352,15 @@ class PlanSpec extends GraftSpec {
       s"pair expansion must be bucket-local, not a cross join:\n$p")
   }
 
+  test("bm25 replays the tf checkpoint — zero corpus rescans") {
+    val p = plan(Registry.queries("text_bm25_topk")(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      s"scoring and the top-k must replay the (doc_id, dl, tf_*) " +
+        s"checkpoint, not re-scan the corpus:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the corpus-stats row is a broadcast single row:\n$p")
+  }
+
   test("phash pairs: probe-join buckets, never an all-pairs join") {
     val p = plan(Registry.queries("mm_phash_pairs")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -417,4 +417,49 @@ class TextAnalysisSpec extends GraftSpec {
       e.toString)
     assert(!e.getAs[Boolean]("r_maxfreq"), "28/30 'abc' trips maxfreq")
   }
+
+  test("bm25: brute-forced scores and ranking on a hand-built corpus") {
+    val docs = Seq(
+      (1L, "hash join hash merge sort"),
+      (2L, "window sort order window window"),
+      (3L, "stream batch data stream"),
+      (4L, "hash"),
+      (5L, "nothing relevant here at all"),
+      (6L, "join join join join join join join join")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // independent recomposition in plain Scala
+    val corpus = Seq(
+      1L -> Seq("hash", "join", "hash", "merge", "sort"),
+      2L -> Seq("window", "sort", "order", "window", "window"),
+      3L -> Seq("stream", "batch", "data", "stream"),
+      4L -> Seq("hash"),
+      5L -> Seq("nothing", "relevant", "here", "at", "all"),
+      6L -> Seq.fill(8)("join"))
+    val n = corpus.size.toDouble
+    val avgdl = corpus.map(_._2.size).sum.toDouble / n
+    def df(t: String) = corpus.count(_._2.contains(t)).toDouble
+    def termScore(t: String, toks: Seq[String]): Long = {
+      val tf = toks.count(_ == t).toDouble
+      val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+      val norm = 0.25 + 0.75 * (toks.size.toDouble / avgdl)
+      math.floor(1000000.0 * ((idf * (tf * 2.2)) / (tf + 1.2 * norm))).toLong
+    }
+    val expected = (for {
+      (qid, qterms) <- TextAnalysis.Bm25Queries
+      (id, toks) <- corpus
+      score = qterms.map(termScore(_, toks)).sum if score > 0
+    } yield (qid, id, score))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).zipWithIndex.map { case (r, i) =>
+          (qid.toLong, r._2) -> (r._3, i + 1L)
+        }
+      }.toMap
+    assert(got === expected)
+    // tf saturation: doc 1 matches all three query-1 terms and must
+    // outrank doc 6's 8x repetition of one term (k1 caps per-term gain)
+    assert(got((1L, 1L))._2 === 1L, "multi-term match ranks first")
+    assert(got((1L, 6L))._1 < got((1L, 1L))._1)
+    assert(!got.contains((1L, 5L)), "zero-score docs never rank")
+  }
 }
