@@ -1049,6 +1049,78 @@ object StreamingQueries {
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
   }
 
+  /** Scala twin of [[graft.operators.Multimodal.aHash]]'s decode-and-hash
+    * chain for the streaming path: same synthesized P6 plane (UTF-8 text
+    * bytes zero-padded to 8×h×3, h = ⌈n/24⌉ min 1), same 8×8 grid by
+    * ⌊y·8/h⌋ assignment, same integer BT.601 luma numerators and
+    * cross-multiplied mean compares. MultimodalStreamingSpec-pinned
+    * equal to the batch operator's fingerprints on the same docs.
+    */
+  private[streaming] def ahash64(text: String): Long = {
+    val payload = text.getBytes("UTF-8")
+    val h = math.max(1L, math.ceil(payload.length / 24.0).toLong).toInt
+    def byteAt(i: Int): Int = if (i < payload.length) payload(i) & 0xff else 0
+    val cs = new Array[Long](64); val cc = new Array[Long](64)
+    var total = 0L
+    var p = 0
+    while (p < h * 8) {
+      val l = 299L * byteAt(p * 3) + 587L * byteAt(p * 3 + 1) +
+        114L * byteAt(p * 3 + 2)
+      val k = (p / 8 * 8 / h) * 8 + p % 8
+      cs(k) += l; cc(k) += 1; total += l
+      p += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (cs(k) * (8L * h) > total * cc(k)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Streaming PERCEPTUAL image near-dup — the `transformWithState` twin
+    * of [[graft.operators.Multimodal.phashPairs]], completing the
+    * multimodal story's streaming side: images (synthesized blobs here,
+    * any decoded raster in production) are fingerprinted at ingest and
+    * flagged against every image within one state horizon. Same 64-bit
+    * pigeonhole blocking as the batch blocker
+    * ([[graft.operators.Dedup.hammingProbePairs]]): four 16-bit segments
+    * × single-bit probes ⇒ perfect recall for maxHamming ≤ 7 by
+    * construction, as STATE KEYS partitioning the stream 4·2^17 ways.
+    * The pair machinery is [[SimhashPairProcessor]] UNCHANGED — it is
+    * fingerprint-agnostic (entries + bitCount(xor) verify); only the
+    * keying projection differs, exactly as in the batch refactor.
+    */
+  def phashPairsStream(
+      spark: SparkSession,
+      docs: Dataset[SimhashDoc],
+      maxHamming: Int = 7,
+      watermarkDelay: String = "10 seconds",
+      horizonSeconds: Long = 3600L): Dataset[SimhashPairOut] = {
+    import spark.implicits._
+    require(maxHamming <= 7,
+      "four-segment single-bit probing only guarantees recall for maxHamming <= 7")
+    val keyed = docs.flatMap { d =>
+      val fp = ahash64(d.text)
+      val segs = (0 until 4).map(s => s.toLong -> ((fp >> (16 * s)) & 0xffffL))
+      val masks = 0L +: (0 until 16).map(1L << _).toSeq
+      segs.flatMap { case (seg, sv) =>
+        SimhashKeyed((seg << 17) | sv, exact = true, d.doc_id, fp, d.utc) +:
+          masks.map(m =>
+            SimhashKeyed((seg << 17) | (sv ^ m), exact = false, d.doc_id, fp, d.utc))
+      }
+    }
+    keyed
+      .withWatermark("utc", watermarkDelay)
+      .groupByKey(_.bkey)
+      .transformWithState(
+        new SimhashPairProcessor(maxHamming, horizonSeconds * 1000L),
+        "pair_ts",
+        OutputMode.Append())
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+  }
+
   /** The [[simhashPairsStream]] StatefulProcessor: one ListState of
     * (exact?, doc_id, simhash, event-us) entries per bucket key, pruned by
     * an event-time timer once the watermark passes entry time + horizon.

@@ -1286,6 +1286,53 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming phash near-dup pairs equal the batch operator, out of order") {
+    import StreamingQueries.SimhashDoc
+    // fingerprint parity first: the streaming Scala twin must equal the
+    // batch decode-and-hash chain on the real corpus
+    val corpus0 = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val batchFp = graft.operators.Multimodal.aHash(spark, corpus0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    corpus0.collect().map(r => r.getLong(0) -> r.getString(1)).foreach {
+      case (id, tx) =>
+        assert(StreamingQueries.ahash64(tx) === batchFp(id),
+          s"fingerprint drift on doc $id")
+    }
+    // then pair-level parity under out-of-order arrival
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      1L -> base,
+      2L -> base, // identical: hamming 0
+      3L -> (base + " t"), // one trailing byte moves few plane cells
+      4L -> "a completely different set of tokens with nothing shared here",
+      5L -> "another unrelated document body entirely disjoint from everything")
+    val times = Map(
+      1L -> "2024-01-01 00:00:05", 2L -> "2024-01-01 00:00:01",
+      3L -> "2024-01-01 00:00:06", 4L -> "2024-01-01 00:00:02",
+      5L -> "2024-01-01 00:00:03")
+    def doc(id: Long) = SimhashDoc(id, corpus.toMap.apply(id),
+      java.sql.Timestamp.valueOf(times(id)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val input = MemoryStream[SimhashDoc]
+      val out = StreamingQueries.phashPairsStream(spark, input.toDS()).toDF()
+      val rows = runStream(input, out,
+        Seq(Seq(doc(1), doc(3)), Seq(doc(4), doc(5)), Seq(doc(2))))
+      val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+      val batch = graft.operators.Multimodal.phashPairs(
+        spark, corpus.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === batch, "stream pairs must equal the batch operator's")
+      assert(got.contains((1L, 2L, 0L)), "identical images pair at hamming 0")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("synthetic generators match the producer record shape") {
     assert(TickSource.rateSynthetic(spark).schema.fieldNames.toSeq ===
       Seq("ticker", "price", "utc"))
