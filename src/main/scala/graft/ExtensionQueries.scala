@@ -255,6 +255,35 @@ object ExtensionQueries {
     JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10
     GROUP BY 1, 2"""
 
+  /** Single-probe IVF ANN oracle — shared verbatim by `sim_ann_ivf`
+    * (in-plan assignment) and `sim_ann_ivf_persisted` (assignment loaded
+    * from its parquet artifact): the persisted path hash-matching the
+    * same SQL proves the write → load → search round trip is lossless.
+    */
+  private lazy val simAnnIvfOracle = Some(s"""
+    WITH $vecNormCte,
+    $ivfCellCte,
+    e AS (
+      SELECT n.vec_id, n.v, n.nrm, cell.cell
+      FROM n JOIN cell ON n.vec_id = cell.vec_id),
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell AS qcell
+      FROM e WHERE vec_id < 8),
+    px AS (
+      SELECT q.qid, c.vec_id, q.qnrm, c.nrm,
+             unnest(q.qv) AS qx, unnest(c.v) AS x
+      FROM e c JOIN q ON c.cell = q.qcell),
+    dots AS (
+      SELECT qid, vec_id, qnrm, nrm,
+             CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+      FROM px GROUP BY qid, vec_id, qnrm, nrm),
+    s AS (
+      SELECT qid, vec_id,
+             CAST(dot AS DOUBLE) /
+               sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
+      FROM dots)
+    ${topkTail(10)}""")
+
   /** BM25 oracle, BUILT from [[TextAnalysis.Bm25Queries]]: per-term
     * floor-scaled-long scores with the identical IEEE op chain the Spark
     * side declares (log-free idf, k1 = 1.2, b = 0.75), summed exactly,
@@ -1099,29 +1128,22 @@ object ExtensionQueries {
     QuerySpec(
       "sim_ann_ivf",
       (s, dir) => Similarity.annIvf(emb(s, dir)),
-      Some(s"""
-        WITH $vecNormCte,
-        $ivfCellCte,
-        e AS (
-          SELECT n.vec_id, n.v, n.nrm, cell.cell
-          FROM n JOIN cell ON n.vec_id = cell.vec_id),
-        q AS (
-          SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell AS qcell
-          FROM e WHERE vec_id < 8),
-        px AS (
-          SELECT q.qid, c.vec_id, q.qnrm, c.nrm,
-                 unnest(q.qv) AS qx, unnest(c.v) AS x
-          FROM e c JOIN q ON c.cell = q.qcell),
-        dots AS (
-          SELECT qid, vec_id, qnrm, nrm,
-                 CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
-          FROM px GROUP BY qid, vec_id, qnrm, nrm),
-        s AS (
-          SELECT qid, vec_id,
-                 CAST(dot AS DOUBLE) /
-                   sqrt(CAST(qnrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS score
-          FROM dots)
-        ${topkTail(10)}""")),
+      simAnnIvfOracle),
+
+    // The persisted round trip of the same search: the cell assignment is
+    // written as the standing parquet cluster index, then single-probe
+    // search runs against the LOADED artifact. SAME oracle as sim_ann_ivf
+    // — the hash-match proves write -> load -> search loses nothing.
+    QuerySpec(
+      "sim_ann_ivf_persisted",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_${
+          Integer.toHexString(dir.hashCode)}"
+        Similarity.writeIvfCells(e, path)
+        Similarity.annIvfPersisted(e, path)
+      },
+      simAnnIvfOracle),
 
     // IVF over a Lloyd-TRAINED codebook: one deterministic k-means round
     // (exact scaled-long update means the codebook is a pure function of

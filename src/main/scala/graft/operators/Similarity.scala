@@ -314,8 +314,16 @@ object Similarity {
     * the coarse-quantizer member of the ANN family next to [[annLsh]].
     * Returns (qid, vec_id, score, rn) like [[cosineTopK]].
     */
-  def annIvf(emb: DataFrame, nQueries: Int = 8, k: Int = 10, nCells: Int = 16): DataFrame = {
-    val e = vecs(emb).join(ivfCells(emb, nCells), "vec_id")
+  def annIvf(emb: DataFrame, nQueries: Int = 8, k: Int = 10, nCells: Int = 16): DataFrame =
+    annIvfOver(emb, ivfCells(emb, nCells), nQueries, k)
+
+  /** Single-probe IVF search against a GIVEN (vec_id, cell) assignment —
+    * the core shared by [[annIvf]] (in-plan assignment) and
+    * [[annIvfPersisted]] (assignment loaded from its parquet artifact).
+    */
+  private def annIvfOver(
+      emb: DataFrame, cells: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = vecs(emb).join(cells, "vec_id")
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell").as("qcell"))
     val w = org.apache.spark.sql.expressions.Window
@@ -326,6 +334,32 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
   }
+
+  /** Materialize the IVF cell assignment as a parquet ARTIFACT — the
+    * standing cluster index of the embedding corpus (16 bytes/row, the
+    * ANN analogue of [[Dedup.writeBucketIndex]]'s dedup index; the same
+    * (vec_id, cell) table [[Packing.mixClusterBalanced]] checkpoints
+    * in-plan). A production pipeline assigns each vector ONCE at ingest
+    * and every search replays the artifact instead of re-running the
+    * codebook scan.
+    */
+  def writeIvfCells(emb: DataFrame, indexPath: String, nCells: Int = 16): Unit =
+    ivfCells(emb, nCells)
+      .write.mode("overwrite").parquet(indexPath)
+
+  /** [[annIvf]] against the LOADED artifact: search trades the
+    * assignment's codebook scan + per-vector top-1 for one artifact scan
+    * and a vec_id equi-join — the standing-index shape. Results are
+    * identical by construction; the registered query hash-matches the
+    * SAME oracle as `sim_ann_ivf`, proving the write → load → search
+    * round trip loses nothing.
+    */
+  def annIvfPersisted(
+      emb: DataFrame, indexPath: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame =
+    annIvfOver(emb,
+      emb.sparkSession.read.parquet(indexPath).select("vec_id", "cell"),
+      nQueries, k)
 
   /** Scan-side cell assignment against a driver-side codebook: every row
     * scores all centroids through the codegen'd cosine expression against
