@@ -1130,6 +1130,43 @@ object ExtensionQueries {
       (s, dir) => Similarity.annIvf(emb(s, dir)),
       simAnnIvfOracle),
 
+    // Product quantization: m=8 subspaces x 16-entry codebooks (first-16
+    // deterministic stand-in), exact scaled-long L2 distances -> argmin
+    // codes + summed reconstruction error, all BIGINT (no IEEE
+    // accumulation anywhere). The oracle replays the same distances via
+    // an unnest join and pivots the per-subspace winners.
+    QuerySpec(
+      "emb_pq_codes",
+      (s, dir) => Similarity.pqCodes(emb(s, dir)),
+      Some("""
+        WITH sv AS (
+          SELECT vec_id, i - 1 AS i, CAST(FLOOR(x*1e6 + 0.5) AS BIGINT) AS sx
+          FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings)),
+        cv AS (SELECT vec_id AS cent_id, i, sx AS cx FROM sv WHERE vec_id < 16),
+        d AS (
+          SELECT s.vec_id, c.cent_id, s.i // 8 AS sub,
+                 CAST(SUM((s.sx - c.cx) * (s.sx - c.cx)) AS BIGINT) AS dd
+          FROM sv s JOIN cv c ON s.i = c.i
+          GROUP BY 1, 2, 3),
+        best AS (
+          SELECT vec_id, sub, cent_id, dd,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dd, cent_id) AS rn
+          FROM d)
+        SELECT vec_id,
+               MAX(CASE WHEN sub = 0 THEN cent_id END) AS code_0,
+               MAX(CASE WHEN sub = 1 THEN cent_id END) AS code_1,
+               MAX(CASE WHEN sub = 2 THEN cent_id END) AS code_2,
+               MAX(CASE WHEN sub = 3 THEN cent_id END) AS code_3,
+               MAX(CASE WHEN sub = 4 THEN cent_id END) AS code_4,
+               MAX(CASE WHEN sub = 5 THEN cent_id END) AS code_5,
+               MAX(CASE WHEN sub = 6 THEN cent_id END) AS code_6,
+               MAX(CASE WHEN sub = 7 THEN cent_id END) AS code_7,
+               CAST(SUM(dd) AS BIGINT) AS err
+        FROM best WHERE rn = 1 GROUP BY vec_id""")),
+
     // The persisted round trip of the same search: the cell assignment is
     // written as the standing parquet cluster index, then single-probe
     // search runs against the LOADED artifact. SAME oracle as sim_ann_ivf

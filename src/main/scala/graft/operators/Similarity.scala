@@ -461,6 +461,56 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
   }
 
+  /** Product-quantization codes + reconstruction error — the compression
+    * standard behind billion-scale ANN (Jégou et al., PQ): the `dim`-dim
+    * vector splits into `m` subspaces of dim/m dims, each subspace is
+    * vector-quantized against its own `nCents`-entry codebook, and the
+    * vector stores only the m code bytes (here 8 codes ≈ 8 bytes vs 256
+    * float bytes — a 32× memory cut that keeps distance computation
+    * table-driven). Codebooks use the deterministic first-`nCents`
+    * stand-in (the [[ivfCells]] precedent — swapping in Lloyd-trained
+    * sub-codebooks changes only the driver-side table).
+    *
+    * Exactness: every distance is computed over floor-scaled-long
+    * components — d(sub, cent) = Σ_j (sx_j − sc_j)², exact BIGINT,
+    * order-free — so the argmin codes and the summed reconstruction
+    * error hash-match the oracle with no IEEE accumulation anywhere.
+    * Shape: the codebook is O(nCents·dim) DRIVER metadata baked as
+    * literals (the IVF-centroid class); assignment is ONE corpus scan of
+    * three stacked projections (scaled components → per-(sub, cent)
+    * distances → per-sub struct argmin), no shuffle, no join.
+    */
+  def pqCodes(emb: DataFrame, m: Int = 8, nCents: Int = 16): DataFrame = {
+    val dim = probeDim(emb)
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    // driver-side codebook: scaled-long components of the first nCents
+    // vectors (O(nCents·dim) rows — the documented metadata class)
+    val cents: Map[Long, Array[Long]] = vecs(emb)
+      .filter(col("vec_id") < nCents)
+      .select(col("vec_id"), expr(
+        "transform(v, x -> CAST(FLOOR(x*1e6 + 0.5) AS BIGINT))").as("sv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val centIds = cents.keys.toSeq.sorted
+    val scaled = vecs(emb).select(col("vec_id") +:
+      (0 until dim).map(i =>
+        expr(s"CAST(FLOOR(v[$i]*1e6 + 0.5) AS BIGINT)").as(s"x_$i")): _*)
+    def dist(s: Int, c: Long): org.apache.spark.sql.Column =
+      (0 until sub).map { j =>
+        val d = col(s"x_${s * sub + j}") - lit(cents(c)(s * sub + j))
+        d * d
+      }.reduce(_ + _)
+    val best = (0 until m).map { s =>
+      array_min(array(centIds.map(c =>
+        struct(dist(s, c).as("dd"), lit(c).as("cent_id"))): _*)).as(s"best_$s")
+    }
+    scaled.select(col("vec_id") +: best: _*)
+      .select(col("vec_id") +:
+        (0 until m).map(s => col(s"best_$s.cent_id").as(s"code_$s")) :+
+        (0 until m).map(s => col(s"best_$s.dd")).reduce(_ + _).as("err"): _*)
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors sharing an LSH bucket
     * whose exact cosine meets `minScore` — the embedding-space member of
     * the dedup family (SURVEY.md §2-B). The bucket equi-join is the

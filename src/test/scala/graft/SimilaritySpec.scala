@@ -213,4 +213,35 @@ class SimilaritySpec extends GraftSpec {
     }
     assert(got === exp)
   }
+
+  test("pq codes: brute-forced scaled-long argmin on the real corpus") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val raw = emb.selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def scl(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val cents = raw.filter(_._1 < 16).view.mapValues(_.map(scl)).toMap
+    val got = Similarity.pqCodes(emb).collect().map { r =>
+      r.getLong(0) -> ((0 until 8).map(s => r.getAs[Long](s"code_$s")),
+        r.getAs[Long]("err"))
+    }.toMap
+    raw.foreach { case (id, v) =>
+      val sv = v.map(scl)
+      var err = 0L
+      val codes = (0 until 8).map { s =>
+        val byCent = cents.toSeq.map { case (c, cv) =>
+          val d = (0 until 8).map { j =>
+            val diff = sv(s * 8 + j) - cv(s * 8 + j); diff * diff
+          }.sum
+          (d, c)
+        }.min // (distance, cent_id) lexicographic — the struct argmin
+        err += byCent._1
+        byCent._2
+      }
+      assert(got(id) === ((codes, err)), s"vec $id")
+    }
+    // the codebook vectors reconstruct themselves exactly
+    (0L until 16L).foreach { c =>
+      assert(got(c)._2 === 0L, s"centroid $c must have zero error")
+    }
+  }
 }
