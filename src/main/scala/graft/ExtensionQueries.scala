@@ -255,6 +255,50 @@ object ExtensionQueries {
     JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10
     GROUP BY 1, 2"""
 
+  /** Shared oracle CTEs for the PQ/L2 family: `sv` = every vector's
+    * floor-scaled-long components (one row per (vec, dim)), `cv` = the
+    * first-16 codebook's components (mirrors Similarity.scaledLongs /
+    * pqCodebook).
+    */
+  private val pqSvCvCte =
+    """sv AS (
+          SELECT vec_id, i - 1 AS i, CAST(FLOOR(x*1e6 + 0.5) AS BIGINT) AS sx
+          FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings)),
+        cv AS (SELECT vec_id AS cent_id, i, sx AS cx FROM sv WHERE vec_id < 16)"""
+
+  /** PQ assignment CTEs (needs [[pqSvCvCte]]): exact scaled-long L2 per
+    * (vec, centroid, subspace), then the per-subspace argmin ranking.
+    */
+  private val pqAssignCte =
+    """pqd AS (
+          SELECT s.vec_id, c.cent_id, s.i // 8 AS sub,
+                 CAST(SUM((s.sx - c.cx) * (s.sx - c.cx)) AS BIGINT) AS dd
+          FROM sv s JOIN cv c ON s.i = c.i
+          GROUP BY 1, 2, 3),
+        pqbest AS (
+          SELECT vec_id, sub, cent_id, dd,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dd, cent_id) AS rn
+          FROM pqd)"""
+
+  /** ADC CTEs (need [[pqSvCvCte]] + [[pqAssignCte]]): per-vector codes,
+    * the per-query distance table, and the table-lookup distances.
+    */
+  private val pqAdcCte =
+    """codes AS (SELECT vec_id, sub, cent_id AS code FROM pqbest WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, i, sx AS qx FROM sv WHERE vec_id < 8),
+        tbl AS (
+          SELECT q.qid, c.i // 8 AS sub, c.cent_id AS code,
+                 CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dsub
+          FROM q JOIN cv c ON q.i = c.i
+          GROUP BY 1, 2, 3),
+        ad AS (
+          SELECT t.qid, codes.vec_id, CAST(SUM(t.dsub) AS BIGINT) AS dist
+          FROM codes JOIN tbl t ON codes.sub = t.sub AND codes.code = t.code
+          GROUP BY 1, 2)"""
+
   /** Single-probe IVF ANN oracle — shared verbatim by `sim_ann_ivf`
     * (in-plan assignment) and `sim_ann_ivf_persisted` (assignment loaded
     * from its parquet artifact): the persisted path hash-matching the
@@ -1138,23 +1182,9 @@ object ExtensionQueries {
     QuerySpec(
       "emb_pq_codes",
       (s, dir) => Similarity.pqCodes(emb(s, dir)),
-      Some("""
-        WITH sv AS (
-          SELECT vec_id, i - 1 AS i, CAST(FLOOR(x*1e6 + 0.5) AS BIGINT) AS sx
-          FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
-                       unnest(range(1, len(embedding) + 1)) AS i
-                FROM embeddings)),
-        cv AS (SELECT vec_id AS cent_id, i, sx AS cx FROM sv WHERE vec_id < 16),
-        d AS (
-          SELECT s.vec_id, c.cent_id, s.i // 8 AS sub,
-                 CAST(SUM((s.sx - c.cx) * (s.sx - c.cx)) AS BIGINT) AS dd
-          FROM sv s JOIN cv c ON s.i = c.i
-          GROUP BY 1, 2, 3),
-        best AS (
-          SELECT vec_id, sub, cent_id, dd,
-                 row_number() OVER (PARTITION BY vec_id, sub
-                                    ORDER BY dd, cent_id) AS rn
-          FROM d)
+      Some(s"""
+        WITH $pqSvCvCte,
+        $pqAssignCte
         SELECT vec_id,
                MAX(CASE WHEN sub = 0 THEN cent_id END) AS code_0,
                MAX(CASE WHEN sub = 1 THEN cent_id END) AS code_1,
@@ -1165,7 +1195,82 @@ object ExtensionQueries {
                MAX(CASE WHEN sub = 6 THEN cent_id END) AS code_6,
                MAX(CASE WHEN sub = 7 THEN cent_id END) AS code_7,
                CAST(SUM(dd) AS BIGINT) AS err
-        FROM best WHERE rn = 1 GROUP BY vec_id""")),
+        FROM pqbest WHERE rn = 1 GROUP BY vec_id""")),
+
+    // Exact L2 top-k over scaled-long components — the metric-matched
+    // baseline for the PQ search path (exact BIGINT distances, no IEEE
+    // accumulation anywhere).
+    QuerySpec(
+      "sim_l2_topk",
+      (s, dir) => Similarity.l2TopK(emb(s, dir)),
+      Some(s"""
+        WITH $pqSvCvCte,
+        q AS (SELECT vec_id AS qid, i, sx AS qx FROM sv WHERE vec_id < 8),
+        l2 AS (
+          SELECT q.qid, s.vec_id,
+                 CAST(SUM((s.sx - q.qx) * (s.sx - q.qx)) AS BIGINT) AS dist
+          FROM sv s JOIN q ON s.i = q.i
+          GROUP BY 1, 2)
+        SELECT qid, vec_id, dist, rn FROM (
+          SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, vec_id) AS rn
+          FROM l2) WHERE rn <= 10""")),
+
+    // PQ asymmetric-distance search (ADC): exact query vs code-byte
+    // corpus through the per-query distance table — the memory-bound
+    // scan shape PQ exists for. Exact BIGINT distances end-to-end.
+    QuerySpec(
+      "sim_ann_pq_adc",
+      (s, dir) => Similarity.annPqAdc(emb(s, dir)),
+      Some(s"""
+        WITH $pqSvCvCte,
+        $pqAssignCte,
+        $pqAdcCte
+        SELECT qid, vec_id, dist, rn FROM (
+          SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, vec_id) AS rn
+          FROM ad) WHERE rn <= 10""")),
+
+    // The PQ recall contract, judged against exact L2 (the metric PQ
+    // quantizes): approximation quality is a gate-checked number, not a
+    // footnote — same discipline as the LSH/IVF recall queries.
+    QuerySpec(
+      "sim_recall_pq",
+      (s, dir) => Similarity.annRecallPq(emb(s, dir)),
+      benchmark = false, // contract query: re-runs the already-priced
+      // l2/adc pipelines to compare them
+      oracle = Some(s"""
+        WITH $pqSvCvCte,
+        $pqAssignCte,
+        $pqAdcCte,
+        approx AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, vec_id) AS rn
+            FROM ad) WHERE rn <= 10),
+        l2 AS (
+          SELECT q.qid, s.vec_id,
+                 CAST(SUM((s.sx - q.qx) * (s.sx - q.qx)) AS BIGINT) AS dist
+          FROM sv s JOIN q ON s.i = q.i
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, vec_id) AS rn
+            FROM l2) WHERE rn <= 10)
+        SELECT e.qid,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY e.qid""")),
 
     // The persisted round trip of the same search: the cell assignment is
     // written as the standing parquet cluster index, then single-probe

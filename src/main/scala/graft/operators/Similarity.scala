@@ -480,22 +480,33 @@ object Similarity {
     * three stacked projections (scaled components → per-(sub, cent)
     * distances → per-sub struct argmin), no shuffle, no join.
     */
-  def pqCodes(emb: DataFrame, m: Int = 8, nCents: Int = 16): DataFrame = {
-    val dim = probeDim(emb)
-    require(dim % m == 0, s"dim $dim must split into $m subspaces")
-    val sub = dim / m
-    // driver-side codebook: scaled-long components of the first nCents
-    // vectors (O(nCents·dim) rows — the documented metadata class)
-    val cents: Map[Long, Array[Long]] = vecs(emb)
+  /** Per-vector floor-scaled-long components as wide columns `x_0..` —
+    * the exact-integer projection shared by the PQ/L2 family.
+    */
+  private def scaledLongs(emb: DataFrame, dim: Int): DataFrame =
+    vecs(emb).select(col("vec_id") +:
+      (0 until dim).map(i =>
+        expr(s"CAST(FLOOR(v[$i]*1e6 + 0.5) AS BIGINT)").as(s"x_$i")): _*)
+
+  /** Driver-side PQ codebook: scaled-long components of the first
+    * `nCents` vectors (O(nCents·dim) rows — the documented metadata
+    * class, same as the IVF centroids).
+    */
+  private def pqCodebook(emb: DataFrame, nCents: Int): Map[Long, Array[Long]] =
+    vecs(emb)
       .filter(col("vec_id") < nCents)
       .select(col("vec_id"), expr(
         "transform(v, x -> CAST(FLOOR(x*1e6 + 0.5) AS BIGINT))").as("sv"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+  def pqCodes(emb: DataFrame, m: Int = 8, nCents: Int = 16): DataFrame = {
+    val dim = probeDim(emb)
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val cents = pqCodebook(emb, nCents)
     val centIds = cents.keys.toSeq.sorted
-    val scaled = vecs(emb).select(col("vec_id") +:
-      (0 until dim).map(i =>
-        expr(s"CAST(FLOOR(v[$i]*1e6 + 0.5) AS BIGINT)").as(s"x_$i")): _*)
+    val scaled = scaledLongs(emb, dim)
     def dist(s: Int, c: Long): org.apache.spark.sql.Column =
       (0 until sub).map { j =>
         val d = col(s"x_${s * sub + j}") - lit(cents(c)(s * sub + j))
@@ -510,6 +521,87 @@ object Similarity {
         (0 until m).map(s => col(s"best_$s.cent_id").as(s"code_$s")) :+
         (0 until m).map(s => col(s"best_$s.dd")).reduce(_ + _).as("err"): _*)
   }
+
+  /** Exact L2 top-k over the scaled-long components — the metric-matched
+    * baseline for [[annPqAdc]] (PQ quantizes L2, so its recall contract
+    * must be judged against exact L2, not cosine). Every distance is an
+    * exact BIGINT Σ(Δ²) — no IEEE accumulation — so ranks and distances
+    * hash-match. Same brute-force shape as [[cosineTopK]]: queries
+    * broadcast, one corpus scan, WindowGroupLimit prunes the top-k.
+    */
+  def l2TopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val dim = probeDim(emb)
+    val sv = scaledLongs(emb, dim)
+    val q = sv.select(col("vec_id").as("qid") +:
+      (0 until dim).map(i => col(s"x_$i").as(s"q_$i")): _*)
+      .filter(col("qid") < nQueries)
+    val dist = (0 until dim).map { i =>
+      val d = col(s"x_$i") - col(s"q_$i"); d * d
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(asc("dist"), asc("vec_id"))
+    sv.crossJoin(broadcast(q))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("dist"), col("rn"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): the search side of [[pqCodes]] —
+    * the query stays EXACT while the corpus is its code bytes, and the
+    * per-query distance table (query subvector vs every codebook entry,
+    * nq·m·nCents exact-long entries — driver metadata, built from the
+    * O(nq) collected query rows) turns each corpus distance into m table
+    * lookups + an integer sum. This is the memory-bound scan shape PQ
+    * exists for: at 100 TB the corpus side reads 8 code bytes per vector
+    * instead of 256 float bytes, the table broadcasts, and the only
+    * exchange is the per-(qid, vec) sum's. Distances are exact BIGINTs
+    * end-to-end, so the ranking hash-matches; recall vs exact L2 is the
+    * gate-checked [[annRecallPq]] contract.
+    */
+  def annPqAdc(
+      emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      m: Int = 8, nCents: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = probeDim(emb)
+    val sub = dim / m
+    val cents = pqCodebook(emb, nCents)
+    val queries: Array[(Long, Array[Long])] = scaledLongs(emb, dim)
+      .filter(col("vec_id") < nQueries)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to dim).map(r.getLong).toArray)
+    import spark.implicits._
+    val tbl = (for {
+      (qid, qv) <- queries.toSeq
+      s <- 0 until m
+      (c, cv) <- cents.toSeq
+    } yield {
+      val dsub = (0 until sub).map { j =>
+        val d = qv(s * sub + j) - cv(s * sub + j); d * d
+      }.sum
+      (qid, s.toLong, c, dsub)
+    }).toDF("qid", "sub", "code", "dsub")
+    val codes = pqCodes(emb, m, nCents)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(s => col(s"code_$s")): _*))
+          .as(Seq("sub", "code")))
+      .withColumn("sub", col("sub").cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(asc("dist"), asc("vec_id"))
+    codes.join(broadcast(tbl), Seq("sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dsub")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("dist"), col("rn"))
+  }
+
+  /** ANN recall contract for the PQ-ADC path, judged against exact L2
+    * (the metric PQ quantizes) — the same gate-checked shape as
+    * [[annRecall]]/[[annRecallIvf]].
+    */
+  def annRecallPq(emb: DataFrame, k: Int = 10): DataFrame =
+    annRecallAgainst(l2TopK(emb, k = k), annPqAdc(emb, k = k))
 
   /** Embedding-cosine near-duplicate pairs: vectors sharing an LSH bucket
     * whose exact cosine meets `minScore` — the embedding-space member of

@@ -244,4 +244,47 @@ class SimilaritySpec extends GraftSpec {
       assert(got(c)._2 === 0L, s"centroid $c must have zero error")
     }
   }
+
+  test("l2 topk and pq-adc equal the brute-forced exact rankings") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val raw = emb.selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def scl(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+    val sv = raw.view.mapValues(scl).toMap
+    val cents = sv.filter(_._1 < 16)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map { i => val d = a(i) - b(i); d * d }.sum
+    def topk(dists: Map[Long, Long]): Seq[(Long, Long, Long)] =
+      dists.toSeq.sortBy { case (id, d) => (d, id) }.take(10).zipWithIndex
+        .map { case ((id, d), i) => (id, d, i + 1L) }
+    val queries = sv.keys.filter(_ < 8).toSeq
+    // exact L2
+    val gotL2 = Similarity.l2TopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong))
+    val expL2 = queries.flatMap { q =>
+      topk(sv.view.mapValues(l2(sv(q), _)).toMap).map(t => (q, t._1, t._2, t._3))
+    }
+    assert(gotL2.toSet === expL2.toSet)
+    // ADC = exact query vs PQ reconstruction
+    def reconstruct(v: Array[Long]): Array[Long] = {
+      val out = new Array[Long](v.length)
+      for (s <- 0 until 8) {
+        val code = cents.toSeq.map { case (c, cv) =>
+          ((s * 8 until s * 8 + 8).map { i =>
+            val d = v(i) - cv(i); d * d
+          }.sum, c)
+        }.min._2
+        for (j <- 0 until 8) out(s * 8 + j) = cents(code)(s * 8 + j)
+      }
+      out
+    }
+    val recon = sv.view.mapValues(reconstruct).toMap
+    val gotAdc = Similarity.annPqAdc(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong))
+    val expAdc = queries.flatMap { q =>
+      topk(recon.view.mapValues(l2(sv(q), _)).toMap).map(t => (q, t._1, t._2, t._3))
+    }
+    assert(gotAdc.toSet === expAdc.toSet)
+  }
 }
