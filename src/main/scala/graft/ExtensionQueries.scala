@@ -255,6 +255,49 @@ object ExtensionQueries {
     JOIN coin ce ON e.doc_id = ce.doc_id AND ce.c < 10
     GROUP BY 1, 2"""
 
+  /** Shared oracle CTEs: the perceptual aHash re-derived arithmetically
+    * from document bytes (padded plane → integer luma → 8×8 grid cells →
+    * two 32-bit halves) — used by `mm_phash_pairs` and
+    * `mm_phash_clusters` (mirrors Multimodal.aHash).
+    */
+  private val phashHashesCte =
+    """b AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        d AS (
+          SELECT doc_id, hx, n,
+                 greatest(1, CAST(ceil(n / 24.0) AS BIGINT)) AS h
+          FROM b),
+        idx AS (SELECT doc_id, hx, n, h, unnest(range(0, h * 24)) AS i FROM d),
+        vals AS (
+          SELECT doc_id, h, i // 3 AS p, i % 3 AS c,
+                 CASE WHEN i < n
+                      THEN ('0x' || substring(hx, CAST(2*i + 1 AS INT), 2))::BIGINT
+                      ELSE 0 END AS v
+          FROM idx),
+        px AS (
+          SELECT doc_id, h, p,
+                 SUM(v * CASE c WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) AS l
+          FROM vals GROUP BY 1, 2, 3),
+        cells AS (
+          SELECT doc_id, ((p // 8) * 8) // h AS oy, p % 8 AS ox,
+                 SUM(l) AS cs, COUNT(*) AS cc
+          FROM px GROUP BY 1, 2, 3),
+        tot AS (SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc FROM cells GROUP BY 1),
+        bits AS (
+          SELECT c.doc_id, oy * 8 + ox AS k
+          FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+          WHERE cs * tc > ts * cc),
+        hashes AS (
+          SELECT d.doc_id,
+                 COALESCE(SUM(CASE WHEN k < 32
+                   THEN CAST(2 ** k AS BIGINT) ELSE 0 END), 0) AS lo,
+                 COALESCE(SUM(CASE WHEN k >= 32
+                   THEN CAST(2 ** (k - 32) AS BIGINT) ELSE 0 END), 0) AS hi
+          FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
+          GROUP BY 1)"""
+
   /** Shared oracle CTEs for the PQ/L2 family: `sv` = every vector's
     * floor-scaled-long components (one row per (vec, dim)), `cv` = the
     * first-16 codebook's components (mirrors Similarity.scaledLongs /
@@ -2426,48 +2469,39 @@ object ExtensionQueries {
     QuerySpec(
       "mm_phash_pairs",
       (s, dir) => Multimodal.phashPairs(s, docs(s, dir)),
-      Some("""
-        WITH b AS (
-          SELECT doc_id, hex(encode(text)) AS hx,
-                 octet_length(encode(text)) AS n
-          FROM documents),
-        d AS (
-          SELECT doc_id, hx, n,
-                 greatest(1, CAST(ceil(n / 24.0) AS BIGINT)) AS h
-          FROM b),
-        idx AS (SELECT doc_id, hx, n, h, unnest(range(0, h * 24)) AS i FROM d),
-        vals AS (
-          SELECT doc_id, h, i // 3 AS p, i % 3 AS c,
-                 CASE WHEN i < n
-                      THEN ('0x' || substring(hx, CAST(2*i + 1 AS INT), 2))::BIGINT
-                      ELSE 0 END AS v
-          FROM idx),
-        px AS (
-          SELECT doc_id, h, p,
-                 SUM(v * CASE c WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) AS l
-          FROM vals GROUP BY 1, 2, 3),
-        cells AS (
-          SELECT doc_id, ((p // 8) * 8) // h AS oy, p % 8 AS ox,
-                 SUM(l) AS cs, COUNT(*) AS cc
-          FROM px GROUP BY 1, 2, 3),
-        tot AS (SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc FROM cells GROUP BY 1),
-        bits AS (
-          SELECT c.doc_id, oy * 8 + ox AS k
-          FROM cells c JOIN tot t ON c.doc_id = t.doc_id
-          WHERE cs * tc > ts * cc),
-        hashes AS (
-          SELECT d.doc_id,
-                 COALESCE(SUM(CASE WHEN k < 32
-                   THEN CAST(2 ** k AS BIGINT) ELSE 0 END), 0) AS lo,
-                 COALESCE(SUM(CASE WHEN k >= 32
-                   THEN CAST(2 ** (k - 32) AS BIGINT) ELSE 0 END), 0) AS hi
-          FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
-          GROUP BY 1)
+      Some(s"""
+        WITH $phashHashesCte
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.lo, b.lo))
                   + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7""")),
+
+    // Image near-dup clusters: connected components over the phash pair
+    // graph — the keep-one decision, completing decode -> stats -> pairs
+    // -> clusters. Same recursive-reach oracle as dedup_clusters over
+    // the arithmetically re-derived hashes.
+    QuerySpec(
+      "mm_phash_clusters",
+      (s, dir) => Multimodal.phashClusters(s, docs(s, dir)),
+      benchmark = false, // iterative: wall time = propagation rounds, not throughput
+      oracle = Some(s"""
+        WITH RECURSIVE
+        $phashHashesCte,
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, node) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+        SELECT src AS doc_id, min(node) AS cluster
+        FROM reach GROUP BY src""")),
 
     // ---- curation pipeline (batch twin of streaming DocPipeline.curate) ----
     // Flagship §2-B pipeline end-to-end in one DataFrame: fused one-scan

@@ -310,6 +310,23 @@ object Multimodal {
       spark: SparkSession, docs: DataFrame, maxHamming: Int = 7): DataFrame =
     Dedup.hammingProbePairs(aHash(spark, docs), "phash", nBits = 64, maxHamming)
 
+  /** Image near-dup CLUSTERS: connected components over the [[phashPairs]]
+    * graph — the keep-one decision for image dedup, mirroring
+    * [[Dedup.nearDupClusters]] exactly (same min-label + pointer-halving
+    * iteration, O(log diameter) rounds; singletons label themselves
+    * without entering the loop). Completes the multimodal pipeline:
+    * decode → stats → pairs → clusters.
+    */
+  def phashClusters(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val (labels, _) = Dedup.connectedComponents(
+      phashPairs(spark, docs, maxHamming).select(col("doc_a"), col("doc_b")))
+    docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("cluster", col("doc_id"))
+      .unionByName(labels)
+  }
+
   /** Audio feature extraction — the PCM twin of the image decode path:
     * the blob is interpreted as signed 16-bit little-endian mono PCM
     * (the WAV data-chunk layout; a trailing odd byte is not a sample and

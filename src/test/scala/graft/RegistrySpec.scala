@@ -61,7 +61,8 @@ class RegistrySpec extends GraftSpec {
       "dedup_semantic_clusters", "sim_ann_ivf_probe8", "sim_ann_ivf_trained",
       "tokenize_bpe", "vocab_bpe_merges",
       "sim_recall_lsh", "sim_recall_lsh_probe",
-      "sim_recall_ivf", "sim_recall_ivf_probe8", "sim_recall_pq")
+      "sim_recall_ivf", "sim_recall_ivf_probe8", "sim_recall_pq",
+      "mm_phash_clusters")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
