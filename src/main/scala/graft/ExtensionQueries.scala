@@ -312,19 +312,43 @@ object ExtensionQueries {
         cv AS (SELECT vec_id AS cent_id, i, sx AS cx FROM sv WHERE vec_id < 16)"""
 
   /** PQ assignment CTEs (needs [[pqSvCvCte]]): exact scaled-long L2 per
-    * (vec, centroid, subspace), then the per-subspace argmin ranking.
+    * (vec, centroid, subspace), then the per-subspace argmin ranking —
+    * parametrized by round suffix + codebook CTE so the trained variant
+    * can chain rounds (mirrors the lloydAssignCte pattern).
     */
-  private val pqAssignCte =
-    """pqd AS (
+  private def pqAssignCteN(n: String, cvName: String): String =
+    s"""pqd$n AS (
           SELECT s.vec_id, c.cent_id, s.i // 8 AS sub,
                  CAST(SUM((s.sx - c.cx) * (s.sx - c.cx)) AS BIGINT) AS dd
-          FROM sv s JOIN cv c ON s.i = c.i
+          FROM sv s JOIN $cvName c ON s.i = c.i
           GROUP BY 1, 2, 3),
-        pqbest AS (
+        pqbest$n AS (
           SELECT vec_id, sub, cent_id, dd,
                  row_number() OVER (PARTITION BY vec_id, sub
                                     ORDER BY dd, cent_id) AS rn
-          FROM pqd)"""
+          FROM pqd$n)"""
+
+  private val pqAssignCte = pqAssignCteN("", "cv")
+
+  /** One PQ Lloyd round (needs [[pqSvCvCte]] + a prior assignment round):
+    * member means per (centroid, subspace) slice with the exact
+    * two-IEEE-division + rescale chain (Σsx / n / 1e6, floor-rescaled —
+    * verbatim the Spark update), empty cells keeping the previous slice.
+    */
+  private def pqUpdateCte(n: String, prevBest: String, prevCv: String): String =
+    s"""codes$n AS (
+          SELECT vec_id, sub, cent_id AS code FROM $prevBest WHERE rn = 1),
+        upd$n AS (
+          SELECT c1.code AS cent_id, s.i,
+                 CAST(FLOOR((CAST(SUM(s.sx) AS DOUBLE) / COUNT(*) / 1e6)
+                   * 1e6 + 0.5) AS BIGINT) AS cx
+          FROM codes$n c1 JOIN sv s
+            ON s.vec_id = c1.vec_id AND s.i // 8 = c1.sub
+          GROUP BY 1, 2),
+        cv$n AS (
+          SELECT c.cent_id, c.i, COALESCE(u.cx, c.cx) AS cx
+          FROM $prevCv c LEFT JOIN upd$n u
+            ON u.cent_id = c.cent_id AND u.i = c.i)"""
 
   /** ADC CTEs (need [[pqSvCvCte]] + [[pqAssignCte]]): per-vector codes,
     * the per-query distance table, and the table-lookup distances.
@@ -1239,6 +1263,32 @@ object ExtensionQueries {
                MAX(CASE WHEN sub = 7 THEN cent_id END) AS code_7,
                CAST(SUM(dd) AS BIGINT) AS err
         FROM pqbest WHERE rn = 1 GROUP BY vec_id""")),
+
+    // Lloyd-trained PQ: one deterministic k-means round per subspace from
+    // the first-16 seed (assign -> exact-mean update -> re-assign), the
+    // oracle unrolling the round verbatim. PQSpec pins total
+    // reconstruction error strictly below the untrained seed's.
+    QuerySpec(
+      "emb_pq_codes_trained",
+      (s, dir) => Similarity.pqCodesTrained(emb(s, dir)),
+      benchmark = false, // iterative: every run re-trains the sub-codebooks
+      // (driver-looped rounds, the sim_ann_ivf_trained precedent)
+      oracle = Some(s"""
+        WITH $pqSvCvCte,
+        ${pqAssignCteN("1", "cv")},
+        ${pqUpdateCte("1", "pqbest1", "cv")},
+        ${pqAssignCteN("2", "cv1")}
+        SELECT vec_id,
+               MAX(CASE WHEN sub = 0 THEN cent_id END) AS code_0,
+               MAX(CASE WHEN sub = 1 THEN cent_id END) AS code_1,
+               MAX(CASE WHEN sub = 2 THEN cent_id END) AS code_2,
+               MAX(CASE WHEN sub = 3 THEN cent_id END) AS code_3,
+               MAX(CASE WHEN sub = 4 THEN cent_id END) AS code_4,
+               MAX(CASE WHEN sub = 5 THEN cent_id END) AS code_5,
+               MAX(CASE WHEN sub = 6 THEN cent_id END) AS code_6,
+               MAX(CASE WHEN sub = 7 THEN cent_id END) AS code_7,
+               CAST(SUM(dd) AS BIGINT) AS err
+        FROM pqbest2 WHERE rn = 1 GROUP BY vec_id""")),
 
     // Exact L2 top-k over scaled-long components — the metric-matched
     // baseline for the PQ search path (exact BIGINT distances, no IEEE

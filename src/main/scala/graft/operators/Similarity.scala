@@ -500,11 +500,17 @@ object Similarity {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
 
-  def pqCodes(emb: DataFrame, m: Int = 8, nCents: Int = 16): DataFrame = {
+  def pqCodes(emb: DataFrame, m: Int = 8, nCents: Int = 16): DataFrame =
+    pqCodesWith(emb, pqCodebook(emb, nCents), m)
+
+  /** [[pqCodes]] against a GIVEN codebook — the core shared by the
+    * first-16 and the Lloyd-trained ([[pqCodebookTrained]]) variants.
+    */
+  private def pqCodesWith(
+      emb: DataFrame, cents: Map[Long, Array[Long]], m: Int): DataFrame = {
     val dim = probeDim(emb)
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
-    val cents = pqCodebook(emb, nCents)
     val centIds = cents.keys.toSeq.sorted
     val scaled = scaledLongs(emb, dim)
     def dist(s: Int, c: Long): org.apache.spark.sql.Column =
@@ -521,6 +527,62 @@ object Similarity {
         (0 until m).map(s => col(s"best_$s.cent_id").as(s"code_$s")) :+
         (0 until m).map(s => col(s"best_$s.dd")).reduce(_ + _).as("err"): _*)
   }
+
+  /** Lloyd-trained PQ sub-codebooks: `iters` deterministic k-means rounds
+    * PER SUBSPACE from the first-`nCents` seed — the training step real
+    * PQ indexes run, next to [[ivfCentroidsTrained]]'s full-vector twin.
+    * Each round assigns every vector's subvectors to their nearest
+    * sub-centroids (exact scaled-long distances) and recomputes each
+    * non-empty (centroid, subspace) slice as the member mean with the
+    * SAME two-IEEE-division + rescale chain the IVF update uses
+    * (Σsx / n / 1e6, floor-rescaled — mirrored verbatim in the oracle);
+    * empty cells keep their slice. Per round the driver holds only the
+    * O(nCents·dim) updated codebook — the corpus moves through one
+    * assignment scan + one (sub, code, dim) aggregation.
+    */
+  def pqCodebookTrained(
+      emb: DataFrame, m: Int = 8, nCents: Int = 16,
+      iters: Int = 1): Map[Long, Array[Long]] = {
+    val dim = probeDim(emb)
+    val sub = dim / m
+    var cents = pqCodebook(emb, nCents)
+    for (_ <- 1 to iters) {
+      val melted = scaledLongs(emb, dim).select(col("vec_id"),
+        posexplode(array((0 until dim).map(i => col(s"x_$i")): _*))
+          .as(Seq("i", "sx")))
+      val codes = pqCodesWith(emb, cents, m).select(col("vec_id"),
+        posexplode(array((0 until m).map(s => col(s"code_$s")): _*))
+          .as(Seq("sub", "code")))
+      val sums = codes
+        .join(melted, codes("vec_id") === melted("vec_id") &&
+          (col("i") / sub).cast("int") === col("sub"))
+        .groupBy(col("code"), col("i"))
+        .agg(sum(col("sx")).as("s"), count(lit(1)).as("nn"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      cents = cents.map { case (c, prev) =>
+        c -> prev.indices.map { i =>
+          sums.get((c, i)) match {
+            // mean = Σsx / n / 1e6 then floor-rescale — the exact IEEE
+            // chain the oracle mirrors
+            case Some((s, n)) =>
+              math.floor((s.toDouble / n / 1e6) * 1e6 + 0.5).toLong
+            case None => prev(i) // empty (cell, sub): keep the slice
+          }
+        }.toArray
+      }
+    }
+    cents
+  }
+
+  /** [[pqCodes]] with the Lloyd-trained codebook — registered as
+    * `emb_pq_codes_trained`; PQSpec pins the trained codebook's total
+    * reconstruction error strictly below the first-16 seed's.
+    */
+  def pqCodesTrained(
+      emb: DataFrame, m: Int = 8, nCents: Int = 16, iters: Int = 1): DataFrame =
+    pqCodesWith(emb, pqCodebookTrained(emb, m, nCents, iters), m)
 
   /** Exact L2 top-k over the scaled-long components — the metric-matched
     * baseline for [[annPqAdc]] (PQ quantizes L2, so its recall contract

@@ -245,6 +245,18 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("trained pq strictly reduces total reconstruction error") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    def totalErr(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.sum("err")).head().getLong(0)
+    val untrained = totalErr(Similarity.pqCodes(emb))
+    val trained = totalErr(Similarity.pqCodesTrained(emb))
+    // one Lloyd round moves every non-empty sub-centroid to its member
+    // mean — the L2-optimal point for the assignment — so total error
+    // must drop (strictly, on this corpus)
+    assert(trained < untrained, s"trained $trained vs untrained $untrained")
+  }
+
   test("l2 topk and pq-adc equal the brute-forced exact rankings") {
     val emb = Tables.load(spark, sf, "embeddings")
     val raw = emb.selectExpr("vec_id", "cast(embedding as array<double>) v")
