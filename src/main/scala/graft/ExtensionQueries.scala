@@ -350,20 +350,24 @@ object ExtensionQueries {
           FROM $prevCv c LEFT JOIN upd$n u
             ON u.cent_id = c.cent_id AND u.i = c.i)"""
 
-  /** ADC CTEs (need [[pqSvCvCte]] + [[pqAssignCte]]): per-vector codes,
-    * the per-query distance table, and the table-lookup distances.
+  /** ADC CTEs (need [[pqSvCvCte]] + an assignment round): per-vector
+    * codes, the per-query distance table, and the table-lookup
+    * distances — parametrized by round suffix + codebook like the
+    * assignment builder.
     */
-  private val pqAdcCte =
-    """codes AS (SELECT vec_id, sub, cent_id AS code FROM pqbest WHERE rn = 1),
-        q AS (SELECT vec_id AS qid, i, sx AS qx FROM sv WHERE vec_id < 8),
-        tbl AS (
-          SELECT q.qid, c.i // 8 AS sub, c.cent_id AS code,
-                 CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS dsub
-          FROM q JOIN cv c ON q.i = c.i
+  private def pqAdcCteN(n: String, best: String, cvName: String): String =
+    s"""adcodes$n AS (
+          SELECT vec_id, sub, cent_id AS code FROM $best WHERE rn = 1),
+        q$n AS (SELECT vec_id AS qid, i, sx AS qx FROM sv WHERE vec_id < 8),
+        tbl$n AS (
+          SELECT q$n.qid, c.i // 8 AS sub, c.cent_id AS code,
+                 CAST(SUM((q$n.qx - c.cx) * (q$n.qx - c.cx)) AS BIGINT) AS dsub
+          FROM q$n JOIN $cvName c ON q$n.i = c.i
           GROUP BY 1, 2, 3),
-        ad AS (
-          SELECT t.qid, codes.vec_id, CAST(SUM(t.dsub) AS BIGINT) AS dist
-          FROM codes JOIN tbl t ON codes.sub = t.sub AND codes.code = t.code
+        ad$n AS (
+          SELECT t.qid, adcodes$n.vec_id, CAST(SUM(t.dsub) AS BIGINT) AS dist
+          FROM adcodes$n JOIN tbl$n t
+            ON adcodes$n.sub = t.sub AND adcodes$n.code = t.code
           GROUP BY 1, 2)"""
 
   /** Single-probe IVF ANN oracle — shared verbatim by `sim_ann_ivf`
@@ -1319,7 +1323,7 @@ object ExtensionQueries {
       Some(s"""
         WITH $pqSvCvCte,
         $pqAssignCte,
-        $pqAdcCte
+        ${pqAdcCteN("", "pqbest", "cv")}
         SELECT qid, vec_id, dist, rn FROM (
           SELECT qid, vec_id, dist,
                  row_number() OVER (PARTITION BY qid
@@ -1337,7 +1341,7 @@ object ExtensionQueries {
       oracle = Some(s"""
         WITH $pqSvCvCte,
         $pqAssignCte,
-        $pqAdcCte,
+        ${pqAdcCteN("", "pqbest", "cv")},
         approx AS (
           SELECT qid, vec_id FROM (
             SELECT qid, vec_id,
@@ -1348,6 +1352,46 @@ object ExtensionQueries {
           SELECT q.qid, s.vec_id,
                  CAST(SUM((s.sx - q.qx) * (s.sx - q.qx)) AS BIGINT) AS dist
           FROM sv s JOIN q ON s.i = q.i
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, vec_id) AS rn
+            FROM l2) WHERE rn <= 10)
+        SELECT e.qid,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY e.qid""")),
+
+    // The trained-PQ recall contract — the second operating point of the
+    // PQ recall/compression curve (IVF trained/untrained precedent): the
+    // Lloyd round's effect on search quality is a gate-checked number.
+    QuerySpec(
+      "sim_recall_pq_trained",
+      (s, dir) => Similarity.annRecallPqTrained(emb(s, dir)),
+      benchmark = false, // contract query over the re-trained pipeline
+      oracle = Some(s"""
+        WITH $pqSvCvCte,
+        ${pqAssignCteN("1", "cv")},
+        ${pqUpdateCte("1", "pqbest1", "cv")},
+        ${pqAssignCteN("2", "cv1")},
+        ${pqAdcCteN("2", "pqbest2", "cv1")},
+        approx AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, vec_id) AS rn
+            FROM ad2) WHERE rn <= 10),
+        l2 AS (
+          SELECT q2.qid, s.vec_id,
+                 CAST(SUM((s.sx - q2.qx) * (s.sx - q2.qx)) AS BIGINT) AS dist
+          FROM sv s JOIN q2 ON s.i = q2.i
           GROUP BY 1, 2),
         exact AS (
           SELECT qid, vec_id FROM (

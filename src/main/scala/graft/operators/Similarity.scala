@@ -623,11 +623,19 @@ object Similarity {
     */
   def annPqAdc(
       emb: DataFrame, nQueries: Int = 8, k: Int = 10,
-      m: Int = 8, nCents: Int = 16): DataFrame = {
+      m: Int = 8, nCents: Int = 16): DataFrame =
+    annPqAdcWith(emb, pqCodebook(emb, nCents), nQueries, k, m)
+
+  /** [[annPqAdc]] against a GIVEN codebook — shared by the first-16 and
+    * Lloyd-trained variants (both the corpus codes and the query
+    * distance table derive from the same `cents`).
+    */
+  private def annPqAdcWith(
+      emb: DataFrame, cents: Map[Long, Array[Long]],
+      nQueries: Int, k: Int, m: Int): DataFrame = {
     val spark = emb.sparkSession
     val dim = probeDim(emb)
     val sub = dim / m
-    val cents = pqCodebook(emb, nCents)
     val queries: Array[(Long, Array[Long])] = scaledLongs(emb, dim)
       .filter(col("vec_id") < nQueries)
       .collect()
@@ -643,7 +651,7 @@ object Similarity {
       }.sum
       (qid, s.toLong, c, dsub)
     }).toDF("qid", "sub", "code", "dsub")
-    val codes = pqCodes(emb, m, nCents)
+    val codes = pqCodesWith(emb, cents, m)
       .select(col("vec_id"),
         posexplode(array((0 until m).map(s => col(s"code_$s")): _*))
           .as(Seq("sub", "code")))
@@ -664,6 +672,17 @@ object Similarity {
     */
   def annRecallPq(emb: DataFrame, k: Int = 10): DataFrame =
     annRecallAgainst(l2TopK(emb, k = k), annPqAdc(emb, k = k))
+
+  /** [[annRecallPq]] for the Lloyd-trained sub-codebooks — the second
+    * operating point of the PQ recall/compression curve, registered so
+    * the training step's effect is a gate-checked number (the
+    * IVF trained/untrained precedent).
+    */
+  def annRecallPqTrained(
+      emb: DataFrame, k: Int = 10, iters: Int = 1): DataFrame =
+    annRecallAgainst(l2TopK(emb, k = k),
+      annPqAdcWith(emb, pqCodebookTrained(emb, iters = iters),
+        nQueries = 8, k = k, m = 8))
 
   /** Embedding-cosine near-duplicate pairs: vectors sharing an LSH bucket
     * whose exact cosine meets `minScore` — the embedding-space member of
