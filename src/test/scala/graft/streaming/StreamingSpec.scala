@@ -661,6 +661,63 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("phash pair state survives a checkpoint restart") {
+    // the bucket-entry ListState is RocksDB state: a near-dup arriving
+    // AFTER a restart must still pair with the fingerprint stored BEFORE
+    // it — the recovery contract of an ingest-time image dedup
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_phr").toString
+      val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      def writeFile(name: String, rows: Seq[(Long, String, String)]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$in/$name"),
+          rows.map { case (id, tx, ts) =>
+            s"""{"doc_id":$id,"text":"$tx","utc":"$ts"}"""
+          }.mkString("\n").getBytes)
+      def runOnce(attempts: Int = 40): Unit = {
+        import spark.implicits._
+        val src = spark.readStream.schema(NearDupJob.nearDupDocSchema)
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .option("maxFilesPerTrigger", 1).json(in)
+          .as[StreamingQueries.SimhashDoc]
+        val q = StreamingQueries.phashPairsStream(spark, src).toDF()
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(); q.stop() }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("concurrently using") && attempts > 0 =>
+            Thread.sleep(250); runOnce(attempts - 1)
+        }
+      }
+      // run 1: the future pair's first half + an unrelated doc
+      writeFile("f0.json", Seq(
+        (1L, base, "2024-01-01 00:00:01"),
+        (5L, "another unrelated document body entirely disjoint", "2024-01-01 00:00:02")))
+      runOnce()
+      // run 2 (fresh query, same checkpoint): the identical twin arrives
+      writeFile("f1.json", Seq((2L, base, "2024-01-01 00:00:03")))
+      runOnce()
+      val got = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("hamming"))).toSet
+      assert(got === Set((1L, 2L, 0L)),
+        s"the pre-restart fingerprint must pair with the post-restart twin: $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("heavy-hitter summaries survive a checkpoint restart") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
