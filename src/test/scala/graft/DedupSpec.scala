@@ -324,6 +324,39 @@ class DedupSpec extends GraftSpec {
     assert(idxRows === baseRows + dRows)
   }
 
+  test("hammingProbePairs == brute all-pairs on random fingerprints, both widths") {
+    // the pigeonhole guarantee is width-generic: at the recall bound
+    // (2*nSeg - 1) the blocked join must equal the quadratic compare on
+    // ARBITRARY fingerprints — seeded randoms, not corpus-shaped ones
+    val rnd = new scala.util.Random(20260813L)
+    for ((nBits, maxHam) <- Seq((32, 3), (64, 7))) {
+      val mask = if (nBits == 64) -1L else (1L << nBits) - 1
+      val fps = (0L until 300L).map { id =>
+        // cluster some fingerprints so true near-pairs exist: every 10th
+        // doc perturbs the previous one by a few bits
+        val v =
+          if (id % 10 != 0 && rnd.nextBoolean()) {
+            var x = rnd.nextLong() & mask; x // fresh
+          } else rnd.nextLong() & mask
+        id -> v
+      }
+      val clustered = fps.map { case (id, v) =>
+        if (id % 3 == 0 && id > 0)
+          id -> (fps((id - 1).toInt)._2 ^ (1L << rnd.nextInt(nBits)))
+        else id -> v
+      }
+      val expected = (for {
+        (a, fa) <- clustered; (b, fb) <- clustered if a < b
+        d = java.lang.Long.bitCount(fa ^ fb) if d <= maxHam
+      } yield (a, b, d.toLong)).toSet
+      val df = clustered.toDF("doc_id", "fp")
+      val got = graft.operators.Dedup.hammingProbePairs(df, "fp", nBits, maxHam)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"nBits=$nBits")
+      assert(expected.nonEmpty, s"nBits=$nBits: the clustered fps must yield pairs")
+    }
+  }
+
   test("passage dedup: first corpus-wide occurrence survives (brute force)") {
     // width=2 passages: doc1 = [a b][c d], doc2 = [a b][x y] (shares one
     // passage with doc1), doc3 = [c d] twice (in-doc repeat + cross-doc),
