@@ -361,6 +361,24 @@ class PlanSpec extends GraftSpec {
       s"the corpus-stats row is a broadcast single row:\n$p")
   }
 
+  test("pq codes and audio features are single-scan zero-exchange projections") {
+    for (q <- Seq("emb_pq_codes", "mm_audio_features")) {
+      val p = plan(Registry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"),
+        s"$q: per-row work must fuse into the scan (stacked projections / " +
+          s"the codec iterator):\n$p")
+      assert("Scan parquet".r.findAllIn(p).size === 1, s"$q: one corpus scan:\n$p")
+    }
+  }
+
+  test("cluster-balanced sampling replays the cell checkpoint — zero rescans") {
+    val p = plan(Registry.queries("mix_cluster_balanced")(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      s"the apply must replay the (vec_id, cell) checkpoint, not re-assign:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the cell-weights table is a broadcast:\n$p")
+  }
+
   test("phash pairs: probe-join buckets, never an all-pairs join") {
     val p = plan(Registry.queries("mm_phash_pairs")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
