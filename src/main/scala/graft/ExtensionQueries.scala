@@ -399,33 +399,21 @@ object ExtensionQueries {
       FROM dots)
     ${topkTail(10)}""")
 
-  /** BM25 oracle, BUILT from [[TextAnalysis.Bm25Queries]]: per-term
-    * floor-scaled-long scores with the identical IEEE op chain the Spark
-    * side declares (log-free idf, k1 = 1.2, b = 0.75), summed exactly,
-    * top-20 per query by (score DESC, doc_id).
+  /** Shared retrieval CTE prefix, BUILT from [[TextAnalysis.Bm25Queries]]
+    * so both engines always score the same terms: per-doc term
+    * frequencies + doc length (`base`), the one-row corpus stats
+    * (`stats`), and their cross join (`scored`) — the inputs every
+    * lexical ranker reads.
     */
-  private val bm25Oracle: String = {
-    val queries = TextAnalysis.Bm25Queries
-    val terms = queries.flatMap(_._2).distinct
-    val idx = terms.zipWithIndex.toMap
+  private val retrievalCtes: String = {
+    val terms = TextAnalysis.Bm25Queries.flatMap(_._2).distinct
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$i"
     }.mkString(",\n             ")
     val dfCols = terms.indices.map(i =>
       s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
     ).mkString(",\n             ")
-    def term(i: Int) =
-      s"CAST(FLOOR(1000000.0 * ((((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE)" +
-        s" + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) * (CAST(tf_$i AS DOUBLE) * 2.2))" +
-        s" / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)" +
-        s" / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))) AS BIGINT)"
-    val qSelects = queries.map { case (qid, qterms) =>
-      s"SELECT CAST($qid AS BIGINT) AS qid, doc_id,\n" +
-        s"       (${qterms.map(t => term(idx(t))).mkString("\n        + ")}) AS score\n" +
-        s"FROM scored"
-    }.mkString("\nUNION ALL\n")
-    s"""
-      WITH $toksCte,
+    s"""$toksCte,
       base AS (
         SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
              $tfCols
@@ -435,15 +423,89 @@ object ExtensionQueries {
                CAST(SUM(dl) AS BIGINT) AS total_dl,
              $dfCols
         FROM base),
-      scored AS (SELECT * FROM base CROSS JOIN stats),
-      q AS ($qSelects)
+      scored AS (SELECT * FROM base CROSS JOIN stats)"""
+  }
+
+  /** Per-query BM25 score union (log-free idf, k1 = 1.2, b = 0.75 —
+    * verbatim the Spark IEEE op chain, floor-scaled to longs).
+    */
+  private val bm25ScoreUnion: String = {
+    val queries = TextAnalysis.Bm25Queries
+    val terms = queries.flatMap(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    def term(i: Int) =
+      s"CAST(FLOOR(1000000.0 * ((((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE)" +
+        s" + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) * (CAST(tf_$i AS DOUBLE) * 2.2))" +
+        s" / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)" +
+        s" / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))) AS BIGINT)"
+    queries.map { case (qid, qterms) =>
+      s"SELECT CAST($qid AS BIGINT) AS qid, doc_id,\n" +
+        s"       (${qterms.map(t => term(idx(t))).mkString("\n        + ")}) AS score\n" +
+        s"FROM scored"
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** Per-query rarity-weighted tf score union (Σ tf·(N − df), exact
+    * BIGINT) — the second ranker [[TextAnalysis.hybridRrf]] fuses.
+    */
+  private val rareScoreUnion: String = {
+    val queries = TextAnalysis.Bm25Queries
+    val terms = queries.flatMap(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    queries.map { case (qid, qterms) =>
+      s"SELECT CAST($qid AS BIGINT) AS qid, doc_id,\n" +
+        s"       CAST(${qterms.map(t => s"tf_${idx(t)} * (n_docs - df_${idx(t)})")
+          .mkString(" + ")} AS BIGINT) AS score\nFROM scored"
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** BM25 oracle: the shared retrieval prefix + the BM25 score union,
+    * top-20 per query by (score DESC, doc_id).
+    */
+  private val bm25Oracle: String = s"""
+      WITH $retrievalCtes,
+      q AS ($bm25ScoreUnion)
       SELECT qid, doc_id, score, rn FROM (
         SELECT qid, doc_id, score,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY score DESC, doc_id) AS rn
         FROM q WHERE score > 0)
       WHERE rn <= 20"""
-  }
+
+  /** Reciprocal-rank-fusion oracle: both ranked lists from the SAME
+    * shared prefix, fused over their full outer join with the identical
+    * two-IEEE-op chain the Spark side declares (one division per list,
+    * one addition in (bm25, rare) order).
+    */
+  private val hybridRrfOracle: String = s"""
+      WITH $retrievalCtes,
+      bq AS ($bm25ScoreUnion),
+      br AS (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS bm25_rn
+        FROM bq WHERE score > 0),
+      brk AS (SELECT qid, doc_id, bm25_rn FROM br WHERE bm25_rn <= 20),
+      rq AS ($rareScoreUnion),
+      rr AS (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rare_rn
+        FROM rq WHERE score > 0),
+      rrk AS (SELECT qid, doc_id, rare_rn FROM rr WHERE rare_rn <= 20),
+      f AS (
+        SELECT qid, doc_id, bm25_rn, rare_rn,
+               COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + bm25_rn AS DOUBLE),
+                        CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + rare_rn AS DOUBLE),
+                          CAST(0.0 AS DOUBLE)) AS rrf
+        FROM brk FULL OUTER JOIN rrk USING (qid, doc_id))
+      SELECT qid, doc_id, bm25_rn, rare_rn, rrf, rn FROM (
+        SELECT qid, doc_id, bm25_rn, rare_rn, rrf,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rrf DESC, doc_id) AS rn
+        FROM f)
+      WHERE rn <= 20"""
 
   /** Incremental delta-vs-index dedup oracle — shared verbatim by
     * `dedup_incremental` (in-plan coin split) and
@@ -1619,6 +1681,66 @@ object ExtensionQueries {
       (s, dir) => TextAnalysis.bm25TopK(docs(s, dir)),
       Some(bm25Oracle)),
 
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 list with the
+    // rarity-weighted-tf list (RRF, kappa=60) — rank-only fusion, so the
+    // two incomparable score scales never touch; fused score is one
+    // division per list + one fixed-order addition, hash-exact.
+    QuerySpec(
+      "text_hybrid_rrf",
+      (s, dir) => TextAnalysis.hybridRrf(docs(s, dir)),
+      Some(hybridRrfOracle)),
+
+    // CCNet-style per-language LM-score terciles: head/middle/tail from
+    // the bigram-LM fluency score with rank-convention cutoffs (the
+    // deciles/gate-by-lang precedent) — deterministic under ties where
+    // ntile is not.
+    QuerySpec(
+      "text_lm_buckets",
+      (s, dir) => TextAnalysis.lmBuckets(docs(s, dir)),
+      Some(s"""
+        WITH $toksCte,
+        pr AS (
+          SELECT doc_id, t[i] AS a, t[i+1] AS b
+          FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        uni AS (
+          SELECT a, COUNT(*) AS ca
+          FROM (SELECT unnest(t) AS a FROM toks) GROUP BY 1),
+        voc AS (SELECT COUNT(*) AS vocab FROM uni),
+        model AS (
+          SELECT a, b,
+                 CAST(FLOOR(1e6 * CAST(cab + 1 AS DOUBLE) /
+                      CAST(ca + vocab AS DOUBLE)) AS BIGINT) AS pq
+          FROM (SELECT a, b, COUNT(*) AS cab FROM pr GROUP BY 1, 2)
+          JOIN uni USING (a) CROSS JOIN voc),
+        lms AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams, SUM(pq) AS lm_score
+          FROM pr JOIN model USING (a, b) GROUP BY 1),
+        sc AS (
+          SELECT d.doc_id, d.lang,
+                 CAST(FLOOR((CASE WHEN s.n_bigrams IS NOT NULL
+                       THEN CAST(s.lm_score AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+                       ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS sc
+          FROM documents d LEFT JOIN lms s USING (doc_id)),
+        r AS (
+          SELECT lang, sc,
+                 row_number() OVER (PARTITION BY lang ORDER BY sc) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM sc),
+        cuts AS (
+          SELECT lang, list_sort(list(sc)) AS cl
+          FROM r JOIN (SELECT unnest(range(1, 3)) AS tt) ts
+            ON r.rn = CEIL(r.n * (tt / 3.0))
+          GROUP BY lang),
+        tiers AS (
+          SELECT s.doc_id, s.lang, s.sc,
+                 CAST(1 + len(list_filter(c.cl, x -> s.sc > x)) AS BIGINT) AS tier
+          FROM sc s JOIN cuts c USING (lang))
+        SELECT doc_id, lang, sc, tier,
+               CASE WHEN tier = 3 THEN 'head'
+                    WHEN tier = 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM tiers""")),
+
     // Per-document TF-IDF top terms: two high-cardinality hash aggs, a
     // term-keyed join, and a WindowGroupLimit top-k.
     QuerySpec(
@@ -2161,6 +2283,68 @@ object ExtensionQueries {
         SELECT e.event_id, e.event_type, e.value, m.mean
         FROM events e JOIN m ON e.event_type = m.event_type
         WHERE ABS(e.value - m.mean) > 3.0 * sqrt(m.variance)""")),
+
+    // Robust anomalies: median/MAD thresholds (50% breakdown point where
+    // the z-score's mean/sigma mask themselves) — both percentiles are
+    // DISCRETE (rank-picked stored doubles), so the thresholds are
+    // bit-identical cross-engine; histogram-aggregated, never a raw-table
+    // window.
+    QuerySpec(
+      "ts_anomalies_mad",
+      (s, dir) => TimeSeries.anomaliesMad(events(s, dir)),
+      Some("""
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM events),
+        med AS (SELECT event_type, value AS med FROM r WHERE rn = CEIL(n * 0.5)),
+        a AS (
+          SELECT e.event_id, e.event_type, e.value, m.med,
+                 ABS(e.value - m.med) AS adev
+          FROM events e JOIN med m USING (event_type)),
+        r2 AS (
+          SELECT event_type, adev,
+                 row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM a),
+        mad AS (SELECT event_type, adev AS mad FROM r2 WHERE rn = CEIL(n * 0.5))
+        SELECT a.event_id, a.event_type, a.value, a.med, mad.mad
+        FROM a JOIN mad USING (event_type)
+        WHERE a.adev > 3.0 * 1.4826 * mad.mad""")),
+
+    // CUSUM change-point screen: top-k |running deviation sum| per key in
+    // the mean-free integer form n*cum(q) - i*sum(q) — exact BIGINT, no
+    // division. Spark runs it banded (bandedLag precedent); the oracle is
+    // the naive single window — two routes, one result.
+    QuerySpec(
+      "ts_cusum_changepoints",
+      (s, dir) => TimeSeries.cusumTopDrift(events(s, dir)),
+      Some("""
+        WITH q AS (
+          SELECT event_type, event_id, ts,
+                 CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS qv
+          FROM events),
+        tot AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(qv) AS BIGINT) AS s
+          FROM q GROUP BY 1),
+        run AS (
+          SELECT event_type, event_id,
+                 CAST(SUM(qv) OVER w AS BIGINT) AS rq,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS rc
+          FROM q WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        d AS (
+          SELECT r.event_type, r.event_id,
+                 CAST(t.n * r.rq - r.rc * t.s AS BIGINT) AS drift
+          FROM run r JOIN tot t USING (event_type))
+        SELECT event_type, event_id, drift, rn FROM (
+          SELECT event_type, event_id, drift,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ABS(drift) DESC, event_id) AS rn
+          FROM d)
+        WHERE rn <= 20""")),
 
     // Banded lag: identical results to q15's single window over the
     // 5-value event_type key, decomposed over (key, time band) so the raw

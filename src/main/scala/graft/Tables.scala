@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's read-only parquet tables (TESTDATA.md).
   *
@@ -18,7 +18,28 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else ltz(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** The driver's parquet writer stores timestamps as TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ
+    * (`spark.sql.parquet.inferTimestampNTZ.enabled` default). The engine's
+    * time semantics are instant-based UTC (every unix_micros / window /
+    * watermark path expects TimestampType), and DuckDB reads the same
+    * naive micros verbatim — so reinterpret NTZ columns as UTC instants:
+    * with the session zone pinned to UTC the cast is a no-op on the stored
+    * micros, and both engines keep seeing identical values. The zone is
+    * pinned here (not only in the mains' builders) so a driver-owned
+    * session gets the same reinterpretation.
+    */
+  private def ltz(spark: SparkSession, df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      ntz.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, col(f.name).cast(TimestampType)))
+    }
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a raw
     * Long (`spark.sql.legacy.parquet.nanosAsLong`); convert to a proper
@@ -34,7 +55,7 @@ object Tables {
 
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    withMicrosTs(spark.read.parquet(s"$sfDir/events.parquet"))
+    ltz(spark, withMicrosTs(spark.read.parquet(s"$sfDir/events.parquet")))
   }
 
   /** Register every table as a temp view (SURVEY.md S11) for spark.sql use. */

@@ -757,4 +757,123 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col("qid"), col("doc_id"), col("score"), col("rn"))
   }
+
+  /** Rarity-weighted term-frequency ranking — the second, independent
+    * lexical ranker behind [[hybridRrf]]: score = Σ_t tf(t,d)·(N − df_t).
+    * Deliberately orthogonal to BM25's shape (no length normalization, no
+    * tf saturation), so fusing the two lists is a real signal combination
+    * rather than two copies of one ranking. All-integer arithmetic —
+    * exact at any accumulation order. Same single-scan shape as
+    * [[bm25TopK]]: scan-side tf folds checkpointed once, a one-row stats
+    * broadcast, WindowGroupLimit-pruned top-k.
+    */
+  def rareTermTopK(
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries,
+      k: Int = 20): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    val base = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
+        }: _*)
+      .localCheckpoint()
+    val statCols = count(lit(1)).cast("long").as("n_docs") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val perQuery = queries.map { case (qid, qterms) =>
+      scored.select(lit(qid).cast("long").as("qid"), col("doc_id"),
+        qterms.map(t => col(s"tf_${idx(t)}") *
+          (col("n_docs") - col(s"df_${idx(t)}"))).reduce(_ + _).as("score"))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("score"), asc("doc_id"))
+    perQuery
+      .filter(col("score") > 0L)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rn"))
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009) —
+    * the standard way a RAG/training-data pipeline combines its lexical
+    * and its second retriever: fused(d) = Σ_lists 1/(κ + rank_list(d))
+    * over the union of both top-k lists (κ = 60, the published constant;
+    * a doc missing from a list contributes 0). RRF needs only RANKS, so
+    * it composes rankers with incomparable score scales — exactly why
+    * it's the default fusion in hybrid search.
+    *
+    * Exactness: each term is one IEEE division of exact integers and the
+    * fused score is ONE addition in fixed (bm25, rare) order — the same
+    * two-op chain in both engines, so ties and order hash-match (ties
+    * break by doc_id).
+    *
+    * Scale: fuses two k-row-per-query lists — the join input is
+    * O(queries·k) rows regardless of corpus size; all corpus-sized work
+    * happens inside the two rankers, which share the scan shape
+    * documented on [[bm25TopK]].
+    */
+  def hybridRrf(
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries,
+      k: Int = 20, kappa: Int = 60): DataFrame = {
+    val bm = bm25TopK(docs, queries, k)
+      .select(col("qid"), col("doc_id"), col("rn").as("bm25_rn"))
+    val rare = rareTermTopK(docs, queries, k)
+      .select(col("qid"), col("doc_id"), col("rn").as("rare_rn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("rrf"), asc("doc_id"))
+    bm.join(rare, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kappa.toLong) + col("bm25_rn")).cast("double"),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kappa.toLong) + col("rare_rn")).cast("double"),
+            lit(0.0)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("bm25_rn"), col("rare_rn"),
+        col("rrf"), col("rn"))
+  }
+
+  /** CCNet-style LM-score buckets (Wenzek et al. 2020): per LANGUAGE,
+    * docs split into head/middle/tail terciles of the bigram-LM fluency
+    * score — the bucket decision CCNet makes with its Kneser-Ney
+    * perplexity, over [[lmScore]]'s in-engine model. Per-language cutoffs
+    * (not corpus-global) so the dominant language's score distribution
+    * never buckets the rest — the [[qualityGateByLang]] precedent.
+    *
+    * Tiers use the same rank-convention cutoff values as
+    * [[qualityDeciles]] (value at rank ⌈n·t/3⌉ within the language):
+    * deterministic under ties where ntile's tie-splitting is not. tier 3
+    * (highest score) = head, 2 = middle, 1 = tail.
+    *
+    * Scale: the scored (doc_id, lang, sc) projection is checkpointed
+    * once; cutoffs come from the histogram-aggregated
+    * [[Percentiles.percentileDisc]] (never a raw-table window) and
+    * broadcast as a per-language 2-element array; tier assignment is a
+    * scan-side filter count over the checkpoint.
+    */
+  def lmBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        floor(col("mean_p6") * lit(1e6) + lit(0.5)).cast("long").as("sc"))
+      .localCheckpoint()
+    val cuts = Percentiles
+      .percentileDisc(scored, "lang", "sc", Seq(1.0 / 3, 2.0 / 3))
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("pct_value"))).as("cuts"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("sc"),
+        (lit(1L) + size(filter(col("cuts"), c => col("sc") > c)).cast("long"))
+          .as("tier"))
+      .withColumn("bucket",
+        when(col("tier") === 3L, "head")
+          .when(col("tier") === 2L, "middle")
+          .otherwise("tail"))
+  }
 }

@@ -471,4 +471,90 @@ object TimeSeries {
         count(col("t2")).as("n_click_after_view"),
         count(col("t3")).as("n_purchase_after_click"))
   }
+
+  /** Robust anomaly detection via median/MAD — the outlier rule that
+    * survives what breaks [[anomalies]]' mean/σ z-score: a single extreme
+    * value inflates both the mean and the variance until it masks itself
+    * (and every smaller outlier), while the median and the median absolute
+    * deviation have a 50% breakdown point. Flags rows with
+    * |value − median| > z · 1.4826 · MAD (1.4826 ≈ 1/Φ⁻¹(¾) makes MAD a
+    * consistent σ estimate under normality).
+    *
+    * Exactness: the median and the MAD are DISCRETE percentiles — actual
+    * stored doubles picked by rank ([[Percentiles.percentileDisc]]), not
+    * interpolations — so both engines compare against bit-identical
+    * thresholds; |value − med| is a single IEEE subtraction.
+    *
+    * Scale: two histogram aggregations (map-side combinable, output
+    * bounded by |distinct (key, value)|) + two broadcast joins — the raw
+    * table is never windowed or sorted, unlike the textbook
+    * `PERCENTILE_CONT OVER (PARTITION BY key)` form that funnels 100 TB
+    * through |keys| reducers.
+    */
+  def anomaliesMad(events: DataFrame, z: Double = 3.0): DataFrame = {
+    val med = Percentiles
+      .percentileDisc(events.select(col("event_type"), col("value")),
+        "event_type", "value", Seq(0.5))
+      .select(col("event_type"), col("pct_value").as("med"))
+    val withDev = events.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = Percentiles
+      .percentileDisc(withDev.select(col("event_type"), col("adev")),
+        "event_type", "adev", Seq(0.5))
+      .select(col("event_type"), col("pct_value").as("mad"))
+    withDev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(z) * lit(1.4826) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"))
+  }
+
+  /** CUSUM drift scan — the classic change-point screen (Page 1954): per
+    * key, the running sum of deviations from the key's global mean peaks
+    * exactly where the level shifts, and the top-|drift| rows are the
+    * change-point candidates. Emits the k largest |drift| rows per key.
+    *
+    * Exactness: values floor-scale to longs (q = ⌊100·v+½⌋) and the drift
+    * is kept in the mean-free integer form
+    * `drift_i = n·Σ_{j≤i} q_j − i·Σq` (both sides multiplied by n·100, so
+    * no division ever happens) — exact BIGINT at any accumulation order.
+    * Magnitudes stay < n²·max|q|: fine in 64-bit up to ~10⁹ rows/key at
+    * this value scale; beyond that the same expressions run in
+    * DECIMAL(38,0) unchanged.
+    *
+    * Scale: the running sum is banded like [[bandedLag]] — in-band prefix
+    * sums over (key, day) partitions plus a broadcast per-band carry
+    * table — so the raw table never sorts through |keys| reducers; the
+    * final top-k window is WindowGroupLimit-pruned to k rows per
+    * partition before its exchange.
+    */
+  def cusumTopDrift(events: DataFrame, k: Int = 20): DataFrame = {
+    val base = events.select(col("event_type"), col("event_id"), col("ts"),
+      floor(col("value") * 100 + 0.5).cast("long").as("qv"),
+      floor(unix_micros(col("ts")) / lit(86400000000.0)).cast("long").as("band"))
+    val tot = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+    val wBand = Window.partitionBy(col("event_type"), col("band"))
+      .orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wBands = Window.partitionBy(col("event_type")).orderBy(asc("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = base.groupBy(col("event_type"), col("band"))
+      .agg(sum(col("qv")).as("bq"), count(lit(1)).as("bc"))
+      .withColumn("pq", coalesce(sum(col("bq")).over(wBands), lit(0L)))
+      .withColumn("pc", coalesce(sum(col("bc")).over(wBands), lit(0L)))
+      .select(col("event_type"), col("band"), col("pq"), col("pc"))
+    val wTop = Window.partitionBy(col("event_type"))
+      .orderBy(desc("adrift"), asc("event_id"))
+    base
+      .withColumn("rq", sum(col("qv")).over(wBand))
+      .withColumn("rc", count(lit(1)).over(wBand))
+      .join(broadcast(carry), Seq("event_type", "band"))
+      .join(broadcast(tot), Seq("event_type"))
+      .withColumn("drift",
+        col("n") * (col("pq") + col("rq")) - (col("pc") + col("rc")) * col("s"))
+      .withColumn("adrift", abs(col("drift")))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("event_id"), col("drift"), col("rn"))
+  }
 }

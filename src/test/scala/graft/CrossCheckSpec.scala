@@ -377,4 +377,73 @@ class CrossCheckSpec extends GraftSpec {
       assert(sizes.max <= 3 * (ids.length / 8 + 1), s"seed $seed balance")
     }
   }
+
+  private def randomTypedEvents(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      (i.toLong, s"t${rnd.nextInt(3)}",
+        new java.sql.Timestamp(1704067200000L + rnd.nextInt(6 * 3600) * 1000L),
+        math.rint(rnd.nextDouble() * 1000) / 100)
+    }
+  }
+
+  test("MAD anomalies agree with brute force, including an injected spike") {
+    for (seed <- 1 to 3) {
+      // inject one extreme spike per type: MAD must still flag it (and the
+      // spike must not mask the threshold the way it would inflate a sigma)
+      val events = randomTypedEvents(seed, 150) ++ Seq(
+        (901L, "t0", new java.sql.Timestamp(1704067200000L), 99999.0),
+        (902L, "t1", new java.sql.Timestamp(1704067201000L), -99999.0))
+      val got = TimeSeries.anomaliesMad(
+        events.toDF("event_id", "event_type", "ts", "value")).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+
+      def discMedian(vs: Seq[Double]): Double = {
+        val sorted = vs.sorted
+        sorted(math.ceil(sorted.size * 0.5).toInt - 1)
+      }
+      val expected = events.groupBy(_._2).flatMap { case (_, es) =>
+        val med = discMedian(es.map(_._4))
+        val mad = discMedian(es.map(e => math.abs(e._4 - med)))
+        es.filter(e => math.abs(e._4 - med) > 3.0 * 1.4826 * mad)
+          .map(e => e._1 -> (e._4, med, mad))
+      }
+      assert(got === expected, s"seed $seed")
+      assert(got.contains(901L) && got.contains(902L), s"seed $seed spikes")
+    }
+  }
+
+  test("banded CUSUM top drift agrees with the sequential scan, multi-day spans") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // spread over 3 days so the band decomposition actually composes
+      // carries across band boundaries
+      val events = (1 to 200).map { i =>
+        (i.toLong, s"t${rnd.nextInt(3)}",
+          new java.sql.Timestamp(1704067200000L + rnd.nextInt(3 * 86400) * 1000L),
+          math.rint(rnd.nextDouble() * 1000) / 100)
+      }
+      val got = TimeSeries.cusumTopDrift(
+        events.toDF("event_id", "event_type", "ts", "value")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+
+      val expected = events.groupBy(_._2).flatMap { case (tp, es) =>
+        val ordered = es.sortBy(e => (e._3.getTime, e._1))
+        val qs = ordered.map(e => math.floor(e._4 * 100 + 0.5).toLong)
+        val n = qs.size.toLong
+        val s = qs.sum
+        var cum = 0L
+        val drifts = ordered.zip(qs).zipWithIndex.map { case (((eid, _, _, _), q), i) =>
+          cum += q
+          (eid, n * cum - (i + 1L) * s)
+        }
+        drifts.sortBy { case (eid, d) => (-math.abs(d), eid) }
+          .take(20).zipWithIndex
+          .map { case ((eid, d), i) => (tp, eid) -> (d, i + 1L) }
+      }
+      assert(got === expected, s"seed $seed")
+    }
+  }
 }
