@@ -16,9 +16,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Pin the session zone up front, not only when an NTZ column happens to
+    // be present: session state must not depend on which table loads first.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if (name == "events") events(spark, sfDir)
     else ltz(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   /** The driver's parquet writer stores timestamps as TIMESTAMP(MICROS)
     * with isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ
@@ -34,11 +38,8 @@ object Tables {
   private def ltz(spark: SparkSession, df: DataFrame): DataFrame = {
     val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
     if (ntz.isEmpty) df
-    else {
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
-      ntz.foldLeft(df)((d, f) =>
-        d.withColumn(f.name, col(f.name).cast(TimestampType)))
-    }
+    else ntz.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a raw

@@ -717,19 +717,36 @@ object TextAnalysis {
     * per partition before it). Queries are few by nature, so the
     * per-qid window partitioning is not a funnel.
     */
-  def bm25TopK(
-      docs: DataFrame,
-      queries: Seq[(Int, Seq[String])] = Bm25Queries,
-      k: Int = 20): DataFrame = {
-    val terms = queries.flatMap(_._2).distinct
-    val idx = terms.zipWithIndex.toMap
-    val base = docs
+  /** The shared per-term tf projection both rankers score from:
+    * (doc_id, dl, tf_0..tf_m) — ONE corpus scan, checkpointed so each
+    * downstream stats-agg + scoring replay reads the materialized rows
+    * instead of rescanning parquet. [[hybridRrf]] builds this once and
+    * feeds BOTH rankers (the r7 `ngramPairStats` price-the-shared-core
+    * lesson applied to retrieval).
+    */
+  private def tfBase(docs: DataFrame, terms: Seq[String]): DataFrame =
+    docs
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
         }: _*)
       .localCheckpoint()
+
+  def bm25TopK(
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries,
+      k: Int = 20): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct
+    bm25FromBase(tfBase(docs, terms), terms, queries, k)
+  }
+
+  private def bm25FromBase(
+      base: DataFrame,
+      terms: Seq[String],
+      queries: Seq[(Int, Seq[String])],
+      k: Int): DataFrame = {
+    val idx = terms.zipWithIndex.toMap
     val statCols = count(lit(1)).cast("long").as("n_docs") +:
       sum(col("dl")).as("total_dl") +:
       terms.indices.map(i =>
@@ -772,14 +789,15 @@ object TextAnalysis {
       queries: Seq[(Int, Seq[String])] = Bm25Queries,
       k: Int = 20): DataFrame = {
     val terms = queries.flatMap(_._2).distinct
+    rareFromBase(tfBase(docs, terms), terms, queries, k)
+  }
+
+  private def rareFromBase(
+      base: DataFrame,
+      terms: Seq[String],
+      queries: Seq[(Int, Seq[String])],
+      k: Int): DataFrame = {
     val idx = terms.zipWithIndex.toMap
-    val base = docs
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-      .select(col("doc_id") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
-        }: _*)
-      .localCheckpoint()
     val statCols = count(lit(1)).cast("long").as("n_docs") +:
       terms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
@@ -814,16 +832,20 @@ object TextAnalysis {
     *
     * Scale: fuses two k-row-per-query lists — the join input is
     * O(queries·k) rows regardless of corpus size; all corpus-sized work
-    * happens inside the two rankers, which share the scan shape
-    * documented on [[bm25TopK]].
+    * happens inside the two rankers, which score from ONE shared
+    * [[tfBase]] checkpoint (the per-term tf projection is built and
+    * materialized once, not once per ranker), so the whole fusion costs
+    * one corpus scan plus O(queries·k) fusion rows.
     */
   def hybridRrf(
       docs: DataFrame,
       queries: Seq[(Int, Seq[String])] = Bm25Queries,
       k: Int = 20, kappa: Int = 60): DataFrame = {
-    val bm = bm25TopK(docs, queries, k)
+    val terms = queries.flatMap(_._2).distinct
+    val base = tfBase(docs, terms)
+    val bm = bm25FromBase(base, terms, queries, k)
       .select(col("qid"), col("doc_id"), col("rn").as("bm25_rn"))
-    val rare = rareTermTopK(docs, queries, k)
+    val rare = rareFromBase(base, terms, queries, k)
       .select(col("qid"), col("doc_id"), col("rn").as("rare_rn"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(desc("rrf"), asc("doc_id"))

@@ -9,6 +9,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object TimeSeries {
 
+  /** Integer floor-division band id: exact at any magnitude (no FP
+    * round-trip), floor (not truncate) semantics for pre-epoch instants —
+    * `pmod` is non-negative, so subtracting it lands on the band's own
+    * multiple before the exact integral `div`.
+    */
+  private def bandOf(ts: org.apache.spark.sql.Column, bandUs: Long)
+      : org.apache.spark.sql.Column = {
+    val us = unix_micros(ts)
+    call_function("div", us - pmod(us, lit(bandUs)), lit(bandUs))
+  }
+
   /** Resample to fixed buckets with exact-arithmetic mean.
     * One shuffle on (key, bucket); partial aggregation map-side.
     */
@@ -242,7 +253,7 @@ object TimeSeries {
     */
   def bandedLag(events: DataFrame, bandSeconds: Long = 86400L): DataFrame = {
     val bandUs = bandSeconds * 1000000L
-    val banded = events.withColumn("band", floor(unix_micros(col("ts")) / bandUs))
+    val banded = events.withColumn("band", bandOf(col("ts"), bandUs))
     val wBand = Window.partitionBy(col("event_type"), col("band"))
       .orderBy(asc("ts"), asc("event_id"))
     val bounds = banded
@@ -294,7 +305,7 @@ object TimeSeries {
     val beta = 1 - alpha
     val bandUs = bandSeconds * 1000000L
     val perBand = events
-      .withColumn("band", floor(unix_micros(col("ts")) / bandUs))
+      .withColumn("band", bandOf(col("ts"), bandUs))
       .groupBy(col("user_id"), col("band"))
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("value")))).as("s"))
@@ -530,7 +541,7 @@ object TimeSeries {
   def cusumTopDrift(events: DataFrame, k: Int = 20): DataFrame = {
     val base = events.select(col("event_type"), col("event_id"), col("ts"),
       floor(col("value") * 100 + 0.5).cast("long").as("qv"),
-      floor(unix_micros(col("ts")) / lit(86400000000.0)).cast("long").as("band"))
+      bandOf(col("ts"), 86400000000L).as("band"))
     val tot = base.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
     val wBand = Window.partitionBy(col("event_type"), col("band"))
