@@ -20,6 +20,37 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Fixed host-speed calibration: two DATA-INDEPENDENT probes — a seeded
+    * 20M-row range shuffle-aggregation (CPU + hash-exchange path) and a
+    * constant generated text fold (the array-expression/codegen path) —
+    * timed with the same noop-write action as the measured queries. The
+    * workload never reads testdata and never changes across rounds, so
+    * the ratio of two rounds' `calibration_s` IS the host-speed ratio:
+    * it separates "the machine got slower" from "the engine got slower"
+    * inside one artifact read (the r10 ~1.9× total shift was
+    * environmental, and no committed artifact could show it). min-of-3
+    * like the batch rep discipline; the bench runs it at start AND end
+    * of the batch phase so a mid-run load shift is visible too.
+    */
+  private def calibration(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    def exec(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      exec(spark.range(20000000L)
+        .selectExpr("id % 1000 AS k", "(id * 2654435761) % 1000000007 AS h")
+        .groupBy("k").agg(sum("h"), count(lit(1))))
+      exec(spark.range(100000L)
+        .selectExpr("concat_ws(' ', transform(sequence(0, 49), " +
+          "i -> concat('w', (id * 53 + i) % 997))) AS text")
+        .selectExpr("aggregate(split(text, ' '), 0L, " +
+          "(a, x) -> a + length(x) * 31 + ascii(x)) AS f"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,6 +102,7 @@ object Bench {
     // in the JSON instead of a bogus latency.
     val warmReps =
       math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_REPS", "2").toInt)
+    val calStart = calibration(spark)
     val qseq = Registry.benchQueries.toSeq.sortBy(_._1)
     // Deterministic checkpoint reclaim between reps: the split/checkpoint
     // operators (quality gates, decontamination, LM scoring, gap-fill,
@@ -131,6 +163,21 @@ object Bench {
         s"\"" + f + "\":" + qs.map(_._2).filter(_ >= 0).sum
       }.mkString("{", ",", "}")
     }
+    val calEnd = calibration(spark)
+    // The calibration headline is the faster of the two runs (a start- or
+    // end-of-phase load spike shouldn't mislabel the whole round slow);
+    // both raw numbers are emitted so mid-run drift stays visible.
+    val cal = math.min(calStart, calEnd)
+    // Host-normalized headline: wall seconds divided by the calibration
+    // seconds — a dimensionless "engine work in units of this host's
+    // fixed-workload time" that survives a host swap. Compare
+    // total_per_cal across rounds to see ENGINE movement; compare
+    // calibration_s to see HOST movement.
+    def perCal(v: Double): Double = if (cal > 0) v / cal else -1.0
+    def calJson =
+      s""""calibration_s":$cal,"calibration_start_s":$calStart,""" +
+        s""""calibration_end_s":$calEnd,"total_per_cal":${perCal(total)},""" +
+        s""""total_warm_per_cal":${perCal(totalWarm)}"""
     val loadMid = loadAvg
     def env(loadEnd: Double) =
       s"""{"cpus":${Runtime.getRuntime.availableProcessors},""" +
@@ -143,9 +190,9 @@ object Bench {
     // streaming as its own trailing JSON line, and the short self-contained
     // total line both before streaming (kill-proof) and last (tail-window-
     // proof; the driver's tail-parse tolerates multiple lines).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":${obj(mins)},"queries_warm":${obj(minsWarm)},"families":${famObj(mins)},"families_warm":${famObj(minsWarm)},"reps_all":${objArr(acc)},"reps_warm_all":${objArr(accWarm)},"env":${env(loadMid)},"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","excluded":$excluded}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,$calJson,"queries":${obj(mins)},"queries_warm":${obj(minsWarm)},"families":${famObj(mins)},"families_warm":${famObj(minsWarm)},"reps_all":${objArr(acc)},"reps_warm_all":${objArr(accWarm)},"env":${env(loadMid)},"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","excluded":$excluded}""")
     def headline(): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","nqueries":${mins.size},"env":${env(loadAvg)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,$calJson,"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","nqueries":${mins.size},"env":${env(loadAvg)}}"""
     println(headline())
     Console.out.flush()
     // Optional deadline (seconds, from process start): when the elapsed

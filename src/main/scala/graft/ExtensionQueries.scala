@@ -730,6 +730,60 @@ object ExtensionQueries {
         ${topkTail(10)}"""
   }
 
+  /** IVFADC CTE prefix (training + search fully unrolled): one Lloyd IVF
+    * round (c0 → c1) + final assignment (cell2/sc2) + the 3-probe list,
+    * then one PQ Lloyd round (cv → cv1) + final codes (pqbest2), the
+    * per-query ADC distance table against cv1, and ADC distances
+    * restricted to each query's probed cells — composes the
+    * already-verified [[ivfTrainedOracle]] and PQ-trained CTE builders.
+    * Ends with the `ad (qid, vec_id, dist)` CTE; callers append their
+    * own tail (top-k or recall roll-up).
+    */
+  private lazy val ivfPqCtes: String = s"""
+    WITH $vecNormCte,
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 16),
+    ${lloydAssignCte(1, "c0")},
+    ${lloydUpdateCte(1, "c0")},
+    ${lloydAssignCte(2, "c1")},
+    qp AS (
+      SELECT vec_id AS qid, cent_id AS qcell FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cent_id) AS rn
+        FROM sc2 WHERE vec_id < 8) WHERE rn <= 3),
+    $pqSvCvCte,
+    ${pqAssignCteN("1", "cv")},
+    ${pqUpdateCte("1", "pqbest1", "cv")},
+    ${pqAssignCteN("2", "cv1")},
+    adcodes AS (SELECT vec_id, sub, cent_id AS code FROM pqbest2 WHERE rn = 1),
+    qq AS (SELECT vec_id AS qid, i, sx AS qx FROM sv WHERE vec_id < 8),
+    tbl AS (
+      SELECT qq.qid, c.i // 8 AS sub, c.cent_id AS code,
+             CAST(SUM((qq.qx - c.cx) * (qq.qx - c.cx)) AS BIGINT) AS dsub
+      FROM qq JOIN cv1 c ON qq.i = c.i
+      GROUP BY 1, 2, 3),
+    cand AS (
+      SELECT qp.qid, a.vec_id FROM cell2 a JOIN qp ON a.cell = qp.qcell),
+    ad AS (
+      SELECT cand.qid, cand.vec_id, CAST(SUM(t.dsub) AS BIGINT) AS dist
+      FROM cand JOIN adcodes ac ON ac.vec_id = cand.vec_id
+      JOIN tbl t ON t.qid = cand.qid AND t.sub = ac.sub AND t.code = ac.code
+      GROUP BY 1, 2)"""
+
+  /** IVFADC top-k oracle — shared verbatim by `sim_ann_ivfpq` (in-plan
+    * training) and `sim_ann_ivfpq_persisted` (codebooks loaded from
+    * their parquet artifacts): the persisted path hash-matching the same
+    * SQL proves the two-artifact write → load → search round trip is
+    * lossless.
+    */
+  private lazy val ivfPqOracle = Some(s"""
+    $ivfPqCtes
+    SELECT qid, vec_id, dist, rn FROM (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist, vec_id) AS rn
+      FROM ad) WHERE rn <= 10""")
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- deduplication -----------------------------------------------------
@@ -1510,6 +1564,72 @@ object ExtensionQueries {
       (s, dir) => Similarity.annIvfTrained(emb(s, dir), iters = 2, nProbe = 8),
       benchmark = false, // same driver-looped Lloyd training as _trained
       oracle = Some(ivfTrainedOracle(nProbe = 8, iters = 2))),
+
+    // IVFADC — the composed billion-scale index: trained IVF coarse
+    // quantizer prunes to 3 of 16 cells, trained-PQ asymmetric distances
+    // rank only those members. Oracle unrolls BOTH training loops + the
+    // composed search in SQL.
+    QuerySpec(
+      "sim_ann_ivfpq",
+      (s, dir) => Similarity.annIvfPq(emb(s, dir)),
+      benchmark = false, // iterative: re-trains both codebooks per run
+      // (driver-looped Lloyd, the sim_ann_ivf_trained precedent);
+      // production trains once — sim_ann_ivfpq_persisted is that shape,
+      // and sim_ann_pq_adc remains the benchmarked ADC representative
+      oracle = ivfPqOracle),
+
+    // The persisted round trip of the same search: BOTH codebooks written
+    // as parquet artifacts, then search runs against the LOADED metadata.
+    // SAME oracle as sim_ann_ivfpq — the hash-match proves the
+    // two-artifact write -> load -> search round trip loses nothing.
+    QuerySpec(
+      "sim_ann_ivfpq_persisted",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index_${
+          Integer.toHexString(dir.hashCode)}"
+        Similarity.writeIvfPqIndex(e, path)
+        Similarity.annIvfPqPersisted(e, path)
+      },
+      benchmark = false, // the builder re-trains + rewrites the artifacts
+      // each invocation so the round trip is always exercised fresh
+      oracle = ivfPqOracle),
+
+    // The IVFADC recall contract vs exact L2: the composed index's
+    // approximation cost (coarse pruning on top of PQ codes) as a
+    // gate-checked number, per the recall-contract discipline.
+    QuerySpec(
+      "sim_recall_ivfpq",
+      (s, dir) => Similarity.annRecallIvfPq(emb(s, dir)),
+      benchmark = false, // contract query over the re-trained pipeline
+      oracle = Some(s"""
+        $ivfPqCtes,
+        approx AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, vec_id) AS rn
+            FROM ad) WHERE rn <= 10),
+        l2 AS (
+          SELECT qq.qid, s.vec_id,
+                 CAST(SUM((s.sx - qq.qx) * (s.sx - qq.qx)) AS BIGINT) AS dist
+          FROM sv s JOIN qq ON s.i = qq.i
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, vec_id) AS rn
+            FROM l2) WHERE rn <= 10)
+        SELECT e.qid,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY e.qid""")),
 
     // Embedding-cosine near-dup: LSH-bucket blocking + exact threshold.
     QuerySpec(

@@ -797,4 +797,154 @@ object Similarity {
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_exact").cast("double"))
+
+  // ---- IVFADC: the composed billion-scale index ---------------------------
+
+  /** IVFADC — the composed billion-scale ANN layout (Jégou et al.: IVF
+    * coarse quantizer × PQ fine quantizer): the Lloyd-trained IVF
+    * codebook prunes the corpus to each query's `nProbe` closest cells,
+    * and PQ asymmetric distances (exact query vs trained code bytes)
+    * rank ONLY those members. Both halves are the engine's existing
+    * pinned parts — [[ivfCentroidsTrained]]'s coarse codebook +
+    * [[annIvfTrained]]'s probe-list expressions on one side,
+    * [[pqCodebookTrained]] + [[annPqAdc]]'s distance-table search on the
+    * other — composed so the candidate volume is ~nProbe/nCells of the
+    * corpus AND each candidate costs m table lookups instead of a
+    * dim-wide float scan.
+    *
+    * Shape at 100 TB: the corpus side is ONE scan producing
+    * (vec_id, cell, code_0..code_{m-1}) — cell assignment and PQ codes
+    * are both scan-side projections against driver-metadata codebooks
+    * baked as literals. The probe list (O(nq·nProbe) rows) and the ADC
+    * distance table (O(nq·m·nCents) rows) broadcast; the only exchanges
+    * are the per-(qid, vec) sum's and the WindowGroupLimit-pruned
+    * top-k's. Distances are exact BIGINTs end-to-end, so the ranking
+    * hash-matches the oracle's fully-unrolled training + search SQL.
+    */
+  def annIvfPq(
+      emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      nCells: Int = 16, ivfIters: Int = 1, nProbe: Int = 3,
+      m: Int = 8, nCents: Int = 16, pqIters: Int = 1): DataFrame =
+    annIvfPqWith(emb, ivfCentroidsTrained(emb, nCells, ivfIters),
+      pqCodebookTrained(emb, m, nCents, pqIters), nQueries, k, nProbe, m)
+
+  /** [[annIvfPq]] against GIVEN codebooks — the core shared by the
+    * in-plan-trained and the persisted-artifact variants.
+    */
+  private def annIvfPqWith(
+      emb: DataFrame, ivfCents: Seq[(Int, Seq[Double])],
+      pqCents: Map[Long, Array[Long]],
+      nQueries: Int, k: Int, nProbe: Int, m: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = probeDim(emb)
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val centIds = pqCents.keys.toSeq.sorted
+    // corpus: ONE scan -> IVF cell + scaled components -> per-sub PQ codes
+    val scaled = vecs(emb).select(
+      col("vec_id") +: bestCell(ivfCents).as("cell") +:
+        (0 until dim).map(i =>
+          expr(s"CAST(FLOOR(v[$i]*1e6 + 0.5) AS BIGINT)").as(s"x_$i")): _*)
+    def dist(s: Int, c: Long): org.apache.spark.sql.Column =
+      (0 until sub).map { j =>
+        val d = col(s"x_${s * sub + j}") - lit(pqCents(c)(s * sub + j))
+        d * d
+      }.reduce(_ + _)
+    val best = (0 until m).map { s =>
+      array_min(array(centIds.map(c =>
+        struct(dist(s, c).as("dd"), lit(c).as("cent_id"))): _*)).as(s"best_$s")
+    }
+    val codes = scaled.select(col("vec_id") +: col("cell") +: best: _*)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map(s => col(s"best_$s.cent_id").as(s"code_$s")): _*)
+    // query probe list: the same in-plan expression chain annIvfTrained pins
+    val q = vecs(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), topCells(ivfCents, nProbe).as("probes"))
+      .select(col("qid"), explode(col("probes")).as("qcell"))
+    // ADC distance table: O(nq·m·nCents) driver metadata from O(nq) rows
+    val queries: Array[(Long, Array[Long])] = scaledLongs(emb, dim)
+      .filter(col("vec_id") < nQueries)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to dim).map(r.getLong).toArray)
+    import spark.implicits._
+    val tbl = (for {
+      (qid, qv) <- queries.toSeq
+      s <- 0 until m
+      (c, cv) <- pqCents.toSeq
+    } yield {
+      val dsub = (0 until sub).map { j =>
+        val d = qv(s * sub + j) - cv(s * sub + j); d * d
+      }.sum
+      (qid, s.toLong, c, dsub)
+    }).toDF("qid", "sub", "code", "dsub")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(asc("dist"), asc("vec_id"))
+    codes.join(broadcast(q), col("cell") === col("qcell"))
+      .select(col("qid"), col("vec_id"),
+        posexplode(array((0 until m).map(s => col(s"code_$s")): _*))
+          .as(Seq("sub", "code")))
+      .withColumn("sub", col("sub").cast("long"))
+      .join(broadcast(tbl), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dsub")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("dist"), col("rn"))
+  }
+
+  /** Persist BOTH trained codebooks of the IVFADC index as parquet
+    * artifacts — `$dir/ivf_centroids` (cent_id, cv double[]) and
+    * `$dir/pq_codebook` (cent_id, comps bigint[]) — the standing index
+    * metadata a production corpus trains ONCE and every search replays
+    * (the [[writeIvfCells]] artifact discipline applied to the composed
+    * index; each file is O(nCents·dim) rows — pure metadata).
+    */
+  def writeIvfPqIndex(
+      emb: DataFrame, indexDir: String,
+      nCells: Int = 16, ivfIters: Int = 1,
+      m: Int = 8, nCents: Int = 16, pqIters: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    ivfCentroidsTrained(emb, nCells, ivfIters)
+      .map { case (j, cv) => (j, cv) }
+      .toDF("cent_id", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/ivf_centroids")
+    pqCodebookTrained(emb, m, nCents, pqIters)
+      .toSeq.map { case (c, a) => (c, a.toSeq) }
+      .toDF("cent_id", "comps")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/pq_codebook")
+  }
+
+  /** [[annIvfPq]] against the LOADED artifacts: search skips both
+    * training loops and reads two O(nCents·dim) metadata files instead
+    * — the production amortized shape. Doubles and longs round-trip
+    * parquet bit-exactly, so the registered query hash-matches the SAME
+    * oracle as `sim_ann_ivfpq`, proving the write → load → search round
+    * trip loses nothing.
+    */
+  def annIvfPqPersisted(
+      emb: DataFrame, indexDir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 3, m: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val ivfCents: Seq[(Int, Seq[Double])] =
+      spark.read.parquet(s"$indexDir/ivf_centroids")
+        .select(col("cent_id"), col("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+    val pqCents: Map[Long, Array[Long]] =
+      spark.read.parquet(s"$indexDir/pq_codebook")
+        .select(col("cent_id"), col("comps"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    annIvfPqWith(emb, ivfCents, pqCents, nQueries, k, nProbe, m)
+  }
+
+  /** The IVFADC recall contract vs exact L2 (the metric PQ quantizes) —
+    * the gate-checked number for the composed index: coarse pruning to
+    * nProbe/nCells of the corpus costs recall on top of PQ's code
+    * approximation, and this query prices exactly that composition.
+    */
+  def annRecallIvfPq(emb: DataFrame, k: Int = 10): DataFrame =
+    annRecallAgainst(l2TopK(emb, k = k), annIvfPq(emb, k = k))
 }

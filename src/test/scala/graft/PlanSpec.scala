@@ -541,6 +541,65 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("MAD anomalies: windows consume aggregated histograms, medians broadcast") {
+    val df = Registry.queries("ts_anomalies_mad")(spark, sf)
+    val op = df.queryExecution.optimizedPlan.toString
+    // both percentile windows must sit ABOVE a histogram Aggregate in the
+    // top-down print (the q26 pin): only |distinct (key, value)| rows ever
+    // flow through a low-cardinality-key window, never the raw table
+    val winIdx = op.indexOf("Window")
+    assert(winIdx >= 0 && op.lastIndexOf("Aggregate") > winIdx,
+      s"windows must consume the groupBy(key, value) histograms:\n$op")
+    val p = plan(df)
+    // the two median tables (|keys| rows each) join back by broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"med and mad tables must broadcast onto the stream:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("CUSUM drift: (key, band) prefix sums, no range sort, top-k pruned") {
+    val df = Registry.queries("ts_cusum_changepoints")(spark, sf)
+    val p = plan(df)
+    // the bulk running sum is keyed by (event_type, band) — scale-out
+    // partitioning, not |keys| reducers over the raw table
+    assert(p.contains("band#"), s"banded partitioning missing:\n$p")
+    // nothing sorts the raw table globally
+    assert(!p.contains("rangepartitioning"),
+      s"no full-table range sort may appear:\n$p")
+    // the per-band carry table joins by broadcast (bandedLag precedent)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the final top-k is WindowGroupLimit-pruned to k rows per partition
+    // BEFORE its exchange
+    assert(p.contains("WindowGroupLimit"), s"top-k must prune map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("LM buckets replay the scored checkpoint — zero parquet rescans") {
+    val p = plan(Registry.queries("text_lm_buckets")(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      s"tier assignment must replay the (doc_id, lang, sc) checkpoint:\n$p")
+    // the per-language cutoff arrays broadcast onto the checkpoint replay
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"cutoffs must broadcast:\n$p")
+  }
+
+  test("hybrid RRF: both rankers replay ONE shared tf checkpoint") {
+    val df = Registry.queries("text_hybrid_rrf")(spark, sf)
+    val p = plan(df)
+    // all corpus-sized work happened at construction into the shared
+    // checkpoint; the executed fusion plan never rescans parquet
+    assert(!p.contains("Scan parquet"),
+      s"fusion must replay the tf checkpoint, not re-scan the corpus:\n$p")
+    // every leaf replays the SAME checkpointed RDD — the bm25 and the
+    // rare-term branches must not each build their own tf projection
+    val rddIds = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.distinct
+    assert(rddIds.size === 1,
+      s"both rankers must share one tf checkpoint, saw RDDs $rddIds:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)

@@ -299,4 +299,46 @@ class SimilaritySpec extends GraftSpec {
     }
     assert(gotAdc.toSet === expAdc.toSet)
   }
+
+  test("ivfadc: candidates confined to probed cells, persisted round trip exact") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val got = Similarity.annIvfPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong))
+    assert(got.nonEmpty)
+    // every result's corpus vector must live in one of its query's 3
+    // probed cells (the composition's whole point: no candidate outside
+    // the coarse shortlist is ever ADC-scored)
+    val ivfCents = Similarity.ivfCentroidsTrained(emb, 16, 1)
+    val raw = emb.selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def nrm(x: Array[Double]): Double =
+        x.map(v => math.floor(v * v * 1e6 + 0.5)).sum
+      a.indices.map(i => math.floor(a(i) * b(i) * 1e6 + 0.5)).sum /
+        math.sqrt(nrm(a) * nrm(b))
+    }
+    def rankedCells(v: Array[Double]): Seq[Int] =
+      ivfCents.map { case (j, cv) => (cos(v, cv.toArray), j) }
+        .sortBy { case (s, j) => (-s, j) }.map(_._2)
+    val cellOf = raw.view.mapValues(v => rankedCells(v).head).toMap
+    got.foreach { case (qid, vid, _, _) =>
+      val probes = rankedCells(raw(qid)).take(3).toSet
+      assert(probes.contains(cellOf(vid)),
+        s"q$qid result $vid sits in cell ${cellOf(vid)} outside probes $probes")
+    }
+    // the two-artifact write -> load -> search round trip is bit-exact
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
+    Similarity.writeIvfPqIndex(emb, dir)
+    val persisted = Similarity.annIvfPqPersisted(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong))
+    assert(persisted.toSet === got.toSet)
+    // recall gate: the composed index must stay useful — on this corpus
+    // 3/16 coarse pruning over trained-PQ codes holds recall@10 >= 0.25
+    // (measured 0.3875 at sf0.01; structure-free embeddings are the worst
+    // case for IVF pruning)
+    val rec = Similarity.annRecallIvfPq(emb).collect()
+    val mean = rec.map(_.getDouble(3)).sum / rec.length
+    info(f"ivfadc recall@10 = $mean%.3f (nProbe=3/16, trained PQ)")
+    assert(mean >= 0.25, f"ivfadc recall collapsed: $mean%.3f")
+  }
 }
