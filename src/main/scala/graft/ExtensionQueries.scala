@@ -730,6 +730,64 @@ object ExtensionQueries {
         ${topkTail(10)}"""
   }
 
+  /** Model-based quality-classifier oracle — shared verbatim by
+    * `text_quality_model` (in-plan training) and
+    * `text_quality_model_persisted` (weights loaded from the parquet
+    * artifact): gopher weak labels → per-bucket class counts →
+    * smoothed rate-contrast weights → per-doc hashed-fold score, every
+    * step in the exact-integer + one-IEEE-division discipline the Spark
+    * side mirrors.
+    */
+  private lazy val qualityModelOracle = Some(s"""
+    WITH $toksCte,
+    x AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM x GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(c * len(tok)) AS BIGINT) AS sum_len,
+             CAST(MAX(c) AS BIGINT) AS max_cnt,
+             CAST(SUM(CASE WHEN tok IN ('the','be','to','of','and',
+               'that','have','with','a','in') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stop_distinct
+      FROM tc GROUP BY 1),
+    lab AS (
+      SELECT doc_id,
+             ((n_tokens >= 30 AND n_tokens <= 100000)
+               AND (3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens)
+               AND (n_stop_distinct >= 2)
+               AND (5 * max_cnt <= n_tokens)) AS pass
+      FROM d),
+    feat AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 4))::BIGINT % 1024 AS b
+      FROM x),
+    bc AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN lab.pass THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+             CAST(SUM(CASE WHEN lab.pass THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+      FROM feat JOIN lab ON feat.doc_id = lab.doc_id GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(cpos) AS BIGINT) AS npos,
+             CAST(SUM(cneg) AS BIGINT) AS nneg
+      FROM bc),
+    wt AS (
+      SELECT b,
+             CAST(FLOOR(1e6 * (
+               CAST((cpos + 1) * (nneg + 1024)
+                  - (cneg + 1) * (npos + 1024) AS DOUBLE) /
+               CAST((cpos + 1) * (nneg + 1024)
+                  + (cneg + 1) * (npos + 1024) AS DOUBLE))) AS BIGINT) AS w
+      FROM bc CROSS JOIN tot),
+    sc AS (
+      SELECT f.doc_id, CAST(SUM(wt.w) AS BIGINT) AS raw
+      FROM feat f JOIN wt ON f.b = wt.b GROUP BY 1)
+    SELECT d.doc_id, d.n_tokens, sc.raw,
+           CAST(FLOOR(CAST(sc.raw AS DOUBLE) / CAST(d.n_tokens AS DOUBLE))
+             AS BIGINT) AS score,
+           (CAST(FLOOR(CAST(sc.raw AS DOUBLE) / CAST(d.n_tokens AS DOUBLE))
+             AS BIGINT) > 0) AS model_pass
+    FROM d JOIN sc ON d.doc_id = sc.doc_id""")
+
   /** IVFADC CTE prefix (training + search fully unrolled): one Lloyd IVF
     * round (c0 → c1) + final assignment (cell2/sc2) + the 3-probe list,
     * then one PQ Lloyd round (cv → cv1) + final codes (pqbest2), the
@@ -3041,6 +3099,34 @@ object ExtensionQueries {
                  AND (n_stop_distinct >= 2)
                  AND (5 * max_cnt <= n_tokens)) AS pass
         FROM d""")),
+
+    // Model-based quality classifier (the DCLM/FineWeb-edu stage after
+    // rule gates): gopher verdicts as weak labels, hashed-unigram
+    // features, add-one-smoothed rate-contrast weights — all exact
+    // integer counts + one IEEE division per weight, so the trained
+    // model AND every score hash-match the fully-unrolled oracle.
+    QuerySpec(
+      "text_quality_model",
+      (s, dir) => TextAnalysis.qualityModelScore(docs(s, dir)),
+      qualityModelOracle),
+
+    // The persisted round trip of the same scorer: weights written as
+    // the (b, w) parquet model artifact, then scoring runs against the
+    // LOADED table. SAME oracle — the hash-match proves train -> write
+    // -> load -> score loses nothing.
+    QuerySpec(
+      "text_quality_model_persisted",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_qmodel_${
+          Integer.toHexString(dir.hashCode)}"
+        TextAnalysis.writeQualityModel(d, path)
+        TextAnalysis.qualityModelScorePersisted(d, path)
+      },
+      benchmark = false, // re-trains + rewrites the artifact each run so
+      // the round trip is always exercised fresh; text_quality_model is
+      // the benchmarked representative
+      oracle = qualityModelOracle),
 
     // PII / denylist scrub: counts + redaction in ONE text pass, pure
     // projection. Patterns restricted to the Java-regex/RE2-identical

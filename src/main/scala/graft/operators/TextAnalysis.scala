@@ -659,11 +659,19 @@ object TextAnalysis {
     * streaming plan. The oracle computes the same stats via explode +
     * GROUP BY — two routes, one semantics.
     */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame): DataFrame =
+    gopherLabeled(docs).drop("t")
+
+  /** [[gopherRules]] keeping the token array alongside the verdict — the
+    * shared base the model-based quality trainer reads its weak labels
+    * AND its features from in one projection (one corpus scan, not a
+    * label-join).
+    */
+  private def gopherLabeled(docs: DataFrame): DataFrame = {
     docs
       .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
       .select(
-        col("doc_id"),
+        col("doc_id"), col("t"),
         size(col("t")).cast("long").as("n_tokens"),
         aggregate(col("t"), lit(0L), (acc, w) => acc + length(w).cast("long"))
           .as("sum_len"),
@@ -678,8 +686,8 @@ object TextAnalysis {
         size(array_intersect(array_distinct(col("t")),
           array(gopherStops.map(lit): _*))).cast("long").as("n_stop_distinct"))
       .select(
-        col("doc_id"), col("n_tokens"), col("sum_len"), col("max_cnt"),
-        col("n_stop_distinct"),
+        col("doc_id"), col("t"), col("n_tokens"), col("sum_len"),
+        col("max_cnt"), col("n_stop_distinct"),
         (col("n_tokens") >= 30L && col("n_tokens") <= 100000L).as("r_wordcount"),
         (lit(3L) * col("n_tokens") <= col("sum_len") &&
           col("sum_len") <= lit(10L) * col("n_tokens")).as("r_meanlen"),
@@ -689,6 +697,105 @@ object TextAnalysis {
         col("r_wordcount") && col("r_meanlen") &&
           col("r_stopwords") && col("r_maxfreq"))
   }
+
+  // ---- model-based quality classifier ------------------------------------
+
+  /** Token → hashed feature bucket: first 4 md5 hex digits (identical in
+    * both engines) read as an integer, mod `buckets` — the hashing trick
+    * every fastText-class quality classifier uses to bound the feature
+    * space.
+    */
+  private def bucketOf(w: org.apache.spark.sql.Column, buckets: Int)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(w), 1, 4), 16, 10).cast("long") % buckets
+
+  /** Hashed-feature linear quality model — the trained stage every
+    * production pipeline runs AFTER rule-based gates (the DCLM /
+    * FineWeb-edu pattern): weak labels come from the [[gopherRules]]
+    * verdict, features are hashed token unigrams, and each bucket's
+    * weight is the smoothed rate contrast
+    * w(b) = ⌊1e6 · (r⁺−r⁻)/(r⁺+r⁻)⌋ with r± = (c±+1)/(N±+buckets) —
+    * add-one-smoothed Naive-Bayes-style class rates, cross-multiplied so
+    * both numerator and denominator are exact BIGINTs and the weight is
+    * ONE IEEE division + floor (the lmScore exactness discipline: no
+    * transcendentals, hash-exact cross-engine).
+    *
+    * Shape at 100 TB: labels + token arrays come from ONE
+    * [[gopherLabeled]] projection (no label join); the explode feeds a
+    * `buckets`-key aggregate whose partials map-side-combine to ≤buckets
+    * rows per partition, so the exchange is metadata-sized regardless of
+    * corpus size. (At extreme scale you train on a corpus sample and
+    * ship the artifact — [[writeQualityModel]] is that path.)
+    * Magnitudes: c±·N± products stay < 2⁶³ up to ~3e9 tokens per class;
+    * beyond that the same expressions run in DECIMAL(38,0) unchanged.
+    */
+  def qualityModelWeights(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val b = buckets.toLong
+    val counts = gopherLabeled(docs)
+      .select(col("pass"), explode(col("t")).as("w"))
+      .select(col("pass"), bucketOf(col("w"), buckets).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(!col("pass"), 1L).otherwise(0L)).as("cneg"))
+    val tot = counts.agg(
+      sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"))
+    val num = (col("cpos") + lit(1L)) * (col("nneg") + lit(b)) -
+      (col("cneg") + lit(1L)) * (col("npos") + lit(b))
+    val den = (col("cpos") + lit(1L)) * (col("nneg") + lit(b)) +
+      (col("cneg") + lit(1L)) * (col("npos") + lit(b))
+    counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(lit(1e6) * (num.cast("double") / den.cast("double")))
+          .cast("long").as("w"))
+  }
+
+  /** Score every doc with the trained weights BAKED AS LITERALS: the
+    * O(buckets) weight table collects to the driver (metadata, the PQ
+    * codebook class) and scoring is a zero-shuffle scan-side fold —
+    * score(d) = ⌊Σ_t w(h(t)) / n_tokens⌋, an exact long sum and one
+    * IEEE division. `model_pass` is the score>0 decision the gate
+    * machinery composes with.
+    */
+  def qualityModelScore(docs: DataFrame, buckets: Int = 1024): DataFrame =
+    scoreWithWeights(docs,
+      qualityModelWeights(docs, buckets).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      buckets)
+
+  private def scoreWithWeights(
+      docs: DataFrame, wts: Map[Long, Long], buckets: Int): DataFrame = {
+    val wCol = typedLit((0 until buckets).map(i => wts.getOrElse(i.toLong, 0L)))
+    docs.select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        aggregate(col("t"), lit(0L), (acc, x) =>
+          acc + element_at(wCol, (bucketOf(x, buckets) + lit(1L)).cast("int")))
+          .as("raw"))
+      .select(col("doc_id"), col("n_tokens"), col("raw"),
+        floor(col("raw").cast("double") / col("n_tokens").cast("double"))
+          .cast("long").as("score"))
+      .withColumn("model_pass", col("score") > 0L)
+  }
+
+  /** Persist the trained weight table as the model ARTIFACT (b, w) —
+    * O(buckets) rows of pure metadata, trained once and replayed by
+    * every scoring pass (the [[Similarity.writeIvfPqIndex]] artifact
+    * discipline applied to the quality model).
+    */
+  def writeQualityModel(
+      docs: DataFrame, path: String, buckets: Int = 1024): Unit =
+    qualityModelWeights(docs, buckets)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** [[qualityModelScore]] with weights from the LOADED artifact — longs
+    * round-trip parquet bit-exactly, so the registered query hash-matches
+    * the SAME oracle as `text_quality_model`, proving the round trip.
+    */
+  def qualityModelScorePersisted(
+      docs: DataFrame, path: String, buckets: Int = 1024): DataFrame =
+    scoreWithWeights(docs,
+      docs.sparkSession.read.parquet(path).select(col("b"), col("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      buckets)
 
   /** The canonical retrieval benchmark queries for [[bm25TopK]] — shared
     * with the oracle-SQL builder so both engines score the same terms.

@@ -462,4 +462,202 @@ class TextAnalysisSpec extends GraftSpec {
     assert(got((1L, 6L))._1 < got((1L, 1L))._1)
     assert(!got.contains((1L, 5L)), "zero-score docs never rank")
   }
+
+  private val retrievalCorpus = Seq(
+    1L -> "hash join hash merge sort",
+    2L -> "window sort order window window",
+    3L -> "stream batch data stream",
+    4L -> "hash",
+    5L -> "nothing relevant here at all",
+    6L -> "join join join join join join join join")
+
+  private def retrievalToks: Seq[(Long, Seq[String])] =
+    retrievalCorpus.map { case (id, t) => id -> t.split(" ").toSeq }
+
+  /** Brute-forced rare-term ranking: score = Σ_t tf·(N − df), all longs. */
+  private def rareExpected(k: Int): Map[(Long, Long), (Long, Long)] = {
+    val corpus = retrievalToks
+    val n = corpus.size.toLong
+    def df(t: String) = corpus.count(_._2.contains(t)).toLong
+    (for {
+      (qid, qterms) <- TextAnalysis.Bm25Queries
+      (id, toks) <- corpus
+      score = qterms.map(t => toks.count(_ == t).toLong * (n - df(t))).sum
+      if score > 0
+    } yield (qid, id, score))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex.map {
+          case (r, i) => (qid.toLong, r._2) -> (r._3, i + 1L)
+        }
+      }.toMap
+  }
+
+  test("rare-term ranking: brute-forced integer scores, tie-break by doc_id") {
+    import spark.implicits._
+    val docs = retrievalCorpus.toDF("doc_id", "text")
+    val got = TextAnalysis.rareTermTopK(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === rareExpected(20))
+    // orthogonality to bm25: no length normalization, so doc 6's 8x 'join'
+    // repetition beats doc 1's single-copy multi-term match on query 1
+    assert(got((1L, 6L))._1 > got((1L, 1L))._1,
+      "rare-term must reward raw tf where bm25 saturates it")
+  }
+
+  /** Brute-forced RRF fusion of the two rankers' expected top-k lists. */
+  private def rrfExpected(k: Int, kappa: Int)
+      : Map[(Long, Long), (Option[Long], Option[Long], Double, Long)] = {
+    val corpus = retrievalToks
+    val n = corpus.size.toDouble
+    val avgdl = corpus.map(_._2.size).sum.toDouble / n
+    def dfd(t: String) = corpus.count(_._2.contains(t)).toDouble
+    def termScore(t: String, toks: Seq[String]): Long = {
+      val tf = toks.count(_ == t).toDouble
+      val idf = (n - dfd(t) + 0.5) / (dfd(t) + 0.5)
+      val norm = 0.25 + 0.75 * (toks.size.toDouble / avgdl)
+      math.floor(1000000.0 * ((idf * (tf * 2.2)) / (tf + 1.2 * norm))).toLong
+    }
+    val bmRanks = (for {
+      (qid, qterms) <- TextAnalysis.Bm25Queries
+      (id, toks) <- corpus
+      score = qterms.map(termScore(_, toks)).sum if score > 0
+    } yield (qid, id, score))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex.map {
+          case (r, i) => (qid.toLong, r._2) -> (i + 1L)
+        }
+      }.toMap
+    val rareRanks = rareExpected(k).map { case (key, (_, rn)) => key -> rn }
+    (bmRanks.keySet ++ rareRanks.keySet)
+      .groupBy(_._1).toSeq.flatMap { case (qid, keys) =>
+        val fused = keys.toSeq.map { case (_, id) =>
+          val bm = bmRanks.get((qid, id))
+          val rare = rareRanks.get((qid, id))
+          // the operator's fixed (bm25, rare) addition order
+          val rrf = bm.map(r => 1.0 / (kappa + r)).getOrElse(0.0) +
+            rare.map(r => 1.0 / (kappa + r)).getOrElse(0.0)
+          (id, bm, rare, rrf)
+        }
+        fused.sortBy(f => (-f._4, f._1)).take(k).zipWithIndex.map {
+          case ((id, bm, rare, rrf), i) =>
+            (qid, id) -> (bm, rare, rrf, i + 1L)
+        }
+      }.toMap
+  }
+
+  test("hybrid rrf: brute-forced fusion, single-list docs, kappa sensitivity") {
+    import spark.implicits._
+    val docs = retrievalCorpus.toDF("doc_id", "text")
+    def collect(k: Int, kappa: Int) =
+      TextAnalysis.hybridRrf(docs, k = k, kappa = kappa).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            r.getDouble(4), r.getLong(5))).toMap
+    // full lists (k=20 > corpus): every scored doc sits in both lists
+    assert(collect(20, 60) === rrfExpected(20, 60))
+    // truncated lists (k=2): the full-outer fusion input carries docs in
+    // exactly one list; the survivors must still match brute force
+    assert(collect(2, 60) === rrfExpected(2, 60))
+    // k=1: bm25's top-1 (multi-term doc 1) and rare-term's top-1 (high-tf
+    // doc 6) disagree, so BOTH fused candidates are single-list — the
+    // coalesce(0) path — and their fused scores tie EXACTLY (1/61 each):
+    // the winner is decided purely by the doc_id tie-break
+    val got1 = collect(1, 60)
+    assert(got1 === rrfExpected(1, 60))
+    val single = got1.filter { case (_, (bm, rare, _, _)) =>
+      bm.isEmpty != rare.isEmpty }
+    assert(single.nonEmpty, "k=1 must surface a single-list doc")
+    // kappa shifts the rank-decay curve; the same brute force at κ=1
+    // must still match exactly (the fused scores change, ties re-break)
+    assert(collect(2, 1) === rrfExpected(2, 1))
+  }
+
+  test("lm buckets: per-language rank-convention terciles, ties share") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = TextAnalysis.lmBuckets(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got.nonEmpty)
+    // brute-force the documented cutoff convention per language: cut_t =
+    // sorted(sc)[⌈n·t/3⌉ − 1], tier = 1 + |{cuts < sc}|
+    got.values.groupBy(_._1).foreach { case (lang, rows) =>
+      val sorted = rows.map(_._2).toArray.sorted
+      val n = sorted.length
+      val cuts = Seq(1, 2).map(t =>
+        sorted(math.ceil(n * (t / 3.0)).toInt - 1))
+      rows.foreach { case (_, sc, tier, bucket) =>
+        assert(tier === 1L + cuts.count(sc > _), s"$lang sc=$sc")
+        assert(bucket === Seq("tail", "middle", "head")(tier.toInt - 1))
+      }
+      // ties share a tier by construction of the rank rule
+      rows.groupBy(_._2).foreach { case (sc, same) =>
+        assert(same.map(_._3).toSet.size === 1, s"$lang sc=$sc split tiers")
+      }
+    }
+  }
+
+  test("quality model: hand-computed weights and scores on a labeled corpus") {
+    import spark.implicits._
+    // 30+ tokens, mean len in [3,10], 2 stopwords, max freq <= n/5 -> pass;
+    // the two short docs fail r_wordcount -> weak-negative labels
+    val passText1 = (1 to 28).map(i => s"word$i") .mkString(" ") + " the and"
+    val passText2 = (1 to 29).map(i => s"term$i").mkString(" ") + " the and"
+    val corpus = Seq(
+      (1L, passText1), (2L, passText2),
+      (3L, "junk junk junk"), (4L, "word1 term1 the and"))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = TextAnalysis.qualityModelScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // independent recomposition: md5 bucketing, gopher labels, smoothed
+    // rate-contrast weights, per-doc mean — plain Scala end to end
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(t: String): Long = java.lang.Long.parseLong(md5hex(t).take(4), 16) % 1024
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toSeq }
+    def gopherPass(ts: Seq[String]): Boolean = {
+      val n = ts.size.toLong
+      val sumLen = ts.map(_.length.toLong).sum
+      val maxCnt = ts.groupBy(identity).values.map(_.size).max.toLong
+      val nStop = ts.distinct.count(stops)
+      n >= 30 && n <= 100000 && 3 * n <= sumLen && sumLen <= 10 * n &&
+        nStop >= 2 && 5 * maxCnt <= n
+    }
+    val labeled = toks.map { case (id, ts) => (id, ts, gopherPass(ts)) }
+    assert(labeled.count(_._3) === 2, "corpus must carry both labels")
+    val occ = labeled.flatMap { case (_, ts, p) => ts.map(t => (bucket(t), p)) }
+    val cpos = occ.filter(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cneg = occ.filterNot(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val (npos, nneg) = (cpos.values.sum, cneg.values.sum)
+    def weight(b: Long): Long = {
+      val (cp, cn) = (cpos.getOrElse(b, 0L), cneg.getOrElse(b, 0L))
+      if (cp == 0 && cn == 0) 0L
+      else {
+        val num = (cp + 1) * (nneg + 1024) - (cn + 1) * (npos + 1024)
+        val den = (cp + 1) * (nneg + 1024) + (cn + 1) * (npos + 1024)
+        math.floor(1e6 * (num.toDouble / den.toDouble)).toLong
+      }
+    }
+    val expected = labeled.map { case (id, ts, _) =>
+      val raw = ts.map(t => weight(bucket(t))).sum
+      val score = math.floor(raw.toDouble / ts.size.toDouble).toLong
+      id -> (ts.size.toLong, raw, score, score > 0L)
+    }.toMap
+    assert(got === expected)
+    // the model learned the contrast: weak-positive docs score above the
+    // weak-negative ones
+    assert(got(1L)._3 > got(3L)._3)
+    // persisted round trip is bit-exact
+    val dir = java.nio.file.Files.createTempDirectory("graft_qmodel_spec").toString
+    TextAnalysis.writeQualityModel(docs, dir)
+    val persisted = TextAnalysis.qualityModelScorePersisted(docs, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(persisted === expected)
+  }
 }
