@@ -762,6 +762,22 @@ object TextAnalysis {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap,
       buckets)
 
+  /** The scoring expression alone — ⌊Σ_t w(h(t)) / n_tokens⌋ over a text
+    * column with the weights baked as literals — a PURE stateless Column,
+    * so the identical projection runs batch and STREAMING (the ingest
+    * model gate [[graft.streaming.DocPipeline.curateModelGated]] puts in
+    * front of enrichment, the decontaminate-filter composition pattern).
+    */
+  def modelScore(
+      text: org.apache.spark.sql.Column, wts: Map[Long, Long],
+      buckets: Int = 1024): org.apache.spark.sql.Column = {
+    val wCol = typedLit((0 until buckets).map(i => wts.getOrElse(i.toLong, 0L)))
+    val t = Dedup.tokens(text)
+    val raw = aggregate(t, lit(0L), (acc, x) =>
+      acc + element_at(wCol, (bucketOf(x, buckets) + lit(1L)).cast("int")))
+    floor(raw.cast("double") / size(t).cast("long").cast("double")).cast("long")
+  }
+
   private def scoreWithWeights(
       docs: DataFrame, wts: Map[Long, Long], buckets: Int): DataFrame = {
     val wCol = typedLit((0 until buckets).map(i => wts.getOrElse(i.toLong, 0L)))

@@ -115,6 +115,25 @@ object DocPipeline {
         "quality_score", "fp", "n_copies")
   }
 
+  /** [[curate]] with the MODEL quality gate at ingest: the trained
+    * hashed-feature scorer's weights (the
+    * [[graft.operators.TextAnalysis.writeQualityModel]] artifact, loaded
+    * once per job — O(buckets) driver metadata) bake as literals into a
+    * stateless scan-side filter in FRONT of enrichment and dedup, so a
+    * model-rejected doc never consumes a dedup slot — the
+    * [[curateDecontaminated]] composition pattern (gate in front, state
+    * behind), and the identical expression runs batch and streaming
+    * (spec-pinned stream ≡ batch).
+    */
+  def curateModelGated(
+      docs: DataFrame,
+      weights: Map[Long, Long],
+      minScore: Double = 0.3,
+      watermarkDelay: String = "30 seconds"): DataFrame =
+    curate(
+      docs.filter(TextAnalysis.modelScore(col("text"), weights) > 0L),
+      minScore, watermarkDelay)
+
   /** Training-sequence emission on any (batch or streaming) frame with
     * (doc_id, text): PII/denylist redaction ([[TextAnalysis.scrub]]) then
     * fixed-overlap context-window chunking

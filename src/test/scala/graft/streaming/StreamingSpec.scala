@@ -429,6 +429,40 @@ class StreamingSpec extends GraftSpec {
     assert(reported === Set(2L, 5L))
   }
 
+  test("streaming model gate drops negative-scoring docs at ingest, stream == batch") {
+    import graft.operators.TextAnalysis
+    // train the hashed-feature model batch-side (2 gopher-pass, 2 fail
+    // docs — the quality-model spec corpus), ship the weight map like a
+    // loaded artifact, and gate a stream with it
+    val passText1 = (1 to 28).map(i => s"word$i").mkString(" ") + " the and"
+    val passText2 = (1 to 29).map(i => s"term$i").mkString(" ") + " the and"
+    val corpus = Seq(
+      (1L, passText1, "en"), (2L, passText2, "en"),
+      (3L, "junk junk junk", "en"), (4L, "word1 term1 the and", "en"))
+    val trainDf = corpus.map(c => (c._1, c._2)).toDF("doc_id", "text")
+    val wts = TextAnalysis.qualityModelWeights(trainDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, String, String)]
+    val out = DocPipeline.curateModelGated(
+      input.toDS().toDF("doc_id", "text", "lang"), wts, minScore = 0.0)
+    val streamedIds = runStream(input, out, Seq(
+      Seq(corpus(0), corpus(2)), // a reject between two keeps
+      Seq(corpus(1), corpus(3))))
+      .map(_.getLong(0)).toSet
+    // batch twin of the same literal-baked gate expression
+    import org.apache.spark.sql.functions.col
+    val batchIds = corpus.toDF("doc_id", "text", "lang")
+      .filter(TextAnalysis.modelScore(col("text"), wts) > 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamedIds === batchIds)
+    // and both equal the oracle-checked batch scorer's model_pass set
+    val scorerIds = TextAnalysis.qualityModelScore(trainDf)
+      .filter(col("model_pass")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(streamedIds === scorerIds)
+    assert(streamedIds.contains(1L) && !streamedIds.contains(3L))
+  }
+
   test("streaming sequences (scrub + chunk) equal the batch stage row-for-row") {
     // stateless projections must stream unchanged: redaction + chunking
     // over a MemoryStream equals the batch call on the same rows
