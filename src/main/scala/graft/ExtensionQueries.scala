@@ -738,7 +738,13 @@ object ExtensionQueries {
     * step in the exact-integer + one-IEEE-division discipline the Spark
     * side mirrors.
     */
-  private lazy val qualityModelOracle = Some(s"""
+  /** Shared CTE prefix for the quality-model family: tokenization →
+    * gopher weak labels (`lab`) → hashed features → per-bucket class
+    * counts → smoothed rate-contrast weights → per-doc raw score (`sc`);
+    * [[qualityModelOracle]] appends the scoring tail and
+    * `text_quality_model_eval` the confusion-matrix tail.
+    */
+  private lazy val qualityModelCtes: String = s"""
     WITH $toksCte,
     x AS (SELECT doc_id, unnest(t) AS tok FROM toks),
     tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM x GROUP BY 1, 2),
@@ -780,7 +786,10 @@ object ExtensionQueries {
       FROM bc CROSS JOIN tot),
     sc AS (
       SELECT f.doc_id, CAST(SUM(wt.w) AS BIGINT) AS raw
-      FROM feat f JOIN wt ON f.b = wt.b GROUP BY 1)
+      FROM feat f JOIN wt ON f.b = wt.b GROUP BY 1)"""
+
+  private lazy val qualityModelOracle = Some(s"""
+    $qualityModelCtes
     SELECT d.doc_id, d.n_tokens, sc.raw,
            CAST(FLOOR(CAST(sc.raw AS DOUBLE) / CAST(d.n_tokens AS DOUBLE))
              AS BIGINT) AS score,
@@ -3127,6 +3136,45 @@ object ExtensionQueries {
       // the round trip is always exercised fresh; text_quality_model is
       // the benchmarked representative
       oracle = qualityModelOracle),
+
+    // The classifier-eval artifact: model_pass vs the gopher weak label
+    // as a 4-cell confusion matrix of exact counts.
+    QuerySpec(
+      "text_quality_model_eval",
+      (s, dir) => TextAnalysis.qualityModelEval(docs(s, dir)),
+      benchmark = false, // re-trains the model (the already-priced
+      // text_quality_model pipeline) to tally agreement
+      oracle = Some(s"""
+        $qualityModelCtes,
+        scored AS (
+          SELECT d.doc_id,
+                 (CAST(FLOOR(CAST(sc.raw AS DOUBLE) /
+                    CAST(d.n_tokens AS DOUBLE)) AS BIGINT) > 0) AS model_pass
+          FROM d JOIN sc ON d.doc_id = sc.doc_id)
+        SELECT lab.pass, scored.model_pass, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lab JOIN scored ON lab.doc_id = scored.doc_id
+        GROUP BY 1, 2""")),
+
+    // Per-source governance stats: volume, exact-dup ratio, language
+    // spread — one scan, |sources|-row aggregate.
+    QuerySpec(
+      "doc_source_stats",
+      (s, dir) => TextAnalysis.sourceStats(docs(s, dir)),
+      Some(s"""
+        WITH f AS (
+          SELECT source, lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                   AS BIGINT) AS n_toks,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+        FROM f GROUP BY 1""")),
 
     // PII / denylist scrub: counts + redaction in ONE text pass, pure
     // projection. Patterns restricted to the Java-regex/RE2-identical

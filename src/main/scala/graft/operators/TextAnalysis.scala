@@ -792,6 +792,43 @@ object TextAnalysis {
       .withColumn("model_pass", col("score") > 0L)
   }
 
+  /** Model-vs-weak-label agreement — the confusion matrix every trained
+    * quality stage ships with (the classifier-eval artifact): per
+    * (gopher pass, model_pass) cell, doc counts. 4 rows out; exact
+    * integer counts, so the eval hash-matches. In-sample by design at
+    * this harness scale (the model trains on the same corpus it scores);
+    * the spec checks the diagonal dominates — the model must actually
+    * learn its weak labels.
+    */
+  def qualityModelEval(docs: DataFrame, buckets: Int = 1024): DataFrame =
+    gopherRules(docs).select(col("doc_id"), col("pass"))
+      .join(qualityModelScore(docs, buckets)
+        .select(col("doc_id"), col("model_pass")), "doc_id")
+      .groupBy(col("pass"), col("model_pass"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-source corpus governance stats — the dashboard row every
+    * multi-source training pipeline keeps per ingest feed: doc and token
+    * volume, exact-dup ratio (distinct content fingerprints vs docs),
+    * and language spread. ONE corpus scan into a |sources|-row aggregate
+    * (map-side combinable; the two distincts are the standard two-phase
+    * expansion over (source, fp)/(source, lang) — still |sources|-keyed).
+    * The dup ratio is one IEEE division of exact counts.
+    */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_toks"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_distinct"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"))
+
   /** Persist the trained weight table as the model ARTIFACT (b, w) —
     * O(buckets) rows of pure metadata, trained once and replayed by
     * every scoring pass (the [[Similarity.writeIvfPqIndex]] artifact

@@ -660,4 +660,38 @@ class TextAnalysisSpec extends GraftSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
     assert(persisted === expected)
   }
+
+  test("quality model eval: confusion matrix counts, diagonal dominates") {
+    val docs = Tables.load(spark, sf, "documents")
+    val cells = TextAnalysis.qualityModelEval(docs).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val total = cells.values.sum
+    // cross-check the marginals against the two source pipelines
+    val nPass = TextAnalysis.gopherRules(docs)
+      .filter(org.apache.spark.sql.functions.col("pass")).count()
+    assert(cells.filter(_._1._1).values.sum === nPass)
+    assert(total === docs.count())
+    // in-sample agreement: the model must learn its own weak labels —
+    // the diagonal strictly outweighs the off-diagonal
+    val agree = cells.getOrElse((true, true), 0L) +
+      cells.getOrElse((false, false), 0L)
+    info(s"model/gopher agreement: $agree/$total")
+    assert(agree * 2 > total, s"model failed to learn its labels: $cells")
+  }
+
+  test("source stats: brute-forced counts, dup ratio, language spread") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "sA"),
+      (2L, "  ALPHA   beta GAMMA ", "en", "sA"), // same fp as doc 1
+      (3L, "uno dos tres cuatro", "es", "sA"),
+      (4L, "один два", "ru", "sB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.sourceStats(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got("sA") === ((3L, 10L, 2L, 2L, 1.0 - 2.0 / 3.0)))
+    assert(got("sB") === ((1L, 2L, 1L, 1L, 0.0)))
+  }
 }
