@@ -730,6 +730,49 @@ object ExtensionQueries {
         ${topkTail(10)}"""
   }
 
+  /** Shared CTE prefix for the LM-tercile family (`text_lm_buckets` +
+    * `mix_lm_tiers`): the bigram-LM scores, per-language rank-convention
+    * cutoffs, and the `tiers (doc_id, lang, sc, tier)` assignment.
+    */
+  private lazy val lmTierCtes: String = s"""
+    WITH $toksCte,
+    pr AS (
+      SELECT doc_id, t[i] AS a, t[i+1] AS b
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+    uni AS (
+      SELECT a, COUNT(*) AS ca
+      FROM (SELECT unnest(t) AS a FROM toks) GROUP BY 1),
+    voc AS (SELECT COUNT(*) AS vocab FROM uni),
+    model AS (
+      SELECT a, b,
+             CAST(FLOOR(1e6 * CAST(cab + 1 AS DOUBLE) /
+                  CAST(ca + vocab AS DOUBLE)) AS BIGINT) AS pq
+      FROM (SELECT a, b, COUNT(*) AS cab FROM pr GROUP BY 1, 2)
+      JOIN uni USING (a) CROSS JOIN voc),
+    lms AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(pq) AS lm_score
+      FROM pr JOIN model USING (a, b) GROUP BY 1),
+    sc AS (
+      SELECT d.doc_id, d.lang,
+             CAST(FLOOR((CASE WHEN s.n_bigrams IS NOT NULL
+                   THEN CAST(s.lm_score AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+                   ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS sc
+      FROM documents d LEFT JOIN lms s USING (doc_id)),
+    r AS (
+      SELECT lang, sc,
+             row_number() OVER (PARTITION BY lang ORDER BY sc) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM sc),
+    cuts AS (
+      SELECT lang, list_sort(list(sc)) AS cl
+      FROM r JOIN (SELECT unnest(range(1, 3)) AS tt) ts
+        ON r.rn = CEIL(r.n * (tt / 3.0))
+      GROUP BY lang),
+    tiers AS (
+      SELECT s.doc_id, s.lang, s.sc,
+             CAST(1 + len(list_filter(c.cl, x -> s.sc > x)) AS BIGINT) AS tier
+      FROM sc s JOIN cuts c USING (lang))"""
+
   /** Model-based quality-classifier oracle — shared verbatim by
     * `text_quality_model` (in-plan training) and
     * `text_quality_model_persisted` (weights loaded from the parquet
@@ -1885,47 +1928,26 @@ object ExtensionQueries {
       "text_lm_buckets",
       (s, dir) => TextAnalysis.lmBuckets(docs(s, dir)),
       Some(s"""
-        WITH $toksCte,
-        pr AS (
-          SELECT doc_id, t[i] AS a, t[i+1] AS b
-          FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
-        uni AS (
-          SELECT a, COUNT(*) AS ca
-          FROM (SELECT unnest(t) AS a FROM toks) GROUP BY 1),
-        voc AS (SELECT COUNT(*) AS vocab FROM uni),
-        model AS (
-          SELECT a, b,
-                 CAST(FLOOR(1e6 * CAST(cab + 1 AS DOUBLE) /
-                      CAST(ca + vocab AS DOUBLE)) AS BIGINT) AS pq
-          FROM (SELECT a, b, COUNT(*) AS cab FROM pr GROUP BY 1, 2)
-          JOIN uni USING (a) CROSS JOIN voc),
-        lms AS (
-          SELECT doc_id, COUNT(*) AS n_bigrams, SUM(pq) AS lm_score
-          FROM pr JOIN model USING (a, b) GROUP BY 1),
-        sc AS (
-          SELECT d.doc_id, d.lang,
-                 CAST(FLOOR((CASE WHEN s.n_bigrams IS NOT NULL
-                       THEN CAST(s.lm_score AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
-                       ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS sc
-          FROM documents d LEFT JOIN lms s USING (doc_id)),
-        r AS (
-          SELECT lang, sc,
-                 row_number() OVER (PARTITION BY lang ORDER BY sc) AS rn,
-                 CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
-          FROM sc),
-        cuts AS (
-          SELECT lang, list_sort(list(sc)) AS cl
-          FROM r JOIN (SELECT unnest(range(1, 3)) AS tt) ts
-            ON r.rn = CEIL(r.n * (tt / 3.0))
-          GROUP BY lang),
-        tiers AS (
-          SELECT s.doc_id, s.lang, s.sc,
-                 CAST(1 + len(list_filter(c.cl, x -> s.sc > x)) AS BIGINT) AS tier
-          FROM sc s JOIN cuts c USING (lang))
+        $lmTierCtes
         SELECT doc_id, lang, sc, tier,
                CASE WHEN tier = 3 THEN 'head'
                     WHEN tier = 2 THEN 'middle'
                     ELSE 'tail' END AS bucket
+        FROM tiers""")),
+
+    // CCNet's bucket POLICY as copy counts: head 2x, middle 1x, tail
+    // dropped — the quality-curriculum mixture over the same tier CTEs.
+    QuerySpec(
+      "mix_lm_tiers",
+      (s, dir) => Packing.mixLmTiers(docs(s, dir)),
+      benchmark = false, // re-runs the already-priced text_lm_buckets
+      // pipeline + a CASE projection
+      oracle = Some(s"""
+        $lmTierCtes
+        SELECT doc_id, lang, tier,
+               CASE WHEN tier = 3 THEN 2
+                    WHEN tier = 2 THEN 1
+                    ELSE 0 END AS n_copies
         FROM tiers""")),
 
     // Per-document TF-IDF top terms: two high-cardinality hash aggs, a

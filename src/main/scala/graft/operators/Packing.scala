@@ -305,4 +305,21 @@ object Packing {
           .cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** CCNet-style quality-tiered mixture (Wenzek et al. 2020's bucket
+    * policy as copy counts): the per-language LM-score terciles
+    * ([[TextAnalysis.lmBuckets]]) drive INTEGER replication — head docs
+    * upsample 2×, middle kept once, tail dropped — the curriculum knob
+    * between the fluency model and corpus assembly. Pure integers (no
+    * fractional md5 coin needed), so the mixture is exactly the tier
+    * assignment plus a CASE; the plan inherits `text_lm_buckets`'
+    * pinned checkpoint-replay shape with zero additional exchanges.
+    */
+  def mixLmTiers(docs: DataFrame): DataFrame =
+    TextAnalysis.lmBuckets(docs)
+      .withColumn("n_copies",
+        when(col("tier") === 3L, 2L)
+          .when(col("tier") === 2L, 1L)
+          .otherwise(0L))
+      .select(col("doc_id"), col("lang"), col("tier"), col("n_copies"))
 }

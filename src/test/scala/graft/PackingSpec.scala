@@ -197,4 +197,26 @@ class PackingSpec extends GraftSpec {
     assert(shard0.length < 2 || !(shard0.sameElements(shard0.sorted)),
       "shuffled order is not doc_id order")
   }
+
+  test("lm-tier mixture: copies follow the tier policy, tiers match lmBuckets") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = Packing.mixLmTiers(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val tiers = graft.operators.TextAnalysis.lmBuckets(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(got.keySet === tiers.keySet)
+    got.foreach { case (id, (lang, tier, copies)) =>
+      assert((lang, tier) === tiers(id))
+      // the CCNet policy: head 2x, middle 1x, tail dropped (= tier - 1)
+      assert(copies === tier - 1L, s"doc $id tier $tier copies $copies")
+    }
+    // expected volume: heads double, tails vanish — per language the copy
+    // sum equals n_middle + 2*n_head
+    got.values.groupBy(_._1).foreach { case (lang, rows) =>
+      val nHead = rows.count(_._2 == 3L)
+      val nMid = rows.count(_._2 == 2L)
+      assert(rows.map(_._3).sum === nMid + 2L * nHead, lang)
+    }
+  }
 }
