@@ -600,6 +600,39 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("quality model scoring: one scan, zero exchanges — weights are literals") {
+    val p = plan(Registry.queries("text_quality_model")(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    // the whole point of baking the weight table as literals: scoring is
+    // a pure scan-side fold — no join, no shuffle, nothing to exchange
+    assert(!p.contains("Exchange"), s"scoring must be zero-shuffle:\n$p")
+    assert(!p.contains("Join"), s"weights must be literals, not a join:\n$p")
+  }
+
+  test("source stats: one corpus scan into a sources-keyed aggregate") {
+    val p = plan(Registry.queries("doc_source_stats")(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("ivfadc: two scans, broadcast probes + ADC table, pruned top-k") {
+    val p = plan(Registry.queries("sim_ann_ivfpq")(spark, sf))
+    // corpus (cell + codes) scan and the query-probe scan — assignment
+    // and coding are scan-side against literal codebooks, never a join
+    assert("Scan parquet".r.findAllIn(p).size === 2, p)
+    // probe list and ADC distance table both broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // the per-query top-k prunes map-side before its exchange
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("lm-tier mixture inherits the zero-rescan checkpoint replay") {
+    val p = plan(Registry.queries("mix_lm_tiers")(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      s"the mixture must replay the lmBuckets checkpoint:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = Registry.queries("q1_agg")(spark, sf)
