@@ -940,6 +940,31 @@ object ExtensionQueries {
           ON a.band = b.band AND a.bucket_key = b.bucket_key
          AND a.doc_id < b.doc_id""")),
 
+    // Cross-source contamination matrix: near-dup pair counts by ordered
+    // (source, source) cell — which feeds copy each other vs themselves.
+    QuerySpec(
+      "dedup_cross_source_stats",
+      (s, dir) => Dedup.crossSourceDupStats(docs(s, dir)),
+      Some(s"""
+        WITH $minhashCte,
+        bk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash) AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket_key = b.bucket_key
+           AND a.doc_id < b.doc_id),
+        s AS (SELECT doc_id, source FROM documents)
+        SELECT least(sa.source, sb.source) AS src_lo,
+               greatest(sa.source, sb.source) AS src_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        JOIN s sa ON pairs.doc_a = sa.doc_id
+        JOIN s sb ON pairs.doc_b = sb.doc_id
+        GROUP BY 1, 2""")),
+
     // Pairs -> clusters: connected components over the candidate-pair
     // graph (iterative min-label propagation; oracle walks the same graph
     // with a recursive CTE). Cluster id = min doc_id = the canonical
@@ -3197,6 +3222,35 @@ object ExtensionQueries {
                1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) /
                  CAST(COUNT(*) AS DOUBLE) AS dup_ratio
         FROM f GROUP BY 1""")),
+
+    // Per-source over-represented tokens: cross-multiplied integer rate
+    // contrast (no division), WindowGroupLimit top-k per source.
+    QuerySpec(
+      "doc_source_divergence",
+      (s, dir) => TextAnalysis.sourceDivergence(docs(s, dir)),
+      Some("""
+        WITH x AS (
+          SELECT source,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        st AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+          FROM x GROUP BY 1, 2),
+        bys AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+                FROM st GROUP BY 1),
+        byt AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t
+                FROM st GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n_corpus FROM st),
+        r AS (
+          SELECT st.source, st.tok, st.c_st, byt.c_t,
+                 st.c_st * tot.n_corpus - byt.c_t * bys.n_s AS contrast
+          FROM st JOIN bys USING (source) JOIN byt USING (tok)
+          CROSS JOIN tot)
+        SELECT source, tok, c_st, c_t, contrast, rn FROM (
+          SELECT source, tok, c_st, c_t, contrast,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY contrast DESC, tok) AS rn
+          FROM r WHERE contrast > 0) WHERE rn <= 5""")),
 
     // PII / denylist scrub: counts + redaction in ONE text pass, pure
     // projection. Patterns restricted to the Java-regex/RE2-identical

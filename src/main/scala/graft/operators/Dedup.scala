@@ -171,6 +171,29 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
+  /** Cross-source contamination matrix — near-dup pair counts by
+    * (source, source) cell, the governance view a multi-feed pipeline
+    * reads to find which ingest feeds copy each other (off-diagonal) vs
+    * self-duplicate (diagonal). Sources are ordered (least, greatest)
+    * per pair so the matrix is upper-triangular and deterministic.
+    * Shape: the pair set is [[minhashCandidatePairs]]' bucketed output
+    * (never all-pairs, |pairs| bounded by collision groups); the two
+    * source lookups are doc-keyed hash joins of PAIR rows against the
+    * thin (doc_id, source) projection — pair-sized, not corpus-sized.
+    */
+  def crossSourceDupStats(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashCandidatePairs(docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")),
+        "doc_b")
+      .select(least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Connected components over an undirected (doc_a, doc_b) pair graph:
     * labels every node that appears in a pair with its component's minimum
     * id. Returns (labels, rounds) — the round count is the scalability

@@ -829,6 +829,46 @@ object TextAnalysis {
       .withColumn("dup_ratio",
         lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"))
 
+  /** Per-source token-distribution divergence — the drift/skew monitor a
+    * multi-source pipeline runs next to [[sourceStats]]: for each source,
+    * the k most OVER-represented tokens vs the corpus background. The
+    * contrast is the cross-multiplied rate difference
+    * c_st·N_corpus − c_t·N_s (>0 ⟺ token rate in the source exceeds the
+    * corpus rate) — exact BIGINT, no division anywhere, so the ranking
+    * hash-matches at any accumulation order. Magnitudes stay < 2⁶³ up to
+    * ~3e9 corpus tokens; beyond that the same expressions run in
+    * DECIMAL(38,0) unchanged.
+    *
+    * Shape at 100 TB: one corpus scan into the (source, token) count
+    * aggregate (map-side combinable), checkpointed; the three marginals
+    * replay the checkpoint. Source totals broadcast (|sources| rows);
+    * the token-marginal join is (tok)-keyed hash — the vocabulary grows
+    * with the corpus, so it must NOT broadcast. Top-k per source is
+    * WindowGroupLimit-pruned.
+    */
+  def sourceDivergence(docs: DataFrame, k: Int = 5): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+    val bySource = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val byTok = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val total = st.agg(sum(col("c_st")).as("n_corpus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("contrast"), asc("tok"))
+    st.join(broadcast(bySource), "source")
+      .join(byTok, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("contrast",
+        col("c_st") * col("n_corpus") - col("c_t") * col("n_s"))
+      .filter(col("contrast") > 0L)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("tok"), col("c_st"), col("c_t"),
+        col("contrast"), col("rn"))
+  }
+
   /** Persist the trained weight table as the model ARTIFACT (b, w) —
     * O(buckets) rows of pure metadata, trained once and replayed by
     * every scoring pass (the [[Similarity.writeIvfPqIndex]] artifact

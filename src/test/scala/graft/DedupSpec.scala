@@ -378,4 +378,19 @@ class DedupSpec extends GraftSpec {
     assert(got(4L) === ((2L, 0L, 4L)))
     assert(got(5L) === ((1L, 0L, 1L)), "short doc is one sub-width passage")
   }
+
+  test("cross-source dup stats: pair counts land in ordered source cells") {
+    // sX self-duplicates (two copies of textA); sY copies sX (a third
+    // copy); sZ is clean — so the matrix has a diagonal cell, one
+    // off-diagonal cell, and no sZ row at all
+    val docs = Seq(
+      (1L, textA, "sX"), (2L, textA, "sX"),
+      (3L, textA, "sY"), (4L, textB, "sZ"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupStats(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs among the three textA copies: (1,2) in sX/sX, (1,3) and
+    // (2,3) each in sX/sY
+    assert(got === Map(("sX", "sX") -> 1L, ("sX", "sY") -> 2L))
+  }
 }

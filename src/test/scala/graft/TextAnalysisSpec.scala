@@ -679,6 +679,44 @@ class TextAnalysisSpec extends GraftSpec {
     assert(agree * 2 > total, s"model failed to learn its labels: $cells")
   }
 
+  test("source divergence: brute-forced integer contrast, top-k per source") {
+    import spark.implicits._
+    // sA leans 'alpha', sB leans 'beta'; 'common' is background in both
+    val docs = Seq(
+      (1L, "alpha alpha alpha common", "en", "sA"),
+      (2L, "alpha common common", "en", "sA"),
+      (3L, "beta beta common common", "en", "sB"),
+      (4L, "beta common", "en", "sB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.sourceDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // brute force: occurrences → (source, tok) counts → contrast
+    val occ = Seq("sA" -> "alpha", "sA" -> "alpha", "sA" -> "alpha",
+      "sA" -> "common", "sA" -> "alpha", "sA" -> "common", "sA" -> "common",
+      "sB" -> "beta", "sB" -> "beta", "sB" -> "common", "sB" -> "common",
+      "sB" -> "beta", "sB" -> "common")
+    val cSt = occ.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nS = occ.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cT = occ.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = occ.size.toLong
+    val expected = cSt.toSeq.map { case ((s, t), c) =>
+      (s, t, c, cT(t), c * n - cT(t) * nS(s))
+    }.filter(_._5 > 0)
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._5, r._2)).zipWithIndex.map { case (r, i) =>
+          (r._1, r._2) -> (r._3, r._4, r._5, i + 1L)
+        }
+      }.toMap
+    assert(got === expected)
+    // each source's #1 divergent token is its signature word
+    assert(got(("sA", "alpha"))._4 === 1L)
+    assert(got(("sB", "beta"))._4 === 1L)
+    // the background word is UNDER-represented in sA (negative contrast)
+    // and must be filtered out
+    assert(!got.contains(("sA", "common")))
+  }
+
   test("source stats: brute-forced counts, dup ratio, language spread") {
     import spark.implicits._
     val docs = Seq(
