@@ -3252,6 +3252,20 @@ object ExtensionQueries {
                                     ORDER BY contrast DESC, tok) AS rn
           FROM r WHERE contrast > 0) WHERE rn <= 5""")),
 
+    // Unicode-NFC canonicalization + the unicode-safe fingerprint: Java's
+    // Normalizer and DuckDB's nfc_normalize both implement UAX#15 NFC, so
+    // the normalized bytes (and their md5) hash-match cross-engine. The
+    // harness corpus is ASCII (NFC is identity there); FunctionsSpec
+    // carries the composed/decomposed unicode evidence.
+    QuerySpec(
+      "text_normalize_nfc",
+      (s, dir) => TextAnalysis.normalizeNfc(docs(s, dir)),
+      Some("""
+        SELECT doc_id, nfc_normalize(text) AS norm_text,
+               md5(regexp_replace(lower(trim(nfc_normalize(text))),
+                 '\s+', ' ', 'g')) AS fp_nfc
+        FROM documents""")),
+
     // PII / denylist scrub: counts + redaction in ONE text pass, pure
     // projection. Patterns restricted to the Java-regex/RE2-identical
     // subset so the oracle runs the same strings.

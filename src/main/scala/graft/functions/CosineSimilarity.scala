@@ -206,4 +206,10 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Literal(
           bloom, org.apache.spark.sql.types.BinaryType),
         Bridge.expression(x)))
+
+  /** Unicode NFC normalization of a string column (codegen'd; see
+    * [[NfcNormalize]]).
+    */
+  def nfc_normalize(s: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(s)))
 }

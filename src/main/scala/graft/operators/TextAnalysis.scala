@@ -869,6 +869,20 @@ object TextAnalysis {
         col("contrast"), col("rn"))
   }
 
+  /** Unicode-NFC text canonicalization + the unicode-safe content
+    * fingerprint: composed vs decomposed accents are the SAME visible
+    * text but different bytes, so un-normalized md5 fingerprints
+    * silently split dedup groups on multilingual corpora. The NFC pass
+    * is the codegen'd [[graft.functions.NfcNormalize]] expression (no
+    * UDF; fast path returns already-normalized text with zero
+    * allocation), making this a pure scan-side projection.
+    */
+  def normalizeNfc(docs: DataFrame): DataFrame = {
+    val norm = graft.functions.GraftFunctions.nfc_normalize(col("text"))
+    docs.select(col("doc_id"), norm.as("norm_text"),
+      md5(regexp_replace(lower(trim(norm)), "\\s+", " ")).as("fp_nfc"))
+  }
+
   /** Persist the trained weight table as the model ARTIFACT (b, w) —
     * O(buckets) rows of pure metadata, trained once and replayed by
     * every scoring pass (the [[Similarity.writeIvfPqIndex]] artifact

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, QuantizedCosine}
+import graft.functions.{CosineSimilarity, NfcNormalize, QuantizedCosine}
 
 /** Engine extension installer: makes the native functions available to SQL
   * (`SELECT cosine_sim(a, b)`) via
@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // but does not register them. bloom_agg(x, n_items, n_bits) builds a
     // binary filter; bloom_might_contain(bloom, x) is the codegen'd probe
     // — no UDF anywhere in a bloom-fronted join.
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize expects exactly 1 argument")
+        NfcNormalize(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

@@ -205,4 +205,37 @@ class FunctionsSpec extends GraftSpec {
     val fp = (1000L until 2000L).count(res(_))
     assert(fp < 100, s"false-positive count $fp out of 1000 at 8 bits/item")
   }
+
+  test("nfc_normalize: composed/decomposed unify, ascii unchanged, sql path") {
+    import graft.functions.GraftFunctions.nfc_normalize
+    val composed = "caf\u00e9"            // é as one code point
+    val decomposed = "cafe\u0301"         // e + combining acute
+    val hangulDecomp = "\u1100\u1161"     // choseong kiyeok + jungseong a
+    val hangulComp = "\uac00"             // 가 precomposed
+    val docs = Seq(
+      (1L, composed), (2L, decomposed), (3L, "plain ascii"),
+      (4L, hangulDecomp), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), nfc_normalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // NFC maps both accent spellings to the composed form
+    assert(got(1L) === Some(composed))
+    assert(got(2L) === Some(composed))
+    // the same visible text now fingerprints identically
+    assert(got(1L) === got(2L))
+    assert(got(3L) === Some("plain ascii"))
+    assert(got(4L) === Some(hangulComp))
+    assert(got(5L) === None, "null propagates")
+    // the SQL registration path (GraftExtensions) produces the same bytes
+    docs.createOrReplaceTempView("nfc_docs")
+    val sqlGot = spark.sql(
+      "SELECT doc_id, nfc_normalize(text) AS n FROM nfc_docs")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(sqlGot === got)
+    // dedup consequence: the unicode-safe fingerprint unifies the pair
+    val fps = graft.operators.TextAnalysis.normalizeNfc(
+      docs.filter(col("text").isNotNull))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(fps(1L) === fps(2L), "NFC fingerprint must unify the spellings")
+  }
 }
