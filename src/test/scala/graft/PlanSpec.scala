@@ -627,6 +627,20 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("source divergence replays its checkpoint; token marginal never broadcasts") {
+    val df = Registry.queries("doc_source_divergence")(spark, sf)
+    val p = plan(df)
+    // the (source, token) aggregate was checkpointed at construction; the
+    // three marginals and the ranking replay it — no parquet rescans
+    assert(!p.contains("Scan parquet"),
+      s"marginals must replay the (source, tok) checkpoint:\n$p")
+    // (the vocab-sized token marginal must not broadcast at scale — at
+    // spec scale AQE may legally broadcast it, so the pin stays on the
+    // checkpoint-replay + pruning shape)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), s"top-k must prune map-side:\n$p")
+  }
+
   test("lm-tier mixture inherits the zero-rescan checkpoint replay") {
     val p = plan(Registry.queries("mix_lm_tiers")(spark, sf))
     assert(!p.contains("Scan parquet"),
