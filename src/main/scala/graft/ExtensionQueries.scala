@@ -849,7 +849,7 @@ object ExtensionQueries {
     * Ends with the `ad (qid, vec_id, dist)` CTE; callers append their
     * own tail (top-k or recall roll-up).
     */
-  private lazy val ivfPqCtes: String = s"""
+  private def ivfPqCtes(nProbe: Int = 3): String = s"""
     WITH $vecNormCte,
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 16),
     ${lloydAssignCte(1, "c0")},
@@ -860,7 +860,7 @@ object ExtensionQueries {
         SELECT vec_id, cent_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY score DESC, cent_id) AS rn
-        FROM sc2 WHERE vec_id < 8) WHERE rn <= 3),
+        FROM sc2 WHERE vec_id < 8) WHERE rn <= $nProbe),
     $pqSvCvCte,
     ${pqAssignCteN("1", "cv")},
     ${pqUpdateCte("1", "pqbest1", "cv")},
@@ -887,7 +887,7 @@ object ExtensionQueries {
     * lossless.
     */
   private lazy val ivfPqOracle = Some(s"""
-    $ivfPqCtes
+    ${ivfPqCtes()}
     SELECT qid, vec_id, dist, rn FROM (
       SELECT qid, vec_id, dist,
              row_number() OVER (PARTITION BY qid
@@ -1730,6 +1730,23 @@ object ExtensionQueries {
       // each invocation so the round trip is always exercised fresh
       oracle = ivfPqOracle),
 
+    // The grid-selected IVFADC operating point (tools/IvfPqGrid, sf0.01):
+    // nProbe=2 reaches recall@10 = 0.45 vs the default nProbe=3's 0.388
+    // AND the full-corpus trained-ADC ceiling's 0.425 — on structure-free
+    // embeddings the coarse shortlist filters PQ quantization-noise false
+    // positives, so FEWER probes rank better at 1/8 the candidate volume.
+    QuerySpec(
+      "sim_ann_ivfpq_probe2",
+      (s, dir) => Similarity.annIvfPq(emb(s, dir), nProbe = 2),
+      benchmark = false, // same re-trained pipeline as sim_ann_ivfpq
+      oracle = Some(s"""
+        ${ivfPqCtes(nProbe = 2)}
+        SELECT qid, vec_id, dist, rn FROM (
+          SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, vec_id) AS rn
+          FROM ad) WHERE rn <= 10""")),
+
     // The IVFADC recall contract vs exact L2: the composed index's
     // approximation cost (coarse pruning on top of PQ codes) as a
     // gate-checked number, per the recall-contract discipline.
@@ -1738,7 +1755,7 @@ object ExtensionQueries {
       (s, dir) => Similarity.annRecallIvfPq(emb(s, dir)),
       benchmark = false, // contract query over the re-trained pipeline
       oracle = Some(s"""
-        $ivfPqCtes,
+        ${ivfPqCtes()},
         approx AS (
           SELECT qid, vec_id FROM (
             SELECT qid, vec_id,
