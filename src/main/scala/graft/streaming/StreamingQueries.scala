@@ -1079,6 +1079,24 @@ object StreamingQueries {
     hash
   }
 
+  /** Per-source running governance totals — the ingest-monitoring twin of
+    * [[graft.operators.TextAnalysis.sourceStats]]: unwindowed per-source
+    * doc and token counters as a plain streaming aggregation. State is
+    * |sources| rows — bounded by the number of ingest feeds, not the
+    * corpus — so no watermark is needed; run in update/complete mode.
+    * (The batch twin's distinct-fp dup ratio needs corpus-wide distinct
+    * state and stays batch-side; the stream keeps the volume counters a
+    * feed monitor actually polls.) The token count is the SAME scan-side
+    * fold as the batch op, so totals equal the batch aggregate exactly —
+    * spec-pinned stream ≡ batch.
+    */
+  def sourceStatsStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+
   /** Streaming PERCEPTUAL image near-dup — the `transformWithState` twin
     * of [[graft.operators.Multimodal.phashPairs]], completing the
     * multimodal story's streaming side: images (synthesized blobs here,

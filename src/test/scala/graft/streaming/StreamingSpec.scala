@@ -463,6 +463,34 @@ class StreamingSpec extends GraftSpec {
     assert(streamedIds.contains(1L) && !streamedIds.contains(3L))
   }
 
+  test("streaming source stats: running totals equal the batch aggregate") {
+    val input = MemoryStream[(Long, String, String)]
+    val out = StreamingQueries.sourceStatsStream(
+      input.toDS().toDF("doc_id", "text", "source"))
+    val name = freshName()
+    // complete mode: the memory table always holds the CURRENT totals
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma", "sA"), (2L, "uno dos", "sB")),
+      Seq((3L, "delta epsilon", "sA"), (4L, "tres", "sB"),
+        (5L, "zeta", "sA")))
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch twin over the same rows
+    import org.apache.spark.sql.functions.col
+    val batch = graft.operators.TextAnalysis.sourceStats(
+      batches.flatten.toDF("doc_id", "text", "source")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en")))
+      .select(col("source"), col("n_docs"), col("n_tokens")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === batch)
+    assert(got("sA") === ((3L, 6L)) && got("sB") === ((2L, 3L)))
+  }
+
   test("streaming sequences (scrub + chunk) equal the batch stage row-for-row") {
     // stateless projections must stream unchanged: redaction + chunking
     // over a MemoryStream equals the batch call on the same rows
