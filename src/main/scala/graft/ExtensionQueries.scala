@@ -3240,6 +3240,59 @@ object ExtensionQueries {
                  CAST(COUNT(*) AS DOUBLE) AS dup_ratio
         FROM f GROUP BY 1""")),
 
+    // The corpus yield funnel: doc/token counts at raw -> exact-dedup ->
+    // gopher-gate, from ONE scan (tokens + fingerprint + verdict
+    // together), unpivoted to one row per stage.
+    QuerySpec(
+      "doc_yield_funnel",
+      (s, dir) => TextAnalysis.yieldFunnel(docs(s, dir)),
+      Some("""
+        WITH t0 AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS t,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents),
+        x AS (SELECT doc_id, unnest(t) AS tok FROM t0),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM x GROUP BY 1, 2),
+        d AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(SUM(c * len(tok)) AS BIGINT) AS sum_len,
+                 CAST(MAX(c) AS BIGINT) AS max_cnt,
+                 CAST(SUM(CASE WHEN tok IN ('the','be','to','of','and',
+                   'that','have','with','a','in') THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_stop_distinct
+          FROM tc GROUP BY 1),
+        lab AS (
+          SELECT doc_id,
+                 ((n_tokens >= 30 AND n_tokens <= 100000)
+                   AND (3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens)
+                   AND (n_stop_distinct >= 2)
+                   AND (5 * max_cnt <= n_tokens)) AS pass
+          FROM d),
+        k AS (
+          SELECT doc_id,
+                 doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+          FROM t0),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS raw_docs,
+                 CAST(SUM(d.n_tokens) AS BIGINT) AS raw_tokens,
+                 CAST(SUM(CASE WHEN k.keeper THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dedup_docs,
+                 CAST(SUM(CASE WHEN k.keeper THEN d.n_tokens ELSE 0 END)
+                   AS BIGINT) AS dedup_tokens,
+                 CAST(SUM(CASE WHEN k.keeper AND lab.pass THEN 1 ELSE 0 END)
+                   AS BIGINT) AS gated_docs,
+                 CAST(SUM(CASE WHEN k.keeper AND lab.pass THEN d.n_tokens
+                   ELSE 0 END) AS BIGINT) AS gated_tokens
+          FROM d JOIN lab USING (doc_id) JOIN k USING (doc_id))
+        SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+               raw_docs AS n_docs, raw_tokens AS n_tokens FROM agg
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'dedup', dedup_docs, dedup_tokens FROM agg
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'gated', gated_docs, gated_tokens FROM agg""")),
+
     // Per-source over-represented tokens: cross-multiplied integer rate
     // contrast (no division), WindowGroupLimit top-k per source.
     QuerySpec(

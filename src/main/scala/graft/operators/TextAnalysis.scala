@@ -883,6 +883,40 @@ object TextAnalysis {
       md5(regexp_replace(lower(trim(norm)), "\\s+", " ")).as("fp_nfc"))
   }
 
+  /** Corpus yield funnel — the headline report every curation pipeline
+    * publishes: doc and token counts at each stage of
+    * raw → exact-dedup (canonical keeper per content fingerprint) →
+    * quality gate (Gopher rules). ONE corpus scan computes tokens,
+    * fingerprint, and the gate verdict together ([[gopherLabeled]] + the
+    * canonical fp); the keeper flag is a min-doc_id window per fp (the
+    * dedup groups are content-duplicate sets — bounded); the three stage
+    * rows come from conditional sums over that single pass, unpivoted.
+    * All counts exact integers.
+    */
+  def yieldFunnel(docs: DataFrame): DataFrame = {
+    val base = gopherLabeled(docs)
+      .select(col("doc_id"), col("n_tokens"), col("pass"),
+        md5(regexp_replace(lower(trim(concat_ws(" ", col("t")))), "\\s+", " "))
+          .as("fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val flagged = base
+      .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))
+    flagged.agg(
+      count(lit(1)).as("raw_docs"),
+      sum(col("n_tokens")).as("raw_tokens"),
+      sum(when(col("keeper"), 1L).otherwise(0L)).as("dedup_docs"),
+      sum(when(col("keeper"), col("n_tokens")).otherwise(0L)).as("dedup_tokens"),
+      sum(when(col("keeper") && col("pass"), 1L).otherwise(0L)).as("gated_docs"),
+      sum(when(col("keeper") && col("pass"), col("n_tokens")).otherwise(0L))
+        .as("gated_tokens"))
+      .select(expr(
+        """stack(3,
+             1L, 'raw',   raw_docs,   raw_tokens,
+             2L, 'dedup', dedup_docs, dedup_tokens,
+             3L, 'gated', gated_docs, gated_tokens)
+           AS (stage_id, stage, n_docs, n_tokens)"""))
+  }
+
   /** Persist the trained weight table as the model ARTIFACT (b, w) —
     * O(buckets) rows of pure metadata, trained once and replayed by
     * every scoring pass (the [[Similarity.writeIvfPqIndex]] artifact

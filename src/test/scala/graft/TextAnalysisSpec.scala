@@ -717,6 +717,25 @@ class TextAnalysisSpec extends GraftSpec {
     assert(!got.contains(("sA", "common")))
   }
 
+  test("yield funnel: stage counts drop monotonically, hand-checked corpus") {
+    import spark.implicits._
+    val passText = (1 to 28).map(i => s"word$i").mkString(" ") + " the and"
+    val docs = Seq(
+      (1L, passText),                       // keeper, passes the gate
+      (2L, "  " + passText + "  "),         // whitespace dup of 1 -> dropped at dedup
+      (3L, "short junk"),                   // keeper, fails the gate
+      (4L, "short junk"))                   // exact dup of 3 -> dropped at dedup
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.yieldFunnel(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toMap
+    // raw: 4 docs, 30+30+2+2 = 64 tokens; dedup keeps docs 1 and 3;
+    // gate keeps doc 1 only
+    assert(got("raw") === ((1L, 4L, 64L)))
+    assert(got("dedup") === ((2L, 2L, 32L)))
+    assert(got("gated") === ((3L, 1L, 30L)))
+  }
+
   test("source stats: brute-forced counts, dup ratio, language spread") {
     import spark.implicits._
     val docs = Seq(
