@@ -773,14 +773,6 @@ object ExtensionQueries {
              CAST(1 + len(list_filter(c.cl, x -> s.sc > x)) AS BIGINT) AS tier
       FROM sc s JOIN cuts c USING (lang))"""
 
-  /** Model-based quality-classifier oracle — shared verbatim by
-    * `text_quality_model` (in-plan training) and
-    * `text_quality_model_persisted` (weights loaded from the parquet
-    * artifact): gopher weak labels → per-bucket class counts →
-    * smoothed rate-contrast weights → per-doc hashed-fold score, every
-    * step in the exact-integer + one-IEEE-division discipline the Spark
-    * side mirrors.
-    */
   /** Shared CTE prefix for the quality-model family: tokenization →
     * gopher weak labels (`lab`) → hashed features → per-bucket class
     * counts → smoothed rate-contrast weights → per-doc raw score (`sc`);
@@ -1987,9 +1979,9 @@ object ExtensionQueries {
       oracle = Some(s"""
         $lmTierCtes
         SELECT doc_id, lang, tier,
-               CASE WHEN tier = 3 THEN 2
-                    WHEN tier = 2 THEN 1
-                    ELSE 0 END AS n_copies
+               CAST(CASE WHEN tier = 3 THEN 2
+                         WHEN tier = 2 THEN 1
+                         ELSE 0 END AS BIGINT) AS n_copies
         FROM tiers""")),
 
     // Per-document TF-IDF top terms: two high-cardinality hash aggs, a

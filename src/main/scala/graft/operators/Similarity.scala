@@ -506,23 +506,36 @@ object Similarity {
   /** [[pqCodes]] against a GIVEN codebook — the core shared by the
     * first-16 and the Lloyd-trained ([[pqCodebookTrained]]) variants.
     */
-  private def pqCodesWith(
-      emb: DataFrame, cents: Map[Long, Array[Long]], m: Int): DataFrame = {
-    val dim = probeDim(emb)
-    require(dim % m == 0, s"dim $dim must split into $m subspaces")
-    val sub = dim / m
+  /** The per-subspace argmin struct columns `best_0..best_{m-1}` over
+    * wide scaled-long components `x_i` — the PQ assignment core SHARED by
+    * [[pqCodesWith]] (standalone codes + reconstruction error) and
+    * [[annIvfPqWith]] (codes alongside the IVF cell in one scan). Ties
+    * break toward the smallest cent_id via the (dd, cent_id) struct min —
+    * the tie-break the oracle's `ORDER BY dd, cent_id` mirrors; ONE
+    * definition so the composed index can never desync from standalone PQ.
+    */
+  private def pqBestStructs(
+      cents: Map[Long, Array[Long]], m: Int, sub: Int)
+      : Seq[org.apache.spark.sql.Column] = {
     val centIds = cents.keys.toSeq.sorted
-    val scaled = scaledLongs(emb, dim)
     def dist(s: Int, c: Long): org.apache.spark.sql.Column =
       (0 until sub).map { j =>
         val d = col(s"x_${s * sub + j}") - lit(cents(c)(s * sub + j))
         d * d
       }.reduce(_ + _)
-    val best = (0 until m).map { s =>
+    (0 until m).map { s =>
       array_min(array(centIds.map(c =>
         struct(dist(s, c).as("dd"), lit(c).as("cent_id"))): _*)).as(s"best_$s")
     }
-    scaled.select(col("vec_id") +: best: _*)
+  }
+
+  private def pqCodesWith(
+      emb: DataFrame, cents: Map[Long, Array[Long]], m: Int): DataFrame = {
+    val dim = probeDim(emb)
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val scaled = scaledLongs(emb, dim)
+    scaled.select(col("vec_id") +: pqBestStructs(cents, m, sub): _*)
       .select(col("vec_id") +:
         (0 until m).map(s => col(s"best_$s.cent_id").as(s"code_$s")) :+
         (0 until m).map(s => col(s"best_$s.dd")).reduce(_ + _).as("err"): _*)
@@ -839,22 +852,13 @@ object Similarity {
     val dim = probeDim(emb)
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
-    val centIds = pqCents.keys.toSeq.sorted
     // corpus: ONE scan -> IVF cell + scaled components -> per-sub PQ codes
     val scaled = vecs(emb).select(
       col("vec_id") +: bestCell(ivfCents).as("cell") +:
         (0 until dim).map(i =>
           expr(s"CAST(FLOOR(v[$i]*1e6 + 0.5) AS BIGINT)").as(s"x_$i")): _*)
-    def dist(s: Int, c: Long): org.apache.spark.sql.Column =
-      (0 until sub).map { j =>
-        val d = col(s"x_${s * sub + j}") - lit(pqCents(c)(s * sub + j))
-        d * d
-      }.reduce(_ + _)
-    val best = (0 until m).map { s =>
-      array_min(array(centIds.map(c =>
-        struct(dist(s, c).as("dd"), lit(c).as("cent_id"))): _*)).as(s"best_$s")
-    }
-    val codes = scaled.select(col("vec_id") +: col("cell") +: best: _*)
+    val codes = scaled
+      .select(col("vec_id") +: col("cell") +: pqBestStructs(pqCents, m, sub): _*)
       .select(col("vec_id") +: col("cell") +:
         (0 until m).map(s => col(s"best_$s.cent_id").as(s"code_$s")): _*)
     // query probe list: the same in-plan expression chain annIvfTrained pins
@@ -906,7 +910,6 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     ivfCentroidsTrained(emb, nCells, ivfIters)
-      .map { case (j, cv) => (j, cv) }
       .toDF("cent_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/ivf_centroids")
     pqCodebookTrained(emb, m, nCents, pqIters)

@@ -819,7 +819,7 @@ object TextAnalysis {
     docs
       .select(col("source"), col("lang"),
         size(Dedup.tokens(col("text"))).cast("long").as("n_toks"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        fingerprint(col("text")).as("fp"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -880,7 +880,7 @@ object TextAnalysis {
   def normalizeNfc(docs: DataFrame): DataFrame = {
     val norm = graft.functions.GraftFunctions.nfc_normalize(col("text"))
     docs.select(col("doc_id"), norm.as("norm_text"),
-      md5(regexp_replace(lower(trim(norm)), "\\s+", " ")).as("fp_nfc"))
+      fingerprint(norm).as("fp_nfc"))
   }
 
   /** Corpus yield funnel — the headline report every curation pipeline
@@ -895,9 +895,11 @@ object TextAnalysis {
     */
   def yieldFunnel(docs: DataFrame): DataFrame = {
     val base = gopherLabeled(docs)
+      // `t` is already lowercased whitespace-split tokens, so the
+      // single-space re-join IS the canonical whitespace-normalized text;
+      // the shared fingerprint() then reduces to a no-op normalize + md5
       .select(col("doc_id"), col("n_tokens"), col("pass"),
-        md5(regexp_replace(lower(trim(concat_ws(" ", col("t")))), "\\s+", " "))
-          .as("fp"))
+        fingerprint(concat_ws(" ", col("t"))).as("fp"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val flagged = base
       .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))

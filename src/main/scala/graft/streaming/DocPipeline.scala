@@ -128,11 +128,13 @@ object DocPipeline {
   def curateModelGated(
       docs: DataFrame,
       weights: Map[Long, Long],
-      minScore: Double = 0.3,
+      modelThreshold: Long = 0L,
+      qualityMinScore: Double = 0.3,
       watermarkDelay: String = "30 seconds"): DataFrame =
     curate(
-      docs.filter(TextAnalysis.modelScore(col("text"), weights) > 0L),
-      minScore, watermarkDelay)
+      docs.filter(
+        TextAnalysis.modelScore(col("text"), weights) > modelThreshold),
+      qualityMinScore, watermarkDelay)
 
   /** Training-sequence emission on any (batch or streaming) frame with
     * (doc_id, text): PII/denylist redaction ([[TextAnalysis.scrub]]) then

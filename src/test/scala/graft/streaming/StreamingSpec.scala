@@ -444,7 +444,7 @@ class StreamingSpec extends GraftSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val input = MemoryStream[(Long, String, String)]
     val out = DocPipeline.curateModelGated(
-      input.toDS().toDF("doc_id", "text", "lang"), wts, minScore = 0.0)
+      input.toDS().toDF("doc_id", "text", "lang"), wts, qualityMinScore = 0.0)
     val streamedIds = runStream(input, out, Seq(
       Seq(corpus(0), corpus(2)), // a reject between two keeps
       Seq(corpus(1), corpus(3))))
