@@ -208,6 +208,34 @@ class CrossCheckSpec extends GraftSpec {
     }
   }
 
+  test("banded lag handles pre-epoch timestamps: band is floor, not truncate") {
+    // timestamps straddling 1970-01-01: integer truncation would assign
+    // bands -0..0 wrongly around the epoch (e.g. -1s and +1s both band 0),
+    // breaking the carry's previous-band ordering; floor keeps bands
+    // monotone in ts. Brute force = plain per-key sort, so any band
+    // mis-assignment that reorders the carry chain shows up as a wrong lag.
+    for (seed <- 1 to 2; bandSeconds <- Seq(1L, 60L)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 120).map { i =>
+        (i.toLong, rnd.nextInt(3).toLong,
+          // uniform over [-30 min, +30 min) around the epoch
+          new java.sql.Timestamp(rnd.nextInt(3600000).toLong - 1800000L),
+          math.rint(rnd.nextDouble() * 1000) / 100)
+      }
+      val df = events.map(e => (e._1, s"t${e._2}", e._4, e._3))
+        .toDF("event_id", "event_type", "value", "ts")
+      val got = TimeSeries.bandedLag(df, bandSeconds).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val expected = events.groupBy(_._2).flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._3.getTime, e._1))
+        sorted.indices.map(i => sorted(i)._1 ->
+          (if (i == 0) None else Some(sorted(i - 1)._4)))
+      }.toMap
+      assert(got === expected, s"seed $seed band $bandSeconds")
+    }
+  }
+
   test("banded ewma matches the sequential fold, hot key included") {
     // user 0 is a synthetic hot key (4000 events — 40× the others); the
     // banded fold must agree with the flat sequential fold to float
