@@ -29,6 +29,18 @@ object ExtensionQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Scratch path for persisted-artifact queries: keyed by sfDir so reps
+    * WITHIN a run stay idempotent (each writer overwrites its own
+    * directory), and by pid so two concurrent harness processes over the
+    * same sfDir never race on one directory (one process's
+    * mode=overwrite would delete files the other is mid-read on).
+    */
+  private lazy val procTag: String =
+    java.lang.ProcessHandle.current().pid().toString
+  private def scratchPath(kind: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_p${procTag}_${
+      Integer.toHexString(dir.hashCode)}"
+
   /** Shared oracle CTE: whitespace tokens of lowercased trimmed text
     * (mirrors Dedup.tokens).
     */
@@ -832,6 +844,35 @@ object ExtensionQueries {
              AS BIGINT) > 0) AS model_pass
     FROM d JOIN sc ON d.doc_id = sc.doc_id""")
 
+  /** [[qualityModelCtes]] extended with the CALIBRATED-gate tail: per-doc
+    * (pass, score), the rank row rn = max(n − npos, 1), the score
+    * histogram with running counts, and the cut value at ascending rank
+    * rn (the Percentiles rank convention — `cum >= rn AND cum − cnt < rn`
+    * picks the bin containing that rank). Ends with `scored` and `cutv`;
+    * callers append the per-doc verdict or the confusion-matrix tail.
+    */
+  private lazy val qualityCalibratedCtes: String = s"""
+    $qualityModelCtes,
+    scored AS (
+      SELECT d.doc_id, lab.pass,
+             CAST(FLOOR(CAST(sc.raw AS DOUBLE) / CAST(d.n_tokens AS DOUBLE))
+               AS BIGINT) AS score
+      FROM d JOIN sc ON d.doc_id = sc.doc_id
+           JOIN lab ON d.doc_id = lab.doc_id),
+    rk AS (
+      SELECT GREATEST(CAST(COUNT(*) AS BIGINT) -
+               CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(1 AS BIGINT)) AS rn
+      FROM scored),
+    hist AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY 1),
+    cumh AS (
+      SELECT score, cnt, CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT) AS cum
+      FROM hist),
+    cutv AS (
+      SELECT score AS cut FROM cumh CROSS JOIN rk
+      WHERE cum >= rn AND cum - cnt < rn)"""
+
   /** IVFADC CTE prefix (training + search fully unrolled): one Lloyd IVF
     * round (c0 → c1) + final assignment (cell2/sc2) + the 3-probe list,
     * then one PQ Lloyd round (cv → cv1) + final codes (pqbest2), the
@@ -1148,8 +1189,7 @@ object ExtensionQueries {
         val coin = TextAnalysis.sampleCoin("inc")
         // deterministic scratch path per SF; the overwrite in
         // writeBucketIndex resets it, so reps stay idempotent
-        val path = s"${sys.props("java.io.tmpdir")}/graft_inc_index_${
-          Integer.toHexString(dir.hashCode)}"
+        val path = scratchPath("inc_index", dir)
         Dedup.writeBucketIndex(d.filter(coin >= 10), path)
         Dedup.incrementalDedupPersisted(d.filter(coin < 10), path)
       },
@@ -1660,8 +1700,7 @@ object ExtensionQueries {
       "sim_ann_ivf_persisted",
       (s, dir) => {
         val e = emb(s, dir)
-        val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_${
-          Integer.toHexString(dir.hashCode)}"
+        val path = scratchPath("ivf_index", dir)
         Similarity.writeIvfCells(e, path)
         Similarity.annIvfPersisted(e, path)
       },
@@ -1713,8 +1752,7 @@ object ExtensionQueries {
       "sim_ann_ivfpq_persisted",
       (s, dir) => {
         val e = emb(s, dir)
-        val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index_${
-          Integer.toHexString(dir.hashCode)}"
+        val path = scratchPath("ivfpq_index", dir)
         Similarity.writeIvfPqIndex(e, path)
         Similarity.annIvfPqPersisted(e, path)
       },
@@ -3183,8 +3221,7 @@ object ExtensionQueries {
       "text_quality_model_persisted",
       (s, dir) => {
         val d = docs(s, dir)
-        val path = s"${sys.props("java.io.tmpdir")}/graft_qmodel_${
-          Integer.toHexString(dir.hashCode)}"
+        val path = scratchPath("qmodel", dir)
         TextAnalysis.writeQualityModel(d, path)
         TextAnalysis.qualityModelScorePersisted(d, path)
       },
@@ -3210,6 +3247,37 @@ object ExtensionQueries {
         SELECT lab.pass, scored.model_pass, CAST(COUNT(*) AS BIGINT) AS n
         FROM lab JOIN scored ON lab.doc_id = scored.doc_id
         GROUP BY 1, 2""")),
+
+    // The CALIBRATED model gate: cut the score at the weak-label base
+    // rate (accept the npos top-scoring docs; ties share a fate via the
+    // rank-convention cut) instead of score>0, which tools/ModelEval
+    // proved is recall-only. One scan computes label + score together;
+    // the cut comes from the tiny score histogram.
+    QuerySpec(
+      "text_quality_gate_calibrated",
+      (s, dir) => TextAnalysis.qualityModelCalibrated(docs(s, dir)),
+      benchmark = false, // re-trains the weight table per run (the
+      // text_quality_model precedent); scoring itself is the already
+      // benchmarked zero-shuffle fold + one metadata histogram
+      oracle = Some(s"""
+        $qualityCalibratedCtes
+        SELECT s.doc_id, s.pass, s.score, c.cut, s.score > c.cut AS cal_pass
+        FROM scored s CROSS JOIN cutv c""")),
+
+    // The calibrated gate's confusion matrix vs the weak label — the
+    // operating-point eval: BOTH error cells populated (false-accepts
+    // traded for false-rejects) at lower total error than score>0;
+    // TextAnalysisSpec pins both properties.
+    QuerySpec(
+      "text_quality_gate_calibrated_eval",
+      (s, dir) => TextAnalysis.qualityModelCalibratedEval(docs(s, dir)),
+      benchmark = false, // same re-trained pipeline, 4-row roll-up
+      oracle = Some(s"""
+        $qualityCalibratedCtes,
+        g AS (SELECT s.pass, s.score > c.cut AS cal_pass
+              FROM scored s CROSS JOIN cutv c)
+        SELECT pass, cal_pass, CAST(COUNT(*) AS BIGINT) AS n
+        FROM g GROUP BY 1, 2""")),
 
     // Per-source governance stats: volume, exact-dup ratio, language
     // spread — one scan, |sources|-row aggregate.

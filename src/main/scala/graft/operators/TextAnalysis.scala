@@ -660,18 +660,22 @@ object TextAnalysis {
     * GROUP BY — two routes, one semantics.
     */
   def gopherRules(docs: DataFrame): DataFrame =
-    gopherLabeled(docs).drop("t")
+    gopherLabeled(docs).drop("t", "fp")
 
-  /** [[gopherRules]] keeping the token array alongside the verdict — the
-    * shared base the model-based quality trainer reads its weak labels
-    * AND its features from in one projection (one corpus scan, not a
-    * label-join).
+  /** [[gopherRules]] keeping the token array AND the canonical content
+    * fingerprint alongside the verdict — the shared base the model-based
+    * quality trainer reads its weak labels AND its features from in one
+    * projection (one corpus scan, not a label-join). The fp column is
+    * [[fingerprint]] over the ORIGINAL text (not a token re-join), so
+    * every consumer dedups on the one canonical key; Catalyst prunes the
+    * md5 out of consumers that drop it.
     */
   private def gopherLabeled(docs: DataFrame): DataFrame = {
     docs
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"),
+        fingerprint(col("text")).as("fp"))
       .select(
-        col("doc_id"), col("t"),
+        col("doc_id"), col("t"), col("fp"),
         size(col("t")).cast("long").as("n_tokens"),
         aggregate(col("t"), lit(0L), (acc, w) => acc + length(w).cast("long"))
           .as("sum_len"),
@@ -686,7 +690,7 @@ object TextAnalysis {
         size(array_intersect(array_distinct(col("t")),
           array(gopherStops.map(lit): _*))).cast("long").as("n_stop_distinct"))
       .select(
-        col("doc_id"), col("t"), col("n_tokens"), col("sum_len"),
+        col("doc_id"), col("t"), col("fp"), col("n_tokens"), col("sum_len"),
         col("max_cnt"), col("n_stop_distinct"),
         (col("n_tokens") >= 30L && col("n_tokens") <= 100000L).as("r_wordcount"),
         (lit(3L) * col("n_tokens") <= col("sum_len") &&
@@ -771,6 +775,12 @@ object TextAnalysis {
   def modelScore(
       text: org.apache.spark.sql.Column, wts: Map[Long, Long],
       buckets: Int = 1024): org.apache.spark.sql.Column = {
+    // A weight keyed outside [0, buckets) means the table was trained
+    // with a DIFFERENT bucket count than this scorer hashes with —
+    // silently dropping it would mis-score every doc; fail loudly.
+    require(wts.keys.forall(k => k >= 0L && k < buckets.toLong),
+      s"weight bucket ids must lie in [0, $buckets): trained bucket count " +
+        "differs from the scoring bucket count")
     val wCol = typedLit((0 until buckets).map(i => wts.getOrElse(i.toLong, 0L)))
     val t = Dedup.tokens(text)
     val raw = aggregate(t, lit(0L), (acc, x) =>
@@ -805,6 +815,66 @@ object TextAnalysis {
       .join(qualityModelScore(docs, buckets)
         .select(col("doc_id"), col("model_pass")), "doc_id")
       .groupBy(col("pass"), col("model_pass"))
+      .agg(count(lit(1)).as("n"))
+
+  /** CALIBRATED model quality gate — the production cut. `tools/ModelEval`
+    * proved the naive score>0 decision is recall-only on this model
+    * (zero false-rejects, every error a false-accept), so the gate
+    * instead cuts the SCORE at the weak-label base rate: accept the
+    * `npos` highest-scoring docs, where `npos` is the gopher-pass count —
+    * the model ranks, the calibrated threshold decides (the
+    * fastText/DCLM operating-point convention). The cut value is the
+    * score at ascending rank `n − npos` (the [[Percentiles]] rank
+    * convention), so equal scores share a fate — deterministic where a
+    * count-exact cut is not, and hash-exact cross-engine.
+    *
+    * Shape at 100 TB: ONE corpus scan computes the weak label AND the
+    * model score together ([[gopherLabeled]] + the literal-weights fold —
+    * no label join), checkpointed; the rank row (1 row) and the score
+    * histogram (≤|distinct scores| rows) both replay the checkpoint, the
+    * cut broadcasts back, and the verdict is a scan-side comparison.
+    * Training remains the one [[qualityModelWeights]] metadata aggregate.
+    */
+  def qualityModelCalibrated(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val wts = qualityModelWeights(docs, buckets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wCol = typedLit((0 until buckets).map(i => wts.getOrElse(i.toLong, 0L)))
+    val scored = gopherLabeled(docs)
+      .select(col("doc_id"), col("pass"),
+        floor(aggregate(col("t"), lit(0L), (acc, x) =>
+          acc + element_at(wCol, (bucketOf(x, buckets) + lit(1L)).cast("int")))
+          .cast("double") / size(col("t")).cast("long").cast("double"))
+          .cast("long").as("score"))
+      .localCheckpoint()
+    // accept-count calibration: cut at ascending rank n − npos (≥1 so the
+    // everything-passes corpus degenerates to cut = min score, not empty)
+    val ranks = scored.agg(
+      greatest(count(lit(1)) - sum(when(col("pass"), 1L).otherwise(0L)), lit(1L))
+        .as("rn"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("one")).orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cut = scored.withColumn("one", lit(1))
+      .groupBy(col("one"), col("score")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(ranks))
+      .filter(col("cum") >= col("rn") && col("cum") - col("cnt") < col("rn"))
+      .select(col("score").as("cut"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("pass"), col("score"), col("cut"),
+        (col("score") > col("cut")).as("cal_pass"))
+  }
+
+  /** Confusion matrix of the CALIBRATED gate vs the gopher weak label —
+    * the operating-point eval shipped next to [[qualityModelEval]]'s
+    * score>0 matrix. Unlike that one, BOTH error cells are populated
+    * here (the calibrated cut trades false-accepts for false-rejects),
+    * and total error is lower — the spec pins both properties.
+    */
+  def qualityModelCalibratedEval(docs: DataFrame, buckets: Int = 1024): DataFrame =
+    qualityModelCalibrated(docs, buckets)
+      .groupBy(col("pass"), col("cal_pass"))
       .agg(count(lit(1)).as("n"))
 
   /** Per-source corpus governance stats — the dashboard row every
@@ -894,12 +964,12 @@ object TextAnalysis {
     * All counts exact integers.
     */
   def yieldFunnel(docs: DataFrame): DataFrame = {
+    // dedup key = the one canonical fingerprint(text) carried through
+    // gopherLabeled — NOT a token re-join, which diverges on edge
+    // whitespace (split keeps an edge empty token, so the re-join gains
+    // an edge space that fingerprint()'s trim strips on one side only)
     val base = gopherLabeled(docs)
-      // `t` is already lowercased whitespace-split tokens, so the
-      // single-space re-join IS the canonical whitespace-normalized text;
-      // the shared fingerprint() then reduces to a no-op normalize + md5
-      .select(col("doc_id"), col("n_tokens"), col("pass"),
-        fingerprint(concat_ws(" ", col("t"))).as("fp"))
+      .select(col("doc_id"), col("n_tokens"), col("pass"), col("fp"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val flagged = base
       .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))

@@ -130,10 +130,11 @@ object DocPipeline {
       weights: Map[Long, Long],
       modelThreshold: Long = 0L,
       qualityMinScore: Double = 0.3,
-      watermarkDelay: String = "30 seconds"): DataFrame =
+      watermarkDelay: String = "30 seconds",
+      buckets: Int = 1024): DataFrame =
     curate(
       docs.filter(
-        TextAnalysis.modelScore(col("text"), weights) > modelThreshold),
+        TextAnalysis.modelScore(col("text"), weights, buckets) > modelThreshold),
       qualityMinScore, watermarkDelay)
 
   /** Training-sequence emission on any (batch or streaming) frame with

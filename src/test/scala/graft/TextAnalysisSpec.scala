@@ -679,6 +679,56 @@ class TextAnalysisSpec extends GraftSpec {
     assert(agree * 2 > total, s"model failed to learn its labels: $cells")
   }
 
+  test("calibrated gate: rank-convention cut brute-forced, accept <= npos") {
+    import spark.implicits._
+    // same labeled corpus as the model spec: docs 1-2 weak-pass, 3-4 fail
+    val passText1 = (1 to 28).map(i => s"word$i").mkString(" ") + " the and"
+    val passText2 = (1 to 29).map(i => s"term$i").mkString(" ") + " the and"
+    val docs = Seq(
+      (1L, passText1), (2L, passText2),
+      (3L, "junk junk junk"), (4L, "word1 term1 the and"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityModelCalibrated(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // brute-force the threshold from the engine's own scores (the score
+    // formula itself is pinned by the quality-model spec): cut = score at
+    // ascending rank max(n - npos, 1); cal_pass = score > cut
+    val scores = got.values.map(_._2).toSeq.sorted
+    val npos = got.values.count(_._1)
+    val rn = math.max(scores.size - npos, 1)
+    val cut = scores(rn - 1)
+    got.foreach { case (id, (_, sc, c, cp)) =>
+      assert(c === cut, s"doc $id cut")
+      assert(cp === (sc > cut), s"doc $id verdict")
+    }
+    // count calibration: ties share a side, so accepted <= npos exactly
+    // when the cut bin straddles the boundary
+    assert(got.values.count(_._4) <= npos)
+    // on this corpus the model separates the classes, so the calibrated
+    // gate reproduces the weak labels exactly
+    assert(got.values.forall { case (p, _, _, cp) => p === cp })
+  }
+
+  test("calibrated gate eval: both error types populated, beats score>0") {
+    val docs = Tables.load(spark, sf, "documents")
+    val cal = TextAnalysis.qualityModelCalibratedEval(docs).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val naive = TextAnalysis.qualityModelEval(docs).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    def errOf(m: Map[(Boolean, Boolean), Long]): Long =
+      m.getOrElse((true, false), 0L) + m.getOrElse((false, true), 0L)
+    info(s"calibrated cells: $cal")
+    info(s"score>0 cells:    $naive")
+    // the operating point trades false-accepts for false-rejects: both
+    // error cells must be populated (score>0's false-reject cell is empty)
+    assert(cal.getOrElse((false, true), 0L) > 0L, "no false-accepts")
+    assert(cal.getOrElse((true, false), 0L) > 0L, "no false-rejects")
+    // and the trade must WIN: lower total error than the naive threshold
+    assert(errOf(cal) < errOf(naive),
+      s"calibrated error ${errOf(cal)} !< naive ${errOf(naive)}")
+  }
+
   test("source divergence: brute-forced integer contrast, top-k per source") {
     import spark.implicits._
     // sA leans 'alpha', sB leans 'beta'; 'common' is background in both
@@ -734,6 +784,23 @@ class TextAnalysisSpec extends GraftSpec {
     assert(got("raw") === ((1L, 4L, 64L)))
     assert(got("dedup") === ((2L, 2L, 32L)))
     assert(got("gated") === ((3L, 1L, 30L)))
+  }
+
+  test("yield funnel: edge-whitespace docs dedup on the canonical fingerprint") {
+    // A trailing newline survives trim() (which strips only spaces), so
+    // the canonical fingerprint(text) keeps the folded edge space and the
+    // doc is NOT an exact dup of its un-terminated twin. The funnel must
+    // agree with fingerprints()/dedup_exact_docs on that key — a key
+    // re-derived from re-joined tokens silently dropped the edge space
+    // and under-counted distinct docs here.
+    import spark.implicits._
+    val passText = (1 to 28).map(i => s"word$i").mkString(" ") + " the and"
+    val docs = Seq((1L, passText), (2L, passText + "\n")).toDF("doc_id", "text")
+    val nDistinct = TextAnalysis.fingerprints(docs).select("fp").distinct().count()
+    assert(nDistinct === 2L)
+    val got = TextAnalysis.yieldFunnel(docs).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got("dedup") === nDistinct)
   }
 
   test("source stats: brute-forced counts, dup ratio, language spread") {
