@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, TextAnalysis, TimeSeries}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max}
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
   * similarity search, text analysis, time series, multimodal columns.
@@ -182,7 +182,7 @@ object ExtensionQueries {
     * Emits `cn$i/apx$i/ad$i/sc$i` internals and the result `cell$i
     * (vec_id, cell)`. Needs [[vecNormCte]]'s `n` in scope.
     */
-  private def lloydAssignCte(i: Int, prevC: String): String =
+  private def lloydAssignCte(i: Int, prevC: String, src: String = "n"): String =
     s"""cn$i AS (
           SELECT cent_id, cv,
                  CAST(list_sum(list_transform(cv,
@@ -191,7 +191,7 @@ object ExtensionQueries {
         apx$i AS (
           SELECT n.vec_id, c.cent_id, n.nrm, c.cnrm,
                  unnest(n.v) AS x, unnest(c.cv) AS cx
-          FROM n CROSS JOIN cn$i c),
+          FROM $src n CROSS JOIN cn$i c),
         ad$i AS (
           SELECT vec_id, cent_id, nrm, cnrm,
                  CAST(SUM(CAST(FLOOR(x*cx*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
@@ -328,11 +328,11 @@ object ExtensionQueries {
     * parametrized by round suffix + codebook CTE so the trained variant
     * can chain rounds (mirrors the lloydAssignCte pattern).
     */
-  private def pqAssignCteN(n: String, cvName: String): String =
+  private def pqAssignCteN(n: String, cvName: String, src: String = "sv"): String =
     s"""pqd$n AS (
           SELECT s.vec_id, c.cent_id, s.i // 8 AS sub,
                  CAST(SUM((s.sx - c.cx) * (s.sx - c.cx)) AS BIGINT) AS dd
-          FROM sv s JOIN $cvName c ON s.i = c.i
+          FROM $src s JOIN $cvName c ON s.i = c.i
           GROUP BY 1, 2, 3),
         pqbest$n AS (
           SELECT vec_id, sub, cent_id, dd,
@@ -882,10 +882,25 @@ object ExtensionQueries {
     * Ends with the `ad (qid, vec_id, dist)` CTE; callers append their
     * own tail (top-k or recall roll-up).
     */
-  private def ivfPqCtes(nProbe: Int = 3): String = s"""
-    WITH $vecNormCte,
-    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 16),
-    ${lloydAssignCte(1, "c0")},
+  private def ivfPqCtes(nProbe: Int = 3, trainOnBase: Boolean = false): String = {
+    // trainOnBase: BOTH training loops see only the base (vec_id < cut,
+    // cut = 80% of max+1 — ids arrive in order, so the delta is the
+    // tail), while the final assignments (cell2 / pqbest2) cover the
+    // full corpus — the frozen-codebook append semantics. Seeds stay
+    // `vec_id < 16`, which is inside the base whenever the corpus has
+    // ≥20 vectors.
+    val split = if (trainOnBase) s"""
+    cutoff AS (SELECT ((MAX(vec_id) + 1) * 8) // 10 AS cut FROM embeddings),
+    nb AS (SELECT n.* FROM n CROSS JOIN cutoff WHERE n.vec_id < cut),""" else ""
+    val svSplit = if (trainOnBase) s"""
+    svb AS (SELECT sv.* FROM sv CROSS JOIN cutoff WHERE sv.vec_id < cut),"""
+    else ""
+    val nSrc = if (trainOnBase) "nb" else "n"
+    val svSrc = if (trainOnBase) "svb" else "sv"
+    s"""
+    WITH $vecNormCte,$split
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM $nSrc WHERE vec_id < 16),
+    ${lloydAssignCte(1, "c0", nSrc)},
     ${lloydUpdateCte(1, "c0")},
     ${lloydAssignCte(2, "c1")},
     qp AS (
@@ -894,8 +909,8 @@ object ExtensionQueries {
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY score DESC, cent_id) AS rn
         FROM sc2 WHERE vec_id < 8) WHERE rn <= $nProbe),
-    $pqSvCvCte,
-    ${pqAssignCteN("1", "cv")},
+    $pqSvCvCte,$svSplit
+    ${pqAssignCteN("1", "cv", svSrc)},
     ${pqUpdateCte("1", "pqbest1", "cv")},
     ${pqAssignCteN("2", "cv1")},
     adcodes AS (SELECT vec_id, sub, cent_id AS code FROM pqbest2 WHERE rn = 1),
@@ -912,6 +927,7 @@ object ExtensionQueries {
       FROM cand JOIN adcodes ac ON ac.vec_id = cand.vec_id
       JOIN tbl t ON t.qid = cand.qid AND t.sub = ac.sub AND t.code = ac.code
       GROUP BY 1, 2)"""
+  }
 
   /** IVFADC top-k oracle — shared verbatim by `sim_ann_ivfpq` (in-plan
     * training) and `sim_ann_ivfpq_persisted` (codebooks loaded from
@@ -1771,6 +1787,34 @@ object ExtensionQueries {
       benchmark = false, // same re-trained pipeline as sim_ann_ivfpq
       oracle = Some(s"""
         ${ivfPqCtes(nProbe = 2)}
+        SELECT qid, vec_id, dist, rn FROM (
+          SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, vec_id) AS rn
+          FROM ad) WHERE rn <= 10""")),
+
+    // Incremental ANN maintenance: train the IVFADC codebooks on the
+    // BASE 80% (ids arrive in order — the delta is the tail), persist
+    // codebooks + assigned postings, APPEND the delta's postings against
+    // the FROZEN codebooks (zero retraining — the thing IVF exists to
+    // avoid), then search the union from the artifact. The oracle trains
+    // on the base and assigns the full corpus — identical by
+    // construction because assignment is a pure per-row function of the
+    // frozen codebooks; the hash-match proves the append round trip.
+    QuerySpec(
+      "sim_ann_ivfpq_appended",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) * 8L / 10L
+        val path = scratchPath("ivfpq_appended", dir)
+        Similarity.writeIvfPqIndexFull(e.filter(col("vec_id") < cut), path)
+        Similarity.appendIvfPqPostings(e.filter(col("vec_id") >= cut), path)
+        Similarity.annIvfPqAppended(e, path)
+      },
+      benchmark = false, // re-trains + rewrites + re-appends each run so
+      // the full maintenance loop is always exercised fresh
+      oracle = Some(s"""
+        ${ivfPqCtes(trainOnBase = true)}
         SELECT qid, vec_id, dist, rn FROM (
           SELECT qid, vec_id, dist,
                  row_number() OVER (PARTITION BY qid

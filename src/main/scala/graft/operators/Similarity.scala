@@ -842,25 +842,57 @@ object Similarity {
       pqCodebookTrained(emb, m, nCents, pqIters), nQueries, k, nProbe, m)
 
   /** [[annIvfPq]] against GIVEN codebooks — the core shared by the
-    * in-plan-trained and the persisted-artifact variants.
+    * in-plan-trained and the persisted-artifact variants: one posting
+    * scan ([[ivfPqPostings]]) feeding the broadcast-probe ADC search
+    * ([[ivfPqSearch]]).
     */
   private def annIvfPqWith(
       emb: DataFrame, ivfCents: Seq[(Int, Seq[Double])],
       pqCents: Map[Long, Array[Long]],
-      nQueries: Int, k: Int, nProbe: Int, m: Int): DataFrame = {
-    val spark = emb.sparkSession
+      nQueries: Int, k: Int, nProbe: Int, m: Int): DataFrame =
+    ivfPqSearch(ivfPqPostings(emb, ivfCents, pqCents, m), emb,
+      ivfCents, pqCents, nQueries, k, nProbe, m)
+
+  /** The IVFADC posting projection — (vec_id, cell, code_0..code_{m-1})
+    * from ONE corpus scan: cell assignment and PQ codes are both
+    * scan-side expressions against the codebooks baked as literals. This
+    * IS the standing index's per-vector payload: ~m code bytes + a cell
+    * id per vector, and because assignment never looks at other rows it
+    * is the append unit too — new vectors code up against the FROZEN
+    * codebooks with zero retraining ([[appendIvfPqPostings]]).
+    */
+  private def ivfPqPostings(
+      emb: DataFrame, ivfCents: Seq[(Int, Seq[Double])],
+      pqCents: Map[Long, Array[Long]], m: Int): DataFrame = {
     val dim = probeDim(emb)
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
-    // corpus: ONE scan -> IVF cell + scaled components -> per-sub PQ codes
     val scaled = vecs(emb).select(
       col("vec_id") +: bestCell(ivfCents).as("cell") +:
         (0 until dim).map(i =>
           expr(s"CAST(FLOOR(v[$i]*1e6 + 0.5) AS BIGINT)").as(s"x_$i")): _*)
-    val codes = scaled
+    scaled
       .select(col("vec_id") +: col("cell") +: pqBestStructs(pqCents, m, sub): _*)
       .select(col("vec_id") +: col("cell") +:
         (0 until m).map(s => col(s"best_$s.cent_id").as(s"code_$s")): _*)
+  }
+
+  /** ADC search over a GIVEN posting table: probe lists and the
+    * per-query distance table broadcast (driver metadata), candidates =
+    * the probed cells' postings, each priced at m table lookups. The
+    * final top-k windows partition by qid only, but the
+    * WindowGroupLimit pin (PlanSpec) prunes to k per map partition
+    * first, so the funnel carries k·partitions rows — not the candidate
+    * set — into the single per-query task; that pin is what keeps the
+    * shape survivable at 100 TB (the BM25 top-k argument).
+    */
+  private def ivfPqSearch(
+      postings: DataFrame, emb: DataFrame,
+      ivfCents: Seq[(Int, Seq[Double])], pqCents: Map[Long, Array[Long]],
+      nQueries: Int, k: Int, nProbe: Int, m: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = probeDim(emb)
+    val sub = dim / m
     // query probe list: the same in-plan expression chain annIvfTrained pins
     val q = vecs(emb).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), topCells(ivfCents, nProbe).as("probes"))
@@ -883,7 +915,7 @@ object Similarity {
     }).toDF("qid", "sub", "code", "dsub")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(asc("dist"), asc("vec_id"))
-    codes.join(broadcast(q), col("cell") === col("qcell"))
+    postings.join(broadcast(q), col("cell") === col("qcell"))
       .select(col("qid"), col("vec_id"),
         posexplode(array((0 until m).map(s => col(s"code_$s")): _*))
           .as(Seq("sub", "code")))
@@ -941,6 +973,82 @@ object Similarity {
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     annIvfPqWith(emb, ivfCents, pqCents, nQueries, k, nProbe, m)
+  }
+
+  /** Load both IVFADC codebook artifacts back as driver metadata — the
+    * shared read side of [[annIvfPqPersisted]], [[appendIvfPqPostings]]
+    * and [[annIvfPqAppended]].
+    */
+  private def loadIvfPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String)
+      : (Seq[(Int, Seq[Double])], Map[Long, Array[Long]]) = {
+    val ivfCents = spark.read.parquet(s"$indexDir/ivf_centroids")
+      .select(col("cent_id"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val pqCents = spark.read.parquet(s"$indexDir/pq_codebook")
+      .select(col("cent_id"), col("comps"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    (ivfCents, pqCents)
+  }
+
+  /** Persist the FULL standing IVFADC index: both codebooks
+    * ([[writeIvfPqIndex]]) PLUS the assigned posting table
+    * (vec_id, cell, code_0..m−1) — the layout a growing corpus needs,
+    * because appends extend the postings while the codebooks stay
+    * frozen. Postings are computed with the codebooks READ BACK from
+    * their artifacts, so index rows can never desync from the metadata a
+    * later append or search will load. Written partitioned by `cell`, so
+    * a probe-limited search prunes to its probed cells' files — the
+    * on-disk analogue of the inverted list.
+    */
+  def writeIvfPqIndexFull(
+      emb: DataFrame, indexDir: String,
+      nCells: Int = 16, ivfIters: Int = 1,
+      m: Int = 8, nCents: Int = 16, pqIters: Int = 1): Unit = {
+    writeIvfPqIndex(emb, indexDir, nCells, ivfIters, m, nCents, pqIters)
+    val (ivfCents, pqCents) = loadIvfPqCodebooks(emb.sparkSession, indexDir)
+    ivfPqPostings(emb, ivfCents, pqCents, m)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** Append NEW vectors to the standing index WITHOUT retraining — the
+    * [[graft.operators.Dedup]] incremental-index discipline applied to
+    * ANN: load the frozen codebooks (O(nCents·dim) metadata), assign the
+    * delta's cells + codes scan-side, and append the rows to the posting
+    * table. Full retrain per ingest batch is exactly what IVF exists to
+    * avoid; the price of freezing is quantization drift if the delta's
+    * distribution wanders from the training corpus — monitored, not
+    * prevented, here ([[annRecallIvfPq]] is the drift gauge).
+    */
+  def appendIvfPqPostings(
+      embDelta: DataFrame, indexDir: String, m: Int = 8): Unit = {
+    val (ivfCents, pqCents) = loadIvfPqCodebooks(embDelta.sparkSession, indexDir)
+    ivfPqPostings(embDelta, ivfCents, pqCents, m)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** Search the appended index: postings (base ∪ every appended delta)
+    * stream from the artifact — the corpus parquet is NOT rescanned —
+    * while probe lists and the ADC table come from the frozen codebooks.
+    * Because assignment is a pure per-row function of the frozen
+    * codebooks, base∪delta postings are IDENTICAL to what one-shot
+    * indexing of the whole corpus would produce, so this hash-matches an
+    * oracle that trains on the base and assigns everything.
+    */
+  def annIvfPqAppended(
+      emb: DataFrame, indexDir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 3, m: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val (ivfCents, pqCents) = loadIvfPqCodebooks(spark, indexDir)
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .select(col("vec_id") +: col("cell").cast("int").as("cell") +:
+        (0 until m).map(s => col(s"code_$s")): _*)
+    ivfPqSearch(postings, emb, ivfCents, pqCents, nQueries, k, nProbe, m)
   }
 
   /** The IVFADC recall contract vs exact L2 (the metric PQ quantizes) —

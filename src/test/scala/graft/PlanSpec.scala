@@ -627,6 +627,29 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("ivfadc appended: corpus never rescanned, cell partitions pruned") {
+    val p = plan(Registry.queries("sim_ann_ivfpq_appended")(spark, sf))
+    // the corpus-sized input is the POSTING artifact; embeddings parquet
+    // appears only as query-side reads (the probe list and the dynamic-
+    // pruning subquery), every one carrying the vec_id<8 pushdown — the
+    // corpus is never re-read in full
+    val embScans = "embeddings\\.parquet".r.findAllIn(p).size
+    assert(embScans > 0, p)
+    assert("LessThan\\(vec_id,8\\)".r.findAllIn(p).size === embScans,
+      s"every embeddings read must be the pushed-down query side:\n$p")
+    assert(p.contains("postings"), s"search must read the posting artifact:\n$p")
+    // the cell-partitioned artifact + the broadcast probe list give
+    // DYNAMIC PARTITION PRUNING on cell: the search reads ONLY the
+    // probed cells' files — the on-disk inverted list
+    assert(p.contains("dynamicpruning"),
+      s"posting read must prune to the probed cell partitions:\n$p")
+    // codebooks are literals: probe list + ADC table broadcast, no
+    // metadata join, no shuffle-side join anywhere
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("source divergence replays its checkpoint; token marginal never broadcasts") {
     val df = Registry.queries("doc_source_divergence")(spark, sf)
     val p = plan(df)

@@ -65,7 +65,7 @@ class RegistrySpec extends GraftSpec {
       "mm_phash_clusters", "emb_pq_codes_trained", "sim_recall_pq_trained",
       "sim_ann_ivfpq", "sim_ann_ivfpq_persisted", "sim_recall_ivfpq",
       "text_quality_model_persisted", "text_quality_model_eval",
-      "mix_lm_tiers", "sim_ann_ivfpq_probe2",
+      "mix_lm_tiers", "sim_ann_ivfpq_probe2", "sim_ann_ivfpq_appended",
       "text_quality_gate_calibrated", "text_quality_gate_calibrated_eval")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")

@@ -341,4 +341,34 @@ class SimilaritySpec extends GraftSpec {
     info(f"ivfadc recall@10 = $mean%.3f (nProbe=3/16, trained PQ)")
     assert(mean >= 0.25, f"ivfadc recall collapsed: $mean%.3f")
   }
+
+  test("ivfadc append: frozen-codebook append equals one-shot union indexing") {
+    import org.apache.spark.sql.functions.{col, max}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val nAll = emb.count()
+    val cut = (emb.agg(max(col("vec_id"))).head.getLong(0) + 1L) * 8L / 10L
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    // train + index the base 80% only
+    Similarity.writeIvfPqIndexFull(emb.filter(col("vec_id") < cut), dir)
+    val nBase = spark.read.parquet(s"$dir/postings").count()
+    assert(nBase > 0 && nBase < nAll, s"split degenerate: $nBase of $nAll")
+    // append the tail delta in TWO ingest batches against the FROZEN
+    // codebooks — appends must be additive, never destructive
+    val cut2 = (emb.agg(max(col("vec_id"))).head.getLong(0) + 1L) * 9L / 10L
+    Similarity.appendIvfPqPostings(
+      emb.filter(col("vec_id") >= cut && col("vec_id") < cut2), dir)
+    Similarity.appendIvfPqPostings(emb.filter(col("vec_id") >= cut2), dir)
+    assert(spark.read.parquet(s"$dir/postings").count() === nAll,
+      "appends must extend the posting table to the full corpus")
+    // the appended artifact search == the one-shot in-plan assignment of
+    // the WHOLE corpus under the same loaded codebooks: assignment is a
+    // pure per-row function of the frozen codebooks, so batch boundaries
+    // cannot change a single posting
+    val appended = Similarity.annIvfPqAppended(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong))
+    val oneShot = Similarity.annIvfPqPersisted(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong))
+    assert(appended.toSet === oneShot.toSet)
+    assert(appended.nonEmpty)
+  }
 }
