@@ -607,6 +607,13 @@ class PlanSpec extends GraftSpec {
     // a pure scan-side fold — no join, no shuffle, nothing to exchange
     assert(!p.contains("Exchange"), s"scoring must be zero-shuffle:\n$p")
     assert(!p.contains("Join"), s"weights must be literals, not a join:\n$p")
+    // the BENCHED persisted variant inherits the same scoring shape: the
+    // artifact collects to the driver, so the plan is still one corpus
+    // scan, zero exchanges — the bench prices scoring, not training
+    val pp = plan(Registry.queries("text_quality_model_persisted")(spark, sf))
+    assert("Scan parquet".r.findAllIn(pp).size === 1, pp)
+    assert(!pp.contains("Exchange"), s"persisted scoring must be zero-shuffle:\n$pp")
+    assert(!pp.contains("Join"), pp)
   }
 
   test("source stats: one corpus scan into a sources-keyed aggregate") {

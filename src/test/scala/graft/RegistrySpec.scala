@@ -64,7 +64,7 @@ class RegistrySpec extends GraftSpec {
       "sim_recall_ivf", "sim_recall_ivf_probe8", "sim_recall_pq",
       "mm_phash_clusters", "emb_pq_codes_trained", "sim_recall_pq_trained",
       "sim_ann_ivfpq", "sim_ann_ivfpq_persisted", "sim_recall_ivfpq",
-      "text_quality_model_persisted", "text_quality_model_eval",
+      "text_quality_model", "text_quality_model_eval",
       "mix_lm_tiers", "sim_ann_ivfpq_probe2", "sim_ann_ivfpq_appended",
       "text_quality_gate_calibrated", "text_quality_gate_calibrated_eval")
     assert(excluded === ledger,
