@@ -42,12 +42,50 @@ object ExtensionQueries {
       Integer.toHexString(dir.hashCode)}"
 
   /** Shared oracle CTE: whitespace tokens of lowercased trimmed text
-    * (mirrors Dedup.tokens).
+    * (mirrors Dedup.tokens ON THE HARNESS CORPUS, which is ASCII — there
+    * the seam's segmentation regex is a pinned no-op; the multiscript
+    * fixture queries below carry the cross-engine evidence for the
+    * segmented form).
     */
   private val toksCte =
     """toks AS (
          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
          FROM documents)"""
+
+  /** DuckDB mirror of the Dedup.tokens seam (RE2 `\x{...}` spelling of
+    * the same Han/kana/Thai class).
+    */
+  private val segSplitSql =
+    """string_split_regex(lower(trim(regexp_replace(text,
+       '([\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{0E00}-\x{0E7F}])',
+       ' \1 ', 'g'))), '\s+')"""
+
+  /** The multiscript tokenization fixture — one doc per script family
+    * (space-delimited EN pair, unsegmented ZH near-dup pair, JA, TH),
+    * identical literals on both engines. Pre-seam, docs 3-6 each
+    * tokenized as ONE token (no spaces), so they had no shingles and
+    * were invisible to every n-gram operator — the blindness the seam
+    * fixes.
+    */
+  private val multiscriptFixtureSql =
+    """fx(doc_id, text) AS (VALUES
+         (CAST(1 AS BIGINT), 'the quick brown fox jumps over the lazy dog'),
+         (CAST(2 AS BIGINT), 'the quick brown fox jumps over the lazy cat'),
+         (CAST(3 AS BIGINT), '大规模语言模型的训练数据质量'),
+         (CAST(4 AS BIGINT), '大规模语言模型的训练数据工程'),
+         (CAST(5 AS BIGINT), '機械学習モデルを訓練する'),
+         (CAST(6 AS BIGINT), 'ยินดีต้อนรับสู่กรุงเทพ'))"""
+
+  private def multiscriptDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "大规模语言模型的训练数据质量"),
+      (4L, "大规模语言模型的训练数据工程"),
+      (5L, "機械学習モデルを訓練する"),
+      (6L, "ยินดีต้อนรับสู่กรุงเทพ")).toDF("doc_id", "text")
+  }
 
   /** One unrolled BPE round for the `vocab_bpe_merges` oracle: from the
     * dense-position token table t$i, pick the argmax adjacent pair (b$i),
@@ -3080,6 +3118,58 @@ object ExtensionQueries {
         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7""")),
 
+    // Cross-modal governance, image→text: the image-near-dup pairs
+    // annotated with text-fingerprint equality — same_text=false is the
+    // "same image, different caption" cell neither single-modality dedup
+    // sees. Pair-sized joins against the thin (doc_id, fp) projection.
+    QuerySpec(
+      "mm_crossmodal_image_dups",
+      (s, dir) => Multimodal.crossModalImageDups(s, docs(s, dir)),
+      Some(s"""
+        WITH $phashHashesCte,
+        prs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7),
+        fp AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents)
+        SELECT p.doc_a, p.doc_b, p.hamming, fa.fp = fb.fp AS same_text
+        FROM prs p
+        JOIN fp fa ON fa.doc_id = p.doc_a
+        JOIN fp fb ON fb.doc_id = p.doc_b""")),
+
+    // Cross-modal governance, text→image: near-dup caption pairs (the
+    // MinHash candidate graph) annotated with their images' aHash
+    // hamming + img_dup verdict — the "recycled caption, divergent
+    // image" cell. Composes the two already-verified pair machineries.
+    QuerySpec(
+      "mm_crossmodal_text_dups",
+      (s, dir) => Multimodal.crossModalTextDups(s, docs(s, dir)),
+      Some(s"""
+        WITH $minhashCte,
+        bk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash) AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2),
+        prs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket_key = b.bucket_key
+           AND a.doc_id < b.doc_id),
+        $phashHashesCte
+        SELECT p.doc_a, p.doc_b,
+               CAST(bit_count(xor(ha.lo, hb.lo))
+                  + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming,
+               (bit_count(xor(ha.lo, hb.lo))
+                  + bit_count(xor(ha.hi, hb.hi))) <= 7 AS img_dup
+        FROM prs p
+        JOIN hashes ha ON ha.doc_id = p.doc_a
+        JOIN hashes hb ON hb.doc_id = p.doc_b""")),
+
     // Image near-dup clusters: connected components over the phash pair
     // graph — the keep-one decision, completing decode -> stats -> pairs
     // -> clusters. Same recursive-reach oracle as dedup_clusters over
@@ -3445,6 +3535,58 @@ object ExtensionQueries {
                md5(regexp_replace(lower(trim(nfc_normalize(text))),
                  '\s+', ' ', 'g')) AS fp_nfc
         FROM documents""")),
+
+    // The tokenization SEAM's cross-engine evidence: script-aware
+    // segmentation (Han/kana/Thai space out per codepoint, then the
+    // identical lower+trim+split) replayed by DuckDB on the multiscript
+    // fixture. The harness corpus is ASCII — there the seam is a pinned
+    // no-op — so the fixture is where the segmented form is proven.
+    QuerySpec(
+      "text_tokenize_multiscript",
+      (s, dir) => TextAnalysis.tokensExploded(multiscriptDocs(s)),
+      benchmark = false, // 6-row fixture literal — nothing to price
+      oracle = Some(s"""
+        WITH $multiscriptFixtureSql,
+        t AS (SELECT doc_id, $segSplitSql AS tk FROM fx)
+        SELECT doc_id,
+               CAST(unnest(range(0, len(tk))) AS BIGINT) AS pos,
+               unnest(tk) AS tok
+        FROM t""")),
+
+    // The seam's downstream payoff: n-gram near-dup detection WORKS on
+    // unsegmented scripts — the ZH near-dup pair (3,4) surfaces from
+    // per-character shingles (pre-seam each zh/ja/th doc was ONE token:
+    // no shingles, invisible to every n-gram operator). Same pipeline +
+    // thresholds as dedup_ngram_jaccard.
+    QuerySpec(
+      "dedup_ngram_jaccard_multiscript",
+      (s, dir) => Dedup.ngramJaccardPairs(multiscriptDocs(s)),
+      benchmark = false, // 6-row fixture literal — nothing to price
+      oracle = Some(s"""
+        WITH $multiscriptFixtureSql,
+        toks AS (SELECT doc_id, $segSplitSql AS t FROM fx),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+          FROM toks WHERE len(t) >= 3),
+        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        hotsh AS (SELECT shingle FROM d GROUP BY shingle HAVING count(*) > 100),
+        dc AS (SELECT doc_id, shingle FROM d
+               WHERE shingle NOT IN (SELECT shingle FROM hotsh)),
+        cm AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM dc a JOIN dc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) /
+                 CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        FROM cm
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) /
+                CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.05""")),
 
     // PII / denylist scrub: counts + redaction in ONE text pass, pure
     // projection. Patterns restricted to the Java-regex/RE2-identical

@@ -47,9 +47,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Tokenize into lowercase whitespace words (shared by all text ops). */
+  /** Codepoint class of unsegmented scripts — CJK unified ideographs,
+    * hiragana/katakana, Thai — as one capturing group, identical in Java
+    * regex (Spark) and RE2 (DuckDB oracle, `\x{...}` spelling).
+    */
+  private[operators] val UnsegmentedScript =
+    "([\\u3040-\\u30FF\\u4E00-\\u9FFF\\u0E00-\\u0E7F])"
+
+  /** Script-aware tokenization — THE seam every token-consuming operator
+    * inherits (quality rules + model, BM25/TF-IDF, divergence, LM
+    * scoring, shingles → MinHash/n-gram dedup, the streaming gates).
+    * Unsegmented scripts (Han, kana, Thai) carry no spaces, so a raw
+    * whitespace split treats a whole line as ONE token and silently
+    * blinds every token-based operator on multilingual corpora. The seam
+    * first spaces out each such codepoint (the public CCNet/CLD3
+    * character-fallback practice — per-character tokens feed the same
+    * shingle/n-gram machinery as words), then applies the identical
+    * lower+trim+split. On text containing NONE of those codepoints the
+    * regex is a no-op and the output is BIT-IDENTICAL to the legacy
+    * split (the NFC fast-path discipline), keeping every ASCII oracle
+    * and artifact byte-stable. Thai combining marks become their own
+    * tokens — accepted: the fallback serves fingerprints/shingles, not
+    * linguistics, and a dictionary segmenter would slot in at this seam.
+    * Cross-engine evidence lives in the `text_tokenize_multiscript`
+    * fixture oracle; DedupSpec pins the ASCII no-op bit-identity.
+    */
   private[operators] def tokens(text: Column): Column =
-    split(lower(trim(text)), "\\s+")
+    split(lower(trim(regexp_replace(text, UnsegmentedScript, " $1 "))), "\\s+")
 
   /** Word 3-gram shingles of a document as ONE array column per doc —
     * no row expansion. Docs shorter than 3 tokens drop. Downstream

@@ -327,6 +327,48 @@ object Multimodal {
       .unionByName(labels)
   }
 
+  /** Cross-modal dup linkage, image→text direction: the [[phashPairs]]
+    * image-near-dup graph annotated with whether the two docs' TEXT
+    * fingerprints match. `same_text = false` rows are the "same image,
+    * different caption" contamination a multimodal training set must
+    * catch — image dedup alone would keep one doc per image cluster and
+    * silently drop caption diversity, text dedup alone never sees the
+    * pair at all. doc_id is the blob↔text linkage key (blob and caption
+    * live on the same document row).
+    *
+    * Shape at 100 TB: the pair graph is the already-blocked pigeonhole
+    * output (pair-sized, never all-pairs); it joins the thin
+    * (doc_id, fp) projection twice, keyed on doc ids — two hash joins
+    * whose build side is the pair table, which is orders smaller than
+    * the corpus.
+    */
+  def crossModalImageDups(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val fp = TextAnalysis.fingerprints(docs)
+    phashPairs(spark, docs)
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        (col("fp_a") === col("fp_b")).as("same_text"))
+  }
+
+  /** Cross-modal dup linkage, text→image direction: near-dup CAPTION
+    * pairs (the MinHash candidate graph) annotated with their images'
+    * aHash hamming distance and the `img_dup` verdict — "near-same text,
+    * divergent image" is the inverse governance cell (e.g. one caption
+    * recycled across unrelated images). Same pair-sized join shape as
+    * [[crossModalImageDups]], against the (doc_id, phash) projection.
+    */
+  def crossModalTextDups(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val h = aHash(spark, docs)
+    val ham = bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long")
+    Dedup.minhashCandidatePairs(docs)
+      .join(h.select(col("doc_id").as("doc_a"), col("phash").as("pa")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"), col("phash").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), ham.as("hamming"),
+        (ham <= maxHamming).as("img_dup"))
+  }
+
   /** Audio feature extraction — the PCM twin of the image decode path:
     * the blob is interpreted as signed 16-bit little-endian mono PCM
     * (the WAV data-chunk layout; a trailing odd byte is not a sample and

@@ -237,6 +237,17 @@ object TextAnalysis {
       size(split(trim(col("text")), "\\s+")).as("n_words"),
       size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).as("n_bpeish"))
 
+  /** The script-aware tokenization itself as a query: (doc_id, pos, tok)
+    * rows — the cross-engine evidence surface for the [[Dedup.tokens]]
+    * seam (registered over a multiscript fixture, where the DuckDB
+    * oracle replays the identical segment-then-split; the harness corpus
+    * is ASCII, where the seam is a pinned no-op).
+    */
+  def tokensExploded(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+
   /** Content fingerprint expression: md5 over whitespace-normalized
     * lowercase text — the exact-dup key for content-defined dedup across
     * shards. Exposed as a Column so batch ops and the streaming document

@@ -393,4 +393,58 @@ class DedupSpec extends GraftSpec {
     // (2,3) each in sX/sY
     assert(got === Map(("sX", "sX") -> 1L, ("sX", "sY") -> 2L))
   }
+
+  test("script-aware tokens: ASCII bit-identical to the legacy split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split, lower, trim}
+    // the seam's no-op contract: on text without Han/kana/Thai
+    // codepoints (incl. accented Latin, digits, punctuation, tabs) the
+    // segmented tokenization equals the raw lower+trim+split EXACTLY —
+    // what keeps all ASCII oracles and persisted artifacts byte-stable
+    val docs = Seq(
+      (1L, "The QUICK brown\tfox  jumps"),
+      (2L, "  café naïve Zürich 42 !? "),
+      (3L, "a-b c_d e.f"),
+      (4L, "single")).toDF("doc_id", "text")
+    val seam = operators.TextAnalysis.tokensExploded(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val legacy = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.posexplode(
+        split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2)))
+      .toSet
+    assert(seam === legacy)
+  }
+
+  test("script-aware tokens: unsegmented scripts split per codepoint") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "大规模语言模型的训练数据质量"),
+      (2L, "大规模语言模型的训练数据工程"),
+      (3L, "機械学習モデルを訓練する"),
+      (4L, "mixed 中文 and English 文本 tokens"),
+      (5L, "ยินดี")).toDF("doc_id", "text")
+    val toks = operators.TextAnalysis.tokensExploded(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // zh/ja: one token per ideograph/kana (12 resp. 14 codepoints);
+    // thai: per codepoint including combining marks (documented)
+    assert(toks(1L).size === 14 && toks(1L).forall(_.length == 1))
+    assert(toks(3L).size === 12)
+    assert(toks(5L).size === 5)
+    // mixed text keeps Latin words whole and splits only the CJK runs
+    assert(toks(4L) === Seq("mixed", "中", "文", "and", "english", "文", "本",
+      "tokens"))
+    // the payoff: per-character shingles make the zh near-dup pair
+    // visible to the n-gram machinery (pre-seam: one token, no shingles,
+    // invisible) — brute-forced jaccard = |common|/|union| of 3-gram sets
+    val pairs = operators.Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    def sh(s: Seq[String]): Set[String] =
+      s.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val (a, b) = (sh(toks(1L)), sh(toks(2L)))
+    val expJ = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+    assert(pairs.contains((1L, 2L)), s"zh near-dup pair missing: $pairs")
+    assert(pairs((1L, 2L)) === expJ)
+  }
 }
