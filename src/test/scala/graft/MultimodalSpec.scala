@@ -162,4 +162,48 @@ class MultimodalSpec extends GraftSpec {
     // doc 1: 11 bytes -> single frame idx 0
     assert(got.filter(_._1 == 1L).toSeq === Seq((1L, 0, 11)))
   }
+
+  test("cross-modal linkage equals brute-forced joins of its two pair graphs") {
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val fx = Seq(
+      (1L, base),
+      (2L, base),                            // exact dup of 1: same bytes
+      (3L, "  " + base.toUpperCase + "  "),  // same FINGERPRINT as 1 (case/
+      // whitespace normalize) but different BYTES -> different pixels
+      (4L, base.replace("w30", "zz")),       // near-dup text
+      (5L, (1 to 30).map(i => s"q$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val fp = operators.TextAnalysis.fingerprints(fx).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(3L))
+    assert(fp(1L) != fp(4L))
+    val ah = Multimodal.aHash(spark, fx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // image->text: every phash pair annotated with fp equality
+    val gotA = Multimodal.crossModalImageDups(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val expA = Multimodal.phashPairs(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        fp(r.getLong(0)) == fp(r.getLong(1)))).toSet
+    assert(gotA === expA)
+    // text->image: every minhash caption pair annotated with aHash hamming
+    val gotB = Multimodal.crossModalTextDups(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val expB = operators.Dedup.minhashCandidatePairs(fx).collect()
+      .map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val h = java.lang.Long.bitCount(ah(a) ^ ah(b)).toLong
+        (a, b, h, h <= 7L)
+      }.toSet
+    assert(gotB === expB)
+    // governance cells are non-trivial: the byte-identical dup pair is
+    // img_dup=true with hamming 0, and the normalized-equal pair (1,3)
+    // reaches the caption graph (identical shingles) even though its
+    // bytes — hence possibly its pixels — differ
+    assert(gotB.contains((1L, 2L, 0L, true)))
+    assert(gotB.exists(t => t._1 == 1L && t._2 == 3L))
+  }
 }
