@@ -174,9 +174,19 @@ object Bench {
     // total_per_cal across rounds to see ENGINE movement; compare
     // calibration_s to see HOST movement.
     def perCal(v: Double): Double = if (cal > 0) v / cal else -1.0
+    // Honesty band: the start/end calibration RATIO. ~1.0 = stable host;
+    // above ~1.5 the host moved mid-run and total_per_cal (normalized by
+    // the min) under-normalizes whatever ran during the spike — the
+    // artifact self-flags instead of a judge having to diff load fields.
+    val calSpread =
+      if (math.min(calStart, calEnd) > 0)
+        math.max(calStart, calEnd) / math.min(calStart, calEnd)
+      else -1.0
     def calJson =
       s""""calibration_s":$cal,"calibration_start_s":$calStart,""" +
-        s""""calibration_end_s":$calEnd,"total_per_cal":${perCal(total)},""" +
+        s""""calibration_end_s":$calEnd,"calibration_spread":$calSpread,""" +
+        s""""calibration_flagged":${calSpread > 1.5},""" +
+        s""""total_per_cal":${perCal(total)},""" +
         s""""total_warm_per_cal":${perCal(totalWarm)}"""
     val loadMid = loadAvg
     def env(loadEnd: Double) =
