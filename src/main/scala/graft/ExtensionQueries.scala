@@ -967,6 +967,39 @@ object ExtensionQueries {
       GROUP BY 1, 2)"""
   }
 
+  /** Recall@10 roll-up appended after an [[ivfPqCtes]] chain: the ADC
+    * top-10 (`ad`) against exact L2 over the full corpus (`sv`/`qq` are
+    * always corpus-wide — recall is judged against ALL vectors even when
+    * training saw only the base).
+    */
+  private val ivfPqRecallTail = """
+        approx AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, vec_id) AS rn
+            FROM ad) WHERE rn <= 10),
+        l2 AS (
+          SELECT qq.qid, s.vec_id,
+                 CAST(SUM((s.sx - qq.qx) * (s.sx - qq.qx)) AS BIGINT) AS dist
+          FROM sv s JOIN qq ON s.i = qq.i
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, vec_id) AS rn
+            FROM l2) WHERE rn <= 10)
+        SELECT e.qid,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY e.qid"""
+
   /** IVFADC top-k oracle — shared verbatim by `sim_ann_ivfpq` (in-plan
     * training) and `sim_ann_ivfpq_persisted` (codebooks loaded from
     * their parquet artifacts): the persisted path hash-matching the same
@@ -1868,32 +1901,26 @@ object ExtensionQueries {
       benchmark = false, // contract query over the re-trained pipeline
       oracle = Some(s"""
         ${ivfPqCtes()},
-        approx AS (
-          SELECT qid, vec_id FROM (
-            SELECT qid, vec_id,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY dist, vec_id) AS rn
-            FROM ad) WHERE rn <= 10),
-        l2 AS (
-          SELECT qq.qid, s.vec_id,
-                 CAST(SUM((s.sx - qq.qx) * (s.sx - qq.qx)) AS BIGINT) AS dist
-          FROM sv s JOIN qq ON s.i = qq.i
-          GROUP BY 1, 2),
-        exact AS (
-          SELECT qid, vec_id FROM (
-            SELECT qid, vec_id,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY dist, vec_id) AS rn
-            FROM l2) WHERE rn <= 10)
-        SELECT e.qid,
-               CAST(COUNT(*) AS BIGINT) AS n_exact,
-               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_hit,
-               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
-        FROM exact e LEFT JOIN approx a
-          ON e.qid = a.qid AND e.vec_id = a.vec_id
-        GROUP BY e.qid""")),
+        $ivfPqRecallTail""")),
+
+    // The drift gauge of the appended index: recall@10 vs exact L2 AFTER
+    // the frozen-codebook append — the number that says when quantization
+    // drift warrants a retrain. Same base-trained CTEs as
+    // sim_ann_ivfpq_appended, same recall roll-up as sim_recall_ivfpq.
+    QuerySpec(
+      "sim_recall_ivfpq_appended",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) * 8L / 10L
+        val path = scratchPath("ivfpq_appended", dir)
+        Similarity.writeIvfPqIndexFull(e.filter(col("vec_id") < cut), path)
+        Similarity.appendIvfPqPostings(e.filter(col("vec_id") >= cut), path)
+        Similarity.annRecallIvfPqAppended(e, path)
+      },
+      benchmark = false, // contract query over the re-trained pipeline
+      oracle = Some(s"""
+        ${ivfPqCtes(trainOnBase = true)},
+        $ivfPqRecallTail""")),
 
     // Embedding-cosine near-dup: LSH-bucket blocking + exact threshold.
     QuerySpec(
@@ -3492,6 +3519,53 @@ object ExtensionQueries {
         SELECT CAST(2 AS BIGINT), 'dedup', dedup_docs, dedup_tokens FROM agg
         UNION ALL
         SELECT CAST(3 AS BIGINT), 'gated', gated_docs, gated_tokens FROM agg""")),
+
+    // The funnel with the CALIBRATED MODEL stage appended — the complete
+    // curation report: raw -> exact-dedup -> gopher -> calibrated model
+    // gate. One labeled+scored+fingerprinted checkpoint feeds the cut,
+    // the keeper window, and all eight conditional sums.
+    QuerySpec(
+      "doc_yield_funnel_model",
+      (s, dir) => TextAnalysis.yieldFunnelModel(docs(s, dir)),
+      benchmark = false, // re-trains the weight table per run (the
+      // text_quality_model precedent); the 3-stage funnel remains the
+      // benchmarked representative of the funnel scan shape
+      oracle = Some(s"""
+        $qualityCalibratedCtes,
+        fpt AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents),
+        kp AS (
+          SELECT doc_id,
+                 doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+          FROM fpt),
+        ag AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS raw_docs,
+                 CAST(SUM(d.n_tokens) AS BIGINT) AS raw_tokens,
+                 CAST(SUM(CASE WHEN kp.keeper THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dedup_docs,
+                 CAST(SUM(CASE WHEN kp.keeper THEN d.n_tokens ELSE 0 END)
+                   AS BIGINT) AS dedup_tokens,
+                 CAST(SUM(CASE WHEN kp.keeper AND s.pass THEN 1 ELSE 0 END)
+                   AS BIGINT) AS gated_docs,
+                 CAST(SUM(CASE WHEN kp.keeper AND s.pass THEN d.n_tokens
+                   ELSE 0 END) AS BIGINT) AS gated_tokens,
+                 CAST(SUM(CASE WHEN kp.keeper AND s.pass AND s.score > c.cut
+                   THEN 1 ELSE 0 END) AS BIGINT) AS model_docs,
+                 CAST(SUM(CASE WHEN kp.keeper AND s.pass AND s.score > c.cut
+                   THEN d.n_tokens ELSE 0 END) AS BIGINT) AS model_tokens
+          FROM d JOIN scored s ON d.doc_id = s.doc_id
+          JOIN kp ON kp.doc_id = d.doc_id
+          CROSS JOIN cutv c)
+        SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+               raw_docs AS n_docs, raw_tokens AS n_tokens FROM ag
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'dedup', dedup_docs, dedup_tokens FROM ag
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'gated', gated_docs, gated_tokens FROM ag
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), 'model', model_docs, model_tokens FROM ag""")),
 
     // Per-source over-represented tokens: cross-multiplied integer rate
     // contrast (no division), WindowGroupLimit top-k per source.

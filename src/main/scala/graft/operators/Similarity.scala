@@ -1058,4 +1058,15 @@ object Similarity {
     */
   def annRecallIvfPq(emb: DataFrame, k: Int = 10): DataFrame =
     annRecallAgainst(l2TopK(emb, k = k), annIvfPq(emb, k = k))
+
+  /** Recall contract of the APPENDED index vs exact L2 — the drift gauge
+    * a frozen-codebook index publishes after every append batch: the
+    * delta's vectors quantize against codebooks trained before they
+    * existed, so this is the number that says when quantization drift
+    * has eaten enough recall to warrant a retrain (the monitored-not-
+    * prevented price [[appendIvfPqPostings]] documents).
+    */
+  def annRecallIvfPqAppended(
+      emb: DataFrame, indexDir: String, k: Int = 10): DataFrame =
+    annRecallAgainst(l2TopK(emb, k = k), annIvfPqAppended(emb, indexDir, k = k))
 }

@@ -847,18 +847,39 @@ object TextAnalysis {
     * Training remains the one [[qualityModelWeights]] metadata aggregate.
     */
   def qualityModelCalibrated(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val scored = labeledScored(docs, buckets)
+    scored.crossJoin(broadcast(scoreCutAtBaseRate(scored)))
+      .select(col("doc_id"), col("pass"), col("score"), col("cut"),
+        (col("score") > col("cut")).as("cal_pass"))
+  }
+
+  /** One-scan labeled + scored + fingerprinted base shared by the
+    * calibrated gate and the model-stage funnel: (doc_id, fp, n_tokens,
+    * pass, score), checkpointed — weak label, model score, and dedup key
+    * all come from the SAME [[gopherLabeled]] projection (no label
+    * join); the weight table is the one [[qualityModelWeights]] metadata
+    * aggregate baked as literals.
+    */
+  private def labeledScored(docs: DataFrame, buckets: Int): DataFrame = {
     val wts = qualityModelWeights(docs, buckets).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val wCol = typedLit((0 until buckets).map(i => wts.getOrElse(i.toLong, 0L)))
-    val scored = gopherLabeled(docs)
-      .select(col("doc_id"), col("pass"),
+    gopherLabeled(docs)
+      .select(col("doc_id"), col("fp"), col("n_tokens"), col("pass"),
         floor(aggregate(col("t"), lit(0L), (acc, x) =>
           acc + element_at(wCol, (bucketOf(x, buckets) + lit(1L)).cast("int")))
           .cast("double") / size(col("t")).cast("long").cast("double"))
           .cast("long").as("score"))
       .localCheckpoint()
-    // accept-count calibration: cut at ascending rank n − npos (≥1 so the
-    // everything-passes corpus degenerates to cut = min score, not empty)
+  }
+
+  /** The base-rate cut as a 1-row broadcastable frame: the score value at
+    * ascending rank max(n − npos, 1) (≥1 so the everything-passes corpus
+    * degenerates to cut = min score, not an empty frame). Both the rank
+    * row and the ≤|distinct scores| histogram replay the caller's
+    * checkpoint — no corpus rescans.
+    */
+  private def scoreCutAtBaseRate(scored: DataFrame): DataFrame = {
     val ranks = scored.agg(
       greatest(count(lit(1)) - sum(when(col("pass"), 1L).otherwise(0L)), lit(1L))
         .as("rn"))
@@ -866,15 +887,49 @@ object TextAnalysis {
       .partitionBy(col("one")).orderBy(col("score"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val cut = scored.withColumn("one", lit(1))
+    scored.withColumn("one", lit(1))
       .groupBy(col("one"), col("score")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .crossJoin(broadcast(ranks))
       .filter(col("cum") >= col("rn") && col("cum") - col("cnt") < col("rn"))
       .select(col("score").as("cut"))
-    scored.crossJoin(broadcast(cut))
-      .select(col("doc_id"), col("pass"), col("score"), col("cut"),
-        (col("score") > col("cut")).as("cal_pass"))
+  }
+
+  /** [[yieldFunnel]] with the CALIBRATED MODEL stage appended — the
+    * complete curation funnel a production pipeline publishes:
+    * raw → exact-dedup → gopher rules → calibrated model gate, doc and
+    * token counts per stage. Still effectively ONE corpus scan: the
+    * [[labeledScored]] checkpoint carries tokens, fingerprint, weak
+    * label, AND model score together; the cut and the keeper window
+    * replay it; four conditional sums unpivot. Exact integers
+    * end-to-end.
+    */
+  def yieldFunnelModel(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val scored = labeledScored(docs, buckets)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val flagged = scored
+      .crossJoin(broadcast(scoreCutAtBaseRate(scored)))
+      .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))
+      .withColumn("cal", col("score") > col("cut"))
+    flagged.agg(
+      count(lit(1)).as("raw_docs"),
+      sum(col("n_tokens")).as("raw_tokens"),
+      sum(when(col("keeper"), 1L).otherwise(0L)).as("dedup_docs"),
+      sum(when(col("keeper"), col("n_tokens")).otherwise(0L)).as("dedup_tokens"),
+      sum(when(col("keeper") && col("pass"), 1L).otherwise(0L)).as("gated_docs"),
+      sum(when(col("keeper") && col("pass"), col("n_tokens")).otherwise(0L))
+        .as("gated_tokens"),
+      sum(when(col("keeper") && col("pass") && col("cal"), 1L).otherwise(0L))
+        .as("model_docs"),
+      sum(when(col("keeper") && col("pass") && col("cal"), col("n_tokens"))
+        .otherwise(0L)).as("model_tokens"))
+      .select(expr(
+        """stack(4,
+             1L, 'raw',   raw_docs,   raw_tokens,
+             2L, 'dedup', dedup_docs, dedup_tokens,
+             3L, 'gated', gated_docs, gated_tokens,
+             4L, 'model', model_docs, model_tokens)
+           AS (stage_id, stage, n_docs, n_tokens)"""))
   }
 
   /** Confusion matrix of the CALIBRATED gate vs the gopher weak label —

@@ -67,7 +67,8 @@ class RegistrySpec extends GraftSpec {
       "text_quality_model", "text_quality_model_eval",
       "mix_lm_tiers", "sim_ann_ivfpq_probe2", "sim_ann_ivfpq_appended",
       "text_quality_gate_calibrated", "text_quality_gate_calibrated_eval",
-      "text_tokenize_multiscript", "dedup_ngram_jaccard_multiscript")
+      "text_tokenize_multiscript", "dedup_ngram_jaccard_multiscript",
+      "sim_recall_ivfpq_appended", "doc_yield_funnel_model")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }

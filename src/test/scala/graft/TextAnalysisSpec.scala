@@ -803,6 +803,45 @@ class TextAnalysisSpec extends GraftSpec {
     assert(got("dedup") === nDistinct)
   }
 
+  test("model funnel: 4 stages, model stage equals calibrated keepers") {
+    import spark.implicits._
+    val passText1 = (1 to 28).map(i => s"word$i").mkString(" ") + " the and"
+    val passText2 = (1 to 29).map(i => s"term$i").mkString(" ") + " the and"
+    val docs = Seq(
+      (1L, passText1), (2L, passText2),
+      (3L, "junk junk junk"), (4L, "word1 term1 the and"),
+      (5L, passText1))                       // exact dup of 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.yieldFunnelModel(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the first three stages equal the 3-stage funnel on the same corpus
+    val base = TextAnalysis.yieldFunnel(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toMap
+    Seq("raw", "dedup", "gated").foreach(s => assert(got(s) === base(s), s))
+    // model stage = keepers passing gopher AND the calibrated cut,
+    // cross-checked against the registered gate + fingerprint ops
+    val cal = TextAnalysis.qualityModelCalibrated(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val fps = TextAnalysis.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val keepers = fps.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val gopherPass = TextAnalysis.gopherRules(docs)
+      .filter(org.apache.spark.sql.functions.col("pass"))
+      .collect().map(_.getLong(0)).toSet
+    val expModel = keepers.intersect(gopherPass).filter(cal)
+    assert(got("model")._2 === expModel.size.toLong)
+    // concrete hand-check: 5 raw, 4 after dedup (doc 5 is a copy),
+    // {1,2} pass gopher, and the calibrated cut rejects nothing further
+    // here among gopher-passers (they are the top scorers)
+    assert(got("raw")._2 === 5L)
+    assert(got("dedup")._2 === 4L)
+    assert(got("gated")._2 === 2L)
+    assert(got("model") === ((4L, expModel.size.toLong,
+      got("model")._3)))
+  }
+
   test("source stats: brute-forced counts, dup ratio, language spread") {
     import spark.implicits._
     val docs = Seq(

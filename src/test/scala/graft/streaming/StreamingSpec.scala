@@ -463,6 +463,36 @@ class StreamingSpec extends GraftSpec {
     assert(streamedIds.contains(1L) && !streamedIds.contains(3L))
   }
 
+  test("streaming CALIBRATED model gate: batch-computed cut gates the stream") {
+    import graft.operators.TextAnalysis
+    // the calibrated cut is computed batch-side (a 1-row percentile at
+    // the weak-label base rate — driver metadata, like the weight
+    // artifact) and ships to the ingest gate as the threshold literal:
+    // calibration composes with streaming without any streaming state
+    val passText1 = (1 to 28).map(i => s"word$i").mkString(" ") + " the and"
+    val passText2 = (1 to 29).map(i => s"term$i").mkString(" ") + " the and"
+    val corpus = Seq(
+      (1L, passText1, "en"), (2L, passText2, "en"),
+      (3L, "junk junk junk", "en"), (4L, "word1 term1 the and", "en"))
+    val trainDf = corpus.map(c => (c._1, c._2)).toDF("doc_id", "text")
+    val wts = TextAnalysis.qualityModelWeights(trainDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cal = TextAnalysis.qualityModelCalibrated(trainDf).collect()
+    val cut = cal.head.getLong(3)
+    val calIds = cal.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String, String)]
+    val out = DocPipeline.curateModelGated(
+      input.toDS().toDF("doc_id", "text", "lang"), wts,
+      modelThreshold = cut, qualityMinScore = 0.0)
+    val streamedIds = runStream(input, out, Seq(
+      Seq(corpus(0), corpus(3)), Seq(corpus(1), corpus(2))))
+      .map(_.getLong(0)).toSet
+    assert(streamedIds === calIds)
+    // stricter than score>0 on this corpus: doc 4 scores positive (the
+    // naive gate admits it) but sits AT the calibrated cut -> rejected
+    assert(streamedIds === Set(1L, 2L))
+  }
+
   test("streaming source stats: running totals equal the batch aggregate") {
     val input = MemoryStream[(Long, String, String)]
     val out = StreamingQueries.sourceStatsStream(
