@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, EntityResolution, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions.{col, max}
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
@@ -28,6 +28,8 @@ object ExtensionQueries {
     Tables.load(s, dir, "events")
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+  private def part(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
 
   /** Scratch path for persisted-artifact queries: keyed by sfDir so reps
     * WITHIN a run stay idempotent (each writer overwrites its own
@@ -1013,6 +1015,24 @@ object ExtensionQueries {
              row_number() OVER (PARTITION BY qid
                                 ORDER BY dist, vec_id) AS rn
       FROM ad) WHERE rn <= 10""")
+
+  /** Shared oracle CTE tail for the entity-resolution cluster queries:
+    * distinct entities, the brute-forced ≤2-edit pair graph, and its
+    * transitive closure (the engine's SymSpell blocking + min-label CC
+    * must land on the same fixpoint).
+    */
+  private val erGraphCte =
+    """n AS (
+          SELECT p_name AS name, min(p_partkey) AS ent_id, count(*) AS support
+          FROM part GROUP BY 1),
+        pairs AS (
+          SELECT a.ent_id AS src, b.ent_id AS dst FROM n a JOIN n b
+            ON a.name < b.name AND levenshtein(a.name, b.name) <= 2),
+        edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        reach(src, node) AS (
+          SELECT ent_id, ent_id FROM n
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)"""
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -4109,6 +4129,58 @@ object ExtensionQueries {
                  row_number() OVER (PARTITION BY lang
                    ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
           FROM documents)
-        WHERE rnk <= 20"""))
+        WHERE rnk <= 20""")),
+
+    // ---- fuzzy entity resolution (r12) -------------------------------
+    // Engine side blocks candidate pairs with SymSpell ≤2-deletion
+    // neighborhoods over the DISTINCT entity table (never all-pairs, and
+    // the only corpus-sized job is the distinct aggregation); the oracle
+    // brute-forces the tiny distinct-name cross join — different
+    // algorithm, same answer, which is exactly what the blocking
+    // completeness proof claims.
+    QuerySpec(
+      "er_fuzzy_name_pairs",
+      (s, dir) => EntityResolution.fuzzyPairs(part(s, dir), "p_name", "p_partkey"),
+      Some("""
+        WITH n AS (
+          SELECT p_name AS name, min(p_partkey) AS ent_id, count(*) AS support
+          FROM part GROUP BY 1)
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+               a.support AS support_a, b.support AS support_b
+        FROM n a JOIN n b
+          ON a.name < b.name AND levenshtein(a.name, b.name) <= 2""")),
+
+    // Pair graph -> entity clusters: same min-label CC core as the
+    // near-dup text clusters, on entity ids (min source key per name).
+    QuerySpec(
+      "er_entity_clusters",
+      (s, dir) => EntityResolution.entityClusters(part(s, dir), "p_name", "p_partkey"),
+      benchmark = false, // iterative CC: wall time = propagation rounds
+      oracle = Some(s"""
+        WITH RECURSIVE
+        $erGraphCte
+        SELECT n.name, n.ent_id, min(r.node) AS cluster
+        FROM n JOIN reach r ON r.src = n.ent_id
+        GROUP BY n.name, n.ent_id""")),
+
+    // The resolution applied: canonical surviving entity (the min-id
+    // member's name), raw-variant count, and corpus rows re-keyed to it.
+    QuerySpec(
+      "er_canonical_support",
+      (s, dir) => EntityResolution.canonicalSupport(part(s, dir), "p_name", "p_partkey"),
+      benchmark = false, // same CC core as er_entity_clusters
+      oracle = Some(s"""
+        WITH RECURSIVE
+        $erGraphCte,
+        lab AS (
+          SELECT n.name, n.ent_id, n.support, min(r.node) AS cluster
+          FROM n JOIN reach r ON r.src = n.ent_id
+          GROUP BY n.name, n.ent_id, n.support)
+        SELECT c.name AS canonical,
+               count(*) AS n_variants,
+               CAST(sum(l.support) AS BIGINT) AS total_rows
+        FROM lab l JOIN lab c ON c.ent_id = l.cluster
+        GROUP BY 1"""))
   )
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.EntityResolution
+
+class EntityResolutionSpec extends GraftSpec {
+  import spark.implicits._
+
+  // (key, name): "gren widget"/"green widgt" are both 1 edit from
+  // "green widget" but 2 edits from each other (and those two edits touch
+  // DIFFERENT positions — the case that breaks naive prefix blocking);
+  // "blue bolt"/"blue belt" is a plain substitution pair; "anvil" is a
+  // singleton far from everything.
+  private def partsDf = Seq(
+    (1L, "green widget"), (2L, "gren widget"), (3L, "green widgt"),
+    (4L, "green widget"), // repeated row: support 2, ent_id stays 1
+    (5L, "blue bolt"), (6L, "blue belt"),
+    (7L, "anvil"),
+    // transitive chain: d(8,9)=2, d(9,10)=2, but d(8,10)=4 — the
+    // endpoints must still co-cluster through the middle link
+    (8L, "aaaaaa"), (9L, "aabbaa"), (10L, "bbbbaa")
+  ).toDF("p_partkey", "p_name")
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("delete variants: exact ≤2-deletion neighborhood of a short string") {
+    val got = EntityResolution.deleteVariants(Seq("abc").toDF("name"), 2)
+      .collect().map(_.getString(1)).toSet
+    // 0 deletions: abc; 1: bc, ac, ab; 2: a, b, c
+    assert(got === Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+  }
+
+  test("fuzzy pairs: SymSpell blocking equals brute-force levenshtein ≤ 2") {
+    val names = partsDf.select("p_name").distinct().as[String].collect().sorted
+    val brute = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    // the fixture must actually exercise a distance-2 pair whose edits hit
+    // different positions (deletion-variant intersection, not prefix match)
+    assert(brute.contains(("green widgt", "gren widget")))
+    val gotPairs = EntityResolution.fuzzyPairs(partsDf, "p_name", "p_partkey")
+      .select("name_a", "name_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotPairs === brute)
+  }
+
+  test("fuzzy pairs: distances and supports are exact") {
+    val rows = EntityResolution.fuzzyPairs(partsDf, "p_name", "p_partkey")
+      .collect().map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"),
+        r.getAs[Long]("dist"), r.getAs[Long]("support_a"), r.getAs[Long]("support_b")))
+    rows.foreach { case (a, b, d, sa, sb) =>
+      assert(d === lev(a, b).toLong)
+      assert(sa === (if (a == "green widget") 2L else 1L))
+      assert(sb === (if (b == "green widget") 2L else 1L))
+    }
+  }
+
+  test("entity clusters: transitive closure, chain endpoints beyond τ co-cluster") {
+    val got = EntityResolution.entityClusters(partsDf, "p_name", "p_partkey")
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("cluster")).toMap
+    assert(got("green widget") === 1L)
+    assert(got("gren widget") === 1L)
+    assert(got("green widgt") === 1L)
+    assert(got("blue bolt") === 5L)
+    assert(got("blue belt") === 5L)
+    assert(got("anvil") === 7L)
+    // d(aaaaaa, bbbbaa) = 4 > τ — connected only through aabbaa
+    assert(lev("aaaaaa", "bbbbaa") === 4)
+    assert(got("aaaaaa") === 8L && got("aabbaa") === 8L && got("bbbbaa") === 8L)
+  }
+
+  test("canonical support: variant counts and re-keyed row totals") {
+    val got = EntityResolution.canonicalSupport(partsDf, "p_name", "p_partkey")
+      .collect().map(r => r.getAs[String]("canonical") ->
+        ((r.getAs[Long]("n_variants"), r.getAs[Long]("total_rows")))).toMap
+    assert(got === Map(
+      "green widget" -> ((3L, 4L)), // 3 name variants, 4 corpus rows
+      "blue bolt" -> ((2L, 2L)),
+      "anvil" -> ((1L, 1L)),
+      "aaaaaa" -> ((3L, 3L))))
+  }
+}

@@ -68,7 +68,8 @@ class RegistrySpec extends GraftSpec {
       "mix_lm_tiers", "sim_ann_ivfpq_probe2", "sim_ann_ivfpq_appended",
       "text_quality_gate_calibrated", "text_quality_gate_calibrated_eval",
       "text_tokenize_multiscript", "dedup_ngram_jaccard_multiscript",
-      "sim_recall_ivfpq_appended", "doc_yield_funnel_model")
+      "sim_recall_ivfpq_appended", "doc_yield_funnel_model",
+      "er_entity_clusters", "er_canonical_support")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
