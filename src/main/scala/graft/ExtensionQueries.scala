@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, EntityResolution, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, EntityResolution, Governance, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions.{col, max}
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
@@ -1015,6 +1015,22 @@ object ExtensionQueries {
              row_number() OVER (PARTITION BY qid
                                 ORDER BY dist, vec_id) AS rn
       FROM ad) WHERE rn <= 10""")
+
+  /** Profiled lineitem columns and how each min/max renders to text on
+    * BOTH engines (shared by the gov_profile_columns query builder and
+    * its oracle — the Spark side applies the same rendering rule by
+    * type in [[graft.operators.Governance.profileColumns]]).
+    */
+  private val profiledCols: Seq[(String, String => String)] = {
+    val plain = (e: String) => s"CAST($e AS VARCHAR)"
+    val dec = (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+    val date = (e: String) => s"CAST(CAST($e AS DATE) AS VARCHAR)"
+    Seq(
+      "l_orderkey" -> plain, "l_partkey" -> plain, "l_suppkey" -> plain,
+      "l_quantity" -> dec, "l_extendedprice" -> dec, "l_discount" -> dec,
+      "l_returnflag" -> plain, "l_linestatus" -> plain,
+      "l_shipdate" -> date)
+  }
 
   /** Shared oracle CTE tail for the entity-resolution cluster queries:
     * distinct entities, the brute-forced ≤2-edit pair graph, and its
@@ -4181,6 +4197,81 @@ object ExtensionQueries {
                count(*) AS n_variants,
                CAST(sum(l.support) AS BIGINT) AS total_rows
         FROM lab l JOIN lab c ON c.ent_id = l.cluster
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ---- release governance (r12) ------------------------------------
+    // Corpus snapshot diff: two deterministic snapshots derived from the
+    // documents table (base drops the %10==3 slice = later additions,
+    // current drops %10==7 = removals, %10==5 re-crawled with drifted
+    // text = changes), diffed on the canonical content fingerprint via
+    // one full-outer id join. The release-to-release report a corpus
+    // pipeline publishes.
+    QuerySpec(
+      "gov_snapshot_diff",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val base = d.where(col("doc_id") % 10 =!= 3)
+        val cur = d.where(col("doc_id") % 10 =!= 7)
+          .withColumn("text",
+            org.apache.spark.sql.functions.when(col("doc_id") % 10 === 5,
+              org.apache.spark.sql.functions.concat(col("text"),
+                org.apache.spark.sql.functions.lit(" recrawl edit")))
+              .otherwise(col("text")))
+        Governance.snapshotDiff(base, cur)
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, source,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents WHERE doc_id % 10 <> 3),
+        c AS (
+          SELECT doc_id, source,
+                 md5(regexp_replace(lower(trim(
+                   CASE WHEN doc_id % 10 = 5 THEN text || ' recrawl edit'
+                        ELSE text END)), '\s+', ' ', 'g')) AS fp
+          FROM documents WHERE doc_id % 10 <> 7)
+        SELECT coalesce(c.source, b.source) AS source,
+               CASE WHEN b.fp IS NULL THEN 'added'
+                    WHEN c.fp IS NULL THEN 'removed'
+                    WHEN b.fp <> c.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               count(*) AS n_docs
+        FROM b FULL OUTER JOIN c ON b.doc_id = c.doc_id
+        GROUP BY 1, 2""")),
+
+    // Join-key skew profile: exact top-15 heavy keys with integer
+    // basis-point shares — the report that routes a key to the salted
+    // join (q22_join_salted_hot) or plain AQE.
+    QuerySpec(
+      "gov_key_skew",
+      (s, dir) => Governance.keySkew(
+        Tables.load(s, dir, "lineitem"), "l_partkey", 15),
+      Some("""
+        WITH k AS (SELECT l_partkey AS key, count(*) AS cnt
+                   FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows FROM k),
+        r AS (SELECT key, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, key) AS rnk
+              FROM k)
+        SELECT key, cnt, rnk, cnt * 10000 // total_rows AS share_bp
+        FROM r, t WHERE rnk <= 15""")),
+
+    // One-scan column profiler over lineitem: null/distinct/min/max per
+    // column, numerics rendered through DECIMAL and timestamps through
+    // DATE so the text form is engine-stable. Oracle is generated from
+    // the same column list so the two sides can never profile
+    // different columns.
+    QuerySpec(
+      "gov_profile_columns",
+      (s, dir) => Governance.profileColumns(
+        Tables.load(s, dir, "lineitem"), profiledCols.map(_._1)),
+      Some(profiledCols.map { case (c, renderSql) =>
+        s"""SELECT '$c' AS col_name,
+               count(*) - count($c) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               ${renderSql(s"min($c)")} AS min_str,
+               ${renderSql(s"max($c)")} AS max_str
+            FROM lineitem"""
+      }.mkString(" UNION ALL ")))
   )
 }

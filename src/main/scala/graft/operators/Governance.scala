@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-release governance operators: snapshot diffing between two
+  * corpus versions, join-key skew profiling, and one-scan column
+  * profiling — the bookkeeping a 100 TB ingest pipeline runs per release
+  * (none of it exists in the reference demo; extension surface).
+  */
+object Governance {
+
+  /** Release diff between two corpus snapshots keyed by `doc_id`:
+    * per (source, status) doc counts, status ∈ added / removed /
+    * changed / unchanged. Content identity is the shared canonical
+    * [[TextAnalysis.fingerprint]], NOT raw text equality — at scale the
+    * diff join carries (id, source, 32-byte fp) projections, never the
+    * documents themselves.
+    *
+    * Scale: one full-outer equi-join on doc_id (both sides shuffle on
+    * the key — linear, AQE-coalesced) followed by a map-side-combinable
+    * count agg on (source, status). No broadcast candidate: both sides
+    * are corpus-sized.
+    */
+  def snapshotDiff(base: DataFrame, current: DataFrame): DataFrame = {
+    val b = base.select(col("doc_id"),
+      col("source").as("src_b"), TextAnalysis.fingerprint(col("text")).as("fp_b"))
+    val c = current.select(col("doc_id"),
+      col("source").as("src_c"), TextAnalysis.fingerprint(col("text")).as("fp_c"))
+    b.join(c, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_b").isNull, lit("added"))
+          .when(col("fp_c").isNull, lit("removed"))
+          .when(col("fp_b") =!= col("fp_c"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy(coalesce(col("src_c"), col("src_b")).as("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Join-key skew profile: the top-k heaviest keys with exact counts and
+    * shares in basis points (integer cross-multiplication — no doubles, no
+    * logs, so the hash can never drift). This is the report that decides
+    * whether a key needs the salted-join path (q22_join_salted_hot) or
+    * plain AQE skew handling.
+    *
+    * Scale: ONE map-side-combinable count agg on the key, then a global
+    * top-k — WindowGroupLimit prunes to k rows per map partition before
+    * the single-partition rank, so the final sort sees k·partitions rows,
+    * not |keys|. The grand total must see ALL keys, so it is a separate
+    * scalar agg over the SAME checkpointed key-count table (corpus
+    * scanned once; the twice-read table is |keys| rows, not corpus rows)
+    * broadcast back as the share denominator.
+    */
+  def keySkew(rows: DataFrame, keyCol: String, topK: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = rows.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val total = counts.agg(sum(col("cnt")).as("total_rows"))
+    val ranked = counts
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key"))))
+      .where(col("rnk") <= topK)
+    ranked.join(broadcast(total))
+      .select(col("key"), col("cnt"), col("rnk"),
+        // integer floor division (DIV, not /) — exact, no double rounding
+        expr("cnt * 10000 DIV total_rows").as("share_bp"))
+  }
+
+  /** One-scan column profile of a fixed column list: per column the null
+    * count, distinct count, and min/max rendered to strings (dates and
+    * strings verbatim; doubles through DECIMAL(18,2) so the text form is
+    * engine-stable). The stats-collection pass a table format would run
+    * at ingest, as a query.
+    *
+    * Scale: a single `groupBy().agg(...)` row — count/min/max are plain
+    * map-side combinable; the n distinct aggregates rewrite to one
+    * expand-based aggregate (rows × |cols|, still one scan of the
+    * parquet and partial aggregation before the exchange). The 1×(4·n)
+    * stats row is then unpivoted driver-free with `stack`.
+    */
+  def profileColumns(rows: DataFrame, cols: Seq[String]): DataFrame = {
+    def render(c: String) = {
+      val dt = rows.schema(c).dataType
+      dt match {
+        case org.apache.spark.sql.types.DoubleType =>
+          // doubles render through DECIMAL(18,2): engine-stable text
+          (f: org.apache.spark.sql.Column) => f.cast("decimal(18,2)").cast("string")
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          // timestamps render as their DATE (monotone in ts, so min/max
+          // commute with the cast) — fractional-second text differs
+          // between engines, date text does not
+          (f: org.apache.spark.sql.Column) => f.cast("date").cast("string")
+        case _ =>
+          (f: org.apache.spark.sql.Column) => f.cast("string")
+      }
+    }
+    val aggs = cols.flatMap { c =>
+      val r = render(c)
+      Seq(
+        count(lit(1)).minus(count(col(c))).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        r(min(col(c))).as(s"${c}__min"),
+        r(max(col(c))).as(s"${c}__max"))
+    }
+    val one = rows.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackExpr) AS (col_name, n_nulls, n_distinct, min_str, max_str)")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Governance
+import java.sql.Timestamp
+
+class GovernanceSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("snapshot diff: all four statuses, counted per source") {
+    val base = Seq(
+      (1L, "alpha", "s1"), (2L, "beta", "s1"), (3L, "gamma", "s2"),
+      (4L, "delta", "s2")
+    ).toDF("doc_id", "text", "source")
+    val cur = Seq(
+      (1L, "alpha", "s1"),          // unchanged
+      (2L, "beta prime", "s1"),     // changed
+      (3L, "Gamma  ", "s2"),        // unchanged — fp normalizes case/space
+      (5L, "epsilon", "s2")         // added; 4 removed
+    ).toDF("doc_id", "text", "source")
+    val got = Governance.snapshotDiff(base, cur)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("s1", "unchanged") -> 1L, ("s1", "changed") -> 1L,
+      ("s2", "unchanged") -> 1L, ("s2", "added") -> 1L,
+      ("s2", "removed") -> 1L))
+  }
+
+  test("key skew: counts, deterministic rank, floor basis points") {
+    // 10 rows: key 7 ×5, key 3 ×3, keys 1,2 ×1 — shares 5000/3000/1000 bp
+    val rows = (Seq.fill(5)(7L) ++ Seq.fill(3)(3L) ++ Seq(1L, 2L))
+      .map(k => (k, "x")).toDF("k", "pad")
+    val got = Governance.keySkew(rows, "k", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === Set((7L, 5L, 1, 5000L), (3L, 3L, 2, 3000L), (1L, 1L, 3, 1000L)))
+    // ties break by key ascending: with k=4 the second 1-count key appears
+    val got4 = Governance.keySkew(rows, "k", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(got4.contains((1L, 3)) && got4.contains((2L, 4)))
+  }
+
+  test("column profile: nulls, distincts, and type-stable rendering") {
+    val rows = Seq(
+      (Some(1L), Some(1.005), Some("b"), Some(Timestamp.valueOf("2020-01-02 10:30:00"))),
+      (Some(2L), Some(2.5), None, Some(Timestamp.valueOf("2020-01-03 01:00:00"))),
+      (None, Some(2.5), Some("a"), None)
+    ).toDF("id", "qty", "flag", "ts")
+    val got = Governance.profileColumns(rows, Seq("id", "qty", "flag", "ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(got("id") === ((1L, 2L, "1", "2")))
+    // doubles render through DECIMAL(18,2): 1.005 rounds HALF_UP to 1.01
+    assert(got("qty") === ((0L, 2L, "1.01", "2.50")))
+    assert(got("flag") === ((1L, 2L, "a", "b")))
+    // timestamps render as their DATE — min/max commute with the cast
+    assert(got("ts") === ((1L, 2L, "2020-01-02", "2020-01-03")))
+  }
+
+  test("key skew plan: corpus scanned once, totals broadcast back") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val df = Governance.keySkew(li, "l_partkey", 15)
+    val p = df.queryExecution.executedPlan.toString
+    // the key-count table is checkpointed: the parquet scan must not
+    // appear in the final plan at all (lineage cut), and the grand total
+    // joins back as a broadcast, never a shuffle
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
