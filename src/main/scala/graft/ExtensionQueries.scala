@@ -2107,6 +2107,17 @@ object ExtensionQueries {
         WHERE ('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                 % 100 < 10""")),
 
+    // Size-proportional (PPS Poisson) sample: inclusion probability
+    // min(n_chars, 400)/400 on the md5 coin — keep big docs more often,
+    // still a pure scan-side integer predicate.
+    QuerySpec(
+      "sample_weighted",
+      (s, dir) => TextAnalysis.weightedSample(docs(s, dir)),
+      Some("""
+        SELECT doc_id, lang, n_chars AS w FROM documents
+        WHERE ('0x' || substring(md5('w0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 400 < least(n_chars, 400)""")),
+
     // Stratified deterministic sample: per-language keep rates on the same
     // md5 coin — corpus rebalancing as a pure scan-side filter.
     QuerySpec(

@@ -58,9 +58,36 @@ object TextAnalysis {
   def sampleCoin(
       salt: String = "s0",
       idCol: org.apache.spark.sql.Column = col("doc_id")): org.apache.spark.sql.Column =
+    rawCoin(salt, idCol) % 100
+
+  /** The raw 32-bit md5 coin behind [[sampleCoin]] — uniform on
+    * [0, 2^32), reduced mod the caller's range.
+    */
+  private def rawCoin(
+      salt: String,
+      idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(
       md5(concat(lit(salt), lit(":"), idCol.cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 100
+      .cast("long")
+
+  /** Size-proportional deterministic sample (PPS Poisson sampling, the
+    * survey-statistics design): each doc kept independently with
+    * inclusion probability min(w, cap)/cap, weight w = its `weightCol`
+    * (here n_chars — keep big documents more often, e.g. when sampling
+    * for token-budgeted evals). Same md5 coin family as the other
+    * samplers: reproducible, engine-portable, repartition-stable, and a
+    * pure per-row integer predicate that pushes to the scan — zero
+    * shuffle at any corpus size. Docs at or above `cap` are always kept
+    * (probability 1), the exact-integer analogue of inclusion-capped
+    * PPS.
+    */
+  def weightedSample(
+      docs: DataFrame,
+      weightCol: String = "n_chars",
+      cap: Int = 400,
+      salt: String = "w0"): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col(weightCol).as("w"))
+      .filter((rawCoin(salt, col("doc_id")) % cap) < least(col("w"), lit(cap.toLong)))
 
   /** Deterministic content-keyed sample: keep a doc iff [[sampleCoin]]
     * lands below `pct`. Reproducible across runs and engines (no RNG

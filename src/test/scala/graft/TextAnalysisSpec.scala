@@ -188,6 +188,27 @@ class TextAnalysisSpec extends GraftSpec {
     assert(a !== other, "salt selects an independent slice")
   }
 
+  test("weighted sample: inclusion follows the brute-forced md5 coin, capped at 1") {
+    val docs = Seq(
+      (1L, "en", 0L),     // weight 0: never kept
+      (2L, "en", 400L),   // at cap: always kept
+      (3L, "en", 9999L),  // above cap: always kept
+      (4L, "de", 200L), (5L, "de", 50L), (6L, "en", 123L)
+    ).toDF("doc_id", "lang", "n_chars")
+    def coin(salt: String, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$id".getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = Seq((1L, 0L), (2L, 400L), (3L, 9999L), (4L, 200L), (5L, 50L), (6L, 123L))
+      .filter { case (id, w) => coin("w0", id) % 400 < math.min(w, 400L) }
+      .map(_._1).toSet
+    assert(expected.contains(2L) && expected.contains(3L) && !expected.contains(1L))
+    val got = TextAnalysis.weightedSample(docs).collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
   test("quality gate keeps exactly the docs at or above the percentile bucket") {
     val docs = Tables.load(spark, sf, "documents")
     val kept = TextAnalysis.qualityGate(docs).collect()
