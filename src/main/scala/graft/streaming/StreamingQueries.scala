@@ -487,6 +487,56 @@ object StreamingQueries {
       emitReady(user, timerValues.getCurrentWatermarkInMs())
   }
 
+  // ---- built-in stream-stream interval join --------------------------------
+
+  final case class IntervalMatched(
+      event_id: Long, user_id: Long, us: Long, match_event_id: Long,
+      match_value: Double)
+
+  /** Stream-stream INTERVAL join on Spark's built-in watermarked join —
+    * every quote within `[probe.utc − windowSec, probe.utc]` per key (the
+    * all-matches-in-window semantics; [[asofJoinStream]] is the
+    * latest-only variant and needed a custom processor because "latest"
+    * is an order-sensitive reduction — plain containment is exactly what
+    * the native symmetric hash join expresses, so here the engine's own
+    * state management does the work: no `transformWithState`, no custom
+    * eviction code).
+    *
+    * Both sides carry the same event-time watermark and the join
+    * condition bounds each side's event time by the other's, which is
+    * precisely the condition Spark's StreamingSymmetricHashJoin needs to
+    * derive state eviction for BOTH buffers: each side retains one
+    * watermark-plus-window horizon per key, shuffled by the key — state
+    * scales with key cardinality × horizon density, not stream length.
+    * That bound plus the shuffle-by-key layout is the whole 100 TB
+    * story, and it comes from the declarative form for free.
+    */
+  def intervalJoinStream(
+      spark: SparkSession,
+      probes: Dataset[AsofSideEvent],
+      quotes: Dataset[AsofSideEvent],
+      watermarkDelay: String = "10 seconds",
+      windowSec: Int = 5): Dataset[IntervalMatched] = {
+    import spark.implicits._
+    val p = probes
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("utc").as("p_utc"))
+      .withWatermark("p_utc", watermarkDelay)
+    val q = quotes
+      .select(col("event_id").as("q_event_id"), col("user_id").as("q_user_id"),
+        col("utc").as("q_utc"), col("value"))
+      .withWatermark("q_utc", watermarkDelay)
+    p.join(q, expr(
+        s"""user_id = q_user_id AND
+            q_utc >= p_utc - INTERVAL $windowSec SECONDS AND
+            q_utc <= p_utc"""))
+      .select(col("p_event_id").as("event_id"), col("user_id"),
+        unix_micros(col("p_utc")).as("us"),
+        col("q_event_id").as("match_event_id"),
+        col("value").as("match_value"))
+      .as[IntervalMatched]
+  }
+
   // ---- custom stateful operator: streaming subsequence matcher -------------
 
   final case class SubseqRing(buses: Seq[Long], totals: Seq[Long])

@@ -219,6 +219,61 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream-stream interval join matches the batch join on the same input") {
+    // the NATIVE watermarked symmetric-hash-join path (no custom state):
+    // all quotes in [probe-5s, probe] per key, across out-of-order batches
+    import StreamingQueries.{AsofSideEvent, IntervalMatched}
+    def ev(u: Long, id: Long, t: String, v: Double) = AsofSideEvent(u, id, ts(t), v)
+    val quotesB1 = Seq(
+      ev(1, 101, "2024-01-01 00:00:10", 5.0), // outside probe 1's window
+      ev(1, 102, "2024-01-01 00:00:18", 7.0),
+      ev(1, 103, "2024-01-01 00:00:20", 9.0), // "<=" edge
+      ev(1, 104, "2024-01-01 00:00:14", 2.0),
+      ev(2, 201, "2024-01-01 00:00:05", 1.0)) // after u2's probe: no match
+    val probesB1 = Seq(
+      ev(1, 1, "2024-01-01 00:00:20", 0.0),
+      ev(2, 2, "2024-01-01 00:00:03", 0.0))
+    // batch 2 arrives with an event time OLDER than B1's max (within the
+    // 10s watermark): the join must still buffer-and-match it
+    val probesB2 = Seq(ev(1, 3, "2024-01-01 00:00:16", 0.0))
+    val quotesB2 = Seq(ev(1, 105, "2024-01-01 00:00:30", 11.0))
+
+    val inP = MemoryStream[AsofSideEvent]
+    val inQ = MemoryStream[AsofSideEvent]
+    val out = StreamingQueries.intervalJoinStream(spark, inP.toDS(), inQ.toDS())
+    val name = freshName()
+    val q = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      inQ.addData(quotesB1); inP.addData(probesB1); q.processAllAvailable()
+      inQ.addData(quotesB2); inP.addData(probesB2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => IntervalMatched(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    def us(t: String) = ts(t).getTime * 1000L
+    assert(got === Set(
+      IntervalMatched(1L, 1L, us("2024-01-01 00:00:20"), 102L, 7.0),
+      IntervalMatched(1L, 1L, us("2024-01-01 00:00:20"), 103L, 9.0),
+      IntervalMatched(3L, 1L, us("2024-01-01 00:00:16"), 104L, 2.0)))
+
+    // batch truth: the identical join condition over the same events
+    val pDf = (probesB1 ++ probesB2)
+      .map(e => (e.event_id, e.user_id, e.utc)).toDF("p_event_id", "user_id", "p_utc")
+    val qDf = (quotesB1 ++ quotesB2)
+      .map(e => (e.event_id, e.user_id, e.utc, e.value))
+      .toDF("q_event_id", "q_user_id", "q_utc", "value")
+    val expected = pDf.join(qDf, expr(
+        """user_id = q_user_id AND
+           q_utc >= p_utc - INTERVAL 5 SECONDS AND q_utc <= p_utc"""))
+      .select($"p_event_id", $"user_id", unix_micros($"p_utc"), $"q_event_id", $"value")
+      .collect()
+      .map(r => IntervalMatched(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got === expected)
+  }
+
   test("stream-stream as-of join matches the batch as-of on the same input") {
     // the transformWithState multi-state exercise: quote book + pending-
     // probe buffer per key, event-time timer flushing probes once the
