@@ -1469,6 +1469,60 @@ object ExtensionQueries {
         WHERE CAST(n_common AS DOUBLE) /
                 CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.05""")),
 
+    // LSH quality gauge: MinHash-candidate pairs vs exact Jaccard >= 0.1
+    // — the confusion matrix + integer-bp recall/precision that justifies
+    // running the probabilistic blocker (the sim_recall_* contract
+    // discipline applied to dedup). One shingle scan feeds both sides.
+    QuerySpec(
+      "dedup_minhash_eval",
+      (s, dir) => Dedup.minhashEval(docs(s, dir)),
+      benchmark = false, // re-runs the minhash + ngram pair cores priced elsewhere
+      oracle = Some(s"""
+        WITH $minhashCte,
+        bk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash) AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2),
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket_key = b.bucket_key
+           AND a.doc_id < b.doc_id),
+        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        hotsh AS (SELECT shingle FROM d GROUP BY shingle HAVING count(*) > 100),
+        dc AS (SELECT doc_id, shingle FROM d
+               WHERE shingle NOT IN (SELECT shingle FROM hotsh)),
+        cm AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM dc a JOIN dc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT doc_a, doc_b,
+                 CAST(n_common AS DOUBLE) /
+                   CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+          FROM cm
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) /
+                  CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.05),
+        u AS (
+          SELECT coalesce(j.jaccard, 0.0) AS j,
+                 CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS p
+          FROM jac j FULL OUTER JOIN mpairs m
+            ON j.doc_a = m.doc_a AND j.doc_b = m.doc_b),
+        agg AS (
+          SELECT CAST(sum(CASE WHEN j >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+                 CAST(sum(p) AS BIGINT) AS n_pred,
+                 CAST(sum(CASE WHEN j >= 0.1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+                 CAST(sum(CASE WHEN j >= 0.1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+                 CAST(sum(CASE WHEN j < 0.1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+          FROM u)
+        SELECT n_true, n_pred, n_tp, n_fn, n_fp,
+               n_tp * 10000 // nullif(n_true, 0) AS recall_bp,
+               n_tp * 10000 // nullif(n_pred, 0) AS precision_bp
+        FROM agg""")),
+
     // Asymmetric containment over the same blocked pairs: catches the
     // small-doc-inside-large-doc (quote/boilerplate) case Jaccard scores
     // low. Shares the inverted-index core and DF cap with the Jaccard op.

@@ -124,9 +124,16 @@ object Dedup {
     * over it: NO shuffle, no row expansion, one corpus scan — the shape
     * that survives 100 TB.
     */
-  private def minhashWide(docs: DataFrame, k: Int): DataFrame = {
+  private def minhashWide(docs: DataFrame, k: Int): DataFrame =
+    minhashWideFromShingles(shingleArrays(docs), k)
+
+  /** [[minhashWide]] body over a pre-built (doc_id, shingles) frame — the
+    * seam that lets [[minhashEval]] share ONE shingle scan between the
+    * LSH and exact-Jaccard sides.
+    */
+  private def minhashWideFromShingles(sh: DataFrame, k: Int): DataFrame = {
     require(k <= minhashMultipliers.size, s"at most ${minhashMultipliers.size} components")
-    shingleArrays(docs)
+    sh
       .select(col("doc_id"), expr(
         "transform(shingles, s -> cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint))")
         .as("hs"))
@@ -150,7 +157,10 @@ object Dedup {
     * within the band, so it is order-deterministic). Output one row per
     * (doc, band) — a pure projection over [[minhashWide]], no extra shuffle.
     */
-  def minhashBuckets(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+  def minhashBuckets(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    bucketsFromWide(minhashWide(docs, k), k, rowsPerBand)
+
+  private def bucketsFromWide(wide: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     // ceil-divide so a non-divisible k still emits its partial final band
     val nBands = (k + rowsPerBand - 1) / rowsPerBand
     val bandKeys = (0 until nBands).map { b =>
@@ -161,7 +171,7 @@ object Dedup {
       array_join(transform(array_sort(array(slice: _*)),
         x => x.cast("string")), "|")
     }
-    minhashWide(docs, k)
+    wide
       .select(col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band", "bucket_key")))
       .withColumn("band", col("band").cast(LongType))
@@ -187,7 +197,10 @@ object Dedup {
     * materializes across buckets.
     */
   def minhashCandidatePairs(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
-    minhashBuckets(docs, k, rowsPerBand)
+    candidatePairsFromBuckets(minhashBuckets(docs, k, rowsPerBand))
+
+  private def candidatePairsFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
       .groupBy(col("band"), col("bucket_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -812,6 +825,52 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
 
+  /** LSH quality gauge: the confusion matrix of MinHash candidate pairs
+    * (the fast probabilistic blocker) against exact n-gram Jaccard ≥
+    * `threshold` (the truth it approximates), plus integer basis-point
+    * recall/precision. This is the measurement that justifies — or
+    * revokes — running the cheap blocker instead of the exact pair scan
+    * on the next corpus; the same contract discipline as the ANN
+    * `sim_recall_*` twins, applied to dedup.
+    *
+    * One corpus scan: the (doc_id, shingles) arrays are checkpointed and
+    * feed BOTH sides (LSH signatures and the inverted-index exact
+    * pairs). Both pair sets are blocked/DF-capped — never all-pairs —
+    * and the full-outer join runs at pair-table size. Truth pairs below
+    * the emitter's 0.05 Jaccard floor count as non-dup: with `threshold`
+    * above the floor the truth set is exact, and candidate pairs absent
+    * from the emitted truth are false positives by construction.
+    * Output: one row — n_true, n_pred, n_tp, n_fn, n_fp, recall_bp,
+    * precision_bp.
+    */
+  def minhashEval(
+      docs: DataFrame, threshold: Double = 0.1,
+      k: Int = 8, rowsPerBand: Int = 2, maxDf: Int = 100): DataFrame = {
+    require(threshold >= 0.05, "truth below the emitter's Jaccard floor would be silently missing")
+    val sh = shingleArrays(docs).localCheckpoint(false)
+    val truth = ngramPairCountsFromShingles(sh, maxDf)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val pred = candidatePairsFromBuckets(
+        bucketsFromWide(minhashWideFromShingles(sh, k), k, rowsPerBand))
+      .withColumn("p", lit(1L))
+    truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("jaccard"), lit(0.0)).as("j"),
+        coalesce(col("p"), lit(0L)).as("p"))
+      .agg(
+        sum(when(col("j") >= threshold, 1L).otherwise(0L)).as("n_true"),
+        sum(col("p")).as("n_pred"),
+        sum(when(col("j") >= threshold && col("p") === 1L, 1L).otherwise(0L)).as("n_tp"),
+        sum(when(col("j") >= threshold && col("p") === 0L, 1L).otherwise(0L)).as("n_fn"),
+        sum(when(col("j") < threshold && col("p") === 1L, 1L).otherwise(0L)).as("n_fp"))
+      .select(col("n_true"), col("n_pred"), col("n_tp"), col("n_fn"), col("n_fp"),
+        expr("n_tp * 10000 DIV nullif(n_true, 0)").as("recall_bp"),
+        expr("n_tp * 10000 DIV nullif(n_pred, 0)").as("precision_bp"))
+  }
+
   /** N-gram containment for the same candidate pairs: |A∩B|/|A| and
     * |A∩B|/|B| — the ASYMMETRIC near-dup measure. Jaccard misses the
     * quote/boilerplate case (a small doc wholly contained in a large one
@@ -894,7 +953,14 @@ object Dedup {
     // intersection count ignores capped shingles (a lower bound for pairs
     // that share them). The DF pass is one count aggregation (map-side
     // combined) and the cap list is tiny, so it rides a broadcast anti-join.
-    val exploded = shingleArrays(docs)
+    ngramPairCountsFromShingles(shingleArrays(docs), maxDf)
+  }
+
+  /** [[ngramPairCounts]] over a pre-built (doc_id, shingles) frame — see
+    * [[minhashWideFromShingles]] for why the seam exists.
+    */
+  private def ngramPairCountsFromShingles(shingles: DataFrame, maxDf: Int): DataFrame = {
+    val exploded = shingles
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
     val hot = exploded.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))

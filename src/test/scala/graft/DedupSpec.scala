@@ -131,6 +131,29 @@ class DedupSpec extends GraftSpec {
     assert(fused.contains((1L, 2L)) && fused((1L, 2L))._2 < 0.3)
   }
 
+  test("minhash eval: confusion matrix equals the composed pair sets") {
+    // arithmetic pin: the gauge must equal the confusion matrix composed
+    // from the two independently-tested pair queries on the same fixture
+    val docs = Tables.load(spark, sf, "documents")
+    val truth = graft.operators.Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val pred = graft.operators.Dedup.minhashCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val thr = 0.1
+    val nTrue = truth.count(_._2 >= thr)
+    val nTp = truth.count { case (p, j) => j >= thr && pred(p) }
+    val nFn = nTrue - nTp
+    val nFp = pred.count(p => truth.get(p).forall(_ < thr))
+    val r = graft.operators.Dedup.minhashEval(docs, thr).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((nTrue.toLong, pred.size.toLong, nTp.toLong, nFn.toLong, nFp.toLong)))
+    assert(r.getLong(5) === (if (nTrue == 0) 0L else nTp.toLong * 10000 / nTrue))
+    assert(r.getLong(6) === (if (pred.isEmpty) 0L else nTp.toLong * 10000 / pred.size))
+    // the gauge is meaningful on this corpus: non-empty truth and a
+    // populated false-accept cell (the blocker over-generates)
+    assert(nTrue > 0 && nFp > 0)
+  }
+
   test("ngram decontamination flags a verbatim 13-gram, not a 12-gram") {
     // coin(doc_id): md5-coin in [0,100) — find ids on each side of the split
     def coin(id: Long): Long = {
