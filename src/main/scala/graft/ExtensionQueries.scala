@@ -4321,6 +4321,40 @@ object ExtensionQueries {
         SELECT key, cnt, rnk, cnt * 10000 // total_rows AS share_bp
         FROM r, t WHERE rnk <= 15""")),
 
+    // Referential-integrity report over the star schema's FK edges —
+    // the pre-publish gate; this corpus is clean, so every orphan cell
+    // is an asserted zero (violation detection is spec-pinned on a
+    // fixture).
+    QuerySpec(
+      "gov_fk_orphans",
+      (s, dir) => {
+        def t(n: String) = Tables.load(s, dir, n)
+        Governance.fkOrphans(Seq(
+          ("lineitem.orderkey->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+          ("lineitem.partkey->part", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+          ("lineitem.suppkey->supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+          ("orders.custkey->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+          ("customer.nationkey->nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+          ("supplier.nationkey->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+          ("nation.regionkey->region", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
+          ("events.user_id->customer", t("events"), "user_id", t("customer"), "c_custkey")))
+      },
+      Some(Seq(
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))
+        .map { case (fk, c, ck, p, pk) =>
+          s"""SELECT '$fk' AS fk, count(*) AS n_rows,
+                 CAST(sum(CASE WHEN h.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+              FROM $c LEFT JOIN (SELECT DISTINCT $pk AS k FROM $p) h
+                ON $c.$ck = h.k"""
+        }.mkString(" UNION ALL "))),
+
     // One-scan column profiler over lineitem: null/distinct/min/max per
     // column, numerics rendered through DECIMAL and timestamps through
     // DATE so the text form is engine-stable. Oracle is generated from

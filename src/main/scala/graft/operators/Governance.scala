@@ -67,6 +67,38 @@ object Governance {
         expr("cnt * 10000 DIV total_rows").as("share_bp"))
   }
 
+  /** Referential-integrity report: one row per declared FK edge with the
+    * child row count and the number of rows whose key has NO match in the
+    * parent (orphans). The ingest-gate check a star-schema pipeline runs
+    * before publishing a release; a clean corpus reports zeros — the
+    * report asserting that is the point.
+    *
+    * Per edge: the parent keys collapse to a distinct set (map-side
+    * combinable — |keys| rows), then one left join + single-row count
+    * agg over the child. Catalyst broadcasts the bounded dimension key
+    * sets (nation/region/customer-scale) and shuffles the corpus-sized
+    * ones (orders) — chosen by size, which is exactly the
+    * broadcast-vs-shuffle rule the engine wants at 100 TB. Edges are
+    * independent single-row aggregates unioned at the end; each child
+    * table is scanned once per edge it appears in (an edge is a
+    * different key column, so a shared scan would carry every key at
+    * once — possible, but the per-edge projection keeps each join
+    * shuffle to one 8-byte key column, which is the cheaper trade).
+    */
+  def fkOrphans(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    edges.map { case (name, child, childKey, parent, parentKey) =>
+      child.select(col(childKey).as("k"))
+        .join(
+          parent.select(col(parentKey).as("k")).distinct()
+            .withColumn("hit", lit(1)),
+          Seq("k"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+    }.reduce(_.unionByName(_))
+
   /** One-scan column profile of a fixed column list: per column the null
     * count, distinct count, and min/max rendered to strings (dates and
     * strings verbatim; doubles through DECIMAL(18,2) so the text form is

@@ -55,6 +55,22 @@ class GovernanceSpec extends GraftSpec {
     assert(got("ts") === ((1L, 2L, "2020-01-02", "2020-01-03")))
   }
 
+  test("fk orphans: violations counted per edge, duplicate parent keys don't inflate") {
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 99L), (5L, 98L))
+      .toDF("id", "fk")
+    // parent key 10 appears TWICE: the distinct collapse must keep the
+    // left join 1:1 so n_rows stays 5, not 7
+    val parent = Seq(10L, 10L, 11L, 12L).toDF("pk")
+    val clean = Seq((1L, 12L)).toDF("id", "fk")
+    val got = Governance.fkOrphans(Seq(
+        ("child->parent", child, "fk", parent, "pk"),
+        ("clean->parent", clean, "fk", parent, "pk")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "child->parent" -> ((5L, 2L)), // keys 99, 98 are orphans
+      "clean->parent" -> ((1L, 0L))))
+  }
+
   test("key skew plan: corpus scanned once, totals broadcast back") {
     val li = Tables.load(spark, sf, "lineitem")
     val df = Governance.keySkew(li, "l_partkey", 15)
