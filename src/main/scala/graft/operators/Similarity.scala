@@ -518,14 +518,26 @@ object Similarity {
       cents: Map[Long, Array[Long]], m: Int, sub: Int)
       : Seq[org.apache.spark.sql.Column] = {
     val centIds = cents.keys.toSeq.sorted
-    def dist(s: Int, c: Long): org.apache.spark.sql.Column =
-      (0 until sub).map { j =>
-        val d = col(s"x_${s * sub + j}") - lit(cents(c)(s * sub + j))
-        d * d
-      }.reduce(_ + _)
+    // The codebook slice per subspace is ONE typedlit Literal (an
+    // ArrayData value, not per-element expression nodes) and the
+    // distance is a zip_with/aggregate loop over it. The fully-unrolled
+    // per-centroid arithmetic this replaces (m·nCents·sub squared-diff
+    // nodes in one Project) grew the generated method past Janino's
+    // 64 KB limit, silently disabling whole-stage codegen for the WHOLE
+    // stage — the plan ran interpreted (measured 3.0 s/rep at sf0.001,
+    // data-independent). The loop form keeps the tree small, stays
+    // inside WSCG, and does the identical exact-long arithmetic with
+    // the identical (dd, cent_id) struct-min tie-break.
+    val xs = array((0 until m * sub).map(i => col(s"x_$i")): _*)
     (0 until m).map { s =>
-      array_min(array(centIds.map(c =>
-        struct(dist(s, c).as("dd"), lit(c).as("cent_id"))): _*)).as(s"best_$s")
+      val cb = typedlit(centIds.map(c =>
+        (c, cents(c).slice(s * sub, (s + 1) * sub).toSeq)))
+      array_min(transform(cb, c => struct(
+        aggregate(
+          zip_with(slice(xs, s * sub + 1, sub), c.getField("_2"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, d) => acc + d).as("dd"),
+        c.getField("_1").as("cent_id")))).as(s"best_$s")
     }
   }
 
