@@ -3246,6 +3246,54 @@ object ExtensionQueries {
         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7""")),
 
+    // Audio near-dup pairs: 64-bit energy-descent envelope fingerprint
+    // (Chromaprint's band-difference bits reduced to one band) + the
+    // shared pigeonhole hamming blocker. Oracle re-derives PCM samples,
+    // frame energies, and the bit packing (lo/hi halves) arithmetically.
+    QuerySpec(
+      "mm_audio_hash_pairs",
+      (s, dir) => Multimodal.audioHashPairs(s, docs(s, dir)),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        s AS (
+          SELECT doc_id, i, ns,
+                 ('0x' || substring(hx, CAST(4*i + 1 AS INT), 2))::BIGINT
+                   + 256 * ('0x' || substring(hx, CAST(4*i + 3 AS INT), 2))::BIGINT
+                   AS raw
+          FROM (SELECT doc_id, hx, n // 2 AS ns,
+                       unnest(range(0, n // 2)) AS i FROM b)),
+        v AS (
+          SELECT doc_id, i, ns,
+                 CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+          FROM s),
+        fe AS (
+          SELECT doc_id, i * 65 // ns AS f, SUM(v * v) AS e
+          FROM v GROUP BY 1, 2),
+        grid AS (
+          SELECT b.doc_id, g.f, COALESCE(fe.e, 0) AS e
+          FROM b CROSS JOIN generate_series(0, 64) g(f)
+          LEFT JOIN fe ON fe.doc_id = b.doc_id AND fe.f = g.f),
+        bits AS (
+          SELECT doc_id, f AS j,
+                 CASE WHEN e > lead(e) OVER (PARTITION BY doc_id ORDER BY f)
+                      THEN 1 ELSE 0 END AS bit
+          FROM grid),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN j < 32 AND bit = 1
+                      THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS lo,
+                 CAST(SUM(CASE WHEN j >= 32 AND j < 64 AND bit = 1
+                      THEN CAST(2 ** (j - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi
+          FROM bits GROUP BY 1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7""")),
+
     // Cross-modal governance, image→text: the image-near-dup pairs
     // annotated with text-fingerprint equality — same_text=false is the
     // "same image, different caption" cell neither single-modality dedup

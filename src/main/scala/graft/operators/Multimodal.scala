@@ -407,6 +407,54 @@ object Multimodal {
       .toDF("doc_id", "n_samples", "energy", "n_zero_cross", "peak")
   }
 
+  /** Chromaprint-shaped audio envelope fingerprint: the PCM stream is
+    * cut into 65 equal frames (frame of sample i = ⌊i·65/n⌋), each
+    * frame's exact integer energy Σv² is computed, and bit j of the
+    * 64-bit fingerprint is 1 iff energy(j) > energy(j+1) — the energy
+    * DESCENT pattern, which is amplitude-scale-free in shape and the
+    * public acoustic-fingerprint idea (Chromaprint/AcoustID's
+    * band-energy-difference bits) reduced to one band. Decode shares
+    * the 16-bit-LE-PCM `mapPartitions` codec slot with
+    * [[audioFeatures]]; output is (doc_id, afp).
+    */
+  def audioEnvelopeHash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    withBlob(docs).select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, blob) =>
+          val n = blob.length / 2
+          val e = new Array[Long](65)
+          var i = 0
+          while (i < n) {
+            val v = ((blob(2 * i) & 0xff) | (blob(2 * i + 1) << 8)).toShort.toLong
+            e(((i.toLong * 65) / n).toInt) += v * v
+            i += 1
+          }
+          var fp = 0L
+          var j = 0
+          while (j < 64) {
+            if (e(j) > e(j + 1)) fp |= (1L << j)
+            j += 1
+          }
+          (id, fp)
+        }
+      }
+      .toDF("doc_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs over the [[audioEnvelopeHash]]
+    * fingerprints — the audio member of the near-dup family (text
+    * SimHash, image aHash, audio envelope hash now all share
+    * [[Dedup.hammingProbePairs]]'s pigeonhole blocker: four 16-bit
+    * segments × single-bit probes, perfect recall for hamming ≤ 7,
+    * exact bit_count verify in-bucket, never all-pairs).
+    */
+  def audioHashPairs(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 7): DataFrame =
+    Dedup.hammingProbePairs(audioEnvelopeHash(spark, docs), "afp",
+      nBits = 64, maxHamming)
+
   /** Frame-sampling shape for video-like payloads: split the blob into
     * fixed-size "frames" and keep every `stride`-th — the plumbing (one
     * input row → variable output rows, no shuffle) of real frame sampling.

@@ -115,6 +115,33 @@ class MultimodalSpec extends GraftSpec {
       "multibyte bytes in the high position go negative -> sign crossings")
   }
 
+  test("audio envelope hash: brute-forced bits; dup texts pair at hamming 0") {
+    def bruteFp(text: String): Long = {
+      val b = text.getBytes("UTF-8")
+      val n = b.length / 2
+      val e = new Array[Long](65)
+      (0 until n).foreach { i =>
+        val v = (((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort).toLong
+        e(((i.toLong * 65) / n).toInt) += v * v
+      }
+      (0 until 64).foldLeft(0L)((acc, j) =>
+        if (e(j) > e(j + 1)) acc | (1L << j) else acc)
+    }
+    // long enough that all 65 frames carry samples; one exact dup pair;
+    // a unicode doc exercising negative samples; a short doc with empty
+    // tail frames (energy 0 runs -> descent bits 0)
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val rows = Seq((1L, base), (2L, base), (3L, "héllo wörld çhars " * 8),
+      (4L, "tiny"))
+    val fp = Multimodal.audioEnvelopeHash(spark, rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, t) => assert(fp(id) === bruteFp(t), s"doc $id") }
+    assert(fp(1L) === fp(2L))
+    val pairs = Multimodal.audioHashPairs(spark, rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) === 0L)
+  }
+
   test("aHash: brute-forced from raw bytes; pairs = exact all-pairs Hamming") {
     // independent Scala recomposition of the hash from the TEXT bytes —
     // no decoder, no Spark expressions — on the real sf0.001 corpus
