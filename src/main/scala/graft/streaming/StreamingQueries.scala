@@ -487,6 +487,114 @@ object StreamingQueries {
       emitReady(user, timerValues.getCurrentWatermarkInMs())
   }
 
+  // ---- custom stateful operator: streaming CUSUM drift alarm ---------------
+
+  final case class DriftEvent(
+      key: String, event_id: Long, utc: java.sql.Timestamp, value: Double)
+  final case class DriftAlarm(
+      key: String, event_id: Long, us: Long, side: String, stat: Long)
+  private[streaming] final case class PendingQ(us: Long, event_id: Long, qv: Long)
+  private[streaming] final case class DriftAcc(sHi: Long, sLo: Long)
+
+  /** Streaming CUSUM drift alarm — the ingest-time twin of the batch
+    * [[graft.operators.TimeSeries.cusumTopDrift]] screen. The batch scan
+    * is retrospective (drift against the key's GLOBAL mean, which only
+    * exists after the scan); the streaming form is the classic one-sided
+    * Page test against a SHIPPED reference mean: per key,
+    * `S⁺ = max(0, S⁺ + q − ref − slack)` and
+    * `S⁻ = max(0, S⁻ + ref − q − slack)`, alarm and reset when either
+    * exceeds the threshold. The reference comes from a batch computation
+    * and bakes in as a literal — the same batch-calibrates/stream-gates
+    * composition as the calibrated quality gate.
+    *
+    * Exactness: values quantize exactly like the batch op
+    * (q = ⌊100·v + ½⌋) and the statistic is exact BIGINT arithmetic, so
+    * alarms are bit-deterministic. Out-of-order arrival is handled
+    * EXACTLY (the [[AsofProcessor]] discipline, because CUSUM is
+    * order-sensitive): rows buffer until the watermark passes them
+    * strictly, then fold in (ts, event_id) order.
+    *
+    * State per key: the watermark-horizon row buffer plus ONE (S⁺, S⁻)
+    * accumulator pair — constant beyond the lateness bound.
+    */
+  def cusumAlarmStream(
+      spark: SparkSession,
+      events: Dataset[DriftEvent],
+      refMean: Double,
+      slack: Double,
+      threshold: Double,
+      watermarkDelay: String = "10 seconds"): Dataset[DriftAlarm] = {
+    import spark.implicits._
+    events
+      .withWatermark("utc", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(
+        new CusumProcessor(
+          math.floor(100 * refMean + 0.5).toLong,
+          math.floor(100 * slack + 0.5).toLong,
+          math.floor(100 * threshold + 0.5).toLong),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  final class CusumProcessor(refQ: Long, slackQ: Long, hQ: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DriftEvent, DriftAlarm] {
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[PendingQ] = _
+    @transient private var acc: org.apache.spark.sql.streaming.ValueState[DriftAcc] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getListState[PendingQ](
+        "pending", org.apache.spark.sql.Encoders.product[PendingQ],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      acc = getHandle.getValueState[DriftAcc](
+        "acc", org.apache.spark.sql.Encoders.product[DriftAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def emitReady(key: String, wmMs: Long): Iterator[DriftAlarm] = {
+      val all = pending.get().toSeq
+      // strict: a row at exactly the watermark could still be preceded by
+      // an equal-ts late arrival with a smaller event_id
+      val (ready, rest) = all.partition(_.us / 1000L < wmMs)
+      var a = Option(acc.get()).getOrElse(DriftAcc(0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[DriftAlarm]
+      ready.sortBy(p => (p.us, p.event_id)).foreach { p =>
+        var sHi = math.max(0L, a.sHi + p.qv - refQ - slackQ)
+        var sLo = math.max(0L, a.sLo + refQ - p.qv - slackQ)
+        if (sHi > hQ) { out += DriftAlarm(key, p.event_id, p.us, "hi", sHi); sHi = 0L }
+        if (sLo > hQ) { out += DriftAlarm(key, p.event_id, p.us, "lo", sLo); sLo = 0L }
+        a = DriftAcc(sHi, sLo)
+      }
+      acc.update(a)
+      pending.clear()
+      if (rest.nonEmpty) {
+        pending.put(rest.toArray)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(rest.map(_.us).min / 1000L + 1L)
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[DriftEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DriftAlarm] = {
+      rows.foreach { e =>
+        pending.appendValue(PendingQ(micros(e.utc), e.event_id,
+          math.floor(100 * e.value + 0.5).toLong))
+      }
+      emitReady(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[DriftAlarm] =
+      emitReady(key, timerValues.getCurrentWatermarkInMs())
+  }
+
   // ---- built-in stream-stream interval join --------------------------------
 
   final case class IntervalMatched(

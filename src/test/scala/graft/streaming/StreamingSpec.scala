@@ -219,6 +219,67 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming CUSUM drift alarm equals the ts-ordered Page fold (out-of-order input)") {
+    import StreamingQueries.{DriftEvent, DriftAlarm}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val (refQ, slackQ, hQ) = (1000L, 50L, 400L) // ref 10.0, slack 0.5, h 4.0
+      def ev(k: String, id: Long, t: String, v: Double) = DriftEvent(k, id, ts(t), v)
+      // key a: level 10 then a +3 shift -> S+ grows 250/row, alarms at the
+      // 2nd shifted row (500 > 400), resets, alarms again 2 rows later.
+      // key b: a -4 dip -> lo-side alarm. Batch 2 delivers an EARLIER row
+      // (within the 10s watermark) that must fold in ts position.
+      val b1 = Seq(
+        ev("a", 1, "2024-01-01 00:00:01", 10.0),
+        ev("a", 2, "2024-01-01 00:00:02", 10.2),
+        ev("a", 4, "2024-01-01 00:00:04", 13.0),
+        ev("a", 5, "2024-01-01 00:00:05", 13.0),
+        ev("a", 6, "2024-01-01 00:00:06", 13.0),
+        ev("b", 11, "2024-01-01 00:00:01", 10.0),
+        ev("b", 12, "2024-01-01 00:00:02", 6.0),
+        ev("b", 13, "2024-01-01 00:00:03", 6.0))
+      val b2 = Seq(
+        ev("a", 3, "2024-01-01 00:00:03", 13.0), // late: folds BEFORE 4,5,6
+        ev("a", 7, "2024-01-01 00:00:07", 13.0))
+      val sentinel = Seq(ev("z", 99, "2024-01-01 01:00:00", 10.0))
+
+      val input = MemoryStream[DriftEvent]
+      val out = StreamingQueries.cusumAlarmStream(
+        spark, input.toDS(), refMean = 10.0, slack = 0.5, threshold = 4.0)
+      val rows = runStream(input, out.toDF(), Seq(b1, b2, sentinel))
+        .map(r => DriftAlarm(r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4))).toSet
+
+      // brute force: per key, fold in (ts, event_id) order
+      def brute(events: Seq[DriftEvent]): Set[DriftAlarm] =
+        events.groupBy(_.key).flatMap { case (k, es) =>
+          var (sHi, sLo) = (0L, 0L)
+          es.sortBy(e => (e.utc.getTime, e.event_id)).flatMap { e =>
+            val q = math.floor(100 * e.value + 0.5).toLong
+            sHi = math.max(0L, sHi + q - refQ - slackQ)
+            sLo = math.max(0L, sLo + refQ - q - slackQ)
+            val out = scala.collection.mutable.ArrayBuffer.empty[DriftAlarm]
+            if (sHi > hQ) {
+              out += DriftAlarm(k, e.event_id, e.utc.getTime * 1000L, "hi", sHi); sHi = 0L
+            }
+            if (sLo > hQ) {
+              out += DriftAlarm(k, e.event_id, e.utc.getTime * 1000L, "lo", sLo); sLo = 0L
+            }
+            out
+          }
+        }.toSet
+      val expected = brute(b1 ++ b2 ++ sentinel)
+      assert(expected.exists(_.side == "hi"), "fixture must exercise the hi side")
+      assert(expected.exists(_.side == "lo"), "fixture must exercise the lo side")
+      assert(rows === expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches the batch join on the same input") {
     // the NATIVE watermarked symmetric-hash-join path (no custom state):
     // all quotes in [probe-5s, probe] per key, across out-of-order batches
