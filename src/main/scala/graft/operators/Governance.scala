@@ -99,17 +99,21 @@ object Governance {
         .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
     }.reduce(_.unionByName(_))
 
-  /** One-scan column profile of a fixed column list: per column the null
-    * count, distinct count, and min/max rendered to strings (dates and
-    * strings verbatim; doubles through DECIMAL(18,2) so the text form is
+  /** Column profile of a fixed column list: per column the null count,
+    * distinct count, and min/max rendered to strings (dates and strings
+    * verbatim; doubles through DECIMAL(18,2) so the text form is
     * engine-stable). The stats-collection pass a table format would run
     * at ingest, as a query.
     *
-    * Scale: a single `groupBy().agg(...)` row — count/min/max are plain
-    * map-side combinable; the n distinct aggregates rewrite to one
-    * expand-based aggregate (rows × |cols|, still one scan of the
-    * parquet and partial aggregation before the exchange). The 1×(4·n)
-    * stats row is then unpivoted driver-free with `stack`.
+    * Scale: one aggregate PER COLUMN, unioned — each scan is pruned to
+    * its single column (`ReadSchema` = one field), so total bytes read ≈
+    * one full-width scan, and each count-distinct plans as an ordinary
+    * two-phase hash aggregate on one value column. The obvious
+    * alternative — all n distinct aggregates in ONE `agg(...)` — rewrites
+    * to an Expand of n+1 row copies carrying every column through one
+    * aggregation: measured 15.8 s/rep vs 1.3 s at sf0.1 for 9 lineitem
+    * columns, and the gap widens with width. The n-unions form is also
+    * exactly the oracle's shape (n per-column SELECTs UNION ALL).
     */
   def profileColumns(rows: DataFrame, cols: Seq[String]): DataFrame = {
     def render(c: String) = {
@@ -128,19 +132,15 @@ object Governance {
           (f: org.apache.spark.sql.Column) => f.cast("string")
       }
     }
-    val aggs = cols.flatMap { c =>
+    cols.map { c =>
       val r = render(c)
-      Seq(
-        count(lit(1)).minus(count(col(c))).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct"),
-        r(min(col(c))).as(s"${c}__min"),
-        r(max(col(c))).as(s"${c}__max"))
-    }
-    val one = rows.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = cols.map { c =>
-      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
-    }.mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.size}, $stackExpr) AS (col_name, n_nulls, n_distinct, min_str, max_str)")
+      rows.select(col(c)).agg(
+        count(lit(1)).minus(count(col(c))).as("n_nulls"),
+        count_distinct(col(c)).as("n_distinct"),
+        r(min(col(c))).as("min_str"),
+        r(max(col(c))).as("max_str"))
+        .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+          col("min_str"), col("max_str"))
+    }.reduce(_.unionByName(_))
   }
 }
