@@ -645,6 +645,40 @@ object StreamingQueries {
       .as[IntervalMatched]
   }
 
+  /** LEFT OUTER [[intervalJoinStream]]: probes with no quote in their
+    * window still emit, with null match columns — but only once the
+    * watermark proves the window can no longer fill (the engine holds
+    * the probe in the join buffer until its event-time bound passes,
+    * then emits the null-padded row; matched rows still emit eagerly).
+    * That deferred-null emission is exactly the semantics a "which
+    * ingest events never got enriched" audit stream needs, and it falls
+    * out of the built-in join — no custom state. Returns a DataFrame
+    * because the match columns are genuinely nullable here.
+    */
+  def intervalJoinStreamOuter(
+      spark: SparkSession,
+      probes: Dataset[AsofSideEvent],
+      quotes: Dataset[AsofSideEvent],
+      watermarkDelay: String = "10 seconds",
+      windowSec: Int = 5): DataFrame = {
+    val p = probes
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("utc").as("p_utc"))
+      .withWatermark("p_utc", watermarkDelay)
+    val q = quotes
+      .select(col("event_id").as("q_event_id"), col("user_id").as("q_user_id"),
+        col("utc").as("q_utc"), col("value"))
+      .withWatermark("q_utc", watermarkDelay)
+    p.join(q, expr(
+        s"""user_id = q_user_id AND
+            q_utc >= p_utc - INTERVAL $windowSec SECONDS AND
+            q_utc <= p_utc"""), "leftOuter")
+      .select(col("p_event_id").as("event_id"), col("user_id"),
+        unix_micros(col("p_utc")).as("us"),
+        col("q_event_id").as("match_event_id"),
+        col("value").as("match_value"))
+  }
+
   // ---- custom stateful operator: streaming subsequence matcher -------------
 
   final case class SubseqRing(buses: Seq[Long], totals: Seq[Long])

@@ -335,6 +335,46 @@ class StreamingSpec extends GraftSpec {
     assert(got === expected)
   }
 
+  test("left-outer interval join: unmatched probes emit null rows after the watermark") {
+    import StreamingQueries.AsofSideEvent
+    def ev(u: Long, id: Long, t: String, v: Double) = AsofSideEvent(u, id, ts(t), v)
+    val inP = MemoryStream[AsofSideEvent]
+    val inQ = MemoryStream[AsofSideEvent]
+    val out = StreamingQueries.intervalJoinStreamOuter(spark, inP.toDS(), inQ.toDS())
+    val name = freshName()
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // u1's probe matches; u2's probe has NO quote in [ts-5s, ts]
+      inQ.addData(Seq(ev(1, 101, "2024-01-01 00:00:18", 7.0)))
+      inP.addData(Seq(
+        ev(1, 1, "2024-01-01 00:00:20", 0.0),
+        ev(2, 2, "2024-01-01 00:00:20", 0.0)))
+      q.processAllAvailable()
+      val early = spark.table(name).collect()
+      // the unmatched probe must NOT have emitted yet: its window could
+      // still fill from a late quote inside the watermark
+      assert(!early.exists(r => r.getLong(0) == 2L),
+        s"null row emitted before the watermark closed: ${early.mkString}")
+      // advance the watermark far past probe 2's window — on BOTH sides:
+      // the query's watermark is the min across inputs, so a stale probe
+      // side would hold every buffered probe alive
+      inQ.addData(Seq(ev(99, 999, "2024-01-01 01:00:00", 0.0)))
+      inP.addData(Seq(ev(98, 9999, "2024-01-01 01:00:00", 0.0)))
+      q.processAllAvailable()
+      inQ.addData(Seq(ev(99, 998, "2024-01-01 02:00:00", 0.0)))
+      inP.addData(Seq(ev(98, 9998, "2024-01-01 02:00:00", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(3),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 1L, false, 101L), // matched, emitted eagerly
+      (2L, 2L, true, -1L), // unmatched, emitted null-padded after wm
+      (9999L, 98L, true, -1L))) // first wm sentinel, itself evicted unmatched
+  }
+
   test("stream-stream as-of join matches the batch as-of on the same input") {
     // the transformWithState multi-state exercise: quote book + pending-
     // probe buffer per key, event-time timer flushing probes once the
