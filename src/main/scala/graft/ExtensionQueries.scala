@@ -2161,6 +2161,27 @@ object ExtensionQueries {
         WHERE ('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                 % 100 < 10""")),
 
+    // Char-3gram diversity: the compressibility-proxy quality signal
+    // (low distinct ratio = character-level repetition the token stats
+    // miss); exact integer basis points, scan-side only.
+    QuerySpec(
+      "text_compress_ratio",
+      (s, dir) => TextAnalysis.compressRatio(docs(s, dir)),
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 CAST(greatest(length(text) - 2, 0) AS BIGINT) AS n_grams,
+                 CAST(CASE WHEN length(text) >= 3
+                      THEN len(list_distinct(list_transform(
+                             range(1, length(text) - 1),
+                             i -> substring(text, CAST(i AS INT), 3))))
+                      ELSE 0 END AS BIGINT) AS n_distinct
+          FROM documents)
+        SELECT doc_id, n_grams, n_distinct,
+               CASE WHEN n_grams > 0
+                    THEN n_distinct * 10000 // n_grams END AS diversity_bp
+        FROM g""")),
+
     // Size-proportional (PPS Poisson) sample: inclusion probability
     // min(n_chars, 400)/400 on the md5 coin — keep big docs more often,
     // still a pure scan-side integer predicate.

@@ -721,5 +721,41 @@ object RelationalQueries {
         WHERE EXISTS (
           SELECT 1 FROM orders
           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""))
+  ) ++ Seq(
+
+    // Correlated scalar-AVG subquery (the TPC-H Q17 small-quantity-order
+    // shape): revenue lost to orders below 20% of the part's average
+    // quantity. Catalyst decorrelates the scalar subquery to a per-part
+    // aggregate joined back — the third decorrelation pattern the suite
+    // pins (EXISTS → semi join, IN → semi join, scalar agg → join).
+    // Cross-engine exactness: the compared average runs over the
+    // floor-scaled integer quantity (sum and count both exact, ONE IEEE
+    // division each side), and the revenue sum goes through the DECIMAL
+    // accumulator.
+    QuerySpec(
+      "q33_scalar_subquery_agg",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+          FROM lineitem, part
+          WHERE p_partkey = l_partkey
+            AND p_brand = 'Brand#1'
+            AND CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) < 0.2 * (
+              SELECT AVG(CAST(FLOOR(l2.l_quantity * 100 + 0.5) AS BIGINT))
+              FROM lineitem l2
+              WHERE l2.l_partkey = p_partkey)""")
+      },
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0 AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#1'
+          AND CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) < 0.2 * (
+            SELECT AVG(CAST(FLOOR(l2.l_quantity * 100 + 0.5) AS BIGINT))
+            FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)"""))
   )
 }

@@ -615,6 +615,29 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("mean_p6"))
   }
 
+  /** Character-3-gram diversity — the compressibility proxy quality
+    * signal (a low distinct-ngram ratio means the text is repetitive at
+    * the CHARACTER level, the gzip-ratio heuristic of the public corpus
+    * pipelines without the codec): per doc the 3-gram count, distinct
+    * count, and their ratio in integer basis points. Complements
+    * [[repetitionStats]] (token/bigram level): character n-grams catch
+    * intra-token repetition ("aaaa…", repeated punctuation runs) that
+    * token-level stats miss. Pure scan-side array expressions — no
+    * explode, no shuffle; length/substring are code-point based and
+    * identical cross-engine.
+    */
+  def compressRatio(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(
+        """IF(length(text) < 3, array(),
+             transform(sequence(1, length(text) - 2),
+                       i -> substring(text, i, 3)))""").as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("diversity_bp",
+        expr("IF(n_grams > 0, n_distinct * 10000 DIV n_grams, NULL)"))
+
   /** Rolling-hash fingerprint (Rabin–Karp shape): left-fold
     * h = (h*31 + wordHash) mod (2^31 - 1) over the token stream, where
     * wordHash is the first 32 bits of md5(word). Order-sensitive (unlike

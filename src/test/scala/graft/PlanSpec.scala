@@ -689,4 +689,13 @@ class PlanSpec extends GraftSpec {
     // hide the wrapped plan from TreeNode.collect, so match the string).
     assert(tree.toString.contains("*("), tree.toString)
   }
+
+  test("correlated scalar-AVG subquery decorrelates to a join, not per-row execution") {
+    val p = plan(Registry.queries("q33_scalar_subquery_agg")(spark, sf))
+    // decorrelated: the per-part average is an Aggregate joined back; a
+    // ScalarSubquery node in the physical plan would mean per-row
+    // re-execution of the inner query — the shape that dies at scale
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }

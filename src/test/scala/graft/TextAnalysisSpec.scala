@@ -188,6 +188,24 @@ class TextAnalysisSpec extends GraftSpec {
     assert(a !== other, "salt selects an independent slice")
   }
 
+  test("compress ratio: brute-forced char-3gram diversity, degenerate lengths") {
+    val rows = Seq(
+      (1L, "aaaaaaaa"), // 6 grams, 1 distinct -> 1666 bp
+      (2L, "abcdefgh"), // 6 grams, all distinct -> 10000 bp
+      (3L, "ab"), // too short: 0 grams, null bp
+      (4L, ""), (5L, "héllo héllo")) // unicode + a repeated word
+    def brute(t: String): (Long, Long, Option[Long]) = {
+      val g = (0 to t.length - 3).map(i => t.substring(i, i + 3))
+      (g.size.toLong, g.distinct.size.toLong,
+        if (g.isEmpty) None else Some(g.distinct.size.toLong * 10000 / g.size))
+    }
+    val got = TextAnalysis.compressRatio(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    rows.foreach { case (id, t) => assert(got(id) === brute(t), s"doc $id") }
+    assert(got(1L)._3.get < got(2L)._3.get, "repetition must score lower")
+  }
+
   test("weighted sample: inclusion follows the brute-forced md5 coin, capped at 1") {
     val docs = Seq(
       (1L, "en", 0L),     // weight 0: never kept
