@@ -4333,6 +4333,46 @@ object ExtensionQueries {
         FROM lab l JOIN lab c ON c.ent_id = l.cluster
         GROUP BY 1""")),
 
+    // The resolution applied to a FACT table: lineitem revenue re-keyed
+    // to canonical entities via the broadcast (p_partkey -> canonical)
+    // lookup — the entity work is all on the bounded distinct-name
+    // table, the corpus-sized side touches only one broadcast join.
+    QuerySpec(
+      "er_canonical_revenue",
+      (s, dir) => {
+        val m = EntityResolution.canonicalKeys(part(s, dir), "p_name", "p_partkey")
+        Tables.load(s, dir, "lineitem")
+          .join(org.apache.spark.sql.functions.broadcast(
+            m.withColumnRenamed("key", "l_partkey")), Seq("l_partkey"))
+          .groupBy(col("canonical"))
+          .agg(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_items"),
+            org.apache.spark.sql.functions.sum(
+              col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("revenue"))
+      },
+      benchmark = false, // same iterative CC core as er_entity_clusters
+      oracle = Some(s"""
+        WITH RECURSIVE
+        $erGraphCte,
+        lab AS (
+          SELECT n.name, n.ent_id, min(r.node) AS cluster
+          FROM n JOIN reach r ON r.src = n.ent_id
+          GROUP BY n.name, n.ent_id),
+        canon AS (
+          SELECT cluster, name AS canonical FROM lab WHERE ent_id = cluster),
+        m AS (
+          SELECT p.p_partkey, c.canonical
+          FROM part p
+          JOIN lab ON lab.name = p.p_name
+          JOIN canon c ON c.cluster = lab.cluster)
+        SELECT m.canonical, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem li JOIN m ON m.p_partkey = li.l_partkey
+        GROUP BY 1""")),
+
     // ---- release governance (r12) ------------------------------------
     // Corpus snapshot diff: two deterministic snapshots derived from the
     // documents table (base drops the %10==3 slice = later additions,
@@ -4372,6 +4412,36 @@ object ExtensionQueries {
                count(*) AS n_docs
         FROM b FULL OUTER JOIN c ON b.doc_id = c.doc_id
         GROUP BY 1, 2""")),
+
+    // Distribution drift between the same two snapshots: n_chars
+    // histogram contrast (integer cross-multiplication, no logs) — did
+    // the corpus SHAPE move, not just its membership.
+    QuerySpec(
+      "gov_snapshot_drift_hist",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Governance.snapshotDriftHist(
+          d.where(col("doc_id") % 10 =!= 3),
+          d.where(col("doc_id") % 10 =!= 7), "n_chars")
+      },
+      Some("""
+        WITH u AS (
+          SELECT n_chars // 50 AS bucket, 1 AS inb, 0 AS inc
+          FROM documents WHERE doc_id % 10 <> 3
+          UNION ALL
+          SELECT n_chars // 50, 0, 1
+          FROM documents WHERE doc_id % 10 <> 7),
+        h AS (
+          SELECT bucket, CAST(SUM(inb) AS BIGINT) AS n_base,
+                 CAST(SUM(inc) AS BIGINT) AS n_cur
+          FROM u GROUP BY 1),
+        t AS (
+          SELECT CAST(SUM(n_base) AS BIGINT) AS bt,
+                 CAST(SUM(n_cur) AS BIGINT) AS ct
+          FROM h)
+        SELECT bucket, n_base, n_cur,
+               n_cur * bt - n_base * ct AS drift_contrast
+        FROM h, t""")),
 
     // Join-key skew profile: exact top-15 heavy keys with integer
     // basis-point shares — the report that routes a key to the salted

@@ -723,6 +723,29 @@ object RelationalQueries {
           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""))
   ) ++ Seq(
 
+    // Explicit GROUPING SETS (the shape ROLLUP/CUBE can't express:
+    // hand-picked cells only) + grouping_id to disambiguate the NULL of
+    // "aggregated over" from a NULL data value.
+    QuerySpec(
+      "q34_grouping_sets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                 COUNT(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                  (l_returnflag, l_linestatus))""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))""")),
+
     // Correlated scalar-AVG subquery (the TPC-H Q17 small-quantity-order
     // shape): revenue lost to orders below 20% of the part's average
     // quantity. Catalyst decorrelates the scalar subquery to a per-part

@@ -118,6 +118,25 @@ object EntityResolution {
         coalesce(col("cluster"), col("ent_id")).as("cluster"))
   }
 
+  /** Row-level canonical mapping: (source key → canonical entity name)
+    * for every input row — the lookup table that re-keys a FACT table to
+    * resolved entities. The entity/cluster machinery all happens on the
+    * bounded distinct-entity table; the result is itself entity-sized
+    * and broadcast-joinable against any fact.
+    */
+  def canonicalKeys(rows: DataFrame, nameCol: String, keyCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val e = entities(rows, nameCol, keyCol).localCheckpoint(false)
+    val labeled = clustersFromEntities(e, maxDist)
+    val canon = labeled.where(col("ent_id") === col("cluster"))
+      .select(col("cluster"), col("name").as("canonical"))
+    rows.select(col(keyCol).as("key"), col(nameCol).as("name"))
+      .join(broadcast(labeled.select(col("name"), col("cluster"))
+        .join(broadcast(canon), Seq("cluster"))
+        .select(col("name"), col("canonical"))), Seq("name"))
+      .select(col("key"), col("canonical"))
+  }
+
   /** The resolution applied: per cluster, the canonical name (the name of
     * the cluster-id entity = the min-id member), how many raw variants it
     * absorbed, and total corpus rows re-keyed to it.

@@ -67,6 +67,39 @@ object Governance {
         expr("cnt * 10000 DIV total_rows").as("share_bp"))
   }
 
+  /** Distribution drift between two snapshots: fixed-width histogram of
+    * `sizeCol` with per-bucket counts from each snapshot and an exact
+    * integer cross-multiplied contrast
+    * `n_cur·total_base − n_base·total_cur` (sign = over/under-represented
+    * in the new release, magnitude comparable across buckets — the
+    * PSI-style drift monitor without logs or divisions, same discipline
+    * as the token-divergence monitor). Membership diffing
+    * ([[snapshotDiff]]) answers WHICH docs changed; this answers whether
+    * the SHAPE of the corpus moved (e.g. a re-crawl suddenly skews
+    * short).
+    *
+    * One union + ONE map-side-combinable agg to histogram rows (bounded
+    * by max(size)/width, not by corpus size); totals ride a single
+    * unpartitioned window over those bounded rows.
+    */
+  def snapshotDriftHist(
+      base: DataFrame, current: DataFrame,
+      sizeCol: String, width: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = base.select(expr(s"$sizeCol DIV $width").as("bucket"),
+      lit(1L).as("inb"), lit(0L).as("inc"))
+    val c = current.select(expr(s"$sizeCol DIV $width").as("bucket"),
+      lit(0L).as("inb"), lit(1L).as("inc"))
+    b.unionByName(c)
+      .groupBy(col("bucket"))
+      .agg(sum(col("inb")).as("n_base"), sum(col("inc")).as("n_cur"))
+      .withColumn("bt", sum(col("n_base")).over(Window.partitionBy()))
+      .withColumn("ct", sum(col("n_cur")).over(Window.partitionBy()))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        (col("n_cur") * col("bt") - col("n_base") * col("ct"))
+          .as("drift_contrast"))
+  }
+
   /** Referential-integrity report: one row per declared FK edge with the
     * child row count and the number of rows whose key has NO match in the
     * parent (orphans). The ingest-gate check a star-schema pipeline runs

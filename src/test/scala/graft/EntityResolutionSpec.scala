@@ -73,6 +73,15 @@ class EntityResolutionSpec extends GraftSpec {
     assert(got("aaaaaa") === 8L && got("aabbaa") === 8L && got("bbbbaa") === 8L)
   }
 
+  test("canonical keys: every source row maps to its cluster's canonical name") {
+    val got = EntityResolution.canonicalKeys(partsDf, "p_name", "p_partkey")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "green widget", 2L -> "green widget", 3L -> "green widget",
+      4L -> "green widget", 5L -> "blue bolt", 6L -> "blue bolt",
+      7L -> "anvil", 8L -> "aaaaaa", 9L -> "aaaaaa", 10L -> "aaaaaa"))
+  }
+
   test("canonical support: variant counts and re-keyed row totals") {
     val got = EntityResolution.canonicalSupport(partsDf, "p_name", "p_partkey")
       .collect().map(r => r.getAs[String]("canonical") ->

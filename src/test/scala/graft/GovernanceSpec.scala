@@ -55,6 +55,22 @@ class GovernanceSpec extends GraftSpec {
     assert(got("ts") === ((1L, 2L, "2020-01-02", "2020-01-03")))
   }
 
+  test("snapshot drift histogram: exact bucket counts and cross-multiplied contrast") {
+    // base: sizes 10,60,60 (buckets 0,1,1); current: 10,110,110,110
+    // (buckets 0,2,2,2) — the shape shifts up a bucket
+    val base = Seq((1L, 10L), (2L, 60L), (3L, 60L)).toDF("doc_id", "n_chars")
+    val cur = Seq((1L, 10L), (4L, 110L), (5L, 110L), (6L, 110L))
+      .toDF("doc_id", "n_chars")
+    val got = Governance.snapshotDriftHist(base, cur, "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // totals: base 3, cur 4; contrast = n_cur*3 - n_base*4
+    assert(got === Map(
+      0L -> ((1L, 1L, 1L * 3 - 1L * 4)),
+      1L -> ((2L, 0L, 0L * 3 - 2L * 4)),
+      2L -> ((0L, 3L, 3L * 3 - 0L * 4))))
+  }
+
   test("fk orphans: violations counted per edge, duplicate parent keys don't inflate") {
     val child = Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 99L), (5L, 98L))
       .toDF("id", "fk")

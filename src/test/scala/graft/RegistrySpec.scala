@@ -69,7 +69,8 @@ class RegistrySpec extends GraftSpec {
       "text_quality_gate_calibrated", "text_quality_gate_calibrated_eval",
       "text_tokenize_multiscript", "dedup_ngram_jaccard_multiscript",
       "sim_recall_ivfpq_appended", "doc_yield_funnel_model",
-      "er_entity_clusters", "er_canonical_support", "dedup_minhash_eval")
+      "er_entity_clusters", "er_canonical_support", "er_canonical_revenue",
+      "dedup_minhash_eval")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
