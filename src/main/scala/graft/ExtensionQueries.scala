@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, EntityResolution, Governance, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, EntityResolution, Governance, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, StorageLayout, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions.{col, max}
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
@@ -4280,6 +4280,36 @@ object ExtensionQueries {
                    ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
           FROM documents)
         WHERE rnk <= 20""")),
+
+    // ---- storage layout (r12) ----------------------------------------
+    // Bucketed co-located join: both facts written bucketed on the join
+    // key (the shuffle paid ONCE at write time), joined + per-order
+    // aggregated with zero exchanges; only the bounded final histogram
+    // re-aggregates. The oracle answers from the raw tables — bucketing
+    // is pure execution layout.
+    QuerySpec(
+      "io_bucketed_join",
+      (s, dir) => StorageLayout.bucketedJoinHistogram(
+        s, Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem"),
+        scratchPath("bucketed", dir)),
+      Some("""
+        WITH per AS (
+          SELECT o_orderkey, COUNT(*) AS n_items
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY 1)
+        SELECT n_items, COUNT(*) AS n_orders FROM per GROUP BY 1""")),
+
+    // Partition-pruned round trip: corpus written partitioned by lang,
+    // read back with a partition predicate that prunes directories
+    // (PlanSpec pins PartitionFilters, not a data filter).
+    QuerySpec(
+      "io_partitioned_roundtrip",
+      (s, dir) => StorageLayout.partitionedRoundtrip(
+        s, docs(s, dir), scratchPath("bylang", dir)),
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE lang = 'en' GROUP BY 1""")),
 
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion

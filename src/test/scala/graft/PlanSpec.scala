@@ -690,6 +690,26 @@ class PlanSpec extends GraftSpec {
     assert(tree.toString.contains("*("), tree.toString)
   }
 
+  test("bucketed join: the fact-fact join and per-key agg run with ZERO exchanges") {
+    val p = plan(Registry.queries("io_bucketed_join")(spark, sf))
+    // bucket layout replaces the shuffle: no exchange may partition on
+    // the join/bucket key; the single allowed exchange is the final
+    // bounded histogram re-aggregation on n_items
+    assert(!p.contains("hashpartitioning(o_orderkey"), p)
+    assert(!p.contains("hashpartitioning(l_orderkey"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected only the histogram exchange:\n$p")
+  }
+
+  test("partitioned round trip: the lang predicate prunes directories, not rows") {
+    val df = Registry.queries("io_partitioned_roundtrip")(spark, sf)
+    val p = fplan(df)
+    assert(p.contains("PartitionFilters") && p.contains("lang"), p)
+    // the partition column never reaches the data filters
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
+  }
+
   test("correlated scalar-AVG subquery decorrelates to a join, not per-row execution") {
     val p = plan(Registry.queries("q33_scalar_subquery_agg")(spark, sf))
     // decorrelated: the per-part average is an Aggregate joined back; a
