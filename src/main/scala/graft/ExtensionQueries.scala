@@ -2542,6 +2542,27 @@ object ExtensionQueries {
                len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS n_bpeish
         FROM documents""")),
 
+    // Seasonal-naive forecast backtest: MAE of "same day last week" per
+    // stream — the baseline every real forecast must beat. Exact scaled
+    // daily totals, exact long errors, one IEEE division at the end.
+    QuerySpec(
+      "ts_forecast_snaive",
+      (s, dir) => TimeSeries.seasonalNaiveBacktest(events(s, dir)),
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 (epoch_ns(ts) // 1000) // 86400000000 AS day,
+                 CAST(SUM(CAST(FLOOR(value*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+          FROM events GROUP BY 1, 2),
+        j AS (
+          SELECT d.event_type, abs(d.sq - p.sq) AS err
+          FROM daily d JOIN daily p
+            ON p.event_type = d.event_type AND p.day = d.day - 7)
+        SELECT event_type, COUNT(*) AS n_days,
+               CAST(SUM(err) AS BIGINT) AS sum_abs_err,
+               CAST(SUM(err) AS DOUBLE) / 10000.0 / COUNT(*) AS mae
+        FROM j GROUP BY 1""")),
+
     // Token-length histogram per language: the corpus length report.
     QuerySpec(
       "text_token_histogram",
@@ -2552,6 +2573,29 @@ object ExtensionQueries {
                  * 10 AS BIGINT) AS bucket_lo,
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1, 2""")),
+
+    // Vocabulary coverage: share of token occurrences the top-20 token
+    // types cover — the tokenizer-design metric, exact integer bp (k=20
+    // sits below this corpus's type count, so the metric discriminates).
+    QuerySpec(
+      "text_vocab_coverage",
+      (s, dir) => TextAnalysis.vocabCoverage(docs(s, dir)),
+      Some(s"""
+        WITH $toksCte,
+        f AS (
+          SELECT t2.tok, COUNT(*) AS cnt
+          FROM toks, unnest(toks.t) AS t2(tok)
+          GROUP BY 1),
+        top AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                 CAST(SUM(cnt) AS BIGINT) AS covered
+          FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+                FROM f)
+          WHERE rnk <= 20),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM f)
+        SELECT vocab_size, covered, total_tokens,
+               covered * 10000 // total_tokens AS coverage_bp
+        FROM top, tot""")),
 
     QuerySpec(
       "text_fingerprint",

@@ -615,6 +615,35 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("mean_p6"))
   }
 
+  /** Vocabulary coverage: what fraction of corpus token OCCURRENCES the
+    * top-k most frequent token types cover — the tokenizer-design
+    * metric (a k-entry vocab covering 97% of occurrences means 3% of
+    * the stream falls to fallback/UNK handling). Exact integer basis
+    * points; deterministic top-k (count desc, token asc).
+    *
+    * One corpus scan to the token-frequency table (map-side combinable,
+    * |vocab| rows, checkpointed); the top-k rank is WindowGroupLimit-
+    * pruned and the grand total re-reads the checkpointed frequency
+    * table, not the corpus.
+    */
+  def vocabCoverage(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val top = freq
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+      .where(col("rnk") <= k)
+      .agg(count(lit(1)).as("vocab_size"), sum(col("cnt")).as("covered"))
+    val total = freq.agg(sum(col("cnt")).as("total_tokens"))
+    top.join(broadcast(total))
+      .select(col("vocab_size"), col("covered"), col("total_tokens"),
+        expr("covered * 10000 DIV total_tokens").as("coverage_bp"))
+  }
+
   /** Character-3-gram diversity — the compressibility proxy quality
     * signal (a low distinct-ngram ratio means the text is repetitive at
     * the CHARACTER level, the gzip-ratio heuristic of the public corpus

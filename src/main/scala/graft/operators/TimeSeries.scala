@@ -33,6 +33,38 @@ object TimeSeries {
         col("n"), col("sum_value"),
         (col("sum_value") / col("n").cast("double")).as("avg_value"))
 
+  /** Seasonal-naive forecast backtest — the baseline every real forecast
+    * must beat (forecast for day d = observed total at d − `seasonDays`),
+    * scored as MAE over the days where both sides exist. This is the
+    * capacity-planning sanity metric a feed pipeline keeps per stream:
+    * if a model can't beat same-day-last-week, it ships nothing.
+    *
+    * Exactness: daily totals are exact scaled longs (⌊10⁴·v+½⌋ summed),
+    * absolute errors exact long differences; only the final MAE is ONE
+    * IEEE division of two exact integers — bit-stable cross-engine.
+    * Shape: one bucket agg (map-side combinable) to |keys|·|days| rows,
+    * then a self-equi-join on (key, day − season) at that bounded size,
+    * then a per-key re-aggregation. The corpus is scanned once.
+    */
+  def seasonalNaiveBacktest(events: DataFrame, seasonDays: Int = 7): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = events
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div ${dayUs}L").as("day"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("qv"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("qv")).as("sq"))
+      .localCheckpoint(false)
+    val prior = daily.select(col("event_type"),
+      (col("day") + seasonDays).as("day"), col("sq").as("fq"))
+    daily.join(prior, Seq("event_type", "day"))
+      .select(col("event_type"), abs(col("sq") - col("fq")).as("err"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("err")).as("sum_abs_err"))
+      .withColumn("mae",
+        col("sum_abs_err").cast("double") / lit(10000.0) / col("n_days").cast("double"))
+  }
+
   /** Gap-fill with linear interpolation — the regularization step that
     * turns an irregular event stream into the fixed-grid series a
     * downstream model or chart consumes (the `time_bucket_gapfill` /

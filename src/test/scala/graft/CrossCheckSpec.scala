@@ -19,6 +19,41 @@ class CrossCheckSpec extends GraftSpec {
     }
   }
 
+  test("seasonal-naive backtest agrees with brute force incl. missing days") {
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(7)
+    // 20 days with day 9 entirely missing for key "a": forecasts that
+    // would source from or target a missing day must drop, not zero-fill
+    val rows = for {
+      k <- Seq("a", "b")
+      day <- 0 until 20 if !(day == 9 && k == "a")
+      i <- 0 until (1 + rnd.nextInt(3))
+    } yield (k, s"$k$day$i".hashCode.toLong,
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L),
+      math.rint(rnd.nextDouble() * 1000) / 100)
+    val df = rows.toDF("event_type", "event_id", "ts", "value")
+    val got = TimeSeries.seasonalNaiveBacktest(
+        df.select($"event_type", $"ts", $"value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // brute force
+    val daily = rows.groupBy(r => (r._1, (r._3.getTime / 86400000L)))
+      .map { case ((k, d), es) =>
+        (k, d) -> es.map(e => math.floor(e._4 * 10000 + 0.5).toLong).sum
+      }
+    val expected = daily.keys.groupBy(_._1).map { case (k, _) =>
+      val errs = daily.collect {
+        case ((`k`, d), sq) if daily.contains((k, d - 7)) =>
+          math.abs(sq - daily((k, d - 7)))
+      }.toSeq
+      k -> ((errs.size.toLong, errs.sum,
+        errs.sum.toDouble / 10000.0 / errs.size))
+    }
+    assert(got === expected)
+    // the missing day really removed forecast pairs (day 9 and day 16 for a)
+    assert(got("a")._1 < got("b")._1)
+  }
+
   test("asof join agrees with brute force on random event streams") {
     for (seed <- 1 to 3) {
       val left = randomEvents(seed, 120, 6)

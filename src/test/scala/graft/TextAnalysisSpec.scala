@@ -188,6 +188,21 @@ class TextAnalysisSpec extends GraftSpec {
     assert(a !== other, "salt selects an independent slice")
   }
 
+  test("vocab coverage: exact top-k occupancy with count-then-token tiebreak") {
+    // freqs: a×5, b×3, c×3, d×1 — top-2 = a(5) + b(3) (b beats c on the
+    // token tiebreak at equal count) → 8/12 = 6666 bp
+    val docs = Seq(
+      (1L, "a a a b b c"), (2L, "a a b c c d")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(docs, k = 2).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 8L, 12L, 6666L)))
+    // k above the type count: coverage saturates at 10000 with the true
+    // vocab size reported, not k
+    val r2 = TextAnalysis.vocabCoverage(docs, k = 50).head()
+    assert((r2.getLong(0), r2.getLong(3)) === ((4L, 10000L)))
+  }
+
   test("compress ratio: brute-forced char-3gram diversity, degenerate lengths") {
     val rows = Seq(
       (1L, "aaaaaaaa"), // 6 grams, 1 distinct -> 1666 bp
