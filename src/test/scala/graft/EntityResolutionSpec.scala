@@ -59,6 +59,29 @@ class EntityResolutionSpec extends GraftSpec {
     }
   }
 
+  test("fuzzy pairs: blocking completeness on random strings, three seeds") {
+    // small alphabet + short lengths force plenty of d<=2 pairs with
+    // edits at arbitrary positions — the adversarial load for the
+    // deletion-neighborhood completeness claim
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val names = (1 to 40).map { i =>
+        val len = 3 + rnd.nextInt(5)
+        (i.toLong, (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      }.distinct
+      val df = names.toDF("p_partkey", "p_name")
+      val distinctNames = names.map(_._2).distinct.sorted
+      val brute = (for {
+        a <- distinctNames; b <- distinctNames if a < b && lev(a, b) <= 2
+      } yield (a, b)).toSet
+      assert(brute.nonEmpty, s"seed $seed generated no pairs — weak fixture")
+      val got = EntityResolution.fuzzyPairs(df, "p_name", "p_partkey")
+        .select("name_a", "name_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === brute, s"seed $seed")
+    }
+  }
+
   test("entity clusters: transitive closure, chain endpoints beyond τ co-cluster") {
     val got = EntityResolution.entityClusters(partsDf, "p_name", "p_partkey")
       .collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("cluster")).toMap

@@ -335,6 +335,46 @@ class StreamingSpec extends GraftSpec {
     assert(got === expected)
   }
 
+  test("interval join: random out-of-order streams equal the batch join, two seeds") {
+    import StreamingQueries.{AsofSideEvent, IntervalMatched}
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      def rev(id: Long) = AsofSideEvent(
+        rnd.nextInt(4).toLong, id,
+        java.sql.Timestamp.from(ts("2024-01-01 00:00:00").toInstant
+          .plusMillis(rnd.nextInt(8000).toLong)),
+        math.rint(rnd.nextDouble() * 100) / 10)
+      val probes = (1L to 25L).map(rev)
+      val quotes = (101L to 140L).map(rev)
+      // arrival order deliberately != event-time order, split mid-stream
+      val (pB1, pB2) = rnd.shuffle(probes).splitAt(12)
+      val (qB1, qB2) = rnd.shuffle(quotes).splitAt(20)
+
+      val inP = MemoryStream[AsofSideEvent]
+      val inQ = MemoryStream[AsofSideEvent]
+      // 1-hour watermark: nothing drops, every true match must surface
+      val out = StreamingQueries.intervalJoinStream(
+        spark, inP.toDS(), inQ.toDS(), watermarkDelay = "1 hour")
+      val name = freshName()
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        inQ.addData(qB1); inP.addData(pB1); q.processAllAvailable()
+        inQ.addData(qB2); inP.addData(pB2); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+
+      val expected = (for {
+        p <- probes; qt <- quotes
+        if p.user_id == qt.user_id &&
+          qt.utc.getTime >= p.utc.getTime - 5000 && qt.utc.getTime <= p.utc.getTime
+      } yield (p.event_id, qt.event_id)).toSet
+      assert(expected.nonEmpty, s"seed $seed: weak fixture")
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("left-outer interval join: unmatched probes emit null rows after the watermark") {
     import StreamingQueries.AsofSideEvent
     def ev(u: Long, id: Long, t: String, v: Double) = AsofSideEvent(u, id, ts(t), v)
