@@ -104,7 +104,10 @@ object Governance {
     * child row count and the number of rows whose key has NO match in the
     * parent (orphans). The ingest-gate check a star-schema pipeline runs
     * before publishing a release; a clean corpus reports zeros — the
-    * report asserting that is the point.
+    * report asserting that is the point. NULL child keys count as
+    * orphans (strict mode — ANSI FK semantics would wave them through;
+    * for an ingest gate a null key is just as unjoinable as a dangling
+    * one, and the oracle applies the same rule).
     *
     * Per edge: the parent keys collapse to a distinct set (map-side
     * combinable — |keys| rows), then one left join + single-row count
