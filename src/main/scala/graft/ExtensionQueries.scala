@@ -1584,6 +1584,55 @@ object ExtensionQueries {
            OR greatest(containment_a, containment_b) >= 0.5""")),
 
     // ---- similarity search -------------------------------------------------
+    // Margin-based bitext mining (CCMatrix/LASER): mutual-best
+    // cross-lingual pairs with the absolute margin over the runner-up —
+    // the translation-pair construction step for multilingual training
+    // data. Scored once through the codegen'd exact cosine.
+    QuerySpec(
+      "sim_bitext_mine",
+      (s, dir) => Similarity.bitextMine(docs(s, dir), emb(s, dir)),
+      Some(s"""
+        WITH $vecNormCte,
+        la AS (
+          SELECT n.vec_id AS a_id, n.v AS av, n.nrm AS anrm
+          FROM n JOIN documents d ON d.doc_id = n.vec_id AND d.lang = 'en'),
+        lb AS (
+          SELECT n.vec_id AS b_id, n.v AS bv, n.nrm AS bnrm
+          FROM n JOIN documents d ON d.doc_id = n.vec_id AND d.lang = 'de'),
+        px AS (
+          SELECT a_id, b_id, anrm, bnrm, unnest(av) AS qx, unnest(bv) AS x
+          FROM la CROSS JOIN lb),
+        dots AS (
+          SELECT a_id, b_id, anrm, bnrm,
+                 CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px GROUP BY 1, 2, 3, 4),
+        sc AS (
+          SELECT a_id, b_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(anrm AS DOUBLE) * CAST(bnrm AS DOUBLE)) AS score
+          FROM dots),
+        ar AS (
+          SELECT a_id, b_id, score,
+                 row_number() OVER (PARTITION BY a_id
+                                    ORDER BY score DESC, b_id) AS ra
+          FROM sc),
+        atop AS (
+          SELECT a_id,
+                 max(CASE WHEN ra = 1 THEN b_id END) AS b_id,
+                 max(CASE WHEN ra = 1 THEN score END) AS cos,
+                 max(CASE WHEN ra = 1 THEN score END)
+                   - coalesce(max(CASE WHEN ra = 2 THEN score END), 0.0) AS margin
+          FROM ar WHERE ra <= 2 GROUP BY 1),
+        bbest AS (
+          SELECT a_id, b_id FROM (
+            SELECT a_id, b_id,
+                   row_number() OVER (PARTITION BY b_id
+                                      ORDER BY score DESC, a_id) AS rb
+            FROM sc)
+          WHERE rb = 1)
+        SELECT t.a_id, t.b_id, t.cos, t.margin
+        FROM atop t JOIN bbest bb ON bb.a_id = t.a_id AND bb.b_id = t.b_id""")),
+
     // Brute-force cosine top-k: broadcast query set, one corpus scan,
     // WindowGroupLimit prunes to k per query pre-shuffle.
     QuerySpec(

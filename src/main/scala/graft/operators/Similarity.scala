@@ -50,6 +50,58 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
   }
 
+  /** Margin-based bitext mining (the CCMatrix/LASER pipeline step that
+    * builds translation-pair training data): candidate pairs between two
+    * language slices of the embedding space, kept only when the match is
+    * MUTUAL (x's best y AND y's best x — the intersection criterion) and
+    * reported with the absolute margin cos(best) − cos(runner-up), the
+    * score that separates true translations from hubness artifacts
+    * (Artetxe & Schwenk's margin family; the runner-up term is what a
+    * plain threshold misses). Output: (a_id, b_id, cos, margin).
+    *
+    * Scoring runs through the same codegen'd exact-scaled-long
+    * [[graft.functions.CosineSimilarity]] as every other cosine here, so
+    * the oracle hash-matches. The pair table is scored ONCE
+    * (checkpointed) and both rank directions replay it. At harness scale
+    * the B slice broadcasts and the exact all-pairs scoring IS the
+    * operator; at 100 TB the candidate generator is the ANN ladder
+    * (IVFADC probes), with this same mutual+margin scorer applied to
+    * candidates — the composition `decontaminate_semantic` already
+    * demonstrates for the LSH front.
+    */
+  def bitextMine(
+      docs: DataFrame, emb: DataFrame,
+      langA: String = "en", langB: String = "de"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(emb)
+    val langs = docs.select(col("doc_id").as("vec_id"), col("lang"))
+    val a = e.join(langs.where(col("lang") === langA), Seq("vec_id"))
+      .select(col("vec_id").as("a_id"), col("v").as("av"))
+    val b = e.join(langs.where(col("lang") === langB), Seq("vec_id"))
+      .select(col("vec_id").as("b_id"), col("v").as("bv"))
+    val scored = a.crossJoin(broadcast(b))
+      .withColumn("score",
+        graft.functions.GraftFunctions.cosine_sim(col("av"), col("bv")))
+      .select(col("a_id"), col("b_id"), col("score"))
+      .localCheckpoint(false)
+    val wA = Window.partitionBy(col("a_id")).orderBy(desc("score"), asc("b_id"))
+    val wB = Window.partitionBy(col("b_id")).orderBy(desc("score"), asc("a_id"))
+    val aTop = scored.withColumn("ra", row_number().over(wA))
+      .where(col("ra") <= 2)
+      .groupBy(col("a_id"))
+      .agg(
+        max(when(col("ra") === 1, col("b_id"))).as("b_id"),
+        max(when(col("ra") === 1, col("score"))).as("cos"),
+        (max(when(col("ra") === 1, col("score"))) -
+          coalesce(max(when(col("ra") === 2, col("score"))), lit(0.0)))
+          .as("margin"))
+    val bBest = scored.withColumn("rb", row_number().over(wB))
+      .where(col("rb") === 1)
+      .select(col("a_id"), col("b_id"))
+    aTop.join(bBest, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
+  }
+
   /** Embedding-corpus hygiene stats: exact per-vector scaled-long squared
     * L2 norm, aggregated per dimensionality — the QA pass before any ANN
     * build (catches zero vectors, norm drift, mixed dims in one readout).

@@ -35,6 +35,39 @@ class SimilaritySpec extends GraftSpec {
   }
   import spark.implicits._
 
+  test("bitext mining: mutual-best only (hub dropped), margin = best − runner-up") {
+    // a1 ≈ b1 strongly; a2's best is ALSO b1 (the hub case) but b1's best
+    // is a1 — a2 must NOT pair. b2 pairs with a2 mutually. b3 is noise.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), // a1 (en)
+      (2L, Array(0.6f, 0.8f, 0.0f)), // a2 (en)
+      (11L, Array(0.9f, 0.1f, 0.0f)), // b1 (de): best a = a1
+      (12L, Array(0.5f, 0.86f, 0.0f)), // b2 (de): best a = a2
+      (13L, Array(0.0f, 0.0f, 1.0f)) // b3 (de): orthogonal noise
+    ).toDF("vec_id", "embedding")
+    val docs = Seq((1L, "en"), (2L, "en"), (11L, "de"), (12L, "de"), (13L, "de"))
+      .toDF("doc_id", "lang")
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      // mirror the engine: per-term floor-scaled-long dot, exact norms
+      val dot = x.zip(y).map { case (a, b) =>
+        math.floor(a.toDouble * b.toDouble * 1e6 + 0.5).toLong }.sum
+      def nrm(v: Array[Float]) = v.map(a =>
+        math.floor(a.toDouble * a.toDouble * 1e6 + 0.5).toLong).sum
+      dot.toDouble / math.sqrt(nrm(x).toDouble * nrm(y).toDouble)
+    }
+    val v = Map(1L -> Array(1.0f, 0.0f, 0.0f), 2L -> Array(0.6f, 0.8f, 0.0f),
+      11L -> Array(0.9f, 0.1f, 0.0f), 12L -> Array(0.5f, 0.86f, 0.0f),
+      13L -> Array(0.0f, 0.0f, 1.0f))
+    val got = Similarity.bitextMine(docs, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set((1L, 11L), (2L, 12L)), got.keySet.toString)
+    // a1: best b1, runner-up = max(cos(a1,b2), cos(a1,b3))
+    val a1Scores = Seq(11L, 12L, 13L).map(b => cos(v(1L), v(b))).sorted.reverse
+    assert(math.abs(got((1L, 11L))._1 - a1Scores.head) < 1e-12)
+    assert(math.abs(got((1L, 11L))._2 - (a1Scores(0) - a1Scores(1))) < 1e-12)
+  }
+
   test("brute-force cosine: each query's top hit is itself with score 1.0") {
     val emb = Tables.load(spark, sf, "embeddings")
     val top1 = Similarity.cosineTopK(emb, nQueries = 4, k = 3)
