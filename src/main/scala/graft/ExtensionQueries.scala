@@ -1032,6 +1032,63 @@ object ExtensionQueries {
       "l_shipdate" -> date)
   }
 
+  /** Bitext-mining oracle CTE chain with a name suffix (so the recall
+    * gauge can carry the exact AND blocked chains in one query).
+    * Requires `n` (vecNormCte) in scope; blocked additionally requires
+    * `bk` (lshBucketCte). Produces `pairs$sfx` (a_id, b_id, cos,
+    * margin).
+    */
+  private def bitextCtes(sfx: String, blocked: Boolean): String = {
+    val bkA = if (blocked) ", bk.bucket" else ""
+    val bkJoin = if (blocked) "JOIN bk ON bk.vec_id = n.vec_id" else ""
+    val cand =
+      if (blocked) s"la$sfx JOIN lb$sfx ON la$sfx.bucket = lb$sfx.bucket"
+      else s"la$sfx CROSS JOIN lb$sfx"
+    s"""la$sfx AS (
+          SELECT n.vec_id AS a_id, n.v AS av, n.nrm AS anrm$bkA
+          FROM n JOIN documents d ON d.doc_id = n.vec_id AND d.lang = 'en'
+          $bkJoin),
+        lb$sfx AS (
+          SELECT n.vec_id AS b_id, n.v AS bv, n.nrm AS bnrm$bkA
+          FROM n JOIN documents d ON d.doc_id = n.vec_id AND d.lang = 'de'
+          $bkJoin),
+        px$sfx AS (
+          SELECT a_id, b_id, anrm, bnrm, unnest(av) AS qx, unnest(bv) AS x
+          FROM $cand),
+        dots$sfx AS (
+          SELECT a_id, b_id, anrm, bnrm,
+                 CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px$sfx GROUP BY 1, 2, 3, 4),
+        sc$sfx AS (
+          SELECT a_id, b_id,
+                 CAST(dot AS DOUBLE) /
+                   sqrt(CAST(anrm AS DOUBLE) * CAST(bnrm AS DOUBLE)) AS score
+          FROM dots$sfx),
+        ar$sfx AS (
+          SELECT a_id, b_id, score,
+                 row_number() OVER (PARTITION BY a_id
+                                    ORDER BY score DESC, b_id) AS ra
+          FROM sc$sfx),
+        atop$sfx AS (
+          SELECT a_id,
+                 max(CASE WHEN ra = 1 THEN b_id END) AS b_id,
+                 max(CASE WHEN ra = 1 THEN score END) AS cos,
+                 max(CASE WHEN ra = 1 THEN score END)
+                   - coalesce(max(CASE WHEN ra = 2 THEN score END), 0.0) AS margin
+          FROM ar$sfx WHERE ra <= 2 GROUP BY 1),
+        bbest$sfx AS (
+          SELECT a_id, b_id FROM (
+            SELECT a_id, b_id,
+                   row_number() OVER (PARTITION BY b_id
+                                      ORDER BY score DESC, a_id) AS rb
+            FROM sc$sfx)
+          WHERE rb = 1),
+        pairs$sfx AS (
+          SELECT t.a_id, t.b_id, t.cos, t.margin
+          FROM atop$sfx t
+          JOIN bbest$sfx bb ON bb.a_id = t.a_id AND bb.b_id = t.b_id)"""
+  }
+
   /** Shared oracle CTE tail for the entity-resolution cluster queries:
     * distinct entities, the brute-forced ≤2-edit pair graph, and its
     * transitive closure (the engine's SymSpell blocking + min-label CC
@@ -1593,45 +1650,45 @@ object ExtensionQueries {
       (s, dir) => Similarity.bitextMine(docs(s, dir), emb(s, dir)),
       Some(s"""
         WITH $vecNormCte,
-        la AS (
-          SELECT n.vec_id AS a_id, n.v AS av, n.nrm AS anrm
-          FROM n JOIN documents d ON d.doc_id = n.vec_id AND d.lang = 'en'),
-        lb AS (
-          SELECT n.vec_id AS b_id, n.v AS bv, n.nrm AS bnrm
-          FROM n JOIN documents d ON d.doc_id = n.vec_id AND d.lang = 'de'),
-        px AS (
-          SELECT a_id, b_id, anrm, bnrm, unnest(av) AS qx, unnest(bv) AS x
-          FROM la CROSS JOIN lb),
-        dots AS (
-          SELECT a_id, b_id, anrm, bnrm,
-                 CAST(SUM(CAST(FLOOR(qx*x*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
-          FROM px GROUP BY 1, 2, 3, 4),
-        sc AS (
-          SELECT a_id, b_id,
-                 CAST(dot AS DOUBLE) /
-                   sqrt(CAST(anrm AS DOUBLE) * CAST(bnrm AS DOUBLE)) AS score
-          FROM dots),
-        ar AS (
-          SELECT a_id, b_id, score,
-                 row_number() OVER (PARTITION BY a_id
-                                    ORDER BY score DESC, b_id) AS ra
-          FROM sc),
-        atop AS (
-          SELECT a_id,
-                 max(CASE WHEN ra = 1 THEN b_id END) AS b_id,
-                 max(CASE WHEN ra = 1 THEN score END) AS cos,
-                 max(CASE WHEN ra = 1 THEN score END)
-                   - coalesce(max(CASE WHEN ra = 2 THEN score END), 0.0) AS margin
-          FROM ar WHERE ra <= 2 GROUP BY 1),
-        bbest AS (
-          SELECT a_id, b_id FROM (
-            SELECT a_id, b_id,
-                   row_number() OVER (PARTITION BY b_id
-                                      ORDER BY score DESC, a_id) AS rb
-            FROM sc)
-          WHERE rb = 1)
-        SELECT t.a_id, t.b_id, t.cos, t.margin
-        FROM atop t JOIN bbest bb ON bb.a_id = t.a_id AND bb.b_id = t.b_id""")),
+        ${bitextCtes("", blocked = false)}
+        SELECT a_id, b_id, cos, margin FROM pairs""")),
+
+    // The deployment shape: the same mutual+margin scorer behind the
+    // sign-LSH blocker (same-bucket cross-lingual candidates only —
+    // the equi-join replaces the all-pairs scoring at corpus scale).
+    QuerySpec(
+      "sim_bitext_mine_blocked",
+      (s, dir) => Similarity.bitextMineBlocked(docs(s, dir), emb(s, dir)),
+      Some(s"""
+        WITH $vecNormCte,
+        $lshBucketCte,
+        ${bitextCtes("", blocked = true)}
+        SELECT a_id, b_id, cos, margin FROM pairs""")),
+
+    // Bitext blocking gauge: exact vs blocked pair overlap, recall in
+    // integer bp — the contract that prices the blocker's bucket width.
+    QuerySpec(
+      "sim_bitext_recall",
+      (s, dir) => Similarity.bitextRecall(docs(s, dir), emb(s, dir)),
+      benchmark = false, // re-runs both miners priced elsewhere
+      oracle = Some(s"""
+        WITH $vecNormCte,
+        $lshBucketCte,
+        ${bitextCtes("e", blocked = false)},
+        ${bitextCtes("b", blocked = true)},
+        u AS (
+          SELECT CASE WHEN e.a_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+                 CASE WHEN b.a_id IS NOT NULL THEN 1 ELSE 0 END AS bl
+          FROM pairse e FULL OUTER JOIN pairsb b
+            ON e.a_id = b.a_id AND e.b_id = b.b_id),
+        agg AS (
+          SELECT CAST(SUM(ex) AS BIGINT) AS n_exact,
+                 CAST(SUM(bl) AS BIGINT) AS n_blocked,
+                 CAST(SUM(CASE WHEN ex = 1 AND bl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+          FROM u)
+        SELECT n_exact, n_blocked, n_common,
+               n_common * 10000 // nullif(n_exact, 0) AS recall_bp
+        FROM agg""")),
 
     // Brute-force cosine top-k: broadcast query set, one corpus scan,
     // WindowGroupLimit prunes to k per query pre-shuffle.

@@ -84,6 +84,16 @@ object Similarity {
         graft.functions.GraftFunctions.cosine_sim(col("av"), col("bv")))
       .select(col("a_id"), col("b_id"), col("score"))
       .localCheckpoint(false)
+    mutualMarginPairs(scored)
+  }
+
+  /** The mutual-best + margin tail shared by [[bitextMine]] (exact
+    * all-pairs candidates) and [[bitextMineBlocked]] (LSH candidates):
+    * per a-side best match with the runner-up margin, kept only when the
+    * b side agrees. Expects a checkpointed (a_id, b_id, score) table.
+    */
+  private def mutualMarginPairs(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wA = Window.partitionBy(col("a_id")).orderBy(desc("score"), asc("b_id"))
     val wB = Window.partitionBy(col("b_id")).orderBy(desc("score"), asc("a_id"))
     val aTop = scored.withColumn("ra", row_number().over(wA))
@@ -100,6 +110,53 @@ object Similarity {
       .select(col("a_id"), col("b_id"))
     aTop.join(bBest, Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
+  }
+
+  /** [[bitextMine]] behind the LSH blocker — the deployment shape: the
+    * candidate set is same-sign-bucket cross-lingual pairs (an equi-join
+    * on the scan-side bucket projection, never all-pairs), with the
+    * mutual+margin scorer applied WITHIN candidates. Margins are
+    * computed over the candidate set, so a blocked margin is ≥ the exact
+    * one (the runner-up pool shrank); [[bitextRecall]] is the gauge that
+    * says whether the bucket width is costing real pairs.
+    */
+  def bitextMineBlocked(
+      docs: DataFrame, emb: DataFrame,
+      langA: String = "en", langB: String = "de", bits: Int = 6): DataFrame = {
+    val e = vecs(emb).join(lshBuckets(emb, bits, probeDim(emb)), Seq("vec_id"))
+    val langs = docs.select(col("doc_id").as("vec_id"), col("lang"))
+    val a = e.join(langs.where(col("lang") === langA), Seq("vec_id"))
+      .select(col("vec_id").as("a_id"), col("v").as("av"), col("bucket"))
+    val b = e.join(langs.where(col("lang") === langB), Seq("vec_id"))
+      .select(col("vec_id").as("b_id"), col("v").as("bv"), col("bucket"))
+    val scored = a.join(b, Seq("bucket"))
+      .withColumn("score",
+        graft.functions.GraftFunctions.cosine_sim(col("av"), col("bv")))
+      .select(col("a_id"), col("b_id"), col("score"))
+      .localCheckpoint(false)
+    mutualMarginPairs(scored)
+  }
+
+  /** Bitext blocking gauge: pair counts of the exact and LSH-blocked
+    * miners and their overlap, recall in integer basis points — the
+    * contract that justifies (or revokes) the blocked path, like every
+    * other `*_recall` twin here.
+    */
+  def bitextRecall(
+      docs: DataFrame, emb: DataFrame,
+      langA: String = "en", langB: String = "de", bits: Int = 6): DataFrame = {
+    val exact = bitextMine(docs, emb, langA, langB)
+      .select(col("a_id"), col("b_id")).withColumn("ex", lit(1L))
+    val blocked = bitextMineBlocked(docs, emb, langA, langB, bits)
+      .select(col("a_id"), col("b_id")).withColumn("bl", lit(1L))
+    exact.join(blocked, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("ex"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("bl"), lit(0L))).as("n_blocked"),
+        sum(when(col("ex") === 1L && col("bl") === 1L, 1L).otherwise(0L))
+          .as("n_common"))
+      .select(col("n_exact"), col("n_blocked"), col("n_common"),
+        expr("n_common * 10000 DIV nullif(n_exact, 0)").as("recall_bp"))
   }
 
   /** Embedding-corpus hygiene stats: exact per-vector scaled-long squared

@@ -70,7 +70,7 @@ class RegistrySpec extends GraftSpec {
       "text_tokenize_multiscript", "dedup_ngram_jaccard_multiscript",
       "sim_recall_ivfpq_appended", "doc_yield_funnel_model",
       "er_entity_clusters", "er_canonical_support", "er_canonical_revenue",
-      "dedup_minhash_eval")
+      "dedup_minhash_eval", "sim_bitext_recall")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }

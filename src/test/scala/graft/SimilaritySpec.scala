@@ -68,6 +68,25 @@ class SimilaritySpec extends GraftSpec {
     assert(math.abs(got((1L, 11L))._2 - (a1Scores(0) - a1Scores(1))) < 1e-12)
   }
 
+  test("bitext recall gauge equals the composed miners; blocked ⊆ same-bucket") {
+    val docs = Tables.load(spark, sf, "documents")
+    val emb = Tables.load(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bitextMine(docs, emb))
+    val blocked = pairs(Similarity.bitextMineBlocked(docs, emb))
+    val r = Similarity.bitextRecall(docs, emb).head()
+    assert(r.getLong(0) === exact.size.toLong)
+    assert(r.getLong(1) === blocked.size.toLong)
+    assert(r.getLong(2) === (exact & blocked).size.toLong)
+    assert(r.getLong(3) ===
+      (if (exact.isEmpty) 0L else (exact & blocked).size.toLong * 10000 / exact.size))
+    // every blocked pair shares its LSH bucket by construction
+    val buckets = Similarity.lshBuckets(emb).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    blocked.foreach { case (a, b) => assert(buckets(a) === buckets(b), s"($a,$b)") }
+  }
+
   test("brute-force cosine: each query's top hit is itself with score 1.0") {
     val emb = Tables.load(spark, sf, "embeddings")
     val top1 = Similarity.cosineTopK(emb, nQueries = 4, k = 3)
