@@ -1074,7 +1074,7 @@ object ExtensionQueries {
                  max(CASE WHEN ra = 1 THEN b_id END) AS b_id,
                  max(CASE WHEN ra = 1 THEN score END) AS cos,
                  max(CASE WHEN ra = 1 THEN score END)
-                   - coalesce(max(CASE WHEN ra = 2 THEN score END), 0.0) AS margin
+                   - max(CASE WHEN ra = 2 THEN score END) AS margin
           FROM ar$sfx WHERE ra <= 2 GROUP BY 1),
         bbest$sfx AS (
           SELECT a_id, b_id FROM (

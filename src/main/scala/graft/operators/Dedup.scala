@@ -838,8 +838,15 @@ object Dedup {
     * pairs). Both pair sets are blocked/DF-capped — never all-pairs —
     * and the full-outer join runs at pair-table size. Truth pairs below
     * the emitter's 0.05 Jaccard floor count as non-dup: with `threshold`
-    * above the floor the truth set is exact, and candidate pairs absent
-    * from the emitted truth are false positives by construction.
+    * above the floor the truth set is exact MODULO the shared `maxDf`
+    * cap — intersection counts ignore shingles hotter than maxDf, so
+    * truth Jaccard is a lower bound, and a pair sharing ONLY capped
+    * shingles is absent from the truth side entirely (on a skewed
+    * corpus the gauge can therefore misclassify a real dup as a false
+    * positive and understate n_true; the oracle applies the identical
+    * cap, so cross-engine parity holds regardless). Callers measuring a
+    * skew-heavy corpus should raise maxDf for the eval run and pay the
+    * hot posting lists once.
     * Output: one row — n_true, n_pred, n_tp, n_fn, n_fp, recall_bp,
     * precision_bp.
     */

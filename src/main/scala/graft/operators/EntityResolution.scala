@@ -43,26 +43,27 @@ object EntityResolution {
       .agg(min(col(keyCol)).as("ent_id"), count(lit(1)).as("support"))
 
   /** All ≤maxDel-deletion variants of each entity name (SymSpell keys),
-    * deduplicated per name. maxDel = 2 covers levenshtein ≤ 2: an edit
-    * script of length ≤2 touches ≤2 positions on each side; deleting
-    * exactly those positions from both strings leaves the same residue.
+    * deduplicated per name. maxDel = τ covers levenshtein ≤ τ for any
+    * τ ≥ 1: an edit script of length ≤ τ touches ≤ τ positions on each
+    * side; deleting exactly those positions from both strings leaves the
+    * same residue. Level k is one more deletion applied to every level
+    * k−1 variant, so variant volume is Σ_{k≤τ} C(L, k) per entity —
+    * still an |entities|-sized equi-join key for the small τ this
+    * operator is for (the public entry points default to τ=2, the
+    * SymSpell sweet spot).
     */
   private[graft] def deleteVariants(names: DataFrame, maxDel: Int): DataFrame = {
-    require(maxDel == 2, "blocking proof below is written for τ=2")
-    val d0 = names.select(col("name"), col("name").as("v"))
-    // one deletion at position i (1-based)
-    val d1 = names
-      .select(col("name"), explode(sequence(lit(1), length(col("name")))).as("i"))
-      .select(col("name"),
-        concat(expr("substring(name, 1, i-1)"), expr("substring(name, i+1)")).as("v"))
-    // a second deletion applied to every 1-deletion variant
-    val d2 = d1
+    require(maxDel >= 1, s"maxDel must be >= 1, got $maxDel")
+    // one deletion at position i (1-based) applied to each (name, v) row
+    def deleteOne(level: DataFrame): DataFrame = level
       .where(length(col("v")) > 0)
-      .select(col("name"), col("v").as("v1"),
-        explode(sequence(lit(1), length(col("v")))).as("j"))
+      .select(col("name"), col("v").as("v0"),
+        explode(sequence(lit(1), length(col("v")))).as("i"))
       .select(col("name"),
-        concat(expr("substring(v1, 1, j-1)"), expr("substring(v1, j+1)")).as("v"))
-    d0.unionByName(d1).unionByName(d2).distinct()
+        concat(expr("substring(v0, 1, i-1)"), expr("substring(v0, i+1)")).as("v"))
+    val d0 = names.select(col("name"), col("name").as("v"))
+    val levels = Iterator.iterate(d0)(deleteOne).take(maxDel + 1).toSeq
+    levels.reduce(_.unionByName(_)).distinct()
   }
 
   /** Entity pairs within levenshtein ≤ maxDist, with supports.

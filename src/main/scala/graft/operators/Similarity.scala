@@ -91,6 +91,14 @@ object Similarity {
     * all-pairs candidates) and [[bitextMineBlocked]] (LSH candidates):
     * per a-side best match with the runner-up margin, kept only when the
     * b side agrees. Expects a checkpointed (a_id, b_id, score) table.
+    *
+    * When an a_id has exactly ONE candidate (common under the LSH
+    * blocker: a bucket holding a single cross-lingual partner) there is
+    * no runner-up and the margin is NULL — not the full cosine, which
+    * would let a downstream margin threshold over-accept singleton-
+    * bucket pairs whose comparison pool was simply empty. Consumers see
+    * the distinction directly: NULL = nothing to compare against,
+    * number = a real best-vs-runner-up separation.
     */
   private def mutualMarginPairs(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -103,7 +111,7 @@ object Similarity {
         max(when(col("ra") === 1, col("b_id"))).as("b_id"),
         max(when(col("ra") === 1, col("score"))).as("cos"),
         (max(when(col("ra") === 1, col("score"))) -
-          coalesce(max(when(col("ra") === 2, col("score"))), lit(0.0)))
+          max(when(col("ra") === 2, col("score"))))
           .as("margin"))
     val bBest = scored.withColumn("rb", row_number().over(wB))
       .where(col("rb") === 1)
@@ -117,8 +125,10 @@ object Similarity {
     * on the scan-side bucket projection, never all-pairs), with the
     * mutual+margin scorer applied WITHIN candidates. Margins are
     * computed over the candidate set, so a blocked margin is ≥ the exact
-    * one (the runner-up pool shrank); [[bitextRecall]] is the gauge that
-    * says whether the bucket width is costing real pairs.
+    * one (the runner-up pool shrank), and NULL when the bucket held a
+    * single cross-lingual candidate (no pool at all — see
+    * [[mutualMarginPairs]]); [[bitextRecall]] is the gauge that says
+    * whether the bucket width is costing real pairs.
     */
   def bitextMineBlocked(
       docs: DataFrame, emb: DataFrame,

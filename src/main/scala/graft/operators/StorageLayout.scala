@@ -28,16 +28,23 @@ object StorageLayout {
   def bucketedJoinHistogram(
       spark: SparkSession, orders: DataFrame, lineitem: DataFrame,
       scratch: String, nBuckets: Int = 8): DataFrame = {
+    // Metastore table names are keyed by the scratch path (like the data
+    // files), NOT fixed globals: two sessions or interleaved scale
+    // factors sharing a metastore must never clobber each other's
+    // registration mid-query.
+    val tag = Integer.toHexString(scratch.hashCode)
+    val (ordersTbl, lineitemTbl) =
+      (s"graft_orders_bucketed_$tag", s"graft_lineitem_bucketed_$tag")
     orders.select("o_orderkey").write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$scratch/orders_bucketed")
-      .saveAsTable("graft_orders_bucketed")
+      .saveAsTable(ordersTbl)
     lineitem.select("l_orderkey").write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$scratch/lineitem_bucketed")
-      .saveAsTable("graft_lineitem_bucketed")
-    val o = spark.table("graft_orders_bucketed").hint("merge")
-    val l = spark.table("graft_lineitem_bucketed").hint("merge")
+      .saveAsTable(lineitemTbl)
+    val o = spark.table(ordersTbl).hint("merge")
+    val l = spark.table(lineitemTbl).hint("merge")
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(o("o_orderkey"))
       .agg(count(lit(1)).as("n_items"))
