@@ -66,17 +66,50 @@ object EntityResolution {
     levels.reduce(_.unionByName(_)).distinct()
   }
 
+  /** [[deleteVariants]] with the hot-residue frequency cap — the same
+    * posting-list DF-cap discipline as `Dedup.ngramPairCounts`: a
+    * residue shared by f names contributes f² candidate rows to the
+    * variant equi-join, so on a short-name or highly repetitive entity
+    * domain one hot residue (e.g. every 2-char name collapsing to the
+    * same 0–1-char variants) makes the join quadratic in the hottest
+    * frequency. Residues shared by more than `maxVariantDf` names are
+    * dropped from BOTH join sides.
+    *
+    * Completeness trade, documented: a true pair (a, b) with
+    * lev ≤ τ is lost only if EVERY residue the two names share is hot —
+    * i.e. both names sit inside a dense neighborhood of ≥ maxVariantDf
+    * entities collapsing to the same residues. For names longer than
+    * τ + 1 over a non-degenerate alphabet, residues retain L − τ
+    * characters of the name and their df tracks the true neighborhood
+    * size, so the τ ≤ 2 completeness proof survives for every name
+    * outside such a pathological clump; the cap converts the quadratic
+    * blowup those clumps cause into a bounded, observable recall trade
+    * (EntityResolutionSpec pins both sides on an adversarial short-name
+    * fixture). The hot-residue set is bounded by |variants|/maxVariantDf
+    * and rides a broadcast anti-join.
+    */
+  private[graft] def cappedVariants(
+      names: DataFrame, maxDel: Int, maxVariantDf: Int): DataFrame = {
+    require(maxVariantDf >= 1, s"maxVariantDf must be >= 1, got $maxVariantDf")
+    val vars = deleteVariants(names, maxDel)
+    val hot = vars.groupBy(col("v"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxVariantDf)
+      .select(col("v"))
+    vars.join(broadcast(hot), Seq("v"), "left_anti")
+  }
+
   /** Entity pairs within levenshtein ≤ maxDist, with supports.
     * Output: (name_a, name_b, dist, support_a, support_b), name_a < name_b.
     */
   def fuzzyPairs(rows: DataFrame, nameCol: String, keyCol: String,
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = 2, maxVariantDf: Int = 1000): DataFrame = {
     val ents = entities(rows, nameCol, keyCol)
     // The entity table feeds the variant explode AND both verify sides;
     // localCheckpoint cuts the corpus agg out of the re-used subtree so the
     // corpus is scanned exactly once.
     val e = ents.localCheckpoint(false)
-    val vars = deleteVariants(e.select("name"), maxDist)
+    val vars = cappedVariants(e.select("name"), maxDist, maxVariantDf)
     val cands = vars.as("va").join(vars.as("vb"),
         col("va.v") === col("vb.v") && col("va.name") < col("vb.name"))
       .select(col("va.name").as("name_a"), col("vb.name").as("name_b"))
@@ -97,12 +130,14 @@ object EntityResolution {
     * Output: (name, ent_id, cluster).
     */
   def entityClusters(rows: DataFrame, nameCol: String, keyCol: String,
-      maxDist: Int = 2): DataFrame =
+      maxDist: Int = 2, maxVariantDf: Int = 1000): DataFrame =
     clustersFromEntities(
-      entities(rows, nameCol, keyCol).localCheckpoint(false), maxDist)
+      entities(rows, nameCol, keyCol).localCheckpoint(false),
+      maxDist, maxVariantDf)
 
-  private def clustersFromEntities(e: DataFrame, maxDist: Int): DataFrame = {
-    val vars = deleteVariants(e.select("name"), maxDist)
+  private def clustersFromEntities(
+      e: DataFrame, maxDist: Int, maxVariantDf: Int): DataFrame = {
+    val vars = cappedVariants(e.select("name"), maxDist, maxVariantDf)
     val pairsByName = vars.as("va").join(vars.as("vb"),
         col("va.v") === col("vb.v") && col("va.name") < col("vb.name"))
       .select(col("va.name").as("name_a"), col("vb.name").as("name_b"))
@@ -126,9 +161,9 @@ object EntityResolution {
     * and broadcast-joinable against any fact.
     */
   def canonicalKeys(rows: DataFrame, nameCol: String, keyCol: String,
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = 2, maxVariantDf: Int = 1000): DataFrame = {
     val e = entities(rows, nameCol, keyCol).localCheckpoint(false)
-    val labeled = clustersFromEntities(e, maxDist)
+    val labeled = clustersFromEntities(e, maxDist, maxVariantDf)
     val canon = labeled.where(col("ent_id") === col("cluster"))
       .select(col("cluster"), col("name").as("canonical"))
     rows.select(col(keyCol).as("key"), col(nameCol).as("name"))
@@ -144,9 +179,9 @@ object EntityResolution {
     * Output: (canonical, n_variants, total_rows).
     */
   def canonicalSupport(rows: DataFrame, nameCol: String, keyCol: String,
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = 2, maxVariantDf: Int = 1000): DataFrame = {
     val e = entities(rows, nameCol, keyCol).localCheckpoint(false)
-    val labeled = clustersFromEntities(e, maxDist)
+    val labeled = clustersFromEntities(e, maxDist, maxVariantDf)
     val canon = labeled.where(col("ent_id") === col("cluster"))
       .select(col("cluster"), col("name").as("canonical"))
     labeled

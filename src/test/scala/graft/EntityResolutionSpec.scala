@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.EntityResolution
+import org.apache.spark.sql.functions.col
 
 class EntityResolutionSpec extends GraftSpec {
   import spark.implicits._
@@ -103,6 +104,76 @@ class EntityResolutionSpec extends GraftSpec {
       1L -> "green widget", 2L -> "green widget", 3L -> "green widget",
       4L -> "green widget", 5L -> "blue bolt", 6L -> "blue bolt",
       7L -> "anvil", 8L -> "aaaaaa", 9L -> "aaaaaa", 10L -> "aaaaaa"))
+  }
+
+  test("delete variants generalize to τ=1 and τ=3 (exact neighborhoods)") {
+    def delSet(s: String, tau: Int): Set[String] = {
+      def once(x: String): Set[String] =
+        x.indices.map(i => x.take(i) + x.drop(i + 1)).toSet
+      (1 to tau).scanLeft(Set(s)) { (lvl, _) => lvl.flatMap(once) }
+        .reduce(_ ++ _)
+    }
+    for (tau <- Seq(1, 3)) {
+      val got = EntityResolution.deleteVariants(Seq("abcd").toDF("name"), tau)
+        .collect().map(_.getString(1)).toSet
+      assert(got === delSet("abcd", tau), s"tau=$tau")
+    }
+    // the generalized τ still blocks completely: all lev<=3 pairs found
+    val names = Seq((1L, "abcde"), (2L, "xycdz"), (3L, "vwxyz"))
+      .toDF("p_partkey", "p_name")
+    val got3 = EntityResolution.fuzzyPairs(names, "p_name", "p_partkey",
+        maxDist = 3)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(lev("abcde", "xycdz") === 3)
+    assert(lev("abcde", "vwxyz") > 3 && lev("xycdz", "vwxyz") > 3)
+    assert(got3 === Set(("abcde", "xycdz"))) // vwxyz is > 3 from both
+  }
+
+  test("hot-variant cap: adversarial short names stay bounded, trade is exactly the hot residues") {
+    // every 2-char name over {a,b,c,d}: ANY two are within lev 2, and the
+    // empty residue (plus each single char) is shared by many names — the
+    // degenerate domain where the uncapped variant join goes quadratic in
+    // the hottest residue's frequency
+    val alpha = "abcd"
+    val names = (for { a <- alpha; b <- alpha } yield s"$a$b").toSeq
+    val df = names.zipWithIndex.map { case (n, i) => ((i + 1).toLong, n) }
+      .toDF("p_partkey", "p_name")
+    def delSet(s: String): Set[String] = {
+      def once(x: String): Set[String] =
+        x.indices.map(i => x.take(i) + x.drop(i + 1)).toSet
+      Set(s) ++ once(s) ++ once(s).flatMap(once)
+    }
+    // brute-force replica of the cap: residue df over all names, residues
+    // with df > cap dropped from both sides, pair survives iff it still
+    // shares a residue (and lev <= 2, which here is every pair)
+    val cap = 4
+    val df0 = names.flatMap(n => delSet(n).map(n -> _))
+    val residueDf = df0.groupBy(_._2).map { case (v, xs) => v -> xs.size }
+    val hot = residueDf.filter(_._2 > cap).keySet
+    assert(hot.contains(""), "fixture must actually produce a hot residue")
+    val expect = (for {
+      a <- names; b <- names if a < b
+      if (delSet(a) & delSet(b)).exists(!hot.contains(_))
+    } yield (a, b)).toSet
+    val gotCapped = EntityResolution.fuzzyPairs(df, "p_name", "p_partkey",
+        maxVariantDf = cap)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotCapped === expect)
+    // no hot residue survives into the join key
+    val vs = EntityResolution.cappedVariants(df.select(col("p_name").as("name")), 2, cap)
+      .collect().map(_.getString(0)).toSet
+    assert((vs & hot).isEmpty, s"hot residues leaked: ${vs & hot}")
+    // and with the cap wide open the full brute-force pair set comes back
+    val brute = (for { a <- names; b <- names if a < b } yield (a, b)).toSet
+    val gotOpen = EntityResolution.fuzzyPairs(df, "p_name", "p_partkey",
+        maxVariantDf = 1000)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotOpen === brute)
+    assert(gotCapped.subsetOf(gotOpen) && gotCapped.size < brute.size,
+      "the cap must be a strict, bounded recall trade on this fixture")
   }
 
   test("canonical support: variant counts and re-keyed row totals") {
