@@ -109,31 +109,57 @@ object Governance {
     * for an ingest gate a null key is just as unjoinable as a dangling
     * one, and the oracle applies the same rule).
     *
-    * Per edge: the parent keys collapse to a distinct set (map-side
-    * combinable — |keys| rows), then one left join + single-row count
-    * agg over the child. Catalyst broadcasts the bounded dimension key
-    * sets (nation/region/customer-scale) and shuffles the corpus-sized
-    * ones (orders) — chosen by size, which is exactly the
-    * broadcast-vs-shuffle rule the engine wants at 100 TB. Edges are
-    * independent single-row aggregates unioned at the end; each child
-    * table is scanned once per edge it appears in (an edge is a
-    * different key column, so a shared scan would carry every key at
-    * once — possible, but the per-edge projection keeps each join
-    * shuffle to one 8-byte key column, which is the cheaper trade).
+    * Each parent's keys collapse to a distinct set (map-side combinable
+    * — |keys| rows); Catalyst broadcasts the bounded dimension key sets
+    * (nation/region/customer-scale) and shuffles the corpus-sized ones
+    * (orders) — chosen by size, which is exactly the
+    * broadcast-vs-shuffle rule the engine wants at 100 TB.
+    *
+    * Edges are GROUPED BY CHILD (two `Tables.load`s of the same path
+    * canonicalize to the same relation): a child carrying k edges is
+    * scanned ONCE projecting its k key columns, chained through k
+    * row-preserving left joins (each parent side is distinct, so no
+    * inflation), folded into ONE single-row aggregate whose per-edge
+    * orphan counts then unpivot to the (fk, n_rows, n_orphans) report
+    * rows. At 100 TB the multi-edge fact (lineitem: 3 edges) pays one
+    * 24-byte-projected scan instead of three 8-byte ones — strictly
+    * fewer bytes and two fewer passes (PlanSpec pins one scan per child
+    * table).
     */
   def fkOrphans(
-      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
-    edges.map { case (name, child, childKey, parent, parentKey) =>
-      child.select(col(childKey).as("k"))
-        .join(
-          parent.select(col(parentKey).as("k")).distinct()
-            .withColumn("hit", lit(1)),
-          Seq("k"), "left")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
-        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    // group edges by the child's canonicalized plan, preserving first-
+    // occurrence order so the report is stable
+    val byChild = scala.collection.mutable.LinkedHashMap
+      .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        (DataFrame, scala.collection.mutable.ArrayBuffer[(String, String, DataFrame, String)])]
+    edges.foreach { case (name, child, childKey, parent, parentKey) =>
+      val k = child.queryExecution.analyzed.canonicalized
+      byChild.getOrElseUpdate(k, (child, scala.collection.mutable.ArrayBuffer.empty))
+        ._2 += ((name, childKey, parent, parentKey))
+    }
+    byChild.values.map { case (child, es) =>
+      val keyed = child.select(es.map(_._2).distinct.toSeq.map(col): _*)
+      val joined = es.zipWithIndex.foldLeft(keyed) {
+        case (acc, ((_, ck, parent, pk), i)) =>
+          acc.join(
+            parent.select(col(pk).as(s"__k$i")).distinct()
+              .withColumn(s"__hit$i", lit(1)),
+            col(ck) === col(s"__k$i"), "left")
+      }
+      val orphanAggs = es.zipWithIndex.toSeq.map { case (_, i) =>
+        sum(when(col(s"__hit$i").isNull, 1L).otherwise(0L)).as(s"__orph$i")
+      }
+      val one = joined.agg(count(lit(1)).as("n_rows"), orphanAggs: _*)
+      val stackArgs = es.zipWithIndex
+        .map { case ((name, _, _, _), i) => s"'${name}', __orph$i" }
+        .mkString(", ")
+      one.select(
+        expr(s"stack(${es.size}, $stackArgs) AS (fk, n_orphans)"),
+        col("n_rows"))
+        .select(col("fk"), col("n_rows"), col("n_orphans"))
     }.reduce(_.unionByName(_))
+  }
 
   /** Column profile of a fixed column list: per column the null count,
     * distinct count, and min/max rendered to strings (dates and strings

@@ -718,4 +718,22 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("ScalarSubquery"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("fk orphan report scans each child table exactly once") {
+    val p = fplan(Registry.queries("gov_fk_orphans")(spark, sf))
+    // edges grouped by child: a child carrying k edges must pay ONE scan
+    // projecting its k key columns, not k single-column scans. Parent
+    // key-set scans are separate (and single-column); count only scans
+    // whose ReadSchema carries a child's full edge-key projection.
+    def scansReading(schemaCols: String) =
+      s"ReadSchema: struct<$schemaCols>".r.findAllIn(p).size
+    // lineitem: 3 edges → one scan carrying all three keys
+    assert(scansReading("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint") === 1, p)
+    // each parquet file feeding a child role appears once in that role:
+    // total scans = 6 child scans + 8 parent key-set scans (counted on
+    // the executed plan — fplan prints each scan twice: tree + details)
+    val total = "Scan parquet".r
+      .findAllIn(plan(Registry.queries("gov_fk_orphans")(spark, sf))).size
+    assert(total <= 14, s"expected <= 14 scans (6 child + 8 parent), got $total:\n$p")
+  }
 }
