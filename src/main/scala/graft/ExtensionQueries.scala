@@ -4690,6 +4690,33 @@ object ExtensionQueries {
                ${renderSql(s"min($c)")} AS min_str,
                ${renderSql(s"max($c)")} AS max_str
             FROM lineitem"""
+      }.mkString(" UNION ALL "))),
+
+    // The 100 TB profiler default: distinct counts via HLL so ALL
+    // columns profile in ONE full-width scan + one single-row agg
+    // (the exact profiler pays one pruned scan per column). Estimates
+    // are engine-specific → rows-only, the sketch-estimator
+    // discipline; the bound twin below is the hash-checked witness.
+    QuerySpec(
+      "gov_profile_columns_approx",
+      (s, dir) => Governance.profileColumnsApprox(
+        Tables.load(s, dir, "lineitem"), profiledCols.map(_._1)),
+      None),
+
+    // Accuracy contract: per column the EXACT distinct count plus an
+    // integer cross-multiplied boolean — the estimate within 1500 bp.
+    // The oracle emits the exact side and TRUE; HLL drifting out of
+    // bound flips a boolean and the round's hash check goes red.
+    QuerySpec(
+      "gov_profile_columns_approx_bound",
+      (s, dir) => Governance.profileColumnsApproxBound(
+        Tables.load(s, dir, "lineitem"), profiledCols.map(_._1)),
+      benchmark = false, // re-runs both profilers, each priced elsewhere
+      oracle = Some(profiledCols.map { case (c, _) =>
+        s"""SELECT '$c' AS col_name,
+               count(DISTINCT $c) AS n_distinct,
+               TRUE AS within_bound
+            FROM lineitem"""
       }.mkString(" UNION ALL ")))
   )
 }

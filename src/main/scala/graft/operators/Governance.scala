@@ -178,22 +178,7 @@ object Governance {
     * exactly the oracle's shape (n per-column SELECTs UNION ALL).
     */
   def profileColumns(rows: DataFrame, cols: Seq[String]): DataFrame = {
-    def render(c: String) = {
-      val dt = rows.schema(c).dataType
-      dt match {
-        case org.apache.spark.sql.types.DoubleType =>
-          // doubles render through DECIMAL(18,2): engine-stable text
-          (f: org.apache.spark.sql.Column) => f.cast("decimal(18,2)").cast("string")
-        case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType =>
-          // timestamps render as their DATE (monotone in ts, so min/max
-          // commute with the cast) — fractional-second text differs
-          // between engines, date text does not
-          (f: org.apache.spark.sql.Column) => f.cast("date").cast("string")
-        case _ =>
-          (f: org.apache.spark.sql.Column) => f.cast("string")
-      }
-    }
+    val render = renderFor(rows) _
     cols.map { c =>
       val r = render(c)
       rows.select(col(c)).agg(
@@ -204,5 +189,77 @@ object Governance {
         .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
           col("min_str"), col("max_str"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Per-type min/max text-rendering rule shared by the exact and approx
+    * profilers (doubles via DECIMAL(18,2), timestamps via DATE — the
+    * engine-stable text forms; see [[profileColumns]]).
+    */
+  private def renderFor(rows: DataFrame)(c: String)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    rows.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType =>
+        // doubles render through DECIMAL(18,2): engine-stable text
+        f => f.cast("decimal(18,2)").cast("string")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamps render as their DATE (monotone in ts, so min/max
+        // commute with the cast) — fractional-second text differs
+        // between engines, date text does not
+        f => f.cast("date").cast("string")
+      case _ => f => f.cast("string")
+    }
+
+  /** The 100 TB ingest default of [[profileColumns]]: same null counts
+    * and rendered min/max, but distinct counts through
+    * `approx_count_distinct` (HyperLogLog++, default 5% rsd). Unlike the
+    * exact profiler — whose per-column count_distinct forces either n
+    * pruned scans or an n+1-way Expand — the sketch is an ordinary
+    * map-side-combinable aggregate, so ALL columns profile in ONE
+    * full-width scan and one single-row aggregate, unpivoted (stack) to
+    * the per-column report. That one-pass shape is the reason a table
+    * format's stats collector runs HLL, and it is the one that holds at
+    * 100 TB where n extra scans are n extra corpus passes.
+    *
+    * The estimate is engine-specific (rows-only in the correctness gate,
+    * the sketch-estimator discipline); [[profileColumnsApproxBound]] is
+    * the hash-checked accuracy contract flanking it.
+    */
+  def profileColumnsApprox(rows: DataFrame, cols: Seq[String]): DataFrame = {
+    val render = renderFor(rows) _
+    val aggs = cols.flatMap { c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+      approx_count_distinct(col(c)).as(s"${c}__dist"),
+      render(c)(min(col(c))).as(s"${c}__min"),
+      render(c)(max(col(c))).as(s"${c}__max"))
+    }
+    val one = rows.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__dist`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    one.select(expr(
+      s"""stack(${cols.size}, $stackArgs)
+          AS (col_name, n_nulls, n_distinct_approx, min_str, max_str)"""))
+  }
+
+  /** Accuracy contract for [[profileColumnsApprox]], in the sketch
+    * bound-twin discipline: per column, the EXACT distinct count plus a
+    * boolean asserting the HLL estimate sits within `maxErrBp` basis
+    * points of it (default 1500 bp = 3× the sketch's 5% rsd). The
+    * comparison is exact integer cross-multiplication; the oracle
+    * produces the exact side and TRUE, so a sketch drifting out of bound
+    * flips the boolean and the driver's hash check goes red — the
+    * artifact carries the accuracy witness, not just a spec.
+    */
+  def profileColumnsApproxBound(
+      rows: DataFrame, cols: Seq[String], maxErrBp: Int = 1500): DataFrame = {
+    val exact = profileColumns(rows, cols)
+      .select(col("col_name"), col("n_distinct"))
+    val approx = profileColumnsApprox(rows, cols)
+      .select(col("col_name"), col("n_distinct_approx"))
+    exact.join(approx, Seq("col_name"))
+      .select(col("col_name"), col("n_distinct"),
+        (abs(col("n_distinct_approx") - col("n_distinct")) * lit(10000L)
+          <= lit(maxErrBp.toLong) * col("n_distinct")).as("within_bound"))
   }
 }

@@ -87,6 +87,40 @@ class GovernanceSpec extends GraftSpec {
       "clean->parent" -> ((1L, 0L))))
   }
 
+  test("approx profiler: same nulls/min/max as exact; HLL exact at tiny cardinality; bound all-true") {
+    val rows = Seq(
+      (Some(1L), Some(1.005), Some("b"), Some(Timestamp.valueOf("2020-01-02 10:30:00"))),
+      (Some(2L), Some(2.5), None, Some(Timestamp.valueOf("2020-01-03 01:00:00"))),
+      (None, Some(2.5), Some("a"), None)
+    ).toDF("id", "qty", "flag", "ts")
+    val cols = Seq("id", "qty", "flag", "ts")
+    val exact = Governance.profileColumns(rows, cols)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    val approx = Governance.profileColumnsApprox(rows, cols)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    // HLL++ is exact in its small-cardinality (sparse) regime, and
+    // nulls/min/max share the render rule — the whole row must agree
+    assert(approx === exact)
+    val bound = Governance.profileColumnsApproxBound(rows, cols)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(bound.length === 4 && bound.forall(_._3), bound.mkString(", "))
+  }
+
+  test("approx profiler plan: ONE scan, zero exchanges — vs one scan per column exact") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    val p = Governance.profileColumnsApprox(li, cols)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // no Expand either: the sketch aggregate must not trigger the
+    // multi-distinct dual-path rewrite the exact profiler avoids by
+    // splitting into per-column scans
+    assert(!p.contains("Expand"), p)
+  }
+
   test("key skew plan: corpus scanned once, totals broadcast back") {
     val li = Tables.load(spark, sf, "lineitem")
     val df = Governance.keySkew(li, "l_partkey", 15)

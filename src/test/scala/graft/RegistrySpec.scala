@@ -26,10 +26,11 @@ class RegistrySpec extends GraftSpec {
 
   test("oracle coverage: every rows-only query is a documented exception") {
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // the two sketch estimators are rows-only BY DESIGN (randomized
-    // internals), each flanked by a hash-matched exact twin and a
+    // the sketch estimators are rows-only BY DESIGN (engine-specific
+    // estimates), each flanked by a hash-matched exact twin and a
     // hash-matched error-bound query; everything else must carry SQL
-    assert(noOracle === Set("sketch_distinct_users", "sketch_value_quantiles"),
+    assert(noOracle === Set("sketch_distinct_users", "sketch_value_quantiles",
+      "gov_profile_columns_approx"),
       s"undocumented rows-only queries: $noOracle")
   }
 
@@ -70,7 +71,8 @@ class RegistrySpec extends GraftSpec {
       "text_tokenize_multiscript", "dedup_ngram_jaccard_multiscript",
       "sim_recall_ivfpq_appended", "doc_yield_funnel_model",
       "er_entity_clusters", "er_canonical_support", "er_canonical_revenue",
-      "dedup_minhash_eval", "sim_bitext_recall")
+      "dedup_minhash_eval", "sim_bitext_recall",
+      "gov_profile_columns_approx_bound")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
