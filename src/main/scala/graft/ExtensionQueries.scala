@@ -155,13 +155,25 @@ object ExtensionQueries {
   /** Shared oracle CTEs: embedding vectors as double[], exact scaled-long
     * norms (mirrors Similarity.vecs/withNorm).
     */
-  private val vecNormCte =
-    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       n AS (
+  private val normTailCte =
+    """n AS (
          SELECT vec_id, v,
                 CAST(list_sum(list_transform(v,
                      x -> CAST(FLOOR(x*x*1e6 + 0.5) AS BIGINT))) AS BIGINT) AS nrm
          FROM v)"""
+
+  private val vecNormCte =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       """ + normTailCte
+
+  /** [[vecNormCte]] with `v` sourced from the planted-geometry fixture's
+    * generated VALUES instead of the embeddings parquet — everything
+    * downstream (`n`, `bk`, the miners, the recall tails) reuses
+    * unchanged, which is the point: the SAME gauge SQL runs over both
+    * corpora.
+    */
+  private lazy val plantedNormCte: String =
+    PlantedFixture.vSql + ",\n       " + normTailCte
 
   /** Shared oracle CTEs: IVF cell assignment under the deterministic
     * first-16 coarse quantizer (mirrors Similarity.ivfCells; needs
@@ -671,7 +683,8 @@ object ExtensionQueries {
     * top-k (single- or multi-probe), both as their already-verified
     * pipelines, joined per query into (n_exact, n_hit, recall).
     */
-  private def recallOracleSql(multiProbe: Boolean): String = {
+  private def recallOracleSql(
+      multiProbe: Boolean, vCte: String = vecNormCte): String = {
     val probeQa =
       if (multiProbe)
         """qa AS (
@@ -685,7 +698,7 @@ object ExtensionQueries {
              SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket AS qprobe
              FROM e WHERE vec_id < 8)"""
     s"""
-      WITH $vecNormCte,
+      WITH $vCte,
       $lshBucketCte,
       qe AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
       pxe AS (
@@ -1038,7 +1051,8 @@ object ExtensionQueries {
     * `bk` (lshBucketCte). Produces `pairs$sfx` (a_id, b_id, cos,
     * margin).
     */
-  private def bitextCtes(sfx: String, blocked: Boolean): String = {
+  private def bitextCtes(
+      sfx: String, blocked: Boolean, docsRel: String = "documents"): String = {
     val bkA = if (blocked) ", bk.bucket" else ""
     val bkJoin = if (blocked) "JOIN bk ON bk.vec_id = n.vec_id" else ""
     val cand =
@@ -1046,11 +1060,11 @@ object ExtensionQueries {
       else s"la$sfx CROSS JOIN lb$sfx"
     s"""la$sfx AS (
           SELECT n.vec_id AS a_id, n.v AS av, n.nrm AS anrm$bkA
-          FROM n JOIN documents d ON d.doc_id = n.vec_id AND d.lang = 'en'
+          FROM n JOIN $docsRel d ON d.doc_id = n.vec_id AND d.lang = 'en'
           $bkJoin),
         lb$sfx AS (
           SELECT n.vec_id AS b_id, n.v AS bv, n.nrm AS bnrm$bkA
-          FROM n JOIN documents d ON d.doc_id = n.vec_id AND d.lang = 'de'
+          FROM n JOIN $docsRel d ON d.doc_id = n.vec_id AND d.lang = 'de'
           $bkJoin),
         px$sfx AS (
           SELECT a_id, b_id, anrm, bnrm, unnest(av) AS qx, unnest(bv) AS x
@@ -1690,6 +1704,38 @@ object ExtensionQueries {
                n_common * 10000 // nullif(n_exact, 0) AS recall_bp
         FROM agg""")),
 
+    // The SAME gauge over the planted-geometry corpus — the accept-path
+    // verdict the near-random harness corpus can never produce: 8
+    // translation pairs planted at cos ≈ 0.999 inside clusters that
+    // provably co-bucket (margin-checked bases), so blocked recall is
+    // 10000 bp unless the blocker breaks. One gauge, both verdicts,
+    // both hash-matched (the oracle is pure generated VALUES — no
+    // parquet at all).
+    QuerySpec(
+      "sim_bitext_recall_planted",
+      (s, dir) => Similarity.bitextRecall(
+        PlantedFixture.docsDf(s), PlantedFixture.embDf(s)),
+      benchmark = false, // gauge twin of sim_bitext_recall (fixture-sized)
+      oracle = Some(s"""
+        WITH $plantedNormCte,
+        ${PlantedFixture.docsSql},
+        $lshBucketCte,
+        ${bitextCtes("e", blocked = false, docsRel = "docs_pf")},
+        ${bitextCtes("b", blocked = true, docsRel = "docs_pf")},
+        u AS (
+          SELECT CASE WHEN e.a_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+                 CASE WHEN b.a_id IS NOT NULL THEN 1 ELSE 0 END AS bl
+          FROM pairse e FULL OUTER JOIN pairsb b
+            ON e.a_id = b.a_id AND e.b_id = b.b_id),
+        agg AS (
+          SELECT CAST(SUM(ex) AS BIGINT) AS n_exact,
+                 CAST(SUM(bl) AS BIGINT) AS n_blocked,
+                 CAST(SUM(CASE WHEN ex = 1 AND bl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+          FROM u)
+        SELECT n_exact, n_blocked, n_common,
+               n_common * 10000 // nullif(n_exact, 0) AS recall_bp
+        FROM agg""")),
+
     // Brute-force cosine top-k: broadcast query set, one corpus scan,
     // WindowGroupLimit prunes to k per query pre-shuffle.
     QuerySpec(
@@ -1787,6 +1833,16 @@ object ExtensionQueries {
       "sim_recall_lsh_probe",
       (s, dir) => Similarity.annRecall(emb(s, dir), multiProbe = true),
       Some(recallOracleSql(multiProbe = true)),
+      benchmark = false),
+    // The LSH recall contract over the planted-geometry corpus: 12-member
+    // clusters co-bucket by construction and each query's exact top-10 is
+    // entirely intra-cluster, so recall@10 is exactly 1.0 per query —
+    // the accept verdict, hash-matched through the IDENTICAL oracle SQL
+    // as sim_recall_lsh with only the `v` source swapped to the fixture.
+    QuerySpec(
+      "sim_recall_lsh_planted",
+      (s, dir) => Similarity.annRecall(PlantedFixture.embDf(s)),
+      Some(recallOracleSql(multiProbe = false, vCte = plantedNormCte)),
       benchmark = false),
     // The high-recall IVF operating point's contract: probe8 over the
     // 2-round Lloyd codebook vs exact brute force.

@@ -72,7 +72,8 @@ class RegistrySpec extends GraftSpec {
       "sim_recall_ivfpq_appended", "doc_yield_funnel_model",
       "er_entity_clusters", "er_canonical_support", "er_canonical_revenue",
       "dedup_minhash_eval", "sim_bitext_recall",
-      "gov_profile_columns_approx_bound")
+      "gov_profile_columns_approx_bound",
+      "sim_bitext_recall_planted", "sim_recall_lsh_planted")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }

@@ -68,6 +68,39 @@ class SimilaritySpec extends GraftSpec {
     assert(math.abs(got((1L, 11L))._2 - (a1Scores(0) - a1Scores(1))) < 1e-12)
   }
 
+  test("planted fixture: clusters co-bucket by construction; gauges emit the accept verdict") {
+    val emb = PlantedFixture.embDf(spark)
+    val docs = PlantedFixture.docsDf(spark)
+    // every member must land in its cluster base's bucket (the margin
+    // argument realized): 8 clusters → exactly one bucket per cluster id
+    val buckets = Similarity.lshBuckets(emb, 6, PlantedFixture.dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (c <- 0 until PlantedFixture.nClusters) {
+      val ids = (0 until PlantedFixture.members)
+        .map(m => (m * PlantedFixture.nClusters + c).toLong)
+      assert(ids.map(buckets).distinct.size === 1,
+        s"cluster $c split across buckets: ${ids.map(buckets).distinct}")
+    }
+    // bitext: all 8 planted pairs mined exactly AND through the blocker
+    val r = Similarity.bitextRecall(docs, emb).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((8L, 8L, 8L, 10000L)))
+    // the planted pairs are the (en_c, de_c) partners, cos ≈ 0.999
+    val mined = Similarity.bitextMine(docs, emb).collect()
+    assert(mined.map(x => (x.getLong(0), x.getLong(1))).toSet ===
+      (0 until 8).map(c => (c.toLong, (8 + c).toLong)).toSet)
+    mined.foreach(x => assert(x.getDouble(2) > 0.99, x.toString))
+    // ANN: every query's exact top-10 is intra-cluster → LSH recall 1.0
+    val rec = Similarity.annRecall(emb).collect()
+    assert(rec.length === 8)
+    rec.foreach(x => assert(x.getDouble(3) === 1.0, x.toString))
+    // and the SAME gauge on the near-random harness corpus stays low —
+    // one gauge, both verdicts
+    val rnd = Similarity.annRecall(Tables.load(spark, sf, "embeddings"))
+      .agg(org.apache.spark.sql.functions.avg("recall")).head().getDouble(0)
+    assert(rnd < 0.5, s"harness corpus unexpectedly clustered: $rnd")
+  }
+
   test("bitext recall gauge equals the composed miners; blocked ⊆ same-bucket") {
     val docs = Tables.load(spark, sf, "documents")
     val emb = Tables.load(spark, sf, "embeddings")
