@@ -2144,6 +2144,38 @@ object ExtensionQueries {
                                     ORDER BY dist, vec_id) AS rn
           FROM ad) WHERE rn <= 10""")),
 
+    // The full index LIFECYCLE closed: train on the base 80%, persist,
+    // append the delta as TWO batches (each touched cell now holds 3
+    // file fragments), COMPACT to one sorted file per cell, search.
+    // Row set is untouched by compaction, so this hash-matches the SAME
+    // oracle as sim_ann_ivfpq_appended — the proof that train → persist
+    // → append → compact → search loses nothing; PlanSpec pins that the
+    // compacted search still partition-prunes to the probed cells and
+    // SimilaritySpec pins the one-file-per-cell layout.
+    QuerySpec(
+      "sim_ann_ivfpq_compacted",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val top = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+        val (cut, mid) = (top * 8L / 10L, top * 9L / 10L)
+        val path = scratchPath("ivfpq_compacted", dir)
+        Similarity.writeIvfPqIndexFull(e.filter(col("vec_id") < cut), path)
+        Similarity.appendIvfPqPostings(
+          e.filter(col("vec_id") >= cut && col("vec_id") < mid), path)
+        Similarity.appendIvfPqPostings(e.filter(col("vec_id") >= mid), path)
+        Similarity.compactIvfPqPostings(s, path)
+        Similarity.annIvfPqAppended(e, path)
+      },
+      benchmark = false, // re-trains + rewrites + compacts each run so
+      // the full maintenance loop is always exercised fresh
+      oracle = Some(s"""
+        ${ivfPqCtes(trainOnBase = true)}
+        SELECT qid, vec_id, dist, rn FROM (
+          SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, vec_id) AS rn
+          FROM ad) WHERE rn <= 10""")),
+
     // The IVFADC recall contract vs exact L2: the composed index's
     // approximation cost (coarse pruning on top of PQ codes) as a
     // gate-checked number, per the recall-contract discipline.

@@ -1182,6 +1182,41 @@ object Similarity {
     ivfPqSearch(postings, emb, ivfCents, pqCents, nQueries, k, nProbe, m)
   }
 
+  /** Compact the appended posting table: every append batch adds one
+    * file set per touched cell partition, so after N ingest batches a
+    * cell's inverted list is N fragments — N file opens + N row-group
+    * headers per probe at search time, the small-files tax that
+    * eventually dominates a probe-limited read. Compaction rewrites the
+    * postings into ONE sorted file per cell (hash-repartition on cell →
+    * every cell's rows in exactly one task → partitionBy emits exactly
+    * one file per cell directory, rows sorted by vec_id for row-group
+    * locality), closing the index lifecycle: train → persist → append →
+    * compact → search.
+    *
+    * Rows are untouched — same (vec_id, cell, codes) set, so a search
+    * over the compacted index is IDENTICAL to the fragmented one (the
+    * registered query hash-matches the same oracle as
+    * `sim_ann_ivfpq_appended`) and still partition-prunes to the probed
+    * cells. The rewrite stages into `postings_compacting` and swaps via
+    * rename — the loaded frame is fully materialized by the staging
+    * write before the old directory is deleted.
+    */
+  def compactIvfPqPostings(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val postings = s"$indexDir/postings"
+    val staging = s"$indexDir/postings_compacting"
+    spark.read.parquet(postings)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(postings)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
+      s"compaction swap failed: could not rename $staging to $postings")
+  }
+
   /** The IVFADC recall contract vs exact L2 (the metric PQ quantizes) —
     * the gate-checked number for the composed index: coarse pruning to
     * nProbe/nCells of the corpus costs recall on top of PQ's code

@@ -657,6 +657,20 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("ivfadc compacted: search still prunes to probed cell partitions") {
+    // the compaction rewrite must not cost the on-disk inverted-list
+    // property: the swapped-in one-file-per-cell layout is still
+    // cell-partitioned, so the probe-limited search keeps its dynamic
+    // partition pruning (same pins as the fragmented appended index)
+    val p = plan(Registry.queries("sim_ann_ivfpq_compacted")(spark, sf))
+    assert(p.contains("postings"), s"search must read the posting artifact:\n$p")
+    assert(p.contains("dynamicpruning"),
+      s"compacted posting read must prune to the probed cells:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("source divergence replays its checkpoint; token marginal never broadcasts") {
     val df = Registry.queries("doc_source_divergence")(spark, sf)
     val p = plan(df)

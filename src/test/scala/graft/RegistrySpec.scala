@@ -73,7 +73,8 @@ class RegistrySpec extends GraftSpec {
       "er_entity_clusters", "er_canonical_support", "er_canonical_revenue",
       "dedup_minhash_eval", "sim_bitext_recall",
       "gov_profile_columns_approx_bound",
-      "sim_bitext_recall_planted", "sim_recall_lsh_planted")
+      "sim_bitext_recall_planted", "sim_recall_lsh_planted",
+      "sim_ann_ivfpq_compacted")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }

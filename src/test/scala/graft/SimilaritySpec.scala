@@ -456,4 +456,41 @@ class SimilaritySpec extends GraftSpec {
     assert(appended.toSet === oneShot.toSet)
     assert(appended.nonEmpty)
   }
+
+  test("ivfadc compact: one sorted file per cell, search and row set unchanged") {
+    import org.apache.spark.sql.functions.{col, max}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val top = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val (cut, mid) = (top * 8L / 10L, top * 9L / 10L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp").toString
+    Similarity.writeIvfPqIndexFull(emb.filter(col("vec_id") < cut), dir)
+    Similarity.appendIvfPqPostings(
+      emb.filter(col("vec_id") >= cut && col("vec_id") < mid), dir)
+    Similarity.appendIvfPqPostings(emb.filter(col("vec_id") >= mid), dir)
+    def cellDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    def parquets(d: java.io.File) =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+    // fragmentation is real: at least one cell holds multiple file batches
+    assert(cellDirs.exists(parquets(_).length > 1),
+      s"fixture produced no fragmented cell: ${cellDirs.map(d =>
+        d.getName -> parquets(d).length).mkString(", ")}")
+    val before = spark.read.parquet(s"$dir/postings").collect()
+      .map(_.toSeq).toSet
+    val searchBefore = Similarity.annIvfPqAppended(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    Similarity.compactIvfPqPostings(spark, dir)
+    // compacted layout: exactly ONE parquet file per cell, no staging dir
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach(d => assert(parquets(d).length === 1,
+      s"${d.getName} has ${parquets(d).length} files after compaction"))
+    assert(!new java.io.File(s"$dir/postings_compacting").exists())
+    // same rows, same search — compaction moved bytes, not data
+    val after = spark.read.parquet(s"$dir/postings").collect()
+      .map(_.toSeq).toSet
+    assert(after === before)
+    val searchAfter = Similarity.annIvfPqAppended(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(searchAfter === searchBefore && searchAfter.nonEmpty)
+  }
 }
