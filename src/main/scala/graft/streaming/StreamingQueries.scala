@@ -1289,6 +1289,43 @@ object StreamingQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
 
+  /** Streaming snapshot governance — the live half of
+    * [[graft.operators.Governance.snapshotDiff]]: as the NEXT corpus
+    * version streams in at ingest, every arriving doc is diffed against
+    * a broadcast fingerprint table of the BASE snapshot ((doc_id,
+    * fp) — 40 bytes/doc of metadata, the release artifact a pipeline
+    * keeps anyway) and the per-(source, status) counters update live.
+    * Statuses: added (id unseen in base), changed (fp differs),
+    * unchanged. `removed` is unobservable mid-stream by construction —
+    * a doc that never arrives is only decidable when the snapshot
+    * closes, which is exactly the batch diff's job; the stream keeps
+    * the counters an ingest monitor actually polls while the version is
+    * still landing.
+    *
+    * Shape: the fingerprint is the same scan-side canonical projection
+    * as the batch op; the base rides a broadcast stream-static left
+    * join (no stream state for the join at all), and the running agg's
+    * state is |sources|·3 rows — bounded by feeds, not corpus. Same
+    * no-watermark update/complete discipline as [[sourceStatsStream]].
+    * Stream ≡ batch is spec-pinned: totals equal the batch
+    * [[graft.operators.Governance.snapshotDiff]] minus its `removed`
+    * rows on the same replayed delta.
+    */
+  def snapshotDiffStream(current: DataFrame, base: DataFrame): DataFrame = {
+    val fp = graft.operators.TextAnalysis.fingerprint _
+    val b = broadcast(base.select(
+      col("doc_id"), fp(col("text")).as("fp_b")))
+    current
+      .select(col("doc_id"), col("source"), fp(col("text")).as("fp_c"))
+      .join(b, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("fp_b").isNull, lit("added"))
+          .when(col("fp_b") =!= col("fp_c"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Streaming PERCEPTUAL image near-dup — the `transformWithState` twin
     * of [[graft.operators.Multimodal.phashPairs]], completing the
     * multimodal story's streaming side: images (synthesized blobs here,

@@ -717,6 +717,42 @@ class StreamingSpec extends GraftSpec {
     assert(got("sA") === ((3L, 6L)) && got("sB") === ((2L, 3L)))
   }
 
+  test("streaming snapshot diff: live counters equal the batch diff minus removed") {
+    // base snapshot (static): docs 1-4; the next version streams in as
+    // two ingest batches — 1 unchanged, 2 changed, 3 unchanged after fp
+    // canonicalization, 5 added; 4 never arrives (removed — decidable
+    // only at snapshot close, the batch diff's job)
+    val base = Seq(
+      (1L, "alpha", "s1"), (2L, "beta", "s1"), (3L, "gamma", "s2"),
+      (4L, "delta", "s2")).toDF("doc_id", "text", "source")
+    val delta = Seq(
+      (1L, "alpha", "s1"), (2L, "beta prime", "s1"),
+      (3L, "Gamma  ", "s2"), (5L, "epsilon", "s2"))
+    val input = MemoryStream[(Long, String, String)]
+    val out = StreamingQueries.snapshotDiffStream(
+      input.toDS().toDF("doc_id", "text", "source"), base)
+    val name = freshName()
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try {
+      Seq(delta.take(2), delta.drop(2)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the batch diff over the same replayed delta, minus its removed rows
+    val batch = graft.operators.Governance.snapshotDiff(
+        base, delta.toDF("doc_id", "text", "source"))
+      .filter(org.apache.spark.sql.functions.col("status") =!= "removed")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batch)
+    assert(got === Map(
+      ("s1", "unchanged") -> 1L, ("s1", "changed") -> 1L,
+      ("s2", "unchanged") -> 1L, ("s2", "added") -> 1L))
+  }
+
   test("streaming sequences (scrub + chunk) equal the batch stage row-for-row") {
     // stateless projections must stream unchanged: redaction + chunking
     // over a MemoryStream equals the batch call on the same rows
