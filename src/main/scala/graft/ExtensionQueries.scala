@@ -1389,6 +1389,30 @@ object ExtensionQueries {
       },
       incrementalDedupOracle),
 
+    // The dedup index lifecycle closed, like the IVFADC twin: write the
+    // base (coin >= 20), APPEND a daily batch (10-19) through the
+    // read-check-update loop, COMPACT to one sorted file per band, then
+    // verdict the final delta (coin < 10) against the compacted index.
+    // Index content at check time = buckets of coin >= 10 exactly, so
+    // this hash-matches the SAME oracle as dedup_incremental_persisted —
+    // the proof that write → append → compact → check loses nothing.
+    QuerySpec(
+      "dedup_incremental_compacted",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val coin = TextAnalysis.sampleCoin("inc")
+        val path = scratchPath("inc_compacted", dir)
+        Dedup.writeBucketIndex(d.filter(coin >= 20), path)
+        Dedup.incrementalDedupPersisted(
+          d.filter(coin >= 10 && coin < 20), path) // appends batch buckets
+        Dedup.compactBucketIndex(s, path)
+        Dedup.incrementalDedupPersisted(d.filter(coin < 10), path,
+          append = false)
+      },
+      benchmark = false, // full maintenance loop re-run each time, like
+      // the persisted/appended/compacted ANN twins
+      oracle = incrementalDedupOracle),
+
     // Exact n-gram-collision decontamination: the third triad member next
     // to MinHash (near-dup) and embedding (semantic) — train docs sharing
     // a VERBATIM 13-token window with an eval doc, the copied-sentence

@@ -462,6 +462,21 @@ object Dedup {
     verdicts
   }
 
+  /** Compact the standing bucket index: every appended batch adds one
+    * file set per band directory, so after N daily runs each band's
+    * probe pays N file opens. Rewrites into ONE file per band, rows
+    * sorted by (bucket_key, doc_id) so a band probe reads clustered
+    * row groups — [[graft.operators.StorageLayout.compactPartitioned]],
+    * the same maintenance move as the IVFADC posting compaction. Rows
+    * untouched: the registered query hash-matches the SAME oracle as
+    * `dedup_incremental_persisted`, and DedupSpec pins layout + verdict
+    * equivalence.
+    */
+  def compactBucketIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
+    StorageLayout.compactPartitioned(
+      spark, indexPath, "band", Seq("bucket_key", "doc_id"))
+
   /** [[minhashBuckets]] in WIDE form: the input columns plus one STRING
     * band-key column `bk0..bk{nBands-1}` per LSH band — no row expansion,
     * no doc filter, so the projection is STREAMING-SAFE (posexplode plus

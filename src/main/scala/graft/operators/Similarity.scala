@@ -1202,20 +1202,9 @@ object Similarity {
     * write before the old directory is deleted.
     */
   def compactIvfPqPostings(
-      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
-    val postings = s"$indexDir/postings"
-    val staging = s"$indexDir/postings_compacting"
-    spark.read.parquet(postings)
-      .repartition(col("cell"))
-      .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(staging)
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(postings)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
-      s"compaction swap failed: could not rename $staging to $postings")
-  }
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit =
+    StorageLayout.compactPartitioned(
+      spark, s"$indexDir/postings", "cell", Seq("vec_id"))
 
   /** The IVFADC recall contract vs exact L2 (the metric PQ quantizes) —
     * the gate-checked number for the composed index: coarse pruning to

@@ -52,6 +52,36 @@ object StorageLayout {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** Compact a partitioned parquet artifact into ONE sorted file per
+    * partition directory — the maintenance move every append-only index
+    * here eventually needs (each append batch adds a file set per touched
+    * partition; after N batches a probe pays N file opens + N row-group
+    * headers). Hash-repartitioning on the partition column puts each
+    * partition's rows in exactly one task, so the partitionBy write emits
+    * exactly one file per directory, rows sorted by `sortCols` for
+    * row-group locality. The rewrite stages into `<path>_compacting` and
+    * swaps via rename — the staging write fully materializes the data
+    * before the old directory is deleted. Rows are untouched: callers'
+    * compacted-vs-fragmented equivalence is oracle/spec-pinned per index
+    * ([[graft.operators.Similarity.compactIvfPqPostings]],
+    * [[graft.operators.Dedup.compactBucketIndex]]).
+    */
+  def compactPartitioned(
+      spark: SparkSession, path: String,
+      partCol: String, sortCols: Seq[String]): Unit = {
+    val staging = s"${path}_compacting"
+    spark.read.parquet(path)
+      .repartition(col(partCol))
+      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(partCol).parquet(staging)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
+      s"compaction swap failed: could not rename $staging to $path")
+  }
+
   /** Partition-pruned round trip: write the corpus partitioned by a
     * selective column (one directory per value — the layout that lets a
     * language-sliced pipeline stage read 1/|langs| of the bytes), read

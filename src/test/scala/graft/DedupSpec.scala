@@ -347,6 +347,44 @@ class DedupSpec extends GraftSpec {
     assert(idxRows === baseRows + dRows)
   }
 
+  test("bucket-index compaction: one sorted file per band, rows and verdicts unchanged") {
+    val base = docsDf(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "red green blue yellow purple"))
+    val d1 = docsDf(
+      (11L, "alpha beta gamma delta epsilon"), // dup of 1
+      (12L, "totally novel content about ships"))
+    val d2 = docsDf(
+      (21L, "totally novel content about ships"), // dup via the append
+      (22L, "one two three four five six"))       // dup via the base
+    val path = java.nio.file.Files.createTempDirectory("graft_inccmp").toString
+    Dedup.writeBucketIndex(base, path)
+    Dedup.incrementalDedupPersisted(d1, path).collect() // verdict+append
+    def bandDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band="))
+    def parquets(d: java.io.File) =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(bandDirs.exists(parquets(_).length > 1),
+      "fixture produced no fragmented band")
+    val rowsBefore = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    Dedup.compactBucketIndex(spark, path)
+    bandDirs.foreach(d => assert(parquets(d).length === 1,
+      s"${d.getName} has ${parquets(d).length} files after compaction"))
+    assert(!new java.io.File(s"${path}_compacting").exists())
+    assert(spark.read.parquet(path).collect().map(_.toSeq).toSet === rowsBefore)
+    // verdicts over the compacted index == over a fresh 0+1 index
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bucket_hits"), r.getAs[Boolean]("is_dup"))).toMap
+    val v2 = verdicts(Dedup.incrementalDedupPersisted(d2, path, append = false))
+    val path2 = java.nio.file.Files.createTempDirectory("graft_inccmp2").toString
+    Dedup.writeBucketIndex(base.unionByName(d1), path2)
+    assert(v2 === verdicts(
+      Dedup.incrementalDedupPersisted(d2, path2, append = false)))
+    assert(v2(21L)._2 && v2(22L)._2)
+  }
+
   test("hammingProbePairs == brute all-pairs on random fingerprints, both widths") {
     // the pigeonhole guarantee is width-generic: at the recall bound
     // (2*nSeg - 1) the blocked join must equal the quadratic compare on
