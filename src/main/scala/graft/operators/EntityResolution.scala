@@ -99,6 +99,29 @@ object EntityResolution {
     vars.join(broadcast(hot), Seq("v"), "left_anti")
   }
 
+  /** Candidate name pairs from the capped variant table, generated the
+    * inverted-index way (the `Dedup.ngramPairCounts` shape): group the
+    * variants into per-residue posting lists — bounded at `maxVariantDf`
+    * names by [[cappedVariants]], so the in-memory list and the emitted
+    * pair fan-out are both capped — and explode each list's ordered
+    * pairs. One aggregation replaces the variant self-join (which paid
+    * two exchanges plus a string-keyed hash join); the df-cap pass
+    * stays separate and BEFORE the collect so a pathological residue
+    * never materializes an unbounded list in an agg buffer.
+    */
+  private def candidatePairs(
+      names: DataFrame, maxDel: Int, maxVariantDf: Int): DataFrame =
+    cappedVariants(names, maxDel, maxVariantDf)
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(col("name"))).as("names"))
+      .filter(size(col("names")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(names) - 2), i ->
+             transform(sequence(i + 1, size(names) - 1), j ->
+               struct(names[i] AS name_a, names[j] AS name_b))))""")).as("p"))
+      .select(col("p.name_a").as("name_a"), col("p.name_b").as("name_b"))
+      .distinct()
+
   /** Entity pairs within levenshtein ≤ maxDist, with supports.
     * Output: (name_a, name_b, dist, support_a, support_b), name_a < name_b.
     */
@@ -109,11 +132,7 @@ object EntityResolution {
     // localCheckpoint cuts the corpus agg out of the re-used subtree so the
     // corpus is scanned exactly once.
     val e = ents.localCheckpoint(false)
-    val vars = cappedVariants(e.select("name"), maxDist, maxVariantDf)
-    val cands = vars.as("va").join(vars.as("vb"),
-        col("va.v") === col("vb.v") && col("va.name") < col("vb.name"))
-      .select(col("va.name").as("name_a"), col("vb.name").as("name_b"))
-      .distinct()
+    val cands = candidatePairs(e.select("name"), maxDist, maxVariantDf)
     cands
       .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
@@ -137,11 +156,7 @@ object EntityResolution {
 
   private def clustersFromEntities(
       e: DataFrame, maxDist: Int, maxVariantDf: Int): DataFrame = {
-    val vars = cappedVariants(e.select("name"), maxDist, maxVariantDf)
-    val pairsByName = vars.as("va").join(vars.as("vb"),
-        col("va.v") === col("vb.v") && col("va.name") < col("vb.name"))
-      .select(col("va.name").as("name_a"), col("vb.name").as("name_b"))
-      .distinct()
+    val pairsByName = candidatePairs(e.select("name"), maxDist, maxVariantDf)
       .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
     val idPairs = pairsByName
       .join(broadcast(e.select(col("name").as("name_a"), col("ent_id").as("doc_a"))), Seq("name_a"))
