@@ -4804,6 +4804,21 @@ object ExtensionQueries {
             FROM lineitem"""
       }.mkString(" UNION ALL "))),
 
+    // Release manifest: per-source totals + an order-free bit_xor
+    // content checksum over the canonical fingerprints' high 60 bits —
+    // the one-scan integrity tripwire a release ships (snapshotDiff is
+    // the authority when it fires).
+    QuerySpec(
+      "gov_release_manifest",
+      (s, dir) => Governance.releaseManifest(docs(s, dir)),
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM documents GROUP BY source""")),
+
     // The 100 TB profiler default: distinct counts via HLL so ALL
     // columns profile in ONE full-width scan + one single-row agg
     // (the exact profiler pays one pruned scan per column). Estimates

@@ -128,31 +128,47 @@ object Governance {
     */
   def fkOrphans(
       edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     // group edges by the child's canonicalized plan, preserving first-
     // occurrence order so the report is stable
     val byChild = scala.collection.mutable.LinkedHashMap
-      .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      .empty[LogicalPlan,
         (DataFrame, scala.collection.mutable.ArrayBuffer[(String, String, DataFrame, String)])]
     edges.foreach { case (name, child, childKey, parent, parentKey) =>
       val k = child.queryExecution.analyzed.canonicalized
       byChild.getOrElseUpdate(k, (child, scala.collection.mutable.ArrayBuffer.empty))
         ._2 += ((name, childKey, parent, parentKey))
     }
+    // ONE distinct-key frame per (parent, key) — a parent referenced by
+    // several edges (customer from orders and events; nation from
+    // customer and supplier) builds its key set once, with identical
+    // aliases everywhere, so Catalyst's exchange reuse serves the later
+    // joins from the first build instead of rescanning the parent
+    val parentFrames = scala.collection.mutable.LinkedHashMap
+      .empty[(LogicalPlan, String), (Int, DataFrame)]
+    def parentFrame(parent: DataFrame, pk: String): (Int, DataFrame) =
+      parentFrames.getOrElseUpdate(
+        (parent.queryExecution.analyzed.canonicalized, pk), {
+          val i = parentFrames.size
+          (i, parent.select(col(pk).as(s"__k$i")).distinct()
+            .withColumn(s"__hit$i", lit(1)))
+        })
     byChild.values.map { case (child, es) =>
       val keyed = child.select(es.map(_._2).distinct.toSeq.map(col): _*)
-      val joined = es.zipWithIndex.foldLeft(keyed) {
-        case (acc, ((_, ck, parent, pk), i)) =>
-          acc.join(
-            parent.select(col(pk).as(s"__k$i")).distinct()
-              .withColumn(s"__hit$i", lit(1)),
-            col(ck) === col(s"__k$i"), "left")
+      val withParents = es.toSeq.map { case (name, ck, parent, pk) =>
+        val (i, pf) = parentFrame(parent, pk)
+        (name, ck, i, pf)
       }
-      val orphanAggs = es.zipWithIndex.toSeq.map { case (_, i) =>
-        sum(when(col(s"__hit$i").isNull, 1L).otherwise(0L)).as(s"__orph$i")
+      val joined = withParents.foldLeft(keyed) {
+        case (acc, (_, ck, i, pf)) =>
+          acc.join(pf, col(ck) === col(s"__k$i"), "left")
+      }
+      val orphanAggs = withParents.zipWithIndex.map { case ((_, _, i, _), j) =>
+        sum(when(col(s"__hit$i").isNull, 1L).otherwise(0L)).as(s"__orph$j")
       }
       val one = joined.agg(count(lit(1)).as("n_rows"), orphanAggs: _*)
-      val stackArgs = es.zipWithIndex
-        .map { case ((name, _, _, _), i) => s"'${name}', __orph$i" }
+      val stackArgs = withParents.zipWithIndex
+        .map { case ((name, _, _, _), j) => s"'${name}', __orph$j" }
         .mkString(", ")
       one.select(
         expr(s"stack(${es.size}, $stackArgs) AS (fk, n_orphans)"),
@@ -160,6 +176,33 @@ object Governance {
         .select(col("fk"), col("n_rows"), col("n_orphans"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Release manifest: per-source doc and char totals plus an ORDER-FREE
+    * content checksum — bit_xor over the docs' canonical-fingerprint
+    * high 60 bits. The one-line integrity record a release publishes so
+    * any downstream copy can re-derive and compare it without the base
+    * snapshot's fingerprint table: any changed/added/removed doc flips
+    * the checksum (xor of its 60-bit term), and n_docs/n_chars move on
+    * adds/removes. Known xor caveat, documented: a PAIR of identical
+    * changes cancels in fp_xor alone — which n_docs or n_chars then
+    * catches unless the pair also preserves both counts; the manifest is
+    * a cheap tripwire, [[snapshotDiff]] is the authority.
+    *
+    * Scale: ONE corpus scan into a map-side-combinable agg (count, sum,
+    * xor all combine associatively); output is |sources| rows. The
+    * 60-bit term keeps conv() inside the exact BIGINT range on both
+    * engines, and xor never overflows at any corpus size — the reason
+    * it is the checksum here instead of a sum.
+    */
+  def releaseManifest(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      TextAnalysis.fingerprint(col("text")).as("fp"), col("n_chars"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(cast(conv(substring(fp, 1, 15), 16, 10) as bigint))")
+          .as("fp_xor"))
 
   /** Column profile of a fixed column list: per column the null count,
     * distinct count, and min/max rendered to strings (dates and strings

@@ -87,6 +87,35 @@ class GovernanceSpec extends GraftSpec {
       "clean->parent" -> ((1L, 0L))))
   }
 
+  test("release manifest: order-free checksum, flips on any content change") {
+    val docs = Seq(
+      (1L, "alpha beta", "s1", 10L), (2L, "gamma", "s1", 5L),
+      (3L, "delta", "s2", 5L)).toDF("doc_id", "text", "source", "n_chars")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Governance.releaseManifest(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val m = manifest(docs)
+    // brute-force the xor: md5 of the canonical text, high 15 hex digits
+    def term(t: String): Long = {
+      val canon = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    assert(m("s1") === ((2L, 15L, term("alpha beta") ^ term("gamma"))))
+    assert(m("s2") === ((1L, 5L, term("delta"))))
+    // row order cannot move the checksum (xor commutes/associates)
+    assert(manifest(docs.orderBy(org.apache.spark.sql.functions.desc("doc_id"))) === m)
+    // one changed doc flips its source's checksum, counts catch size moves
+    val changed = Seq(
+      (1L, "alpha beta", "s1", 10L), (2L, "gamma PRIME", "s1", 11L),
+      (3L, "delta", "s2", 5L)).toDF("doc_id", "text", "source", "n_chars")
+    val mc = manifest(changed)
+    assert(mc("s1")._3 !== m("s1")._3)
+    assert(mc("s2") === m("s2"))
+  }
+
   test("approx profiler: same nulls/min/max as exact; HLL exact at tiny cardinality; bound all-true") {
     val rows = Seq(
       (Some(1L), Some(1.005), Some("b"), Some(Timestamp.valueOf("2020-01-02 10:30:00"))),
