@@ -609,13 +609,14 @@ object ExtensionQueries {
     * [[ivfTrainedOracle]], approx-side CTEs renamed to coexist with the
     * exact side), joined per query into (n_exact, n_hit, recall).
     */
-  private def ivfRecallOracleSql(nProbe: Int, iters: Int): String = {
+  private def ivfRecallOracleSql(
+      nProbe: Int, iters: Int, vCte: String = vecNormCte): String = {
     val rounds = (1 to iters).map(i =>
       s"${lloydAssignCte(i, s"c${i - 1}")},\n${lloydUpdateCte(i, s"c${i - 1}")}")
       .mkString(",\n")
     val fin = iters + 1
     s"""
-      WITH $vecNormCte,
+      WITH $vCte,
       qe AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
       pxe AS (
         SELECT qe.qid, c.vec_id, qe.qnrm, c.nrm,
@@ -1867,6 +1868,18 @@ object ExtensionQueries {
       "sim_recall_lsh_planted",
       (s, dir) => Similarity.annRecall(PlantedFixture.embDf(s)),
       Some(recallOracleSql(multiProbe = false, vCte = plantedNormCte)),
+      benchmark = false),
+    // The IVF recall contract's accept verdict on the planted corpus:
+    // the first-16 Lloyd seed is members 0 and 1 of every cluster (two
+    // near-identical centroids per cluster), assignment keeps clusters
+    // whole, and every query's probe list covers its own cluster's
+    // cells — recall@10 = 1.0 per query; identical unrolled-training
+    // oracle SQL as sim_recall_ivf with only the `v` source swapped.
+    QuerySpec(
+      "sim_recall_ivf_planted",
+      (s, dir) => Similarity.annRecallIvf(
+        PlantedFixture.embDf(s), iters = 1, nProbe = 3),
+      Some(ivfRecallOracleSql(nProbe = 3, iters = 1, vCte = plantedNormCte)),
       benchmark = false),
     // The high-recall IVF operating point's contract: probe8 over the
     // 2-round Lloyd codebook vs exact brute force.

@@ -74,7 +74,8 @@ class RegistrySpec extends GraftSpec {
       "dedup_minhash_eval", "sim_bitext_recall",
       "gov_profile_columns_approx_bound",
       "sim_bitext_recall_planted", "sim_recall_lsh_planted",
-      "sim_ann_ivfpq_compacted", "dedup_incremental_compacted")
+      "sim_ann_ivfpq_compacted", "dedup_incremental_compacted",
+      "sim_recall_ivf_planted")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }

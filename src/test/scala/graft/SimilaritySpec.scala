@@ -94,6 +94,11 @@ class SimilaritySpec extends GraftSpec {
     val rec = Similarity.annRecall(emb).collect()
     assert(rec.length === 8)
     rec.foreach(x => assert(x.getDouble(3) === 1.0, x.toString))
+    // IVF contract too: the first-16 seed is two near-identical
+    // centroids per cluster, so probes cover the query's whole cluster
+    val recIvf = Similarity.annRecallIvf(emb, iters = 1, nProbe = 3).collect()
+    assert(recIvf.length === 8)
+    recIvf.foreach(x => assert(x.getDouble(3) === 1.0, x.toString))
     // and the SAME gauge on the near-random harness corpus stays low —
     // one gauge, both verdicts
     val rnd = Similarity.annRecall(Tables.load(spark, sf, "embeddings"))
