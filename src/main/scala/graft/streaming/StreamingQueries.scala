@@ -1289,6 +1289,27 @@ object StreamingQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
 
+  /** Live release manifest — the streaming twin of
+    * [[graft.operators.Governance.releaseManifest]]: per-source doc/char
+    * totals and the order-free bit_xor fingerprint checksum, maintained
+    * as docs land. Everything xor/count/sum is associative and
+    * commutative, so the running checksum after the last batch equals
+    * the batch manifest of the same rows EXACTLY (spec-pinned) — an
+    * ingest can publish the manifest the moment the release closes, no
+    * final corpus pass. State is |sources| rows; same no-watermark
+    * update/complete discipline as [[sourceStatsStream]].
+    */
+  def releaseManifestStream(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"),
+      col("n_chars"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(cast(conv(substring(fp, 1, 15), 16, 10) as bigint))")
+          .as("fp_xor"))
+
   /** Streaming snapshot governance — the live half of
     * [[graft.operators.Governance.snapshotDiff]]: as the NEXT corpus
     * version streams in at ingest, every arriving doc is diffed against

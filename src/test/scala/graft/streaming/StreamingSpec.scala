@@ -753,6 +753,32 @@ class StreamingSpec extends GraftSpec {
       ("s2", "unchanged") -> 1L, ("s2", "added") -> 1L))
   }
 
+  test("streaming release manifest: running checksum equals the batch manifest") {
+    val rows = Seq(
+      (1L, "alpha beta", "s1", 10L), (2L, "gamma", "s1", 5L),
+      (3L, "delta", "s2", 5L), (4L, "Alpha  beta", "s2", 11L))
+    val input = MemoryStream[(Long, String, String, Long)]
+    val out = StreamingQueries.releaseManifestStream(
+      input.toDS().toDF("doc_id", "text", "source", "n_chars"))
+    val name = freshName()
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try {
+      Seq(rows.take(2), rows.drop(2)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = graft.operators.Governance.releaseManifest(
+        rows.toDF("doc_id", "text", "source", "n_chars")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === batch)
+    // doc 4's canonical fp equals doc 1's (case/whitespace-normalized) —
+    // the checksum really is fingerprint-level, not raw-text-level
+    assert(got("s2")._1 === 2L)
+  }
+
   test("streaming sequences (scrub + chunk) equal the batch stage row-for-row") {
     // stateless projections must stream unchanged: redaction + chunking
     // over a MemoryStream equals the batch call on the same rows
