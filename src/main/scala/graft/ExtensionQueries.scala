@@ -1168,6 +1168,57 @@ object ExtensionQueries {
           ON a.band = b.band AND a.bucket_key = b.bucket_key
          AND a.doc_id < b.doc_id""")),
 
+    // Lexical-vs-semantic decision diff: MinHash candidate pairs vs
+    // embedding-cosine near-dup pairs, full-outer rolled into counts +
+    // integer-bp coverage both ways — the gauge that says whether the
+    // expensive semantic pass adds anything over the lexical blocker on
+    // THIS corpus (doc_id ≡ vec_id here).
+    QuerySpec(
+      "dedup_decision_diff",
+      (s, dir) => Dedup.decisionDiff(docs(s, dir), emb(s, dir)),
+      benchmark = false, // both pair pipelines priced individually
+      oracle = Some(s"""
+        WITH $minhashCte,
+        mbk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash) AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2),
+        lex AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM mbk a JOIN mbk b
+            ON a.band = b.band AND a.bucket_key = b.bucket_key
+           AND a.doc_id < b.doc_id),
+        $vecNormCte,
+        $lshBucketCte,
+        e AS (
+          SELECT n.vec_id, n.v, n.nrm, bk.bucket
+          FROM n JOIN bk ON n.vec_id = bk.vec_id),
+        px AS (
+          SELECT a.vec_id AS va_id, b.vec_id AS vb_id, a.nrm AS na, b.nrm AS nb,
+                 unnest(a.v) AS xa, unnest(b.v) AS xb
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        dd AS (
+          SELECT va_id, vb_id, na, nb,
+                 CAST(SUM(CAST(FLOOR(xa*xb*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+          FROM px GROUP BY va_id, vb_id, na, nb),
+        sem AS (
+          SELECT va_id AS doc_a, vb_id AS doc_b FROM dd
+          WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35),
+        u AS (
+          SELECT CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS lx,
+                 CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS sm
+          FROM lex l FULL OUTER JOIN sem s
+            ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b),
+        agg AS (
+          SELECT CAST(SUM(lx) AS BIGINT) AS n_lexical,
+                 CAST(SUM(sm) AS BIGINT) AS n_semantic,
+                 CAST(SUM(CASE WHEN lx = 1 AND sm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+          FROM u)
+        SELECT n_lexical, n_semantic, n_both,
+               n_both * 10000 // nullif(n_lexical, 0) AS lexical_covered_bp,
+               n_both * 10000 // nullif(n_semantic, 0) AS semantic_covered_bp
+        FROM agg""")),
+
     // Cross-source contamination matrix: near-dup pair counts by ordered
     // (source, source) cell — which feeds copy each other vs themselves.
     QuerySpec(
@@ -4658,6 +4709,42 @@ object ExtensionQueries {
               .cast("double").as("revenue"))
       },
       benchmark = false, // same iterative CC core as er_entity_clusters
+      oracle = Some(s"""
+        WITH RECURSIVE
+        $erGraphCte,
+        lab AS (
+          SELECT n.name, n.ent_id, min(r.node) AS cluster
+          FROM n JOIN reach r ON r.src = n.ent_id
+          GROUP BY n.name, n.ent_id),
+        canon AS (
+          SELECT cluster, name AS canonical FROM lab WHERE ent_id = cluster),
+        m AS (
+          SELECT p.p_partkey, c.canonical
+          FROM part p
+          JOIN lab ON lab.name = p.p_name
+          JOIN canon c ON c.cluster = lab.cluster)
+        SELECT m.canonical, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem li JOIN m ON m.p_partkey = li.l_partkey
+        GROUP BY 1""")),
+
+    // The ER lifecycle's artifact leg: the canonical (key → name) map is
+    // entity-sized metadata a pipeline resolves ONCE and every fact
+    // re-key replays — persist it to parquet, reload, re-key. SAME
+    // oracle as er_canonical_revenue: the hash-match proves the map's
+    // write → load round trip is lossless (the writeIvfCells /
+    // incremental-dedup artifact discipline applied to ER).
+    QuerySpec(
+      "er_canonical_persisted",
+      (s, dir) => {
+        val path = scratchPath("er_map", dir)
+        EntityResolution.writeCanonicalMap(
+          part(s, dir), "p_name", "p_partkey", path)
+        EntityResolution.rekeyRevenue(
+          Tables.load(s, dir, "lineitem"), s, path)
+      },
+      benchmark = false, // same iterative CC core, plus the write leg
       oracle = Some(s"""
         WITH RECURSIVE
         $erGraphCte,

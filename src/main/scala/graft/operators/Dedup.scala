@@ -462,6 +462,40 @@ object Dedup {
     verdicts
   }
 
+  /** Lexical-vs-semantic dedup decision diff — the gauge that answers
+    * the curation question both pipelines raise: how much does
+    * embedding-space dedup ADD over the lexical blocker, and vice
+    * versa? Full-outer joins the MinHash candidate pairs
+    * ([[minhashCandidatePairs]], shared phrasing) against the
+    * embedding-cosine near-dup pairs
+    * ([[graft.operators.Similarity.embeddingNearDupPairs]], shared
+    * meaning — doc_id ≡ vec_id in this corpus) and rolls up to one row:
+    * pair counts, the overlap, and integer-bp coverage in each
+    * direction. A corpus where semantic_covered_bp is low runs both
+    * passes; one where it saturates can drop the expensive pass.
+    * Both inputs are the already-priced blocked pipelines (never
+    * all-pairs); the diff join runs at pair-table size.
+    */
+  def decisionDiff(
+      docs: DataFrame, emb: DataFrame,
+      bits: Int = 6, minScore: Double = 0.35,
+      k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val lex = minhashCandidatePairs(docs, k, rowsPerBand)
+      .select(col("doc_a"), col("doc_b")).withColumn("lx", lit(1L))
+    val sem = Similarity.embeddingNearDupPairs(emb, bits, minScore)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .withColumn("sm", lit(1L))
+    lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("lx"), lit(0L))).as("n_lexical"),
+        sum(coalesce(col("sm"), lit(0L))).as("n_semantic"),
+        sum(when(col("lx") === 1L && col("sm") === 1L, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(col("n_lexical"), col("n_semantic"), col("n_both"),
+        expr("n_both * 10000 DIV nullif(n_lexical, 0)").as("lexical_covered_bp"),
+        expr("n_both * 10000 DIV nullif(n_semantic, 0)").as("semantic_covered_bp"))
+  }
+
   /** Compact the standing bucket index: every appended batch adds one
     * file set per band directory, so after N daily runs each band's
     * probe pays N file opens. Rewrites into ONE file per band, rows

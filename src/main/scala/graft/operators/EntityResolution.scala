@@ -188,6 +188,36 @@ object EntityResolution {
       .select(col("key"), col("canonical"))
   }
 
+  /** Persist the canonical (key → canonical name) map as a parquet
+    * ARTIFACT — the resolution a pipeline computes ONCE per entity-table
+    * release (the iterative CC is the expensive leg) and every fact
+    * re-key afterwards replays as a broadcast join. Entity-domain-sized:
+    * |map| rows track the key domain, not the facts.
+    */
+  def writeCanonicalMap(rows: DataFrame, nameCol: String, keyCol: String,
+      mapPath: String, maxDist: Int = 2, maxVariantDf: Int = 1000): Unit =
+    canonicalKeys(rows, nameCol, keyCol, maxDist, maxVariantDf)
+      .write.mode("overwrite").parquet(mapPath)
+
+  /** Re-key lineitem revenue through the LOADED canonical map — the
+    * replay leg of [[writeCanonicalMap]]: per canonical entity, item
+    * count and exact DECIMAL-accumulated revenue. Registered as
+    * `er_canonical_persisted` against the SAME oracle as the in-plan
+    * `er_canonical_revenue`, so the artifact round trip is hash-proven
+    * lossless.
+    */
+  def rekeyRevenue(
+      lineitem: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      mapPath: String): DataFrame = {
+    val m = spark.read.parquet(mapPath)
+      .withColumnRenamed("key", "l_partkey")
+    lineitem.join(broadcast(m), Seq("l_partkey"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+  }
+
   /** The resolution applied: per cluster, the canonical name (the name of
     * the cluster-id entity = the min-id member), how many raw variants it
     * absorbed, and total corpus rows re-keyed to it.

@@ -385,6 +385,34 @@ class DedupSpec extends GraftSpec {
     assert(v2(21L)._2 && v2(22L)._2)
   }
 
+  test("decision diff: lexical-only, semantic-only, and shared pairs counted correctly") {
+    // (1,2): dup in BOTH signals; (5,6): lexical only (identical text,
+    // orthogonal embeddings); (3,4): semantic only (identical embedding,
+    // unrelated text)
+    val docs = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different subject matter entirely here"),
+      (4L, "unrelated musings on distributed query engines"),
+      (5L, "pack my box with five dozen liquor jugs today"),
+      (6L, "pack my box with five dozen liquor jugs today"))
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.1f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.1f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.1f)),
+      (6L, Array(0.1f, 0.2f, -0.9f, 0.1f)) // cos vs 5 well below 0.35? no — anti-aligned
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.decisionDiff(docs, emb).head()
+    val (nl, ns, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // lexical: the two identical-text pairs; semantic: (1,2) and (3,4)
+    assert(nl === 2L, s"lexical $nl")
+    assert(ns === 2L, s"semantic $ns")
+    assert(nb === 1L, s"both $nb")
+    assert(r.getLong(3) === 5000L && r.getLong(4) === 5000L)
+  }
+
   test("hammingProbePairs == brute all-pairs on random fingerprints, both widths") {
     // the pigeonhole guarantee is width-generic: at the recall bound
     // (2*nSeg - 1) the blocked join must equal the quadratic compare on

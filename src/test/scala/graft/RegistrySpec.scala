@@ -75,7 +75,8 @@ class RegistrySpec extends GraftSpec {
       "gov_profile_columns_approx_bound",
       "sim_bitext_recall_planted", "sim_recall_lsh_planted",
       "sim_ann_ivfpq_compacted", "dedup_incremental_compacted",
-      "sim_recall_ivf_planted")
+      "sim_recall_ivf_planted", "er_canonical_persisted",
+      "dedup_decision_diff")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
