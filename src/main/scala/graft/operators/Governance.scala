@@ -141,18 +141,26 @@ object Governance {
     }
     // ONE distinct-key frame per (parent, key) — a parent referenced by
     // several edges (customer from orders and events; nation from
-    // customer and supplier) builds its key set once, with identical
-    // aliases everywhere, so Catalyst's exchange reuse serves the later
-    // joins from the first build instead of rescanning the parent
+    // customer and supplier) builds its key set ONCE: multi-edge frames
+    // are localCheckpoint'd (lazy), so the parent is scanned and
+    // distinct-aggregated a single time and every later join replays the
+    // materialized |keys|-row set — measured, not assumed: without the
+    // checkpoint the duplicated subtrees survive to execution (PlanAudit
+    // exec-mode shows ReusedExchange=0), each costing a parent rescan.
+    val parentUses = edges.groupBy { case (_, _, _, parent, pk) =>
+      (parent.queryExecution.analyzed.canonicalized, pk)
+    }.map { case (k, es) => k -> es.size }
     val parentFrames = scala.collection.mutable.LinkedHashMap
       .empty[(LogicalPlan, String), (Int, DataFrame)]
-    def parentFrame(parent: DataFrame, pk: String): (Int, DataFrame) =
-      parentFrames.getOrElseUpdate(
-        (parent.queryExecution.analyzed.canonicalized, pk), {
-          val i = parentFrames.size
-          (i, parent.select(col(pk).as(s"__k$i")).distinct()
-            .withColumn(s"__hit$i", lit(1)))
-        })
+    def parentFrame(parent: DataFrame, pk: String): (Int, DataFrame) = {
+      val key = (parent.queryExecution.analyzed.canonicalized, pk)
+      parentFrames.getOrElseUpdate(key, {
+        val i = parentFrames.size
+        val keys = parent.select(col(pk).as(s"__k$i")).distinct()
+          .withColumn(s"__hit$i", lit(1))
+        (i, if (parentUses(key) > 1) keys.localCheckpoint(false) else keys)
+      })
+    }
     byChild.values.map { case (child, es) =>
       val keyed = child.select(es.map(_._2).distinct.toSeq.map(col): _*)
       val withParents = es.toSeq.map { case (name, ck, parent, pk) =>

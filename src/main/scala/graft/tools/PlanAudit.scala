@@ -24,15 +24,22 @@ object PlanAudit {
     val names =
       if (args.nonEmpty) args(0).split(",").toSeq
       else graft.Registry.all.map(_.name)
+    // GRAFT_AUDIT_EXEC=1: execute first and audit the FINAL adaptive
+    // plan — AQE decisions (runtime exchange reuse, skew splits) only
+    // exist post-execution
+    val exec = sys.env.get("GRAFT_AUDIT_EXEC").contains("1")
     for (n <- names) {
       val p = try {
-        graft.Registry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
+        val df = graft.Registry.queries(n)(spark, sfDir)
+        if (exec) df.write.mode("overwrite").format("noop").save()
+        df.queryExecution.executedPlan.toString
       } catch { case e: Throwable => s"ERROR ${e.getMessage}" }
       def c(pat: String) = pat.r.findAllIn(p).size
       println(s"$n scans=${c("Scan parquet")} exchanges=${c("Exchange hashpartitioning")}" +
         s" bcast=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")}" +
         s" cartesian=${c("CartesianProduct")} bnlj=${c("BroadcastNestedLoopJoin")}" +
-        s" windows=${c("Window ")} takeOrdered=${c("TakeOrderedAndProject")}")
+        s" windows=${c("Window ")} takeOrdered=${c("TakeOrderedAndProject")}" +
+        (if (exec) s" reused=${c("ReusedExchange")}" else ""))
     }
     spark.stop()
   }

@@ -743,11 +743,14 @@ class PlanSpec extends GraftSpec {
       s"ReadSchema: struct<$schemaCols>".r.findAllIn(p).size
     // lineitem: 3 edges → one scan carrying all three keys
     assert(scansReading("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint") === 1, p)
-    // each parquet file feeding a child role appears once in that role:
-    // total scans = 6 child scans + 8 parent key-set scans (counted on
-    // the executed plan — fplan prints each scan twice: tree + details)
+    // each parquet file feeding a child role appears once in that role,
+    // and multi-edge parent key sets (customer ×2, nation ×2) are
+    // checkpointed so their scans happen once: 6 child scans + 4
+    // single-use parent scans remain (counted on the executed plan —
+    // fplan prints each scan twice: tree + details)
     val total = "Scan parquet".r
       .findAllIn(plan(Registry.queries("gov_fk_orphans")(spark, sf))).size
-    assert(total <= 14, s"expected <= 14 scans (6 child + 8 parent), got $total:\n$p")
+    assert(total <= 10,
+      s"expected <= 10 scans (6 child + 4 single-use parent), got $total:\n$p")
   }
 }
