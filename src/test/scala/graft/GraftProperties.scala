@@ -1,0 +1,180 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions.col
+import graft.operators.{Dedup, EntityResolution, Packing, Percentiles, Windows}
+
+/** Property-based equivalence checks (ScalaCheck, fixed initial seed so
+  * runs are reproducible): each property pits an engine operator against
+  * a direct JVM brute force over randomized inputs — the generalization
+  * of the suites' hand-built fixtures. Sizes are kept small because
+  * every case is a real Spark job; the value is the INPUT VARIETY, not
+  * volume (the oracle sweeps already cover volume).
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withInitialSeed(Seed(42L)).withMinSuccessfulTests(6)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- connected components == union-find --------------------------------
+  private def unionFind(nodes: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-label canonicalization: root chosen as min by construction above
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private val edgeGraphGen: Gen[(Set[Long], Seq[(Long, Long)])] = for {
+    n <- Gen.choose(2, 18)
+    m <- Gen.choose(1, 28)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield (edges.flatMap(e => Seq(e._1, e._2)).toSet, edges)
+
+  property("connectedComponents == union-find min-label") =
+    forAll(edgeGraphGen) { case (nodes, edges) =>
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val (labels, _) = Dedup.connectedComponents(pairs)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(nodes, edges)
+    }
+
+  // ---- SymSpell blocking == brute levenshtein, any tau --------------------
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private val namesGen: Gen[(Seq[String], Int)] = for {
+    n <- Gen.choose(4, 22)
+    tau <- Gen.choose(1, 3)
+    names <- Gen.listOfN(n, for {
+      len <- Gen.choose(3, 7)
+      cs <- Gen.listOfN(len, Gen.choose('a', 'c'))
+    } yield cs.mkString)
+  } yield (names.distinct, tau)
+
+  property("fuzzyPairs == brute levenshtein <= tau, tau in 1..3") =
+    forAll(namesGen) { case (names, tau) =>
+      val df = names.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) }
+        .toDF("p_partkey", "p_name")
+      val got = EntityResolution.fuzzyPairs(df, "p_name", "p_partkey", maxDist = tau)
+        .select("name_a", "name_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val sorted = names.sorted
+      val brute = (for {
+        a <- sorted; b <- sorted if a < b && lev(a, b) <= tau
+      } yield (a, b)).toSet
+      got == brute
+    }
+
+  // ---- histogram percentile == sorted-index brute -------------------------
+  private val groupedValsGen: Gen[Map[String, Seq[Int]]] = for {
+    ks <- Gen.choose(1, 3)
+    m <- Gen.mapOfN(ks, for {
+      k <- Gen.oneOf("a", "b", "c")
+      n <- Gen.choose(1, 25)
+      vs <- Gen.listOfN(n, Gen.choose(-50, 50))
+    } yield k -> vs)
+  } yield m
+
+  property("percentileDisc == ceil(n*q)-th sorted value") =
+    forAll(groupedValsGen) { grouped =>
+      val qs = Seq(0.5, 0.95, 0.99)
+      val rows = grouped.toSeq.flatMap { case (k, vs) => vs.map(v => (k, v.toDouble)) }
+      val df = rows.toDF("event_type", "value")
+      val got = Percentiles.percentileDisc(df, "event_type", "value", qs)
+        .select("event_type", "q", "pct_value").collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val brute = (for {
+        (k, vs) <- grouped.toSeq; q <- qs
+      } yield {
+        val s = vs.map(_.toDouble).sorted
+        (k, q) -> s(math.ceil(s.length * q).toInt - 1)
+      }).toMap
+      got == brute
+    }
+
+  // ---- banded token packing: offsets are exact prefix sums, any bandWidth -
+  private val packDocsGen: Gen[Seq[(Long, String, String)]] = for {
+    n <- Gen.choose(1, 30)
+    rows <- Gen.listOfN(n, for {
+      lang <- Gen.oneOf("en", "de")
+      w <- Gen.choose(1, 12)
+    } yield (lang, Seq.fill(w)("tok").mkString(" ")))
+  } yield rows.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+
+  property("packTokenShards: exact per-lang prefix sums, invariant to bandWidth") =
+    forAll(packDocsGen) { rows =>
+      val df = rows.toDF("doc_id", "lang", "text")
+      def run(bw: Long) = Packing.packTokenShards(df, budgetTokens = 16L, bandWidth = bw)
+        .select("doc_id", "lang", "n_tokens", "tok_offset", "shard_id").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val got = run(64L)
+      // the banded two-pass decomposition must be a pure implementation
+      // detail: a tiny band width gives identical output
+      val gotNarrow = run(3L)
+      val brute = rows.groupBy(_._2).flatMap { case (_, ds) =>
+        val inOrder = ds.sortBy(_._1)
+        val toks = inOrder.map(_._3.split("\\s+").length.toLong)
+        val offsets = toks.scanLeft(0L)(_ + _).init
+        inOrder.zip(toks.zip(offsets)).map { case ((id, l, _), (n, off)) =>
+          id -> ((l, n, off, off / 16L))
+        }
+      }
+      got == brute && gotNarrow == brute
+    }
+
+  // ---- two-level sliding min == direct sliding min ------------------------
+  private val ticksGen: Gen[Seq[(String, Int, Int)]] = for {
+    n <- Gen.choose(1, 30)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("x", "y")
+      sec <- Gen.choose(0, 3600)
+      v <- Gen.choose(-100, 100)
+    } yield (k, sec, v))
+  } yield rows
+
+  property("slidingMinTwoLevel == slidingMin (10 min over, 5 min every)") =
+    forAll(ticksGen) { rows =>
+      val base = 1704067200L // 2024-01-01T00:00:00Z, a multiple of 300s
+      val df = rows.map { case (k, sec, v) =>
+        (k, new java.sql.Timestamp((base + sec) * 1000L), v.toDouble)
+      }.toDF("event_type", "ts", "value")
+      def norm(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getString(0), r.getTimestamp(2).getTime, r.getDouble(1))).toSet
+      val direct = norm(Windows.slidingMin(df))
+      val twoLevel = norm(Windows.slidingMinTwoLevel(df))
+      // brute: row at t belongs to every 300s-aligned window start ws with
+      // ws <= t < ws + 600 (epoch-aligned, Spark's default)
+      val brute = rows.flatMap { case (k, sec, v) =>
+        val t = base + sec
+        val k0 = (t - 600) / 300 + 1
+        (k0 to t / 300).map(w => (k, w * 300) -> v.toDouble)
+      }.groupBy(_._1).map { case ((k, ws), vs) =>
+        (k, (ws + 600) * 1000L, vs.map(_._2).min)
+      }.toSet
+      direct == brute && twoLevel == brute
+    }
+}
