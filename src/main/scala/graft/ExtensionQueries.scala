@@ -4637,6 +4637,23 @@ object ExtensionQueries {
                CAST(SUM(n_chars) AS BIGINT) AS chars
         FROM documents WHERE lang = 'en' GROUP BY 1""")),
 
+    // JSONL interchange round trip: write → schema-on-read → per-source
+    // manifest of the re-read frame, hash-matched against the manifest
+    // computed straight off parquet — the bit_xor checksum makes any
+    // text altered by the JSON escape cycle a hash mismatch, so this
+    // pins CONTENT fidelity of the interchange format, not row counts.
+    QuerySpec(
+      "io_jsonl_roundtrip",
+      (s, dir) => StorageLayout.jsonlRoundtrip(
+        s, docs(s, dir), scratchPath("jsonl", dir)),
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM documents GROUP BY source""")),
+
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion
     // neighborhoods over the DISTINCT entity table (never all-pairs, and

@@ -52,6 +52,29 @@ object StorageLayout {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** JSONL interchange round trip: write the corpus as JSON Lines (the
+    * de-facto training-data interchange format), read it back with an
+    * EXPLICIT schema (schema-on-read, no inference pass over the data),
+    * and emit the per-source release manifest of the re-read frame. The
+    * manifest's bit_xor fingerprint checksum makes this a CONTENT-
+    * fidelity proof, not a row-count smoke test: any doc whose text the
+    * JSON escape/unescape cycle altered would flip its source's
+    * checksum, and the registered query hash-matches the manifest oracle
+    * computed straight off the parquet table. Writer shape: one pass,
+    * line-per-doc, splittable on read — the layout a 100 TB text corpus
+    * actually ships between pipelines.
+    */
+  def jsonlRoundtrip(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    val path = s"$scratch/docs_jsonl"
+    docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").json(path)
+    val back = spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(path)
+    Governance.releaseManifest(back)
+  }
+
   /** Compact a partitioned parquet artifact into ONE sorted file per
     * partition directory — the maintenance move every append-only index
     * here eventually needs (each append batch adds a file set per touched
