@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions.col
-import graft.operators.{Dedup, EntityResolution, Packing, Percentiles, Windows}
+import graft.operators.{Dedup, EntityResolution, Governance, Packing, Percentiles, Windows}
 
 /** Property-based equivalence checks (ScalaCheck, fixed initial seed so
   * runs are reproducible): each property pits an engine operator against
@@ -155,6 +155,102 @@ object GraftProperties extends Properties("graft") {
       v <- Gen.choose(-100, 100)
     } yield (k, sec, v))
   } yield rows
+
+  // ---- pigeonhole hamming blocking: complete at ANY threshold <= bound ----
+  private val fpsGen: Gen[(Int, Int, Seq[(Long, Long)])] = for {
+    nBits <- Gen.oneOf(32, 48, 64)
+    maxHam <- Gen.choose(0, 2 * (nBits / 16) - 1)
+    n <- Gen.choose(5, 40)
+    seeds <- Gen.listOfN(n, Gen.long)
+    flips <- Gen.listOfN(n, Gen.choose(0, nBits - 1))
+  } yield {
+    val mask = if (nBits == 64) -1L else (1L << nBits) - 1
+    val fps = seeds.zipWithIndex.map { case (s, i) =>
+      // every third fingerprint is a 1-bit perturbation of its
+      // predecessor so near pairs exist at every threshold
+      val v = if (i % 3 == 0 && i > 0) (seeds(i - 1) ^ (1L << flips(i))) & mask
+              else s & mask
+      i.toLong -> v
+    }
+    (nBits, maxHam, fps)
+  }
+
+  property("hammingProbePairs == brute pairs for any threshold <= pigeonhole bound") =
+    forAll(fpsGen) { case (nBits, maxHam, fps) =>
+      val got = Dedup.hammingProbePairs(
+          fps.toDF("doc_id", "fp"), "fp", nBits, maxHam)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        d = java.lang.Long.bitCount(fa ^ fb) if d <= maxHam
+      } yield (a, b, d.toLong)).toSet
+      got == brute
+    }
+
+  // ---- key skew profile: counts, dense rank order, floor basis points -----
+  private val skewKeysGen: Gen[(Seq[Long], Int)] = for {
+    n <- Gen.choose(1, 60)
+    topK <- Gen.choose(1, 6)
+    keys <- Gen.listOfN(n, Gen.choose(0L, 7L))
+  } yield (keys, topK)
+
+  property("keySkew == brute top-k with (count desc, key asc) rank and floor bp") =
+    forAll(skewKeysGen) { case (keys, topK) =>
+      val df = keys.map(k => (k, "pad")).toDF("k", "pad")
+      val got = Governance.keySkew(df, "k", topK).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+      val total = keys.size.toLong
+      val brute = keys.groupBy(identity).map { case (k, xs) => (k, xs.size.toLong) }
+        .toSeq.sortBy { case (k, c) => (-c, k) }.take(topK).zipWithIndex
+        .map { case ((k, c), i) => (k, c, i + 1, c * 10000L / total) }.toSet
+      got == brute
+    }
+
+  // ---- snapshot diff: per-(source, status) counts vs brute ----------------
+  private val snapshotsGen: Gen[(Seq[(Long, String, String)], Seq[(Long, String, String)])] =
+    for {
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 30L)
+        src <- Gen.oneOf("s1", "s2")
+        txt <- Gen.oneOf("alpha", "beta", "Alpha  ", "gamma delta", "x")
+      } yield (id, txt, src))
+      curMods <- Gen.listOfN(n, Gen.choose(0, 3))
+      extra <- Gen.listOfN(5, for {
+        id <- Gen.choose(31L, 40L)
+        src <- Gen.oneOf("s1", "s2")
+        txt <- Gen.oneOf("nu", "xi")
+      } yield (id, txt, src))
+    } yield {
+      val base = rows.groupBy(_._1).map(_._2.head).toSeq
+      val cur = base.zip(curMods).flatMap {
+        case ((id, txt, src), 0) => Some((id, txt, src))            // unchanged
+        case ((id, txt, src), 1) => Some((id, txt + " CHANGED", src)) // changed
+        case ((id, txt, src), 2) => Some((id, txt.toUpperCase + "  ", src)) // fp-unchanged
+        case (_, _) => None                                          // removed
+      } ++ extra.groupBy(_._1).map(_._2.head)                        // added
+      (base, cur)
+    }
+
+  property("snapshotDiff == brute per-(source, status) counts on canonical fp") =
+    forAll(snapshotsGen) { case (base, cur) =>
+      def fp(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      val got = Governance.snapshotDiff(
+          base.toDF("doc_id", "text", "source"), cur.toDF("doc_id", "text", "source"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val b = base.map(r => r._1 -> ((fp(r._2), r._3))).toMap
+      val c = cur.map(r => r._1 -> ((fp(r._2), r._3))).toMap
+      val brute = (b.keySet ++ c.keySet).toSeq.map { id =>
+        (b.get(id), c.get(id)) match {
+          case (None, Some((_, src)))         => (src, "added")
+          case (Some((_, src)), None)         => (src, "removed")
+          case (Some((fb, _)), Some((fc, src))) =>
+            (src, if (fb != fc) "changed" else "unchanged")
+          case _ => throw new IllegalStateException
+        }
+      }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      got == brute
+    }
 
   property("slidingMinTwoLevel == slidingMin (10 min over, 5 min every)") =
     forAll(ticksGen) { rows =>
