@@ -185,6 +185,15 @@ object GraftFunctions {
   def quantized_cosine(a: Column, b: Column): Column =
     Bridge.column(QuantizedCosine(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Size-capped distinct-collect over a string column: NULL when the
+    * group's distinct count exceeds `maxSize`, the sorted distinct array
+    * otherwise; hot groups' buffers are emptied at overflow so memory
+    * stays O(maxSize) per group (see [[BoundedCollectSet]]).
+    */
+  def bounded_collect_set(x: Column, maxSize: Int): Column =
+    Bridge.column(
+      BoundedCollectSet(Bridge.expression(x), maxSize).toAggregateExpression())
+
   /** Build a bloom filter over a long column — Spark's own runtime-filter
     * aggregate (`BloomFilterAggregate`), surfaced for explicit use.
     */

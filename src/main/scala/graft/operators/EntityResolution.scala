@@ -42,15 +42,21 @@ object EntityResolution {
     rows.groupBy(col(nameCol).as("name"))
       .agg(min(col(keyCol)).as("ent_id"), count(lit(1)).as("support"))
 
-  /** All ≤maxDel-deletion variants of each entity name (SymSpell keys),
-    * deduplicated per name. maxDel = τ covers levenshtein ≤ τ for any
-    * τ ≥ 1: an edit script of length ≤ τ touches ≤ τ positions on each
-    * side; deleting exactly those positions from both strings leaves the
-    * same residue. Level k is one more deletion applied to every level
-    * k−1 variant, so variant volume is Σ_{k≤τ} C(L, k) per entity —
-    * still an |entities|-sized equi-join key for the small τ this
-    * operator is for (the public entry points default to τ=2, the
-    * SymSpell sweet spot).
+  /** All ≤maxDel-deletion variants of each entity name (SymSpell keys).
+    * maxDel = τ covers levenshtein ≤ τ for any τ ≥ 1: an edit script of
+    * length ≤ τ touches ≤ τ positions on each side; deleting exactly
+    * those positions from both strings leaves the same residue. Level k
+    * is one more deletion applied to every level k−1 variant, so the
+    * DISTINCT variant volume is Σ_{k≤τ} C(L, k) per entity — still an
+    * |entities|-sized aggregation key for the small τ this operator is
+    * for (the public entry points default to τ=2, the SymSpell sweet
+    * spot).
+    *
+    * Emits raw (name, v) rows WITHOUT a distinct pass: the one consumer
+    * that needs set semantics ([[candidatePairs]]' bounded-set
+    * aggregate) dedupes inside its own aggregation buffers map-side, so
+    * a separate distinct would only add an exchange of the widest table
+    * in the pipeline.
     */
   private[graft] def deleteVariants(names: DataFrame, maxDel: Int): DataFrame = {
     require(maxDel >= 1, s"maxDel must be >= 1, got $maxDel")
@@ -63,64 +69,51 @@ object EntityResolution {
         concat(expr("substring(v0, 1, i-1)"), expr("substring(v0, i+1)")).as("v"))
     val d0 = names.select(col("name"), col("name").as("v"))
     val levels = Iterator.iterate(d0)(deleteOne).take(maxDel + 1).toSeq
-    levels.reduce(_.unionByName(_)).distinct()
+    levels.reduce(_.unionByName(_))
   }
 
-  /** [[deleteVariants]] with the hot-residue frequency cap — the same
-    * posting-list DF-cap discipline as `Dedup.ngramPairCounts`: a
-    * residue shared by f names contributes f² candidate rows to the
-    * variant equi-join, so on a short-name or highly repetitive entity
-    * domain one hot residue (e.g. every 2-char name collapsing to the
-    * same 0–1-char variants) makes the join quadratic in the hottest
-    * frequency. Residues shared by more than `maxVariantDf` names are
-    * dropped from BOTH join sides.
+  /** Candidate name pairs from the variant table with the hot-residue
+    * frequency cap — the posting-list DF-cap discipline of
+    * `Dedup.ngramPairCounts`, fused into ONE aggregation by the native
+    * [[graft.functions.BoundedCollectSet]] aggregate: a residue shared
+    * by f names contributes f² candidate pairs, so on a short-name or
+    * highly repetitive entity domain one hot residue (e.g. every 2-char
+    * name collapsing to the same 0–1-char variants) makes candidate
+    * generation quadratic in the hottest frequency. Residues whose
+    * DISTINCT name count exceeds `maxVariantDf` evaluate to NULL (and
+    * their buffers are emptied at overflow — memory stays O(cap) per
+    * residue no matter how hot); survivors explode into their ordered
+    * pairs. One exchange end-to-end, vs the unfused form's three
+    * (distinct + hot-count + anti-join + collect).
     *
-    * Completeness trade, documented: a true pair (a, b) with
-    * lev ≤ τ is lost only if EVERY residue the two names share is hot —
-    * i.e. both names sit inside a dense neighborhood of ≥ maxVariantDf
-    * entities collapsing to the same residues. For names longer than
-    * τ + 1 over a non-degenerate alphabet, residues retain L − τ
-    * characters of the name and their df tracks the true neighborhood
-    * size, so the τ ≤ 2 completeness proof survives for every name
-    * outside such a pathological clump; the cap converts the quadratic
-    * blowup those clumps cause into a bounded, observable recall trade
+    * Completeness trade, documented: a true pair (a, b) with lev ≤ τ is
+    * lost only if EVERY residue the two names share is hot — i.e. both
+    * names sit inside a dense neighborhood of ≥ maxVariantDf entities
+    * collapsing to the same residues. For names longer than τ + 1 over
+    * a non-degenerate alphabet, residues retain L − τ characters of the
+    * name and their df tracks the true neighborhood size, so the
+    * completeness proof survives for every name outside such a
+    * pathological clump; the cap converts the quadratic blowup those
+    * clumps cause into a bounded, observable recall trade
     * (EntityResolutionSpec pins both sides on an adversarial short-name
-    * fixture). The hot-residue set is bounded by |variants|/maxVariantDf
-    * and rides a broadcast anti-join.
-    */
-  private[graft] def cappedVariants(
-      names: DataFrame, maxDel: Int, maxVariantDf: Int): DataFrame = {
-    require(maxVariantDf >= 1, s"maxVariantDf must be >= 1, got $maxVariantDf")
-    val vars = deleteVariants(names, maxDel)
-    val hot = vars.groupBy(col("v"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxVariantDf)
-      .select(col("v"))
-    vars.join(broadcast(hot), Seq("v"), "left_anti")
-  }
-
-  /** Candidate name pairs from the capped variant table, generated the
-    * inverted-index way (the `Dedup.ngramPairCounts` shape): group the
-    * variants into per-residue posting lists — bounded at `maxVariantDf`
-    * names by [[cappedVariants]], so the in-memory list and the emitted
-    * pair fan-out are both capped — and explode each list's ordered
-    * pairs. One aggregation replaces the variant self-join (which paid
-    * two exchanges plus a string-keyed hash join); the df-cap pass
-    * stays separate and BEFORE the collect so a pathological residue
-    * never materializes an unbounded list in an agg buffer.
+    * fixture; GraftProperties pits the whole path against brute
+    * levenshtein for τ ∈ 1..3).
     */
   private def candidatePairs(
-      names: DataFrame, maxDel: Int, maxVariantDf: Int): DataFrame =
-    cappedVariants(names, maxDel, maxVariantDf)
+      names: DataFrame, maxDel: Int, maxVariantDf: Int): DataFrame = {
+    require(maxVariantDf >= 1, s"maxVariantDf must be >= 1, got $maxVariantDf")
+    deleteVariants(names, maxDel)
       .groupBy(col("v"))
-      .agg(sort_array(collect_list(col("name"))).as("names"))
-      .filter(size(col("names")) > 1)
+      .agg(graft.functions.GraftFunctions
+        .bounded_collect_set(col("name"), maxVariantDf).as("names"))
+      .filter(col("names").isNotNull && size(col("names")) > 1)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(names) - 2), i ->
              transform(sequence(i + 1, size(names) - 1), j ->
                struct(names[i] AS name_a, names[j] AS name_b))))""")).as("p"))
       .select(col("p.name_a").as("name_a"), col("p.name_b").as("name_b"))
       .distinct()
+  }
 
   /** Entity pairs within levenshtein ≤ maxDist, with supports.
     * Output: (name_a, name_b, dist, support_a, support_b), name_a < name_b.

@@ -161,10 +161,16 @@ class EntityResolutionSpec extends GraftSpec {
       .select("name_a", "name_b").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(gotCapped === expect)
-    // no hot residue survives into the join key
-    val vs = EntityResolution.cappedVariants(df.select(col("p_name").as("name")), 2, cap)
-      .collect().map(_.getString(0)).toSet
-    assert((vs & hot).isEmpty, s"hot residues leaked: ${vs & hot}")
+    // no hot residue survives the bounded-set aggregate (NULL at
+    // overflow — the same verdict the brute-forced `hot` set predicts)
+    val survived = EntityResolution.deleteVariants(
+        df.select(col("p_name").as("name")), 2)
+      .groupBy(col("v"))
+      .agg(graft.functions.GraftFunctions.bounded_collect_set(col("name"), cap)
+        .as("names"))
+      .where(col("names").isNotNull)
+      .select("v").collect().map(_.getString(0)).toSet
+    assert((survived & hot).isEmpty, s"hot residues leaked: ${survived & hot}")
     // and with the cap wide open the full brute-force pair set comes back
     val brute = (for { a <- names; b <- names if a < b } yield (a, b)).toSet
     val gotOpen = EntityResolution.fuzzyPairs(df, "p_name", "p_partkey",

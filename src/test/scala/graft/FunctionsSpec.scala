@@ -238,4 +238,30 @@ class FunctionsSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(fps(1L) === fps(2L), "NFC fingerprint must unify the spellings")
   }
+
+  test("bounded_collect_set: dedupe, sorted output, NULL at overflow, merge-absorbing") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.bounded_collect_set
+    // group a: 3 distinct (with dups) <= cap; group b: 4 distinct > cap 3;
+    // group c: nulls ignored, singleton survives
+    val rows = Seq(
+      ("a", "z"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "p"), ("b", "q"), ("b", "r"), ("b", "s"), ("b", "p"),
+      ("c", "only")) ++ Seq.empty
+    // spread across many partitions so partial buffers MUST merge
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = df.groupBy(col("k"))
+      .agg(bounded_collect_set(col("v"), 3).as("names"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[String](1)).map(_.toList)).toMap
+    assert(got("a") === Some(List("x", "y", "z")), "deduped and UTF-8-sorted")
+    assert(got("b") === None, "overflow (4 distinct > cap 3) must be NULL")
+    assert(got("c") === Some(List("only")))
+    // duplicates alone never overflow: 5 copies of one value, cap 1
+    val dups = Seq.fill(5)(("d", "same")).toDF("k", "v").repartition(5)
+    val one = dups.groupBy(col("k"))
+      .agg(bounded_collect_set(col("v"), 1).as("names"))
+      .collect().map(r => r.getSeq[String](1).toList)
+    assert(one.head === List("same"))
+  }
 }
