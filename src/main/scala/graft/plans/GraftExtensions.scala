@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, NfcNormalize, QuantizedCosine}
+import graft.functions.{BoundedCollectSet, CosineSimilarity, NfcNormalize, QuantizedCosine}
 
 /** Engine extension installer: makes the native functions available to SQL
   * (`SELECT cosine_sim(a, b)`) via
@@ -42,6 +42,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "nfc_normalize expects exactly 1 argument")
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_collect_set"),
+      new ExpressionInfo(classOf[BoundedCollectSet].getName, "bounded_collect_set"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "bounded_collect_set expects (value, max_size)")
+        val cap = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bounded_collect_set max_size must be an integer literal, got $other")
+        }
+        BoundedCollectSet(children.head, cap)
       }))
     ext.injectFunction((
       FunctionIdentifier("bloom_agg"),

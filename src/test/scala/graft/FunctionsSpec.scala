@@ -263,5 +263,12 @@ class FunctionsSpec extends GraftSpec {
       .agg(bounded_collect_set(col("v"), 1).as("names"))
       .collect().map(r => r.getSeq[String](1).toList)
     assert(one.head === List("same"))
+    // and the SQL surface (GraftExtensions injection, S12 family)
+    df.createOrReplaceTempView("bcs_rows")
+    val sql = spark.sql(
+      "SELECT k, bounded_collect_set(v, 3) AS names FROM bcs_rows GROUP BY k")
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[String](1)).map(_.toList)).toMap
+    assert(sql === got)
   }
 }
