@@ -252,6 +252,70 @@ object GraftProperties extends Properties("graft") {
       got == brute
     }
 
+  // ---- release manifest: xor checksum == brute fold -----------------------
+  private val manifestDocsGen: Gen[Seq[(Long, String, String, Long)]] = for {
+    n <- Gen.choose(1, 25)
+    rows <- Gen.listOfN(n, for {
+      src <- Gen.oneOf("s1", "s2", "s3")
+      words <- Gen.choose(1, 5)
+      ws <- Gen.listOfN(words, Gen.oneOf("alpha", "Beta", "GAMMA", "d", "e  f"))
+      nc <- Gen.choose(0L, 99L)
+    } yield (src, ws.mkString(" "), nc))
+  } yield rows.zipWithIndex.map { case ((s, t, c), i) => (i.toLong, t, s, c) }
+
+  property("releaseManifest == brute per-source count/sum/xor fold") =
+    forAll(manifestDocsGen) { rows =>
+      def term(t: String): Long = {
+        val canon = t.trim.toLowerCase.replaceAll("\\s+", " ")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(canon.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      }
+      val got = Governance.releaseManifest(
+          rows.toDF("doc_id", "text", "source", "n_chars"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val brute = rows.groupBy(_._3).map { case (src, ds) =>
+        src -> ((ds.size.toLong, ds.map(_._4).sum,
+          ds.map(d => term(d._2)).foldLeft(0L)(_ ^ _)))
+      }
+      got == brute
+    }
+
+  // ---- partitioned compaction: one file per partition, multiset preserved -
+  private val compactGen: Gen[Seq[Seq[(Long, Long)]]] = for {
+    batches <- Gen.choose(2, 4)
+    rows <- Gen.listOfN(batches, Gen.nonEmptyListOf(for {
+      part <- Gen.choose(0L, 3L)
+      v <- Gen.choose(0L, 50L)
+    } yield (part, v)))
+  } yield rows.map(_.zipWithIndex.map { case ((p, v), i) => (p, v + i) })
+
+  property("compactPartitioned: one file per partition dir, row multiset unchanged") =
+    forAll(compactGen) { batches =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_cmp").toString
+      val path = s"$dir/t"
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.toDF("part", "v").write.mode(if (i == 0) "overwrite" else "append")
+          .partitionBy("part").parquet(path)
+      }
+      // the partition column reads back type-inferred from the directory
+      // names (IntegerType) — normalize through Number
+      def rowsOf = spark.read.parquet(path).collect()
+        .map(r => (r.getAs[Number]("part").longValue(),
+          r.getAs[Number]("v").longValue()))
+        .groupBy(identity).map { case (k, xs) => k -> xs.size }
+      val before = rowsOf
+      graft.operators.StorageLayout.compactPartitioned(
+        spark, path, "part", Seq("v"))
+      val after = rowsOf
+      val oneFilePer = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("part="))
+        .forall(d => d.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+      after == before && oneFilePer
+    }
+
   property("slidingMinTwoLevel == slidingMin (10 min over, 5 min every)") =
     forAll(ticksGen) { rows =>
       val base = 1704067200L // 2024-01-01T00:00:00Z, a multiple of 300s
