@@ -4308,6 +4308,40 @@ object ExtensionQueries {
                CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard_id
         FROM c""")),
 
+    // Per-(doc, shard) spans — the loader contract: where in each shard
+    // every doc's tokens sit and whether the doc continues into the
+    // next shard (attention-boundary metadata of concatenation packing).
+    // One row per touched shard; rows = docs + boundary crossings.
+    QuerySpec(
+      "pack_shard_spans",
+      (s, dir) => Packing.packShardSpans(docs(s, dir)),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM t),
+        o AS (
+          SELECT doc_id, lang, n_tokens, cum - n_tokens AS tok_off FROM c),
+        sp AS (
+          SELECT doc_id, lang, n_tokens, tok_off,
+                 unnest(range(tok_off // 4096,
+                              (tok_off + n_tokens - 1) // 4096 + 1)) AS shard_id
+          FROM o)
+        SELECT doc_id, lang, CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(GREATEST(tok_off, shard_id * 4096)
+                 - shard_id * 4096 AS BIGINT) AS start_in_shard,
+               CAST(LEAST(tok_off + n_tokens, (shard_id + 1) * 4096)
+                 - shard_id * 4096 AS BIGINT) AS end_in_shard,
+               (tok_off + n_tokens > (shard_id + 1) * 4096) AS continues
+        FROM sp""")),
+
     // Per-shard packing diagnostics: docs/tokens/offset-span/fill per
     // (lang, shard) over the packing output — the batch shape report.
     QuerySpec(

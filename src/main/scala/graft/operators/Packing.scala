@@ -60,6 +60,38 @@ object Packing {
         col("tok_offset"), col("shard_id"))
   }
 
+  /** The loader contract [[packTokenShards]] implies but does not emit:
+    * per (doc, shard) SPANS. A document whose token stream crosses a
+    * shard boundary (shard_id only records where it STARTS) occupies a
+    * suffix of one shard and a prefix of the next; the training loader
+    * needs exactly that map — where in each shard every doc's tokens
+    * sit, and whether the doc continues into the following shard (the
+    * attention-boundary / loss-masking metadata of concatenation
+    * packing). One row per touched shard: (doc_id, lang, shard_id,
+    * start_in_shard, end_in_shard (exclusive), continues).
+    *
+    * Scan-side expansion over the packing output: each doc explodes to
+    * exactly its span count (≥1, = 1 + boundary crossings), so total
+    * rows = docs + crossings — no shuffle beyond [[packTokenShards]]'s
+    * own banded pass. Spans tile each doc exactly (PackingSpec pins
+    * sum(span) = n_tokens and the chain-across-boundary invariants).
+    */
+  def packShardSpans(
+      docs: DataFrame,
+      budgetTokens: Long = 4096L,
+      bandWidth: Long = 64L): DataFrame =
+    packTokenShards(docs, budgetTokens, bandWidth)
+      .withColumn("end_off", col("tok_offset") + col("n_tokens"))
+      .withColumn("shard_id", explode(sequence(
+        expr(s"tok_offset div $budgetTokens"),
+        expr(s"(end_off - 1) div $budgetTokens"))))
+      .select(col("doc_id"), col("lang"), col("shard_id"),
+        (greatest(col("tok_offset"), col("shard_id") * budgetTokens)
+          - col("shard_id") * budgetTokens).as("start_in_shard"),
+        (least(col("end_off"), (col("shard_id") + 1) * budgetTokens)
+          - col("shard_id") * budgetTokens).as("end_in_shard"),
+        (col("end_off") > (col("shard_id") + 1) * budgetTokens).as("continues"))
+
   /** Per-shard packing diagnostics over [[packTokenShards]] — the batch
     * shape report a training loader reads before consuming the shards:
     * docs and tokens per (lang, shard), span of packed offsets, and the

@@ -24,6 +24,37 @@ class PackingSpec extends GraftSpec {
     assert(got.size === raw.length, "every doc packed exactly once")
   }
 
+  test("shard spans tile every doc exactly and chain across boundaries") {
+    // tiny budget so boundary crossings are plentiful
+    val docs = Tables.load(spark, sf, "documents")
+    val budget = 64L
+    val spans = Packing.packShardSpans(docs, budgetTokens = budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val packed = Packing.packTokenShards(docs, budgetTokens = budget).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap // n_tokens, tok_offset
+    assert(spans.exists(_._6), "fixture must produce boundary crossings")
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val (n, off) = packed(id)
+      val inOrder = ss.sortBy(_._3)
+      // spans tile the doc: total length = n_tokens, first starts at
+      // off mod budget, shards are consecutive, every span but the last
+      // is flagged `continues` and runs to the shard's end
+      assert(inOrder.map(s => s._5 - s._4).sum === n, s"doc $id tiling")
+      assert(inOrder.head._4 === off % budget, s"doc $id first start")
+      assert(inOrder.map(_._3) === (inOrder.head._3 to inOrder.last._3),
+        s"doc $id shards not consecutive")
+      inOrder.init.foreach { s =>
+        assert(s._6 && s._5 === budget, s"doc $id mid-span must fill to budget")
+      }
+      val last = inOrder.last
+      assert(!last._6, s"doc $id last span must not continue")
+      inOrder.tail.foreach(s => assert(s._4 === 0L, s"doc $id continuation start"))
+    }
+    assert(spans.groupBy(_._1).size === packed.size, "every doc has spans")
+  }
+
   test("pack is band-width invariant (the banded decomposition is exact)") {
     val docs = Tables.load(spark, sf, "documents")
     val a = Packing.packTokenShards(docs, bandWidth = 64L).collect()
