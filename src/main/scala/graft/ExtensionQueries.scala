@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, EntityResolution, Governance, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, StorageLayout, TextAnalysis, TimeSeries}
+import graft.operators.{Cdc, Dedup, EntityResolution, Governance, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, StorageLayout, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions.{col, max}
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
@@ -42,6 +42,30 @@ object ExtensionQueries {
   private def scratchPath(kind: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${kind}_p${procTag}_${
       Integer.toHexString(dir.hashCode)}"
+
+  /** Oracle-side corpus state after the synthetic CDC delta of
+    * [[graft.operators.Cdc]] is merged: untouched rows (clean langs, or
+    * dirty-lang rows hit by neither delete nor update), updated images,
+    * inserted rows — same arithmetic, same delete-beats-update
+    * precedence as the engine's delta derivation. Shared by the
+    * copy-on-write merge and the manifest-IVM oracles so both verify
+    * against the identical corpus state.
+    */
+  private val cdcFinalCte = """
+    cdc_final AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+       WHERE lang NOT IN ('de', 'fr')
+          OR (doc_id % 11 <> 0 AND doc_id % 7 <> 0)
+      UNION ALL
+      SELECT doc_id, 'cdc1 ' || text, lang, source,
+             length('cdc1 ' || text)
+        FROM documents
+       WHERE lang IN ('de', 'fr') AND doc_id % 7 = 0 AND doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'ins ' || text, lang, source,
+             length('ins ' || text)
+        FROM documents
+       WHERE lang IN ('de', 'fr') AND doc_id % 13 = 0)"""
 
   /** Shared oracle CTE: whitespace tokens of lowercased trimmed text
     * (mirrors Dedup.tokens ON THE HARNESS CORPUS, which is ASCII — there
@@ -4687,6 +4711,57 @@ object ExtensionQueries {
                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
                  1, 15))::BIGINT) AS fp_xor
         FROM documents GROUP BY source""")),
+
+    // ---- CDC maintenance (r13) ---------------------------------------
+    // Copy-on-write MERGE of a derived insert/update/delete delta into
+    // the lang-partitioned snapshot: only the two dirty partitions are
+    // read (PartitionFilters pinned) and rewritten (staged write +
+    // directory swap); the per-lang manifest of the final snapshot
+    // hash-matches the oracle's from-scratch merge, fp_xor making any
+    // content drift — including in the untouched partitions — a red
+    // hash.
+    QuerySpec(
+      "io_cdc_upsert",
+      (s, dir) => Cdc.cowUpsert(s, docs(s, dir), scratchPath("cdc", dir)),
+      Some("WITH " + cdcFinalCte + """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final GROUP BY lang""")),
+
+    // Incremental view maintenance of the release manifest under the
+    // SAME delta: yesterday's persisted manifest + the delta's signed
+    // effects (deletes retract, updates retract-old + add-new, inserts
+    // add; xor self-inverts) — zero snapshot rescans. The oracle is a
+    // full recompute over the merged corpus, so the hash match IS the
+    // IVM proof; with io_cdc_upsert it cross-checks the physical merge
+    // against the algebraic one on the same corpus state.
+    QuerySpec(
+      "gov_manifest_ivm",
+      (s, dir) => Cdc.manifestIvm(s, docs(s, dir), scratchPath("ivm", dir)),
+      Some("WITH " + cdcFinalCte + """
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final GROUP BY source""")),
+
+    // Point lookup through per-partition bloom indexes: the blooms
+    // (KB-scale driver artifacts) name the candidate partitions, the
+    // scan prunes to those directories with the id list pushed down.
+    // Blooms have no false negatives and the exact IN-filter rejects
+    // false-positive admits, so the result equals the plain semi-join
+    // the oracle runs — the index only changes which bytes are read.
+    QuerySpec(
+      "io_bloom_lookup",
+      (s, dir) => StorageLayout.bloomLookup(
+        s, docs(s, dir), scratchPath("bloomidx", dir)),
+      Some("""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang = 'de' AND doc_id % 10 = 3""")),
 
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion

@@ -203,9 +203,17 @@ object Governance {
     * it is the checksum here instead of a sum.
     */
   def releaseManifest(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
+    releaseManifestBy(docs, "source")
+
+  /** [[releaseManifest]] grouped by an arbitrary key column — the same
+    * integrity record sliced by partition key instead of source (the
+    * form [[graft.operators.Cdc.cowUpsert]] publishes per rewritten
+    * partition).
+    */
+  def releaseManifestBy(docs: DataFrame, keyCol: String): DataFrame =
+    docs.select(col(keyCol),
       TextAnalysis.fingerprint(col("text")).as("fp"), col("n_chars"))
-      .groupBy(col("source"))
+      .groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),

@@ -105,6 +105,51 @@ object StorageLayout {
       s"compaction swap failed: could not rename $staging to $path")
   }
 
+  /** Needle-in-the-corpus point lookup through a per-partition bloom
+    * index: write the corpus lang-partitioned, build ONE bloom filter
+    * per partition over `doc_id` (each a KB-scale driver-held artifact,
+    * the stats a table format keeps per file), then answer an id-list
+    * lookup by first asking the blooms which partitions COULD hold any
+    * needle and scanning only those directories, with the id list pushed
+    * into the scan. Correctness never depends on the index: blooms have
+    * no false negatives, so the candidate set always covers the true
+    * partitions, and a false positive only admits a directory whose rows
+    * the exact `doc_id IN` filter then rejects — the registered query
+    * hash-matches a plain semi-join oracle. The payoff is the scan
+    * shape: a 100 TB corpus answers a point lookup from the partitions
+    * the needles actually live in (PlanSpec pins the PartitionFilters),
+    * while the bloom consultation itself reads zero corpus bytes.
+    *
+    * The needle set here is a deterministic fixture (ids congruent to
+    * 3 mod 10 drawn from one language) — the LOOKUP path does not know
+    * they share a language; the blooms rediscover it.
+    */
+  def bloomLookup(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    val path = s"$scratch/snap"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    val snap = spark.read.parquet(path)
+    // one bloom per partition directory — |langs| rows to the driver,
+    // the same O(metadata) class as IVF centroids
+    val blooms = snap.groupBy(col("lang"))
+      .agg(graft.functions.GraftFunctions.bloom_agg(
+        col("doc_id"), 8192L, 131072L).as("bf"))
+      .collect()
+    val needles: Seq[Long] = docs
+      .where(col("lang") === "de" && col("doc_id") % 10 === 3)
+      .select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val candidates = blooms.filter { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf")))
+      needles.exists(bf.mightContainLong)
+    }.map(_.getAs[String]("lang")).toSeq
+    snap
+      .where(col("lang").isin(candidates: _*) &&
+        col("doc_id").isin(needles: _*))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Partition-pruned round trip: write the corpus partitioned by a
     * selective column (one directory per value — the layout that lets a
     * language-sliced pipeline stage read 1/|langs| of the bytes), read

@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{Cdc, Governance, StorageLayout}
+
+/** CDC maintenance: delta derivation precedence, the copy-on-write
+  * merge's row-level semantics AND its physical untouched-partition
+  * contract, the manifest-IVM ≡ physical-merge equivalence, and the
+  * bloom point lookup's pruning + completeness.
+  */
+class CdcSpec extends GraftSpec {
+  import spark.implicits._
+
+  // en clean; de/fr dirty with every op firing, including the overlap
+  // cases (77 = 7·11 delete-beats-update; 91 = 7·13 update AND insert
+  // seed) and a stored n_chars deliberately != length(text) to pin that
+  // untouched rows CARRY their stored value rather than recompute it.
+  private def fixture = Seq(
+    (1L, "alpha one", "en", "s1", 9L),
+    (2L, "beta two", "en", "s1", 99L),
+    (3L, "gamma three", "de", "s1", 11L),
+    (7L, "delta seven", "de", "s2", 11L),
+    (11L, "eps eleven", "de", "s2", 10L),
+    (13L, "zeta thirteen", "de", "s1", 13L),
+    (77L, "eta seventyseven", "fr", "s2", 16L),
+    (91L, "theta ninetyone", "fr", "s1", 15L),
+    (22L, "iota twentytwo", "fr", "s2", 14L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("cdc delta: delete beats update, one row can seed update and insert") {
+    val batch = Cdc.feed(fixture)
+    assert(Cdc.deletes(batch).as[Long].collect().toSet === Set(11L, 22L, 77L))
+    val upd = Cdc.updates(batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_chars")))).toMap
+    // 77 is 7·11: the delete guard keeps it out of the update set
+    assert(upd.keySet === Set(7L, 91L))
+    assert(upd(7L) === (("cdc1 delta seven", 16L)))
+    val ins = Cdc.inserts(batch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // 91 seeds BOTH an update (key 91) and an insert (key 1000091)
+    assert(ins === Map(1000013L -> "ins zeta thirteen",
+      1000091L -> "ins theta ninetyone"))
+  }
+
+  test("copy-on-write merge: exact final rows, clean partition physically untouched") {
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/snap"
+    Cdc.writeSnapshot(fixture, path)
+    def listing(lang: String) =
+      new java.io.File(s"$path/lang=$lang").listFiles()
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val enBefore = listing("en")
+    val deBefore = listing("de")
+    Cdc.mergeDelta(spark, Cdc.feed(fixture), path)
+    // the clean partition's files: same names, sizes, mtimes — never
+    // opened for write; the dirty partition was rewritten
+    assert(listing("en") === enBefore)
+    assert(listing("de") !== deBefore)
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"), r.getAs[Long]("n_chars"))).toSet
+    assert(got === Set(
+      (1L, "alpha one", "en", 9L),
+      (2L, "beta two", "en", 99L),          // stored n_chars carried verbatim
+      (3L, "gamma three", "de", 11L),       // untouched dirty-lang row
+      (7L, "cdc1 delta seven", "de", 16L),  // updated image, n_chars recomputed
+      (13L, "zeta thirteen", "de", 13L),
+      (1000013L, "ins zeta thirteen", "de", 17L),
+      (91L, "cdc1 theta ninetyone", "fr", 20L),
+      (1000091L, "ins theta ninetyone", "fr", 19L)
+      // 11, 22 deleted; 77 deleted (delete beat the update)
+    ))
+  }
+
+  test("manifest IVM equals the physical merge's manifest, source by source") {
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_ivm").toString
+    Cdc.writeSnapshot(fixture, s"$path/snap")
+    Cdc.mergeDelta(spark, Cdc.feed(fixture), s"$path/snap")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"),
+          r.getAs[Long]("fp_xor")))).toMap
+    val physical = toMap(Governance.releaseManifest(spark.read.parquet(s"$path/snap")))
+    val ivm = toMap(Cdc.manifestIvm(spark, fixture, s"$path/ivm"))
+    assert(ivm === physical)
+    // and the deltas genuinely moved every source: s1 gained the two
+    // inserts (5 → 7), s2 lost its three deletes (4 → 1) — the equality
+    // above is not vacuous
+    assert(ivm("s1")._1 === 7L && ivm("s2")._1 === 1L)
+  }
+
+  test("bloom lookup: scan pruned to the bloom's candidate partitions, result complete") {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val df = StorageLayout.bloomLookup(spark, fixture, scratch)
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))).toSet
+    // needles = de ids ≡ 3 (mod 10): docs 3 and 13; no false negatives
+    assert(got === Set((3L, "de"), (13L, "de")))
+    // the scan's partition filter names the candidate partitions, and
+    // the clean 'en' partition is not among them (bloom pruning is a
+    // PartitionFilter, the needle list a pushed data filter)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("de"), p)
+    assert(!pf.contains("en"), p)
+    assert(p.contains("PushedFilters: [In(doc_id"), p)
+  }
+}

@@ -724,6 +724,30 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
   }
 
+  test("cdc copy-on-write rewrite reads only the dirty partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdcplan").toString + "/snap"
+    val docs = Tables.load(spark, sf, "documents")
+    graft.operators.Cdc.writeSnapshot(docs, tmp)
+    val p = fplan(graft.operators.Cdc.rewrittenDirty(
+      spark, graft.operators.Cdc.feed(docs), tmp))
+    // the dirty-lang predicate prunes snapshot DIRECTORIES — clean
+    // partitions are never opened by the merge's read side
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("lang"), p)
+    // and it is not demoted to a pushed data filter
+    assert(!p.contains("PushedFilters: [In(lang"), p)
+  }
+
+  test("bloom point lookup: partition filter from the blooms, needles pushed to parquet") {
+    val p = fplan(Registry.queries("io_bloom_lookup")(spark, sf))
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    // the candidate set names the needle languages only: the biggest
+    // partition (en) holds no needles and must not be listed
+    assert(pf.contains("lang"), p)
+    assert(!pf.contains("en"), p)
+    assert(p.contains("PushedFilters: [In(doc_id"), p)
+  }
+
   test("correlated scalar-AVG subquery decorrelates to a join, not per-row execution") {
     val p = plan(Registry.queries("q33_scalar_subquery_agg")(spark, sf))
     // decorrelated: the per-part average is an Aggregate joined back; a
