@@ -67,6 +67,29 @@ object ExtensionQueries {
         FROM documents
        WHERE lang IN ('de', 'fr') AND doc_id % 13 = 0)"""
 
+  /** Day 2 of the CDC lifecycle: the same merge shape applied ON TOP of
+    * [[cdcFinalCte]]'s output (a real feed reflects current state, so
+    * day-2 rows are derived from the day-1-resolved view), with day-2
+    * moduli/tags ([[graft.operators.Cdc.day2Rules]]). Chaining two
+    * copies of one CTE shape is exactly how the engine chains two
+    * [[graft.operators.Cdc.DeltaRules]] days.
+    */
+  private val cdcFinal2Cte = cdcFinalCte + """,
+    cdc_final2 AS (
+      SELECT doc_id, text, lang, source, n_chars FROM cdc_final
+       WHERE lang NOT IN ('de', 'fr')
+          OR (doc_id % 17 <> 0 AND doc_id % 5 <> 0)
+      UNION ALL
+      SELECT doc_id, 'cdc2 ' || text, lang, source,
+             length('cdc2 ' || text)
+        FROM cdc_final
+       WHERE lang IN ('de', 'fr') AND doc_id % 5 = 0 AND doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 2000000, 'ins2 ' || text, lang, source,
+             length('ins2 ' || text)
+        FROM cdc_final
+       WHERE lang IN ('de', 'fr') AND doc_id % 19 = 0)"""
+
   /** Shared oracle CTE: whitespace tokens of lowercased trimmed text
     * (mirrors Dedup.tokens ON THE HARNESS CORPUS, which is ASCII — there
     * the seam's segmentation regex is a pinned no-op; the multiscript
@@ -1191,6 +1214,52 @@ object ExtensionQueries {
         FROM bk a JOIN bk b
           ON a.band = b.band AND a.bucket_key = b.bucket_key
          AND a.doc_id < b.doc_id""")),
+
+    // Leakage-guarded train/val/test split: the md5 coin lands on the
+    // near-dup CLUSTER label, so a candidate pair can never straddle
+    // splits — eval contamination by near-duplicates of training docs is
+    // ruled out structurally (the failure mode of doc-keyed splits).
+    // Rolled per (split, source) with doc/cluster counts, char volume,
+    // and the manifest xor checksum.
+    QuerySpec(
+      "split_leakage_safe",
+      (s, dir) => Dedup.leakageSafeSplit(docs(s, dir)),
+      benchmark = false, // iterative clustering core, like dedup_clusters
+      oracle = Some(s"""
+        WITH RECURSIVE
+        $minhashCte,
+        bk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash) AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket_key = b.bucket_key
+           AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, node) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+        cl AS (SELECT src AS doc_id, min(node) AS cluster FROM reach GROUP BY src),
+        asg AS (
+          SELECT d.doc_id, d.source, d.n_chars, d.text, c.cluster,
+                 ('0x' || substring(md5('split:' || CAST(c.cluster AS VARCHAR)),
+                   1, 8))::BIGINT % 100 AS coin
+            FROM documents d JOIN cl c ON d.doc_id = c.doc_id)
+        SELECT CASE WHEN coin < 80 THEN 'train'
+                    WHEN coin < 90 THEN 'val' ELSE 'test' END AS split,
+               source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT cluster) AS n_clusters,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+          FROM asg GROUP BY 1, 2""")),
 
     // Lexical-vs-semantic decision diff: MinHash candidate pairs vs
     // embedding-cosine near-dup pairs, full-outer rolled into counts +
@@ -4762,6 +4831,42 @@ object ExtensionQueries {
       Some("""
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE lang = 'de' AND doc_id % 10 = 3""")),
+
+    // Merge-on-read: the SAME day-1 delta as io_cdc_upsert, but ingested
+    // as an op-tagged log (zero snapshot bytes rewritten) and resolved
+    // at read time — tombstone anti-join broadcast, latest images
+    // unioned in. Manifested per (lang, source) so the hash proves the
+    // read-side merge lands on the identical corpus state the COW path
+    // rewrote physically: one delta, both cost placements, one truth.
+    QuerySpec(
+      "io_cdc_mor",
+      (s, dir) => Cdc.morManifest(s, docs(s, dir), scratchPath("mor", dir)),
+      Some("WITH " + cdcFinalCte + """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final GROUP BY lang, source"""),
+      benchmark = true),
+
+    // The full MOR lifecycle: day-1 log, day-2 log DERIVED FROM the
+    // day-1-resolved view (feeds reflect current state), then compaction
+    // folds both into the base (staged partition rewrite, log dropped)
+    // and the manifest reads merge-free. The oracle chains two from-
+    // scratch merges, so one hash match proves append × latest-day-wins
+    // resolution × compaction compose to the sequential merge semantics.
+    QuerySpec(
+      "io_cdc_log_compact",
+      (s, dir) => Cdc.morCompacted(s, docs(s, dir), scratchPath("morc", dir)),
+      Some("WITH " + cdcFinal2Cte + """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final2 GROUP BY lang, source"""),
+      benchmark = true),
 
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion

@@ -39,6 +39,43 @@ object Cdc {
 
   private val insIdOffset = 1000000L
 
+  /** One day's synthetic delta arithmetic: which keys delete
+    * (`doc_id % delMod == 0`), which update (`% updMod`, minus the
+    * delete overlap — delete beats update), which seed inserts
+    * (`% insMod`, re-keyed `+ insOffset`, so a row can seed an update
+    * AND an insert under different keys). Day 1 and day 2 are the same
+    * machine with different moduli/tags, which is what lets the DuckDB
+    * oracle chain the two days as two copies of one CTE shape.
+    */
+  final case class DeltaRules(delMod: Long, updMod: Long, insMod: Long,
+      tag: String, insTag: String, insOffset: Long)
+
+  val day1Rules: DeltaRules = DeltaRules(11L, 7L, 13L, "cdc1", "ins", insIdOffset)
+
+  /** Day-2 moduli are coprime to day 1's so every op×op succession
+    * (update-then-delete, insert-then-update, …) occurs on the corpus.
+    */
+  val day2Rules: DeltaRules = DeltaRules(17L, 5L, 19L, "cdc2", "ins2", 2000000L)
+
+  private def deletesBy(batch: DataFrame, r: DeltaRules): DataFrame =
+    batch.where(col("doc_id") % r.delMod === 0).select("doc_id")
+
+  private def updatesBy(batch: DataFrame, r: DeltaRules): DataFrame =
+    batch
+      .where(col("doc_id") % r.updMod === 0 && col("doc_id") % r.delMod =!= 0)
+      .select(col("doc_id"),
+        concat(lit(r.tag + " "), col("text")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private def insertsBy(batch: DataFrame, r: DeltaRules): DataFrame =
+    batch
+      .where(col("doc_id") % r.insMod === 0)
+      .select((col("doc_id") + r.insOffset).as("doc_id"),
+        concat(lit(r.insTag + " "), col("text")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   /** The day's CDC batch, derived from the corpus in ONE pruned pass and
     * materialized (`localCheckpoint`) so the op derivations below never
     * re-scan the corpus — the operator-cost accounting treats this frame
@@ -51,33 +88,20 @@ object Cdc {
       .localCheckpoint()
 
   /** Delete keys: every 11th id in the batch. Deletes win over updates
-    * on overlap (the `% 11 <> 0` guard in [[updates]]).
+    * on overlap (the delete-mod guard in [[updates]]).
     */
-  def deletes(batch: DataFrame): DataFrame =
-    batch.where(col("doc_id") % 11 === 0).select("doc_id")
+  def deletes(batch: DataFrame): DataFrame = deletesBy(batch, day1Rules)
 
   /** Update rows (full new image, as a CDC feed ships them): every 7th
     * id not deleted; text re-written, n_chars recomputed from it.
     */
-  def updates(batch: DataFrame): DataFrame =
-    batch
-      .where(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
-      .select(col("doc_id"),
-        concat(lit("cdc1 "), col("text")).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+  def updates(batch: DataFrame): DataFrame = updatesBy(batch, day1Rules)
 
   /** Insert rows: every 13th id, re-keyed above the live range (a row
     * can seed both an update and an insert — they land under different
     * keys).
     */
-  def inserts(batch: DataFrame): DataFrame =
-    batch
-      .where(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + insIdOffset).as("doc_id"),
-        concat(lit("ins "), col("text")).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+  def inserts(batch: DataFrame): DataFrame = insertsBy(batch, day1Rules)
 
   /** Write the lang-partitioned base snapshot — the "yesterday" state
     * the merge maintains.
@@ -194,5 +218,145 @@ object Cdc {
         (col("n_docs") + coalesce(col("dd"), lit(0L))).as("n_docs"),
         (col("sum_chars") + coalesce(col("dc"), lit(0L))).as("sum_chars"),
         col("fp_xor").bitwiseXOR(coalesce(col("dx"), lit(0L))).as("fp_xor"))
+  }
+
+  // ---- merge-on-read --------------------------------------------------
+
+  /** One day's delta as an op-tagged log-row set — the second merge
+    * strategy's write side. D rows carry the key with a NULL image; U/I
+    * rows carry the full new image. Within a day the three key sets are
+    * disjoint by derivation (delete beats update; inserts are re-keyed
+    * above every live id), so a key has at most one log row per day and
+    * cross-day resolution reduces to latest-day-wins.
+    */
+  def logEntries(batch: DataFrame, rules: DeltaRules): DataFrame = {
+    val nullImage = Seq("text", "lang", "source").foldLeft(
+      deletesBy(batch, rules).withColumn("op", lit("D"))) {
+        (df, c) => df.withColumn(c, lit(null).cast("string"))
+      }.withColumn("n_chars", lit(null).cast("long"))
+    nullImage
+      .unionByName(updatesBy(batch, rules).withColumn("op", lit("U")))
+      .unionByName(insertsBy(batch, rules).withColumn("op", lit("I")))
+      .select("op", "doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Append one day's log under `logPath/day=<day>` — the merge-on-read
+    * write path: |delta| bytes written, ZERO snapshot bytes read or
+    * rewritten. The whole point of MOR vs [[cowUpsert]]: ingest is
+    * delta-priced, and every reader pays the merge until
+    * [[compactMorLogs]] folds the log down.
+    */
+  def appendMorLog(
+      batch: DataFrame, rules: DeltaRules, logPath: String, day: Int): Unit =
+    logEntries(batch, rules)
+      .write.mode("overwrite").parquet(s"$logPath/day=$day")
+
+  /** The read-side merge: resolve base + log to the current row set
+    * WITHOUT touching the base files. Per key, the latest log day wins
+    * (at most one row per key per day, so `row_number` over the LOG —
+    * never the base — is total); D tombstones drop the key, U/I images
+    * replace/add it. The log-key anti-join against the base is an
+    * explicit broadcast: at 100 TB the base scan is the unavoidable MOR
+    * read cost, but the merge adds zero shuffles of base rows (PlanSpec
+    * pins the broadcast anti-join).
+    */
+  def morRead(
+      spark: SparkSession, basePath: String, logPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.read.parquet(basePath)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val log = spark.read.parquet(logPath)
+    val latest = log
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("day").cast("int").desc)))
+      .where(col("rn") === 1)
+    base.join(broadcast(latest.select("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(latest.where(col("op") =!= "D")
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  /** Fold the accumulated log into the base — MOR's deferred
+    * copy-on-write. Only the partitions the log touches are rewritten
+    * (the [[mergeDelta]] staged-swap discipline: stage, rename, clean
+    * partitions byte-untouched), then the log directory is dropped, so
+    * subsequent reads are merge-free. The dirty-partition read of the
+    * resolved view is partition-pruned like the COW path's.
+    */
+  def compactMorLogs(
+      spark: SparkSession, basePath: String, logPath: String): Unit = {
+    val staging = s"$basePath.compact"
+    morRead(spark, basePath, logPath)
+      .where(col("lang").isin(dirtyLangs: _*))
+      .write.mode("overwrite").partitionBy("lang").parquet(staging)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(basePath).getFileSystem(conf)
+    dirtyLangs.foreach { l =>
+      val live = new org.apache.hadoop.fs.Path(s"$basePath/lang=$l")
+      val staged = new org.apache.hadoop.fs.Path(s"$staging/lang=$l")
+      fs.delete(live, true)
+      require(fs.rename(staged, live),
+        s"log-compaction swap failed for partition lang=$l")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(new org.apache.hadoop.fs.Path(logPath), true)
+  }
+
+  /** Streaming CDC ingest: every arriving micro-batch of op-tagged log
+    * rows commits as one MOR log generation (`day=<batchId>`, mode
+    * overwrite — a checkpoint replay of the same batch id rewrites the
+    * same directory, so the commit is idempotent: the ExactlyOnceParquet
+    * discipline without a marker because the directory IS the marker).
+    * A live feed thus lands with ZERO base rewrites; readers run the
+    * same [[morRead]], whose latest-day-wins resolution makes the
+    * stream's monotone batch ids the commit order; [[compactMorLogs]]
+    * folds the accumulated generations down on whatever cadence the
+    * deployment chooses. CdcSpec pins stream-ingested ≡ batch-merged on
+    * a replayed delta.
+    */
+  def morLogStream(delta: DataFrame, logPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    delta.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$logPath/day=$batchId")
+      }
+
+  /** Registered merge-on-read form: base + day-1 log, resolved at read
+    * time, manifested per (lang, source). Hash-matches the COW oracle's
+    * corpus state — same delta, opposite cost placement (zero-rewrite
+    * ingest, merge-paying read).
+    */
+  def morManifest(spark: SparkSession, docs: DataFrame, scratch: String)
+      : DataFrame = {
+    val base = s"$scratch/base"
+    val log = s"$scratch/log"
+    writeSnapshot(docs, base)
+    appendMorLog(feed(docs), day1Rules, log, day = 1)
+    Governance.releaseManifestBy(
+      morRead(spark, base, log), "lang", "source")
+  }
+
+  /** Registered two-day lifecycle: base + day-1 log + day-2 log (derived
+    * from the day-1 RESOLVED view, the way a real feed reflects current
+    * state), then compaction folds both into the base and the manifest
+    * is read merge-free. The oracle recomputes both day merges from
+    * scratch, so the hash match proves log append × latest-day-wins
+    * resolution × compaction all compose to exactly the two sequential
+    * merges.
+    */
+  def morCompacted(spark: SparkSession, docs: DataFrame, scratch: String)
+      : DataFrame = {
+    val base = s"$scratch/base"
+    val log = s"$scratch/log"
+    writeSnapshot(docs, base)
+    appendMorLog(feed(docs), day1Rules, log, day = 1)
+    val feed2 = morRead(spark, base, log)
+      .where(col("lang").isin(dirtyLangs: _*))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint()
+    appendMorLog(feed2, day2Rules, log, day = 2)
+    compactMorLogs(spark, base, log)
+    Governance.releaseManifestBy(
+      spark.read.parquet(base), "lang", "source")
   }
 }

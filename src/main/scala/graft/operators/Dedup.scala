@@ -624,6 +624,47 @@ object Dedup {
         col("best.qs").as("qs"), col("n_members"))
   }
 
+  /** Leakage-guarded split assignment: train/val/test as a pure function
+    * of the near-dup CLUSTER label ([[nearDupClusters]]), not the doc —
+    * an md5 coin on the cluster id buckets 80/10/10. Because every
+    * MinHash candidate pair is by construction inside one cluster, and
+    * the whole cluster shares one coin, a near-dup pair can NEVER
+    * straddle splits — eval contamination by near-duplicates of training
+    * docs is ruled out structurally rather than filtered after the fact
+    * (the standard failure of doc-hash splits, where two near-identical
+    * crawls of a page land in train and test).
+    *
+    * Scale: the clustering is the existing log-round CC; the assignment
+    * adds one scan-side hash on the label. Deterministic — the split is
+    * reproducible from the corpus alone, no RNG state to ship.
+    */
+  def splitAssignments(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    nearDupClusters(docs, k, rowsPerBand)
+      .withColumn("coin",
+        conv(substring(md5(concat(lit("split:"), col("cluster").cast("string"))),
+          1, 8), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("coin") < 80, "train")
+          .when(col("coin") < 90, "val").otherwise("test"))
+      .select("doc_id", "cluster", "split")
+
+  /** The registered rollup of [[splitAssignments]]: per (split, source)
+    * doc and cluster counts, char volume, and the release-manifest xor
+    * checksum — the record a training run pins its data split with.
+    * Shares the clustering core's benchmark=false flag.
+    */
+  def leakageSafeSplit(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    docs.join(splitAssignments(docs, k, rowsPerBand), "doc_id")
+      .select(col("split"), col("source"), col("cluster"), col("n_chars"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("split"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(cast(conv(substring(fp, 1, 15), 16, 10) as bigint))")
+          .as("fp_xor"))
+
   /** Substring-level dedup signal (the Lee et al. "Deduplicating Training
     * Data Makes Language Models Better" pass, re-expressed relationally):
     * hash every w-token window at the given stride, find windows that

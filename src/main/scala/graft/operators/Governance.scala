@@ -205,15 +205,15 @@ object Governance {
   def releaseManifest(docs: DataFrame): DataFrame =
     releaseManifestBy(docs, "source")
 
-  /** [[releaseManifest]] grouped by an arbitrary key column — the same
+  /** [[releaseManifest]] grouped by arbitrary key columns — the same
     * integrity record sliced by partition key instead of source (the
     * form [[graft.operators.Cdc.cowUpsert]] publishes per rewritten
-    * partition).
+    * partition, or (lang, source) for the merge-on-read manifests).
     */
-  def releaseManifestBy(docs: DataFrame, keyCol: String): DataFrame =
-    docs.select(col(keyCol),
-      TextAnalysis.fingerprint(col("text")).as("fp"), col("n_chars"))
-      .groupBy(col(keyCol))
+  def releaseManifestBy(docs: DataFrame, keyCols: String*): DataFrame =
+    docs.select(keyCols.map(col) ++ Seq(
+      TextAnalysis.fingerprint(col("text")).as("fp"), col("n_chars")): _*)
+      .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),

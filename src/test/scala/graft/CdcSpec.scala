@@ -88,6 +88,112 @@ class CdcSpec extends GraftSpec {
     assert(ivm("s1")._1 === 7L && ivm("s2")._1 === 1L)
   }
 
+  // day-1 final state of `fixture` — what both merge strategies must
+  // produce (asserted row-by-row in the COW test above)
+  private val day1Final = Set(
+    (1L, "alpha one", "en", 9L),
+    (2L, "beta two", "en", 99L),
+    (3L, "gamma three", "de", 11L),
+    (7L, "cdc1 delta seven", "de", 16L),
+    (13L, "zeta thirteen", "de", 13L),
+    (1000013L, "ins zeta thirteen", "de", 17L),
+    (91L, "cdc1 theta ninetyone", "fr", 20L),
+    (1000091L, "ins theta ninetyone", "fr", 19L))
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+      r.getAs[String]("lang"), r.getAs[Long]("n_chars"))).toSet
+
+  test("merge-on-read: resolved view equals the COW state, base files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mor").toString
+    val (base, log) = (s"$dir/base", s"$dir/log")
+    Cdc.writeSnapshot(fixture, base)
+    def listing(lang: String) =
+      new java.io.File(s"$base/lang=$lang").listFiles()
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = Cdc.dirtyLangs.map(listing) :+ listing("en")
+    Cdc.appendMorLog(Cdc.feed(fixture), Cdc.day1Rules, log, day = 1)
+    assert(rowSet(Cdc.morRead(spark, base, log)) === day1Final)
+    // MOR's contract: the read-side merge landed on the COW state while
+    // EVERY base file — dirty languages included — stayed untouched
+    assert((Cdc.dirtyLangs.map(listing) :+ listing("en")) === before)
+  }
+
+  // extra rows exercising the day-2 rules (del %17, upd %5, ins %19) and
+  // the op successions: day1-update→day2-update (35), day1-insert→day2-
+  // update of the inserted key (65 → 1000065), day2 delete (85), day2
+  // insert seeding while the seed row survives (19)
+  private def fixture2 = fixture.union(Seq(
+    (85L, "kappa eightyfive", "de", "s2", 16L),
+    (10L, "lambda ten", "de", "s1", 10L),
+    (19L, "mu nineteen", "fr", "s2", 11L),
+    (35L, "nu thirtyfive", "fr", "s1", 13L),
+    (65L, "xi sixtyfive", "de", "s2", 12L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("two-day MOR log: latest day wins; compaction folds it and drops the log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_morc").toString
+    val (base, log) = (s"$dir/base", s"$dir/log")
+    Cdc.writeSnapshot(fixture2, base)
+    def enListing() =
+      new java.io.File(s"$base/lang=en").listFiles()
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val enBefore = enListing()
+    Cdc.appendMorLog(Cdc.feed(fixture2), Cdc.day1Rules, log, day = 1)
+    val feed2 = Cdc.morRead(spark, base, log)
+      .where(org.apache.spark.sql.functions.col("lang")
+        .isin(Cdc.dirtyLangs: _*))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint()
+    Cdc.appendMorLog(feed2, Cdc.day2Rules, log, day = 2)
+    val day2Final = day1Final ++ Set(
+      (10L, "cdc2 lambda ten", "de", 15L),
+      (65L, "cdc2 xi sixtyfive", "de", 17L),
+      (1000065L, "cdc2 ins xi sixtyfive", "de", 21L),
+      (19L, "mu nineteen", "fr", 11L),
+      (35L, "cdc2 cdc1 nu thirtyfive", "fr", 23L),
+      (2000019L, "ins2 mu nineteen", "fr", 16L),
+      // 1000065 ≡ 0 (mod 19): the day-1-INSERTED key both updates and
+      // seeds a fresh day-2 insert — the full succession matrix
+      (3000065L, "ins2 ins xi sixtyfive", "de", 21L))
+    // 85 deleted day 2; day-1 images of 10/65/35 superseded by day 2
+    assert(rowSet(Cdc.morRead(spark, base, log)) === day2Final)
+    Cdc.compactMorLogs(spark, base, log)
+    // merge-free read of the compacted base gives the same rows; the
+    // clean partition was never rewritten; the log is gone
+    assert(rowSet(spark.read.parquet(base)) === day2Final)
+    assert(enListing() === enBefore)
+    assert(!new java.io.File(log).exists())
+  }
+
+  test("streaming CDC ingest: micro-batched log commits resolve to the batch merge") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_morstream").toString
+    val (base, log) = (s"$dir/base", s"$dir/log")
+    Cdc.writeSnapshot(fixture, base)
+    val entries = Cdc.logEntries(Cdc.feed(fixture), Cdc.day1Rules).collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"),
+        Option(r.getAs[java.lang.Long]("n_chars")).map(_.longValue)))
+    // replay the day's delta as three interleaved micro-batches — the
+    // shape a live feed actually arrives in
+    val batches = entries.groupBy(_._2 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    assert(batches.size >= 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, String, String, String, Option[Long])]
+    val q = Cdc.morLogStream(
+      input.toDF().toDF("op", "doc_id", "text", "lang", "source", "n_chars"),
+      log).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // three log generations landed; the same morRead resolves them to
+    // exactly the batch merge's final state
+    assert(new java.io.File(log).listFiles().count(_.getName.startsWith("day=")) === batches.size)
+    assert(rowSet(Cdc.morRead(spark, base, log)) === day1Final)
+  }
+
   test("bloom lookup: scan pruned to the bloom's candidate partitions, result complete") {
     val scratch = java.nio.file.Files.createTempDirectory("graft_bloom").toString
     val df = StorageLayout.bloomLookup(spark, fixture, scratch)

@@ -210,6 +210,31 @@ class DedupSpec extends GraftSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("leakage-safe split: no candidate pair straddles splits; rollup conserves docs") {
+    // 40 two-doc near-dup clusters whose members' doc_ids are far apart —
+    // the exact shape where a doc-keyed coin WOULD scatter pairs across
+    // splits; the cluster-keyed coin must never
+    val rows = (0L until 40L).flatMap { c =>
+      val t = s"cluster $c shares one body of words long enough to shingle into many grams $c"
+      Seq((c, t, "s1", t.length.toLong), (c + 1000L, t, "s2", t.length.toLong))
+    }
+    val docs = rows.toDF("doc_id", "text", "source", "n_chars")
+    val asg = Dedup.splitAssignments(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val pairs = Dedup.minhashCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(asg(a) === asg(b), s"near-dup pair ($a, $b) straddles splits")
+    }
+    // non-vacuous: the deterministic coin does produce multiple splits
+    assert(asg.values.toSet.size >= 2, asg.values.toSet.toString)
+    val roll = Dedup.leakageSafeSplit(docs).collect()
+    assert(roll.map(_.getAs[Long]("n_docs")).sum === 80L)
+    assert(roll.map(_.getAs[Long]("sum_chars")).sum ===
+      rows.map(_._4).sum)
+  }
+
   test("connected components: chain graph converges in O(log n) rounds") {
     // The adversarial shape for plain min-label propagation: a single
     // chain 0-1-2-...-63 has diameter 63, so propagation alone needs ~63

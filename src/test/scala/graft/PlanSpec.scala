@@ -738,6 +738,20 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("PushedFilters: [In(lang"), p)
   }
 
+  test("MOR read: tombstone anti-join broadcasts the log keys, base rows never shuffle") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_morplan").toString
+    val docs = Tables.load(spark, sf, "documents")
+    graft.operators.Cdc.writeSnapshot(docs, s"$tmp/base")
+    graft.operators.Cdc.appendMorLog(
+      graft.operators.Cdc.feed(docs), graft.operators.Cdc.day1Rules,
+      s"$tmp/log", day = 1)
+    val p = fplan(graft.operators.Cdc.morRead(spark, s"$tmp/base", s"$tmp/log"))
+    // the merge's only join is log-keys-broadcast anti against the base
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("bloom point lookup: partition filter from the blooms, needles pushed to parquet") {
     val p = fplan(Registry.queries("io_bloom_lookup")(spark, sf))
     val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
