@@ -67,6 +67,40 @@ object ExtensionQueries {
         FROM documents
        WHERE lang IN ('de', 'fr') AND doc_id % 13 = 0)"""
 
+  /** Oracle twin of [[graft.operators.StorageLayout.zorderKeyed]]: exact
+    * 16-bit quantization over the min/max bounds, then the magic-number
+    * Morton interleave ladder — identical BIGINT arithmetic on both
+    * engines, so bucket ids (and everything derived from them) are
+    * bit-equal by construction.
+    */
+  private val zorderCtes = """
+    bounds AS (
+      SELECT CAST(min(l_partkey) AS BIGINT) AS mn_a,
+             CAST(max(l_partkey) AS BIGINT) AS mx_a,
+             CAST(min(l_suppkey) AS BIGINT) AS mn_b,
+             CAST(max(l_suppkey) AS BIGINT) AS mx_b
+      FROM lineitem),
+    q AS (
+      SELECT l_orderkey,
+             ((l_partkey - mn_a) * 65536) // (mx_a - mn_a + 1) AS qa,
+             ((l_suppkey - mn_b) * 65536) // (mx_b - mn_b + 1) AS qb
+      FROM lineitem, bounds),
+    m1 AS (SELECT l_orderkey, qa, qb,
+                  (qa | (qa << 8)) & 16711935 AS sa,
+                  (qb | (qb << 8)) & 16711935 AS sb FROM q),
+    m2 AS (SELECT l_orderkey, qa, qb,
+                  (sa | (sa << 4)) & 252645135 AS sa,
+                  (sb | (sb << 4)) & 252645135 AS sb FROM m1),
+    m3 AS (SELECT l_orderkey, qa, qb,
+                  (sa | (sa << 2)) & 858993459 AS sa,
+                  (sb | (sb << 2)) & 858993459 AS sb FROM m2),
+    m4 AS (SELECT l_orderkey, qa, qb,
+                  (sa | (sa << 1)) & 1431655765 AS sa,
+                  (sb | (sb << 1)) & 1431655765 AS sb FROM m3),
+    bkt AS (SELECT l_orderkey, qa, qb,
+                   (sa | (sb << 1)) >> 26 AS zbucket,
+                   qa >> 10 AS lbucket FROM m4)"""
+
   /** Day 2 of the CDC lifecycle: the same merge shape applied ON TOP of
     * [[cdcFinalCte]]'s output (a real feed reflects current state, so
     * day-2 rows are derived from the day-1-resolved view), with day-2
@@ -4751,6 +4785,79 @@ object ExtensionQueries {
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
           GROUP BY 1)
         SELECT n_items, COUNT(*) AS n_orders FROM per GROUP BY 1""")),
+
+    // Z-order data-skipping gauge: same rows, same bucket count, two
+    // layouts (Morton-interleaved vs single-column sort); zone maps per
+    // bucket price a 10%x10% two-dimensional box predicate. Pure
+    // deterministic arithmetic, so the oracle hash-matches the admitted
+    // bucket counts, the rows each layout forces a scan to read, and the
+    // skipped-bytes bp — the multi-dimensional-clustering payoff as a
+    // verified number instead of a claim.
+    QuerySpec(
+      "io_zorder_gauge",
+      (s, dir) => StorageLayout.zorderSkippingGauge(
+        Tables.load(s, dir, "lineitem")),
+      Some(s"""
+        WITH $zorderCtes
+        , zz AS (
+          SELECT zbucket AS bucket, min(qa) AS mna, max(qa) AS mxa,
+                 min(qb) AS mnb, max(qb) AS mxb, COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN qa BETWEEN 16384 AND 22937
+                           AND qb BETWEEN 16384 AND 22937
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+          FROM bkt GROUP BY 1),
+        zl AS (
+          SELECT lbucket AS bucket, min(qa) AS mna, max(qa) AS mxa,
+                 min(qb) AS mnb, max(qb) AS mxb, COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN qa BETWEEN 16384 AND 22937
+                           AND qb BETWEEN 16384 AND 22937
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+          FROM bkt GROUP BY 1),
+        roll AS (
+          SELECT 'zorder' AS layout, COUNT(*) AS n_buckets,
+                 CAST(SUM(CASE WHEN mxa >= 16384 AND mna <= 22937
+                           AND mxb >= 16384 AND mnb <= 22937
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+                 CAST(SUM(CASE WHEN mxa >= 16384 AND mna <= 22937
+                           AND mxb >= 16384 AND mnb <= 22937
+                          THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                 CAST(SUM(n_sel) AS BIGINT) AS rows_selected,
+                 CAST(SUM(n_rows) AS BIGINT) AS rows_total
+          FROM zz
+          UNION ALL
+          SELECT 'linear', COUNT(*),
+                 CAST(SUM(CASE WHEN mxa >= 16384 AND mna <= 22937
+                           AND mxb >= 16384 AND mnb <= 22937
+                          THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN mxa >= 16384 AND mna <= 22937
+                           AND mxb >= 16384 AND mnb <= 22937
+                          THEN n_rows ELSE 0 END) AS BIGINT),
+                 CAST(SUM(n_sel) AS BIGINT),
+                 CAST(SUM(n_rows) AS BIGINT)
+          FROM zl)
+        SELECT layout, n_buckets, n_admitted, rows_scanned, rows_selected,
+               rows_total,
+               (rows_total - rows_scanned) * 10000 // rows_total AS skip_bp
+        FROM roll""")),
+
+    // The physical Z-order leg: table written one directory per Z-cell,
+    // zone map rebuilt from the written data names the admitted cells,
+    // scan prunes to those directories with the box range pushed into
+    // parquet (PlanSpec pins both). Zone maps have no false negatives
+    // and the exact predicate rejects admitted extras, so the result
+    // hash-equals the plain-filter oracle — the layout only changes
+    // which bytes are read.
+    QuerySpec(
+      "io_zorder_lookup",
+      (s, dir) => StorageLayout.zorderLookup(
+        s, Tables.load(s, dir, "lineitem"), scratchPath("zorder", dir)),
+      Some(s"""
+        WITH $zorderCtes
+        SELECT (qa % 2 = 0) AS qa_even, COUNT(*) AS n_rows,
+               CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        FROM q
+        WHERE qa BETWEEN 16384 AND 22937 AND qb BETWEEN 16384 AND 22937
+        GROUP BY 1""")),
 
     // Partition-pruned round trip: corpus written partitioned by lang,
     // read back with a partition predicate that prunes directories

@@ -169,4 +169,139 @@ object StorageLayout {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
   }
+
+  // ---- Z-order clustering ---------------------------------------------
+
+  import org.apache.spark.sql.Column
+
+  /** Spread the low 16 bits of `x` to even bit positions (the classic
+    * magic-number interleave ladder) — exact BIGINT arithmetic on both
+    * engines, which is why the oracle can rebuild the identical codes.
+    */
+  private def spread16(x: Column): Column = {
+    val s1 = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit quantized dimensions. */
+  private def morton(qa: Column, qb: Column): Column =
+    spread16(qa).bitwiseOR(shiftleft(spread16(qb), 1))
+
+  /** Quantize two numeric columns to 16 bits each over their EXACT
+    * min/max (one bounds agg, broadcast back — the scalar-broadcast
+    * idiom, never a driver constant that would go stale), and attach
+    * both cluster keys: `zbucket` = top `bucketBits` of the Morton code
+    * (the Z-order layout) and `lbucket` = top bits of dimension A alone
+    * (the single-column sort layout every naive pipeline ships with).
+    * Carrying BOTH keys on the same rows is what makes the gauge an
+    * apples-to-apples comparison.
+    */
+  private[graft] def zorderKeyed(
+      df: DataFrame, colA: String, colB: String,
+      bucketBits: Int): DataFrame = {
+    val bounds = df.agg(
+      min(col(colA)).cast("long").as("mn_a"), max(col(colA)).cast("long").as("mx_a"),
+      min(col(colB)).cast("long").as("mn_b"), max(col(colB)).cast("long").as("mx_b"))
+    val q = df.crossJoin(broadcast(bounds))
+      .withColumn("qa", expr(
+        s"(($colA - mn_a) * 65536) div (mx_a - mn_a + 1)"))
+      .withColumn("qb", expr(
+        s"(($colB - mn_b) * 65536) div (mx_b - mn_b + 1)"))
+    q.withColumn("zbucket", shiftright(morton(col("qa"), col("qb")),
+        32 - bucketBits))
+      .withColumn("lbucket", shiftright(col("qa"), 16 - bucketBits))
+      .drop("mn_a", "mx_a", "mn_b", "mx_b")
+  }
+
+  /** The box predicate both gauge and lookup share: the middle
+    * 25%–35% band of each quantized dimension — a 10% × 10% selection,
+    * the shape (two range predicates on different columns) that
+    * single-column sorting fundamentally cannot serve and
+    * multi-dimensional clustering exists for.
+    */
+  private val boxLo = 16384L
+  private val boxHi = 22937L
+
+  private def inBox: Column =
+    col("qa").between(boxLo, boxHi) && col("qb").between(boxLo, boxHi)
+
+  /** Data-skipping gauge: per layout (Z-order vs single-column sort,
+    * SAME bucket count, same rows), build each bucket's zone map
+    * (min/max of both quantized dims — what a table format keeps per
+    * file) and price the box predicate: how many buckets the zone maps
+    * admit, and how many ROWS those buckets force the scan to read,
+    * vs the exact selection size. The numbers are pure relational
+    * arithmetic — deterministic, so the DuckDB oracle hash-matches them
+    * — and they ARE the 100 TB story: a 10%×10% box on a Z-ordered
+    * 8×8 grid admits the few intersected cells, while the 1-D sort
+    * admits every bucket in the dimension-A band and reads every
+    * dimension-B value inside it (and `skip_bp` says exactly how many
+    * bytes each layout leaves unread).
+    */
+  def zorderSkippingGauge(
+      lineitem: DataFrame, bucketBits: Int = 6): DataFrame = {
+    val keyed = zorderKeyed(
+      lineitem.select("l_orderkey", "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", bucketBits)
+      .withColumn("sel", when(inBox, 1L).otherwise(0L))
+      .localCheckpoint() // one corpus pass feeds both layout zone maps
+    def layout(bucket: String, name: String): DataFrame =
+      keyed.groupBy(col(bucket).as("bucket"))
+        .agg(min(col("qa")).as("mna"), max(col("qa")).as("mxa"),
+          min(col("qb")).as("mnb"), max(col("qb")).as("mxb"),
+          count(lit(1)).as("n_rows"), sum(col("sel")).as("n_sel"))
+        .select(lit(name).as("layout"), col("bucket"),
+          (col("mxa") >= boxLo && col("mna") <= boxHi &&
+            col("mxb") >= boxLo && col("mnb") <= boxHi).as("admitted"),
+          col("n_rows"), col("n_sel"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("admitted"), col("n_rows")).otherwise(0L))
+            .as("rows_scanned"),
+          sum(col("n_sel")).as("rows_selected"),
+          sum(col("n_rows")).as("rows_total"))
+        .withColumn("skip_bp", expr(
+          "(rows_total - rows_scanned) * 10000 div rows_total"))
+    layout("zbucket", "zorder").unionByName(layout("lbucket", "linear"))
+      .select("layout", "n_buckets", "n_admitted", "rows_scanned",
+        "rows_selected", "rows_total", "skip_bp")
+  }
+
+  /** The physical leg: write the table clustered by `zbucket` (one
+    * directory per Z-cell — the file boundary a clustered table format
+    * maintains), rebuild the zone map from the written data (the stats a
+    * format reads from footers, O(buckets) driver rows), let the zone
+    * map name the admitted buckets, and scan ONLY those directories with
+    * the box predicate pushed into parquet. Zone maps have no false
+    * negatives — a bucket holding a selected row must intersect the box
+    * — and the exact predicate rejects anything extra an admitted bucket
+    * carries, so the result hash-equals the plain-filter oracle; the
+    * layout only changes which bytes are read (PlanSpec pins the
+    * PartitionFilters and the pushed range).
+    */
+  def zorderLookup(
+      spark: SparkSession, lineitem: DataFrame, scratch: String,
+      bucketBits: Int = 6): DataFrame = {
+    val path = s"$scratch/li_z"
+    zorderKeyed(lineitem.select("l_orderkey", "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", bucketBits)
+      .write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    val clustered = spark.read.parquet(path)
+    val zones = clustered.groupBy(col("zbucket"))
+      .agg(min(col("qa")).as("mna"), max(col("qa")).as("mxa"),
+        min(col("qb")).as("mnb"), max(col("qb")).as("mxb"))
+      .collect()
+    val admitted = zones.filter { r =>
+      r.getAs[Long]("mxa") >= boxLo && r.getAs[Long]("mna") <= boxHi &&
+        r.getAs[Long]("mxb") >= boxLo && r.getAs[Long]("mnb") <= boxHi
+    }.map(r => r.getAs[Number]("zbucket").longValue).toSeq
+    clustered
+      .where(col("zbucket").isin(admitted: _*) && inBox)
+      .withColumn("qa_even", (col("qa") % 2) === 0)
+      .groupBy(col("qa_even"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_orderkey")).as("key_sum"))
+  }
 }

@@ -752,6 +752,16 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("zorder lookup: admitted cells prune directories, box range pushed to parquet") {
+    val p = fplan(Registry.queries("io_zorder_lookup")(spark, sf))
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    // the zone map's verdict arrives as directory pruning on the Z-cell
+    assert(pf.contains("zbucket"), p)
+    // and the exact box predicate reaches the parquet reader
+    assert(p.contains("GreaterThanOrEqual(qa,16384)"), p)
+    assert(p.contains("LessThanOrEqual(qb,22937)"), p)
+  }
+
   test("bloom point lookup: partition filter from the blooms, needles pushed to parquet") {
     val p = fplan(Registry.queries("io_bloom_lookup")(spark, sf))
     val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.StorageLayout
+import org.apache.spark.sql.functions.col
+
+/** Z-order clustering: Morton-code correctness against a bit-by-bit
+  * brute force, and the data-skipping gauge's invariants on the real
+  * corpus (no false negatives; the two layouts price the same
+  * selection; multi-dimensional clustering actually skips more).
+  */
+class StorageLayoutSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def bruteInterleave(a: Long, b: Long): Long =
+    (0 until 16).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+
+  test("zorder keys: engine Morton ladder equals the bit-by-bit brute force") {
+    // rows 0 and 65535 pin the quantization to the identity, so the raw
+    // values ARE the 16-bit inputs and the ladder is tested directly
+    val vals = Seq((0L, 0L), (65535L, 65535L), (12345L, 54321L),
+      (1L, 2L), (40000L, 3L), (32768L, 32767L), (21845L, 43690L))
+    val df = vals.toDF("a", "b")
+    val keyed = StorageLayout.zorderKeyed(df, "a", "b", 6)
+      .select("a", "b", "qa", "qb", "zbucket", "lbucket").collect()
+    keyed.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(r.getAs[Long]("qa") === a, s"quantization must be identity for $a")
+      assert(r.getAs[Long]("qb") === b)
+      assert(r.getAs[Long]("zbucket") === (bruteInterleave(a, b) >> 26),
+        s"morton mismatch at ($a, $b)")
+      assert(r.getAs[Long]("lbucket") === (a >> 10))
+    }
+  }
+
+  test("skipping gauge: same selection, zone maps complete, z-order skips more") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val g = StorageLayout.zorderSkippingGauge(li).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val (z, l) = (g("zorder"), g("linear"))
+    // both layouts bucket ALL rows and select the same exact rows
+    assert(z.getAs[Long]("rows_total") === l.getAs[Long]("rows_total"))
+    assert(z.getAs[Long]("rows_selected") === l.getAs[Long]("rows_selected"))
+    assert(z.getAs[Long]("rows_selected") > 0L)
+    // zone maps have no false negatives: admitted rows cover the selection
+    assert(z.getAs[Long]("rows_scanned") >= z.getAs[Long]("rows_selected"))
+    assert(l.getAs[Long]("rows_scanned") >= l.getAs[Long]("rows_selected"))
+    // the point of the layout: the 2-D box reads strictly fewer rows
+    // under Morton clustering than under the single-column sort
+    assert(z.getAs[Long]("rows_scanned") < l.getAs[Long]("rows_scanned"),
+      s"z=${z.getAs[Long]("rows_scanned")} l=${l.getAs[Long]("rows_scanned")}")
+  }
+
+  test("zorder lookup equals the unclustered filter, rows drawn only from admitted cells") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_zl").toString
+    val got = StorageLayout.zorderLookup(spark, li, scratch).collect()
+      .map(r => r.getAs[Boolean]("qa_even") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("key_sum")))).toMap
+    val expected = StorageLayout.zorderKeyed(
+      li.select("l_orderkey", "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", 6)
+      .where(col("qa").between(16384L, 22937L) &&
+        col("qb").between(16384L, 22937L))
+      .withColumn("qa_even", (col("qa") % 2) === 0)
+      .groupBy("qa_even")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(col("l_orderkey")).as("key_sum"))
+      .collect()
+      .map(r => r.getAs[Boolean]("qa_even") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("key_sum")))).toMap
+    assert(got === expected)
+  }
+}
