@@ -4975,6 +4975,43 @@ object ExtensionQueries {
         FROM cdc_final2 GROUP BY lang, source"""),
       benchmark = true),
 
+    // Manifest-backed versioning (time travel): v0 is the snapshot;
+    // each commit writes ONLY the dirty partitions' new files plus a
+    // manifest that carries the clean partitions' file entries VERBATIM
+    // from the parent manifest — zero data copied, the same physical
+    // files shared by every version that didn't touch them (CdcSpec
+    // pins path identity). With all three versions live, each as-of
+    // read is manifested per lang; the oracle recomputes every
+    // version's corpus state from scratch (documents / day-1 merge /
+    // chained day-2 merge), so one hash proves both directions of the
+    // versioning contract: commits land exactly the sequential merge
+    // states, AND no commit disturbs a prior version's read.
+    QuerySpec(
+      "io_cdc_time_travel",
+      (s, dir) => Cdc.timeTravelManifest(s, docs(s, dir), scratchPath("tt", dir)),
+      Some("WITH " + cdcFinal2Cte + """
+        SELECT 0 AS version, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 1 AS version, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final GROUP BY lang
+        UNION ALL
+        SELECT 2 AS version, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final2 GROUP BY lang"""),
+      benchmark = true),
+
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion
     // neighborhoods over the DISTINCT entity table (never all-pairs, and

@@ -131,6 +131,30 @@ class CdcSpec extends GraftSpec {
     (65L, "xi sixtyfive", "de", "s2", 12L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars"))
 
+  // day-1 final state of `fixture2`: day1Final plus the extra rows after
+  // the day-1 rules (35 updated, 65 seeds an insert, 85/10/19 untouched)
+  private val day1FinalF2 = day1Final ++ Set(
+    (85L, "kappa eightyfive", "de", 16L),
+    (10L, "lambda ten", "de", 10L),
+    (19L, "mu nineteen", "fr", 11L),
+    (35L, "cdc1 nu thirtyfive", "fr", 18L),
+    (65L, "xi sixtyfive", "de", 12L),
+    (1000065L, "ins xi sixtyfive", "de", 16L))
+
+  // day-2 final state of `fixture2` (chained on day 1) — shared by the
+  // compaction test and the time-travel version-2 read
+  private val day2Final = day1Final ++ Set(
+    (10L, "cdc2 lambda ten", "de", 15L),
+    (65L, "cdc2 xi sixtyfive", "de", 17L),
+    (1000065L, "cdc2 ins xi sixtyfive", "de", 21L),
+    (19L, "mu nineteen", "fr", 11L),
+    (35L, "cdc2 cdc1 nu thirtyfive", "fr", 23L),
+    (2000019L, "ins2 mu nineteen", "fr", 16L),
+    // 1000065 ≡ 0 (mod 19): the day-1-INSERTED key both updates and
+    // seeds a fresh day-2 insert — the full succession matrix
+    (3000065L, "ins2 ins xi sixtyfive", "de", 21L))
+  // 85 deleted day 2; day-1 images of 10/65/35 superseded by day 2
+
   test("two-day MOR log: latest day wins; compaction folds it and drops the log") {
     val dir = java.nio.file.Files.createTempDirectory("graft_morc").toString
     val (base, log) = (s"$dir/base", s"$dir/log")
@@ -146,17 +170,6 @@ class CdcSpec extends GraftSpec {
       .select("doc_id", "text", "lang", "source", "n_chars")
       .localCheckpoint()
     Cdc.appendMorLog(feed2, Cdc.day2Rules, log, day = 2)
-    val day2Final = day1Final ++ Set(
-      (10L, "cdc2 lambda ten", "de", 15L),
-      (65L, "cdc2 xi sixtyfive", "de", 17L),
-      (1000065L, "cdc2 ins xi sixtyfive", "de", 21L),
-      (19L, "mu nineteen", "fr", 11L),
-      (35L, "cdc2 cdc1 nu thirtyfive", "fr", 23L),
-      (2000019L, "ins2 mu nineteen", "fr", 16L),
-      // 1000065 ≡ 0 (mod 19): the day-1-INSERTED key both updates and
-      // seeds a fresh day-2 insert — the full succession matrix
-      (3000065L, "ins2 ins xi sixtyfive", "de", 21L))
-    // 85 deleted day 2; day-1 images of 10/65/35 superseded by day 2
     assert(rowSet(Cdc.morRead(spark, base, log)) === day2Final)
     Cdc.compactMorLogs(spark, base, log)
     // merge-free read of the compacted base gives the same rows; the
@@ -210,5 +223,32 @@ class CdcSpec extends GraftSpec {
     assert(pf.contains("de"), p)
     assert(!pf.contains("en"), p)
     assert(p.contains("PushedFilters: [In(doc_id"), p)
+  }
+
+  test("time travel: three live versions, clean files shared verbatim across manifests") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/store"
+    Cdc.versionedInit(spark, fixture2, root)
+    Cdc.versionedMerge(spark, root, 0, 1, Cdc.day1Rules)
+    Cdc.versionedMerge(spark, root, 1, 2, Cdc.day2Rules)
+    // every version stays readable AFTER later commits, each exactly its
+    // day's sequential merge state — snapshot isolation in both directions
+    assert(rowSet(Cdc.readVersion(spark, root, 0)) === rowSet(fixture2))
+    assert(rowSet(Cdc.readVersion(spark, root, 1)) === day1FinalF2)
+    assert(rowSet(Cdc.readVersion(spark, root, 2)) === day2Final)
+    def manifest(v: Int): Map[String, Set[String]] =
+      spark.read.parquet(s"$root/m/v=$v").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+        .groupBy(_._1).map { case (l, ps) => l -> ps.map(_._2).toSet }
+    val (m0, m1, m2) = (manifest(0), manifest(1), manifest(2))
+    // zero-copy contract: the clean partition's file entries are carried
+    // VERBATIM — v0, v1, v2 all point at the SAME physical en files
+    assert(m1("en") === m0("en"))
+    assert(m2("en") === m0("en"))
+    // while each commit gave the dirty partitions fresh files (no
+    // version ever mutates a file another version points at)
+    Cdc.dirtyLangs.foreach { l =>
+      assert((m1(l) & m0(l)).isEmpty, s"v1 reused a v0 $l file")
+      assert((m2(l) & m1(l)).isEmpty, s"v2 reused a v1 $l file")
+    }
   }
 }
