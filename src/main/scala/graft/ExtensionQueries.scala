@@ -5012,6 +5012,26 @@ object ExtensionQueries {
         FROM cdc_final2 GROUP BY lang"""),
       benchmark = true),
 
+    // Retention + vacuum: the back half of the versioning lifecycle —
+    // v0/v1 expired, every data file no surviving manifest references
+    // physically deleted (refcount over manifest ROWS, not directories:
+    // the clean-partition files v2 shares with the expired v0 survive
+    // the sweep, v0's superseded dirty files and the whole intermediate
+    // d1 generation go — CdcSpec pins both directions). The manifest is
+    // computed AFTER the sweep from what physically remains, so the
+    // hash proves vacuum deleted nothing the live version references.
+    QuerySpec(
+      "io_cdc_vacuum",
+      (s, dir) => Cdc.vacuumedManifest(s, docs(s, dir), scratchPath("vac", dir)),
+      Some("WITH " + cdcFinal2Cte + """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final2 GROUP BY lang"""),
+      benchmark = true),
+
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion
     // neighborhoods over the DISTINCT entity table (never all-pairs, and

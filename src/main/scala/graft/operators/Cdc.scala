@@ -400,6 +400,65 @@ object Cdc {
       .select("version", "lang", "n_docs", "sum_chars", "fp_xor")
   }
 
+  /** Expire versions and vacuum: drop the manifests not in `keep`, then
+    * delete every data file no surviving manifest references. The
+    * refcount is over MANIFEST rows, not directories — a file written
+    * for v0 but still pointed at by v2's manifest (the zero-copy clean-
+    * partition share) survives, while v0's superseded dirty files and
+    * the whole d1 generation of an expired intermediate version go.
+    * This is the GC contract a table format needs once commits share
+    * files: collect the live path set (metadata-sized, one driver pass
+    * over |files| manifest rows), sweep the data directories against
+    * it. CdcSpec pins both directions — shared files kept, orphans
+    * physically deleted — and that the surviving version's read is
+    * byte-identical after the sweep.
+    */
+  def expireVersions(
+      spark: SparkSession, root: String, keep: Seq[Int]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(conf)
+    val keepSet = keep.toSet
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/m")).foreach { st =>
+      val v = st.getPath.getName.stripPrefix("v=").toInt
+      if (!keepSet(v)) fs.delete(st.getPath, true)
+    }
+    val live: Set[String] = keep.flatMap { v =>
+      spark.read.parquet(s"$root/m/v=$v").collect().map(_.getString(1))
+    }.toSet
+    fs.listStatus(rootP).filter(_.getPath.getName.startsWith("d")).foreach {
+      gen =>
+        fs.listStatus(gen.getPath)
+          .filter(_.getPath.getName.startsWith("lang=")).foreach { part =>
+            fs.listStatus(part.getPath)
+              .filter(f => f.getPath.getName.startsWith("part-") &&
+                !live(f.getPath.toString))
+              .foreach(f => fs.delete(f.getPath, false))
+            if (fs.listStatus(part.getPath)
+                .forall(!_.getPath.getName.startsWith("part-")))
+              fs.delete(part.getPath, true)
+          }
+        if (fs.listStatus(gen.getPath).isEmpty) fs.delete(gen.getPath, true)
+    }
+  }
+
+  /** Registered vacuum query: the full retention lifecycle — three
+    * versions committed, v0/v1 expired, the store vacuumed, THEN the
+    * surviving version manifested from what physically remains. The
+    * oracle recomputes the day-2 corpus state from scratch, so the hash
+    * proves the sweep deleted nothing v2 still references (including
+    * the clean-partition files v2 shares with the expired v0 — the
+    * refcount case a directory-level GC would get wrong).
+    */
+  def vacuumedManifest(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    versionedInit(spark, docs, scratch)
+    versionedMerge(spark, scratch, 0, 1, day1Rules)
+    versionedMerge(spark, scratch, 1, 2, day2Rules)
+    expireVersions(spark, scratch, keep = Seq(2))
+    Governance.releaseManifestBy(readVersion(spark, scratch, 2), "lang")
+  }
+
   /** Streaming CDC ingest: every arriving micro-batch of op-tagged log
     * rows commits as one MOR log generation (`day=<batchId>`, mode
     * overwrite — a checkpoint replay of the same batch id rewrites the

@@ -251,4 +251,36 @@ class CdcSpec extends GraftSpec {
       assert((m2(l) & m1(l)).isEmpty, s"v2 reused a v1 $l file")
     }
   }
+
+  test("vacuum: manifest-row refcount — shared files survive, orphans deleted") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString + "/store"
+    Cdc.versionedInit(spark, fixture2, root)
+    Cdc.versionedMerge(spark, root, 0, 1, Cdc.day1Rules)
+    Cdc.versionedMerge(spark, root, 1, 2, Cdc.day2Rules)
+    def manifestPaths(v: Int): Map[String, Set[String]] =
+      spark.read.parquet(s"$root/m/v=$v").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+        .groupBy(_._1).map { case (l, ps) => l -> ps.map(_._2).toSet }
+    val m0 = manifestPaths(0)
+    val m2 = manifestPaths(2)
+    Cdc.expireVersions(spark, root, keep = Seq(2))
+    def exists(p: String) = new java.io.File(new java.net.URI(p).getPath).exists
+    // expired manifests gone, the survivor intact
+    assert(!new java.io.File(s"$root/m/v=0").exists())
+    assert(!new java.io.File(s"$root/m/v=1").exists())
+    assert(new java.io.File(s"$root/m/v=2").exists())
+    // the refcount case a directory-level GC gets wrong: v0's en files
+    // are still referenced by v2's manifest — they MUST survive the sweep
+    assert(m0("en").forall(exists), "vacuum deleted a file v2 still references")
+    // while v0's superseded dirty files are physically gone
+    Cdc.dirtyLangs.foreach { l =>
+      assert(m0(l).forall(p => !exists(p)), s"v0 $l orphan survived the sweep")
+    }
+    // the whole intermediate d1 generation is unreferenced — gone too
+    assert(!new java.io.File(s"$root/d1/lang=de").exists())
+    assert(!new java.io.File(s"$root/d1/lang=fr").exists())
+    // every file v2 references is still there, and the read is unchanged
+    assert(m2.values.flatten.forall(exists))
+    assert(rowSet(Cdc.readVersion(spark, root, 2)) === day2Final)
+  }
 }
