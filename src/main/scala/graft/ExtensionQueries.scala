@@ -5032,6 +5032,31 @@ object ExtensionQueries {
         FROM cdc_final2 GROUP BY lang"""),
       benchmark = true),
 
+    // Schema evolution: gen-1 files lack the n_toks column gen-2 files
+    // carry; ONE mergeSchema read unions both generations NULL-filling
+    // the old files — the add-a-column contract without rewriting
+    // history (the 100 TB point: backfill costs a footer-schema union,
+    // not a corpus rewrite). count(n_toks) vs count(*) separates the
+    // physical column from the NULL backfill; the oracle recomputes the
+    // same split from the unsplit table, so the hash pins the merged-
+    // schema NULL-fill semantics end to end.
+    QuerySpec(
+      "io_schema_evolution",
+      (s, dir) => StorageLayout.schemaEvolution(
+        s, docs(s, dir), scratchPath("schevo", dir)),
+      Some("""
+        WITH t AS (
+          SELECT lang,
+                 CASE WHEN doc_id % 2 = 1
+                      THEN CAST(len(string_split_regex(
+                             lower(trim(text)), '\s+')) AS BIGINT)
+                 END AS n_toks
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs, COUNT(n_toks) AS n_with_toks,
+               CAST(SUM(COALESCE(n_toks, 0)) AS BIGINT) AS sum_toks
+        FROM t GROUP BY lang"""),
+      benchmark = true),
+
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion
     // neighborhoods over the DISTINCT entity table (never all-pairs, and

@@ -75,6 +75,36 @@ object StorageLayout {
     Governance.releaseManifest(back)
   }
 
+  /** Schema evolution: generation-1 files carry (doc_id, lang, source,
+    * n_chars); generation-2 files ADD a computed n_toks column. One
+    * mergeSchema read unions both generations, NULL-filling the old
+    * files' missing column — the add-a-column contract a table format
+    * provides without rewriting history (at 100 TB, rewriting every
+    * historical file to backfill one column is exactly the cost this
+    * avoids; readers pay only a footer-schema union). The aggregate
+    * separates rows where the column physically exists (count(n_toks))
+    * from the NULL backfill, and sums the coalesced values, so the hash
+    * pins Spark's merged-schema NULL-fill semantics against a
+    * from-scratch recompute on the unsplit table.
+    */
+  def schemaEvolution(
+      spark: SparkSession, docs: DataFrame, root: String): DataFrame = {
+    docs.where(col("doc_id") % 2 === 0)
+      .select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$root/g1")
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_toks"))
+      .write.mode("overwrite").parquet(s"$root/g2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/g1", s"$root/g2")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("n_toks")).as("n_with_toks"),
+        sum(coalesce(col("n_toks"), lit(0L))).as("sum_toks"))
+  }
+
   /** Compact a partitioned parquet artifact into ONE sorted file per
     * partition directory — the maintenance move every append-only index
     * here eventually needs (each append batch adds a file set per touched

@@ -73,4 +73,29 @@ class StorageLayoutSpec extends GraftSpec {
         ((r.getAs[Long]("n_rows"), r.getAs[Long]("key_sum")))).toMap
     assert(got === expected)
   }
+
+  test("schema evolution: merged read NULL-fills the old generation only") {
+    val docs = Seq(
+      (2L, "alpha beta", "en", "s1", 10L),
+      (4L, "gamma", "en", "s1", 5L),
+      (3L, "one two three", "en", "s2", 13L),
+      (5L, "x y", "de", "s1", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("graft_schevo").toString
+    val got = StorageLayout.schemaEvolution(spark, docs, root).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_with_toks"),
+          r.getAs[Long]("sum_toks")))).toMap
+    // en: docs 2,4 (old gen, NULL n_toks) + doc 3 (new gen, 3 tokens);
+    // de: doc 5 (new gen, 2 tokens)
+    assert(got === Map("en" -> ((3L, 1L, 3L)), "de" -> ((1L, 1L, 2L))))
+    // the physical contract: gen-1 files genuinely lack the column and
+    // the merged read resurfaces it as NULL for exactly those rows
+    assert(!spark.read.parquet(s"$root/g1").columns.contains("n_toks"))
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/g1", s"$root/g2")
+    val nullIds = merged.where(col("n_toks").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nullIds === Set(2L, 4L))
+  }
 }
