@@ -5057,6 +5057,42 @@ object ExtensionQueries {
         FROM t GROUP BY lang"""),
       benchmark = true),
 
+    // Right-to-be-forgotten purge: ~1% of doc ids removed from EVERY
+    // live version — the one legitimate history rewrite. One pass over
+    // the distinct manifest-named file set tags affected files; only
+    // those are rewritten (originals physically deleted — the bytes
+    // must be GONE, not unreferenced) and a shared file is rewritten
+    // ONCE, so versions stay consistent and the untouched files' zero-
+    // copy sharing survives (CdcSpec pins path identity). The oracle
+    // recomputes each version WITH the purge filter, so one hash proves
+    // exactly the requested rows vanished from all of history and
+    // nothing else moved.
+    QuerySpec(
+      "io_cdc_rtbf",
+      (s, dir) => Cdc.rtbfManifest(s, docs(s, dir), scratchPath("rtbf", dir)),
+      Some("WITH " + cdcFinal2Cte + """
+        SELECT 0 AS version, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM documents WHERE doc_id % 101 <> 7 GROUP BY lang
+        UNION ALL
+        SELECT 1 AS version, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final WHERE doc_id % 101 <> 7 GROUP BY lang
+        UNION ALL
+        SELECT 2 AS version, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final2 WHERE doc_id % 101 <> 7 GROUP BY lang"""),
+      benchmark = true),
+
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion
     // neighborhoods over the DISTINCT entity table (never all-pairs, and

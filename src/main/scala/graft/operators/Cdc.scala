@@ -459,6 +459,101 @@ object Cdc {
     Governance.releaseManifestBy(readVersion(spark, scratch, 2), "lang")
   }
 
+  /** Right-to-be-forgotten purge: remove every row with
+    * `doc_id % purgeMod == purgeRes` from EVERY live version — the one
+    * operation that legitimately rewrites history. The cost discipline:
+    * ONE pass over the DISTINCT file set named by the live manifests
+    * tags the affected files (`input_file_name`); only those are
+    * rewritten (minus the purged rows) and their originals physically
+    * deleted — the purged bytes must be GONE, not merely unreferenced.
+    * Unaffected files keep their manifest entries verbatim, so the
+    * zero-copy sharing survives the purge (CdcSpec pins path identity
+    * for the untouched partition). Every manifest is then rewritten
+    * with old→new path substitution, and because a shared file is
+    * rewritten ONCE, all versions referencing it stay consistent. At
+    * 100 TB the affected-file tagging is what a bloom/zone index
+    * prunes; the rewrite set is bounded by where the purged ids
+    * actually live, not by corpus size.
+    */
+  def rtbfPurge(
+      spark: SparkSession, root: String, versions: Seq[Int],
+      purgeMod: Long, purgeRes: Long): Unit = {
+    import spark.implicits._
+    def norm(s: String): String = new java.net.URI(s).getPath
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val entries: Seq[(Int, Array[(String, String)])] = versions.map { v =>
+      v -> spark.read.parquet(s"$root/m/v=$v").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+    }
+    val distinctPaths = entries.flatMap(_._2.map(_._2)).distinct
+    val affected: Set[String] = spark.read.parquet(distinctPaths: _*)
+      .where(col("doc_id") % purgeMod === purgeRes)
+      .select(input_file_name()).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    // rewrite ALL affected files in ONE job: rows keyed back to their
+    // source file (dir/name is unique — one write job never emits two
+    // files with the same part index, distinct jobs have distinct UUIDs),
+    // repartitioned so each replacement directory gets exactly one file.
+    // A fully-purged file yields no output directory and its manifest
+    // entries simply drop — the data is gone, so is the pointer.
+    def tail2(p: String): String = p.split('/').takeRight(2).mkString("/")
+    val affectedPaths = distinctPaths.filter(p => affected(norm(p))).sorted
+    val key2idx: Map[String, Int] = affectedPaths.map(tail2).zipWithIndex.toMap
+    require(key2idx.size == affectedPaths.size,
+      "ambiguous dir/name file keys in the purge rewrite")
+    if (affectedPaths.nonEmpty) {
+      // broadcast-joined key table, not a literal map expression: at
+      // corpus scale the affected-file list is hundreds of entries and a
+      // giant literal would trip the 64 KB codegen fallback
+      val keys = affectedPaths.map(p => (tail2(p), key2idx(tail2(p))))
+        .toDF("fkey", "fidx")
+      spark.read.parquet(affectedPaths: _*)
+        .where(col("doc_id") % purgeMod =!= purgeRes)
+        .withColumn("fkey",
+          regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+        .join(broadcast(keys), Seq("fkey")).drop("fkey")
+        .repartition(col("fidx"))
+        .write.mode("overwrite").partitionBy("fidx").parquet(s"$root/purge")
+    }
+    val renames: Map[String, Option[String]] = affectedPaths.map { p =>
+      norm(p) ->
+        partFiles(spark, s"$root/purge/fidx=${key2idx(tail2(p))}").headOption
+    }.toMap
+    affectedPaths.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    entries.foreach { case (v, rows) =>
+      rows.flatMap { case (lang, p) =>
+        renames.get(norm(p)) match {
+          case Some(replacement) => replacement.map((lang, _))
+          case None => Some((lang, p))
+        }
+      }.toSeq.toDF("lang", "path")
+        .write.mode("overwrite").parquet(s"$root/m/v=$v")
+    }
+  }
+
+  /** Registered RTBF query: three versions committed, then ~1% of doc
+    * ids purged from all of them, then every version manifested from
+    * what physically remains. The oracle recomputes each version's
+    * state from scratch WITH the purge filter applied, so one hash
+    * proves the purge removed exactly the requested rows from every
+    * version and disturbed nothing else — including the untouched
+    * clean-partition files all three manifests still share.
+    */
+  def rtbfManifest(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    versionedInit(spark, docs, scratch)
+    versionedMerge(spark, scratch, 0, 1, day1Rules)
+    versionedMerge(spark, scratch, 1, 2, day2Rules)
+    rtbfPurge(spark, scratch, Seq(0, 1, 2), 101L, 7L)
+    (0 to 2).map { v =>
+      Governance.releaseManifestBy(readVersion(spark, scratch, v), "lang")
+        .withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select("version", "lang", "n_docs", "sum_chars", "fp_xor")
+  }
+
   /** Streaming CDC ingest: every arriving micro-batch of op-tagged log
     * rows commits as one MOR log generation (`day=<batchId>`, mode
     * overwrite — a checkpoint replay of the same batch id rewrites the

@@ -283,4 +283,50 @@ class CdcSpec extends GraftSpec {
     assert(m2.values.flatten.forall(exists))
     assert(rowSet(Cdc.readVersion(spark, root, 2)) === day2Final)
   }
+
+  test("rtbf purge: ids gone from all of history, untouched files still shared") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtbf").toString + "/store"
+    Cdc.versionedInit(spark, fixture2, root)
+    Cdc.versionedMerge(spark, root, 0, 1, Cdc.day1Rules)
+    Cdc.versionedMerge(spark, root, 1, 2, Cdc.day2Rules)
+    def manifest(v: Int): Map[String, Set[String]] =
+      spark.read.parquet(s"$root/m/v=$v").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+        .groupBy(_._1).map { case (l, ps) => l -> ps.map(_._2).toSet }
+    val before = (0 to 2).map(manifest)
+    // purge doc_id ≡ 0 (mod 7): hits every version, every dirty lang, and
+    // the day-1 insert 1000013 (= 7·142859) — re-keyed rows purge too
+    Cdc.rtbfPurge(spark, root, Seq(0, 1, 2), 7L, 0L)
+    val after = (0 to 2).map(manifest)
+    def purged(s: Set[(Long, String, String, Long)]) = s.filter(_._1 % 7 != 0)
+    // exactly the requested rows vanished from EVERY version's read
+    assert(rowSet(Cdc.readVersion(spark, root, 0)) === purged(rowSet(fixture2)))
+    assert(rowSet(Cdc.readVersion(spark, root, 1)) === purged(day1FinalF2))
+    assert(rowSet(Cdc.readVersion(spark, root, 2)) === purged(day2Final))
+    // en holds ids 1 and 2 — unaffected, so its file entries are carried
+    // VERBATIM through the purge and remain SHARED by all three versions
+    (0 to 2).foreach(v => assert(after(v)("en") === before(v)("en")))
+    // the rewrite is MINIMAL: only files containing purged ids are
+    // replaced (unaffected part-files keep their entries verbatim), every
+    // replaced original is physically gone (bytes deleted, not merely
+    // unreferenced), every live entry exists, and each dirty partition —
+    // which holds a purged id somewhere — saw at least one replacement
+    def exists(p: String) = new java.io.File(new java.net.URI(p).getPath).exists
+    Cdc.dirtyLangs.foreach { l =>
+      (0 to 2).foreach { v =>
+        val (b, a) = (before(v)(l), after(v)(l))
+        assert((b -- a).nonEmpty, s"v$v $l: no file was replaced")
+        assert((b -- a).forall(p => !exists(p)), s"v$v $l original survived")
+        assert((b & a).forall(exists), s"v$v $l carried-over entry missing")
+        assert(a.forall(exists), s"v$v $l live entry missing")
+      }
+    }
+    // each affected original was rewritten at most once (one replacement
+    // file per fidx directory; a fully-purged original drops its entries
+    // with no replacement at all)
+    def dirtySet(ms: Seq[Map[String, Set[String]]]) =
+      ms.flatMap(m => Cdc.dirtyLangs.flatMap(m(_))).toSet
+    assert((dirtySet(after) -- dirtySet(before)).size <=
+      (dirtySet(before) -- dirtySet(after)).size)
+  }
 }
