@@ -5093,6 +5093,32 @@ object ExtensionQueries {
         FROM cdc_final2 WHERE doc_id % 101 <> 7 GROUP BY lang"""),
       benchmark = true),
 
+    // Incremental consumption: the change feed between two versions,
+    // computed from the MANIFEST diff — only files exactly one version
+    // references are opened; the clean partitions both manifests share
+    // verbatim are never read (the reason the engine's scope and the
+    // oracle's dirty-lang filter agree). A downstream consumer pays
+    // |changed files|, not a corpus scan; the pruning costs one driver
+    // pass over two metadata-sized manifests.
+    QuerySpec(
+      "io_cdc_incremental",
+      (s, dir) => Cdc.incrementalManifest(
+        s, docs(s, dir), scratchPath("incr", dir)),
+      Some("WITH " + cdcFinalCte + """,
+        o AS (SELECT doc_id, lang, text FROM documents
+              WHERE lang IN ('de', 'fr')),
+        n AS (SELECT doc_id, lang, text FROM cdc_final
+              WHERE lang IN ('de', 'fr')),
+        j AS (SELECT COALESCE(o.lang, n.lang) AS lang,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'deleted'
+                          WHEN o.text <> n.text THEN 'changed'
+                          ELSE 'same' END AS status
+              FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        SELECT lang, status, COUNT(*) AS n_docs
+        FROM j GROUP BY lang, status"""),
+      benchmark = true),
+
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion
     // neighborhoods over the DISTINCT entity table (never all-pairs, and

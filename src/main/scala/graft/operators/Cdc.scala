@@ -459,6 +459,56 @@ object Cdc {
     Governance.releaseManifestBy(readVersion(spark, scratch, 2), "lang")
   }
 
+  /** Incremental consumption between two versions: the MANIFEST diff
+    * names the files only one version references (retired vs fresh);
+    * the row-level change feed is computed by reading ONLY those — the
+    * clean partitions both manifests share verbatim are never opened.
+    * That is the incremental-consumer contract at 100 TB: a downstream
+    * reader pays |changed files|, not a corpus scan, and the file-set
+    * pruning costs one driver pass over two metadata-sized manifests.
+    * The full-outer join classifying added/deleted/changed/same is
+    * dirty-partition-sized for the same reason.
+    */
+  def incrementalDiff(
+      spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
+    def manifestRows(v: Int): Seq[(String, String)] =
+      spark.read.parquet(s"$root/m/v=$v").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    val mOld = manifestRows(fromV)
+    val mNew = manifestRows(toV)
+    def readSet(rows: Seq[(String, String)]): DataFrame =
+      rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ps) =>
+        spark.read.parquet(ps.map(_._2): _*)
+          .select(col("doc_id"), lit(lang).as("lang"), col("text"))
+      }.reduce(_ unionByName _)
+    val o = readSet(mOld.diff(mNew))
+    val n = readSet(mNew.diff(mOld))
+    o.withColumnRenamed("lang", "o_lang").withColumnRenamed("text", "o_text")
+      .join(n, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("o_lang"), col("lang")).as("lang"),
+        when(col("o_text").isNull, lit("added"))
+          .when(col("text").isNull, lit("deleted"))
+          .when(col("o_text") =!= col("text"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
+      .groupBy("lang", "status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Registered incremental read: commit v1 on v0, then emit the change
+    * feed from the manifest diff. The oracle full-outer joins the two
+    * from-scratch version states over the dirty languages — the engine
+    * never reads the clean partitions at all (their manifest entries are
+    * identical, so the diff is empty there), which is exactly why the
+    * scopes agree.
+    */
+  def incrementalManifest(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    versionedInit(spark, docs, scratch)
+    versionedMerge(spark, scratch, 0, 1, day1Rules)
+    incrementalDiff(spark, scratch, 0, 1)
+  }
+
   /** Right-to-be-forgotten purge: remove every row with
     * `doc_id % purgeMod == purgeRes` from EVERY live version — the one
     * operation that legitimately rewrites history. The cost discipline:

@@ -329,4 +329,25 @@ class CdcSpec extends GraftSpec {
     assert((dirtySet(after) -- dirtySet(before)).size <=
       (dirtySet(before) -- dirtySet(after)).size)
   }
+
+  test("incremental read: manifest-diff change feed, clean partitions never opened") {
+    val root = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/store"
+    Cdc.versionedInit(spark, fixture2, root)
+    Cdc.versionedMerge(spark, root, 0, 1, Cdc.day1Rules)
+    val got = Cdc.incrementalDiff(spark, root, 0, 1).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("status")) ->
+        r.getAs[Long]("n_docs")).toMap
+    // hand-derived from fixture2 + day-1 rules: de deletes 11, updates 7,
+    // inserts 1000013/1000065; fr deletes 22/77, updates 91/35, inserts
+    // 1000091 — and the same count of untouched rows ride the partition
+    // rewrite as 'same' (they are IN the rewritten files)
+    assert(got === Map(
+      ("de", "added") -> 2L, ("de", "deleted") -> 1L,
+      ("de", "changed") -> 1L, ("de", "same") -> 5L,
+      ("fr", "added") -> 1L, ("fr", "deleted") -> 2L,
+      ("fr", "changed") -> 2L, ("fr", "same") -> 1L))
+    // the clean partition's manifest entries are identical across the two
+    // versions, so the diff's file set — and the feed — cannot contain en
+    assert(!got.keySet.map(_._1).contains("en"))
+  }
 }
