@@ -5119,6 +5119,27 @@ object ExtensionQueries {
         FROM j GROUP BY lang, status"""),
       benchmark = true),
 
+    // Write-audit-publish: the day-1 merge staged on a branch manifest
+    // (durable, auditable, invisible to version readers), gated by an
+    // audit over the STAGED as-of read (no parent language may vanish),
+    // then published by ONE metadata rename into the version namespace.
+    // The oracle is the from-scratch merge, so the hash proves the
+    // staged-then-renamed commit is byte-identical to a direct one —
+    // the gate added safety, not drift. CdcSpec drives the abort path:
+    // a feed that empties both dirty languages is rejected, main's
+    // chain untouched, the branch gone.
+    QuerySpec(
+      "io_cdc_wap",
+      (s, dir) => Cdc.wapManifest(s, docs(s, dir), scratchPath("wap", dir)),
+      Some("WITH " + cdcFinalCte + """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final GROUP BY lang, source"""),
+      benchmark = true),
+
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion
     // neighborhoods over the DISTINCT entity table (never all-pairs, and

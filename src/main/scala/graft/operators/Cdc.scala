@@ -338,8 +338,15 @@ object Cdc {
     * their files, which commits never mutate (copy-on-write + rename).
     */
   def readVersion(
-      spark: SparkSession, root: String, v: Int): DataFrame = {
-    val manifest = spark.read.parquet(s"$root/m/v=$v")
+      spark: SparkSession, root: String, v: Int): DataFrame =
+    readManifest(spark, s"$root/m/v=$v")
+
+  /** As-of read through an arbitrary manifest path (a published version
+    * or a staged WAP branch): the manifest names the files, the scan
+    * unions one pruned file-list read per partition value.
+    */
+  def readManifest(spark: SparkSession, manifestPath: String): DataFrame = {
+    val manifest = spark.read.parquet(manifestPath)
       .collect().map(r => r.getString(0) -> r.getString(1))
     manifest.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, rows) =>
       spark.read.parquet(rows.map(_._2): _*).withColumn("lang", lit(lang))
@@ -358,9 +365,21 @@ object Cdc {
     */
   def versionedMerge(
       spark: SparkSession, root: String, fromV: Int, toV: Int,
-      rules: DeltaRules): Unit = {
+      rules: DeltaRules): Unit =
+    mergeCommit(spark, s"$root/m/v=$fromV", s"$root/d$toV",
+      s"$root/m/v=$toV", rules)
+
+  /** The commit core shared by published versions and staged WAP
+    * branches: apply one day's rules to the parent manifest's as-of
+    * dirty-partition view, write the rewritten partitions to `dataDir`,
+    * and write a manifest = parent's clean rows VERBATIM + the fresh
+    * files.
+    */
+  private def mergeCommit(
+      spark: SparkSession, fromManifest: String, dataDir: String,
+      toManifest: String, rules: DeltaRules): Unit = {
     import spark.implicits._
-    val cur = readVersion(spark, root, fromV)
+    val cur = readManifest(spark, fromManifest)
       .where(col("lang").isin(dirtyLangs: _*))
       .select("doc_id", "text", "lang", "source", "n_chars")
     val batch = cur.localCheckpoint()
@@ -370,14 +389,14 @@ object Cdc {
     batch.join(changed, Seq("doc_id"), "left_anti")
       .unionByName(updatesBy(batch, rules).select(cols: _*))
       .unionByName(insertsBy(batch, rules).select(cols: _*))
-      .write.mode("overwrite").partitionBy("lang").parquet(s"$root/d$toV")
-    val parent = spark.read.parquet(s"$root/m/v=$fromV")
+      .write.mode("overwrite").partitionBy("lang").parquet(dataDir)
+    val parent = spark.read.parquet(fromManifest)
     val fresh = dirtyLangs
-      .flatMap(l => partFiles(spark, s"$root/d$toV/lang=$l").map((l, _)))
+      .flatMap(l => partFiles(spark, s"$dataDir/lang=$l").map((l, _)))
       .toDF("lang", "path")
     parent.where(!col("lang").isin(dirtyLangs: _*))
       .unionByName(fresh)
-      .write.mode("overwrite").parquet(s"$root/m/v=$toV")
+      .write.mode("overwrite").parquet(toManifest)
   }
 
   /** Registered time-travel query: build v0 → v1 (day-1 rules) → v2
@@ -507,6 +526,86 @@ object Cdc {
     versionedInit(spark, docs, scratch)
     versionedMerge(spark, scratch, 0, 1, day1Rules)
     incrementalDiff(spark, scratch, 0, 1)
+  }
+
+  // ---- write-audit-publish --------------------------------------------
+
+  /** Stage the next commit on a BRANCH: same merge core as a published
+    * version, but the manifest lands at `m/b_<branch>` — outside the
+    * `v=` namespace readers resolve — so the staged data is durable and
+    * auditable while completely invisible to consumers of the version
+    * chain.
+    */
+  def wapStage(
+      spark: SparkSession, root: String, fromV: Int, branch: String,
+      rules: DeltaRules): Unit =
+    mergeCommit(spark, s"$root/m/v=$fromV", s"$root/db_$branch",
+      s"$root/m/b_$branch", rules)
+
+  /** Audit the staged branch before anyone can read it: every language
+    * present in the parent version must survive with documents and
+    * characters — the guard against a bad feed (or a bad rules bug)
+    * silently wiping a partition. The audit reads STAGED data through
+    * the branch manifest, exactly what a consumer would see after
+    * publish.
+    */
+  def wapAudit(
+      spark: SparkSession, root: String, fromV: Int,
+      branch: String): Boolean = {
+    val staged = Governance
+      .releaseManifestBy(readManifest(spark, s"$root/m/b_$branch"), "lang")
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars")))).toMap
+    val parentLangs = spark.read.parquet(s"$root/m/v=$fromV")
+      .select("lang").distinct().collect().map(_.getString(0))
+    parentLangs.forall(l =>
+      staged.get(l).exists { case (n, c) => n > 0 && c > 0 })
+  }
+
+  /** Audit-then-finalize: on pass, publishing is ONE metadata rename of
+    * the branch manifest into the version namespace (the data files were
+    * already durable — this is the atomic commit point); on fail, the
+    * branch manifest and its data directory are dropped and the version
+    * chain never saw the commit. Returns whether the branch published.
+    */
+  def wapFinalize(
+      spark: SparkSession, root: String, fromV: Int, branch: String,
+      toV: Int): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (wapAudit(spark, root, fromV, branch)) {
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$root/m/b_$branch"),
+        new org.apache.hadoop.fs.Path(s"$root/m/v=$toV")),
+        s"WAP publish rename failed for branch $branch")
+      true
+    } else {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/m/b_$branch"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/db_$branch"), true)
+      false
+    }
+  }
+
+  /** Registered WAP query: stage day 1 on a branch, audit the staged
+    * read, publish, and manifest the published version. The oracle is
+    * the from-scratch day-1 merge — the hash proves the staged-then-
+    * renamed commit is byte-identical to a direct one, i.e. the audit
+    * detour added durability and a gate without changing a single row.
+    */
+  def wapManifest(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    // the publish RENAME is not idempotent into a leftover m/v=1 from a
+    // prior rep (every other step is mode=overwrite) — start clean
+    val fs = new org.apache.hadoop.fs.Path(scratch)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    versionedInit(spark, docs, scratch)
+    wapStage(spark, scratch, 0, "day1", day1Rules)
+    require(wapFinalize(spark, scratch, 0, "day1", 1),
+      "WAP audit unexpectedly rejected the day-1 merge")
+    Governance.releaseManifestBy(readVersion(spark, scratch, 1),
+      "lang", "source")
   }
 
   /** Right-to-be-forgotten purge: remove every row with

@@ -350,4 +350,28 @@ class CdcSpec extends GraftSpec {
     // versions, so the diff's file set — and the feed — cannot contain en
     assert(!got.keySet.map(_._1).contains("en"))
   }
+
+  test("wap: staged commit invisible until published; bad feed aborted, main untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wap").toString + "/store"
+    Cdc.versionedInit(spark, fixture2, root)
+    // stage day 1 on a branch: durable and auditable, but m/v=1 absent —
+    // a version reader cannot see it
+    Cdc.wapStage(spark, root, 0, "day1", Cdc.day1Rules)
+    assert(!new java.io.File(s"$root/m/v=1").exists())
+    assert(rowSet(Cdc.readManifest(spark, s"$root/m/b_day1")) === day1FinalF2)
+    // audit passes (every parent lang survives) → publish = one rename
+    assert(Cdc.wapFinalize(spark, root, 0, "day1", 1))
+    assert(!new java.io.File(s"$root/m/b_day1").exists())
+    assert(rowSet(Cdc.readVersion(spark, root, 1)) === day1FinalF2)
+    // a feed that deletes EVERYTHING in the dirty langs and inserts
+    // nothing: the audit must reject it, and the abort must leave the
+    // version chain exactly as it was
+    val killRules = Cdc.DeltaRules(1L, 3L, 9999991L, "bad", "bad", 5000000L)
+    Cdc.wapStage(spark, root, 1, "day2", killRules)
+    assert(!Cdc.wapFinalize(spark, root, 1, "day2", 2))
+    assert(!new java.io.File(s"$root/m/v=2").exists())
+    assert(!new java.io.File(s"$root/m/b_day2").exists())
+    assert(!new java.io.File(s"$root/db_day2").exists())
+    assert(rowSet(Cdc.readVersion(spark, root, 1)) === day1FinalF2)
+  }
 }
