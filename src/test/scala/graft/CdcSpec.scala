@@ -374,4 +374,36 @@ class CdcSpec extends GraftSpec {
     assert(!new java.io.File(s"$root/db_day2").exists())
     assert(rowSet(Cdc.readVersion(spark, root, 1)) === day1FinalF2)
   }
+
+  test("streaming versioned commits: each micro-batch is one readable version") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_vstream").toString + "/store"
+    Cdc.versionedInit(spark, fixture2, root)
+    val entries = Cdc.partitionedLogEntries(Cdc.feed(fixture2), Cdc.day1Rules)
+      .collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"),
+        Option(r.getAs[java.lang.Long]("n_chars")).map(_.longValue)))
+    // partition-aware feed: even the delete images carry their lang
+    assert(entries.filter(_._1 == "D").forall(_._4 != null))
+    val batches = entries.groupBy(_._2 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    assert(batches.size === 3)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, String, String, String, Option[Long])]
+    val q = Cdc.versionedLogStream(
+      input.toDF().toDF("op", "doc_id", "text", "lang", "source", "n_chars"),
+      root).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // the live chain: v0 untouched, every intermediate version readable,
+    // and the final version equals the one-shot day-1 merge (the batch
+    // split partitions the day's ops by key, so sequential partial
+    // commits compose to the full merge)
+    assert(rowSet(Cdc.readVersion(spark, root, 0)) === rowSet(fixture2))
+    assert(rowSet(Cdc.readVersion(spark, root, 3)) === day1FinalF2)
+    val sizes = (0 to 3).map(v => rowSet(Cdc.readVersion(spark, root, v)).size)
+    assert(sizes.distinct.size > 1, "intermediate versions never moved")
+  }
 }
