@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Cdc, Dedup, EntityResolution, Governance, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, StorageLayout, TextAnalysis, TimeSeries}
+import graft.operators.{Cdc, Dedup, Dimensions, EntityResolution, Governance, Graphs, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, StorageLayout, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions.{col, max}
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
@@ -1202,6 +1202,29 @@ object ExtensionQueries {
           SELECT ent_id, ent_id FROM n
           UNION
           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)"""
+
+  /** Oracle twin of [[graft.Dimensions.scd2Dim]]: same-day
+    * collapse by `arg_max` over the unique order key, no-op-update
+    * suppression by `lag` compare, effective dating by `lead` — the
+    * exact window chain the engine runs, shared by the build and the
+    * temporal-join oracles.
+    */
+  private val scd2VerCte = """
+    ev AS (
+      SELECT o_custkey AS custkey, o_orderdate AS eff_from,
+             arg_max(o_orderpriority, o_orderkey) AS tier
+      FROM orders GROUP BY 1, 2),
+    chg AS (
+      SELECT custkey, eff_from, tier,
+             lag(tier) OVER (PARTITION BY custkey ORDER BY eff_from) AS prev
+      FROM ev),
+    ver AS (
+      SELECT custkey,
+             CAST(row_number() OVER w AS INT) AS version_no,
+             tier, eff_from,
+             lead(eff_from) OVER w AS eff_to
+      FROM chg WHERE prev IS NULL OR prev <> tier
+      WINDOW w AS (PARTITION BY custkey ORDER BY eff_from))"""
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -5447,6 +5470,188 @@ object ExtensionQueries {
                count(DISTINCT $c) AS n_distinct,
                TRUE AS within_bound
             FROM lineitem"""
-      }.mkString(" UNION ALL ")))
+      }.mkString(" UNION ALL "))),
+
+    // Optimistic concurrency on the versioned store: A and B stage from
+    // the same parent; A commits clean as v1, B's commit detects the
+    // interleaved v1 from manifest metadata alone, proves its write set
+    // disjoint, REBASES onto v1 and publishes as v2 with one rename; a
+    // third writer overlapping A's write set is rejected and the chain
+    // stays put. The oracle recomputes v1 (A's merge) and v2 (A's merge
+    // + B's merge of the partitions B read at v0) from scratch — the v2
+    // hash is the rebase theorem (concurrent-then-rebase ≡ serial
+    // A-then-B), v0/v1 hashing clean proves neither the rebase nor the
+    // rejected attempt disturbed history.
+    QuerySpec(
+      "io_cdc_concurrent",
+      (s, dir) => Cdc.concurrentManifest(
+        s, docs(s, dir), scratchPath("conc", dir)),
+      Some("WITH " + cdcFinalCte + """,
+        cdc_conc AS (
+          SELECT doc_id, text, lang, source, n_chars FROM cdc_final
+           WHERE lang <> 'es'
+          UNION ALL
+          SELECT doc_id, text, lang, source, n_chars FROM documents
+           WHERE lang = 'es' AND doc_id % 23 <> 0 AND doc_id % 3 <> 0
+          UNION ALL
+          SELECT doc_id, 'cdcb ' || text, lang, source,
+                 length('cdcb ' || text)
+            FROM documents
+           WHERE lang = 'es' AND doc_id % 3 = 0 AND doc_id % 23 <> 0
+          UNION ALL
+          SELECT doc_id + 3000000, 'insb ' || text, lang, source,
+                 length('insb ' || text)
+            FROM documents WHERE lang = 'es' AND doc_id % 29 = 0)
+        SELECT 0 AS version, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 1 AS version, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final GROUP BY lang
+        UNION ALL
+        SELECT 2 AS version, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_conc GROUP BY lang""")),
+
+    // SCD Type-2 dimension build: orders become per-customer profile-
+    // change events (priority = "current tier"); same-day events
+    // collapse via max_by over the unique order key, no-op updates are
+    // suppressed, survivors are effective-dated (eff_to NULL = current
+    // version). One shuffle on the customer key carries all three
+    // window steps.
+    QuerySpec(
+      "dim_scd2_build",
+      (s, dir) => Dimensions.scd2Dim(Tables.load(s, dir, "orders")),
+      Some("WITH " + scd2VerCte + """
+        SELECT custkey, version_no, tier, eff_from, eff_to FROM ver""")),
+
+    // SCD Type-2 temporal fact join: every lineitem priced under the
+    // dimension version in force AT ITS SHIP DATE (equi hash join on
+    // custkey, date range as residual — PlanSpec pins no nested-loop
+    // product). Every fact matches exactly one version: intervals tile
+    // [first event, ∞) and shipdate >= the customer's first event day.
+    QuerySpec(
+      "dim_scd2_asof",
+      (s, dir) => Dimensions.scd2FactJoin(
+        Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem")),
+      Some("WITH " + scd2VerCte + """
+        SELECT tier, CAST(year(l_shipdate) AS INT) AS yr,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))
+                 * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN ver ON o_custkey = custkey AND eff_from <= l_shipdate
+                AND (eff_to IS NULL OR l_shipdate < eff_to)
+        GROUP BY 1, 2""")),
+
+    // Declarative expectations gate: 11 constraints across three tables
+    // (not-null / accepted-values / range / ordering / unique /
+    // referential), each table's whole battery priced at ONE scan of
+    // conditional aggregates. Two constraints FAIL by design (orders
+    // also takes status 'P'; discount reaches 0.10 against an 8%
+    // policy bound) — the report proves the gate's failure path, not
+    // just its pass path.
+    QuerySpec(
+      "gov_expectations",
+      (s, dir) => Governance.expectationSuite(
+        Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem"),
+        docs(s, dir)),
+      Some("""
+        WITH raw AS (
+          SELECT 'orders' AS tab, 'o_custkey_not_null' AS check_name,
+                 'not_null' AS kind,
+                 CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+                   AS violations
+          FROM orders
+          UNION ALL
+          SELECT 'orders', 'o_orderstatus_in_o_f', 'accepted_values',
+                 COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F'))
+          FROM orders
+          UNION ALL
+          SELECT 'orders', 'o_totalprice_positive', 'range',
+                 COUNT(*) FILTER (WHERE NOT (o_totalprice > 0.0))
+          FROM orders
+          UNION ALL
+          SELECT 'orders', 'o_orderkey_unique', 'unique',
+                 COUNT(*) - COUNT(DISTINCT o_orderkey)
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem', 'l_quantity_1_to_50', 'range',
+                 COUNT(*) FILTER (WHERE l_quantity NOT BETWEEN 1.0 AND 50.0)
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem', 'l_discount_max_8pct', 'range',
+                 COUNT(*) FILTER (WHERE l_discount NOT BETWEEN 0.0 AND 0.08)
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem', 'l_ship_after_order_epoch', 'ordering',
+                 COUNT(*) FILTER (WHERE l_shipdate < TIMESTAMP '1992-01-01')
+          FROM lineitem
+          UNION ALL
+          SELECT 'documents', 'text_not_null', 'not_null',
+                 COUNT(*) FILTER (WHERE text IS NULL)
+          FROM documents
+          UNION ALL
+          SELECT 'documents', 'lang_accepted', 'accepted_values',
+                 COUNT(*) FILTER
+                   (WHERE lang NOT IN ('en', 'de', 'es', 'fr', 'zh'))
+          FROM documents
+          UNION ALL
+          SELECT 'documents', 'doc_id_unique', 'unique',
+                 COUNT(*) - COUNT(DISTINCT doc_id)
+          FROM documents
+          UNION ALL
+          SELECT 'lineitem', 'l_orderkey_in_orders', 'referential',
+                 COUNT(*) FILTER (WHERE NOT EXISTS
+                   (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+          FROM lineitem)
+        SELECT tab, check_name, kind, violations,
+               violations = 0 AS passed
+        FROM raw""")),
+
+    // Graph analytics: 3 rounds of INTEGER-scaled PageRank (millionths,
+    // DIV division — order- and engine-independent, so a fixed-round
+    // run hash-matches exactly; float PageRank never could) over the
+    // co-supplier graph (suppliers sharing an order; pair explosion
+    // bounded by lines-per-order). Each round is one edge-sized
+    // map-side-combinable agg; the rank table stays node-sized. The
+    // oracle unrolls the identical three rounds.
+    QuerySpec(
+      "graph_pagerank_cosupplier",
+      (s, dir) => Graphs.coSupplierPageRank(Tables.load(s, dir, "lineitem")),
+      Some("""
+        WITH su AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        up AS (
+          SELECT DISTINCT a.s AS src, b.s AS dst
+          FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s),
+        e AS (SELECT src, dst FROM up
+              UNION ALL SELECT dst AS src, src AS dst FROM up),
+        deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+        ed AS (SELECT e.src, e.dst, deg.deg
+               FROM e JOIN deg ON e.src = deg.node),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        r1 AS (SELECT ed.dst AS node, 150000 +
+                 (85 * CAST(SUM(r.pr // ed.deg) AS BIGINT)) // 100 AS pr
+               FROM ed JOIN r0 r ON ed.src = r.node GROUP BY 1),
+        r2 AS (SELECT ed.dst AS node, 150000 +
+                 (85 * CAST(SUM(r.pr // ed.deg) AS BIGINT)) // 100 AS pr
+               FROM ed JOIN r1 r ON ed.src = r.node GROUP BY 1),
+        r3 AS (SELECT ed.dst AS node, 150000 +
+                 (85 * CAST(SUM(r.pr // ed.deg) AS BIGINT)) // 100 AS pr
+               FROM ed JOIN r2 r ON ed.src = r.node GROUP BY 1)
+        SELECT deg.node, deg.deg, r3.pr
+        FROM deg JOIN r3 ON deg.node = r3.node"""))
   )
 }

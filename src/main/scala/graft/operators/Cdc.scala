@@ -365,9 +365,9 @@ object Cdc {
     */
   def versionedMerge(
       spark: SparkSession, root: String, fromV: Int, toV: Int,
-      rules: DeltaRules): Unit =
+      rules: DeltaRules, dirty: Seq[String] = dirtyLangs): Unit =
     mergeCommit(spark, s"$root/m/v=$fromV", s"$root/d$toV",
-      s"$root/m/v=$toV", rules)
+      s"$root/m/v=$toV", rules, dirty)
 
   /** The commit core shared by published versions and staged WAP
     * branches: apply one day's rules to the parent manifest's as-of
@@ -377,10 +377,11 @@ object Cdc {
     */
   private def mergeCommit(
       spark: SparkSession, fromManifest: String, dataDir: String,
-      toManifest: String, rules: DeltaRules): Unit = {
+      toManifest: String, rules: DeltaRules,
+      dirty: Seq[String] = dirtyLangs): Unit = {
     import spark.implicits._
     val cur = readManifest(spark, fromManifest)
-      .where(col("lang").isin(dirtyLangs: _*))
+      .where(col("lang").isin(dirty: _*))
       .select("doc_id", "text", "lang", "source", "n_chars")
     val batch = cur.localCheckpoint()
     val changed = deletesBy(batch, rules)
@@ -391,10 +392,10 @@ object Cdc {
       .unionByName(insertsBy(batch, rules).select(cols: _*))
       .write.mode("overwrite").partitionBy("lang").parquet(dataDir)
     val parent = spark.read.parquet(fromManifest)
-    val fresh = dirtyLangs
+    val fresh = dirty
       .flatMap(l => partFiles(spark, s"$dataDir/lang=$l").map((l, _)))
       .toDF("lang", "path")
-    parent.where(!col("lang").isin(dirtyLangs: _*))
+    parent.where(!col("lang").isin(dirty: _*))
       .unionByName(fresh)
       .write.mode("overwrite").parquet(toManifest)
   }
@@ -605,9 +606,9 @@ object Cdc {
     */
   def wapStage(
       spark: SparkSession, root: String, fromV: Int, branch: String,
-      rules: DeltaRules): Unit =
+      rules: DeltaRules, dirty: Seq[String] = dirtyLangs): Unit =
     mergeCommit(spark, s"$root/m/v=$fromV", s"$root/db_$branch",
-      s"$root/m/b_$branch", rules)
+      s"$root/m/b_$branch", rules, dirty)
 
   /** Audit the staged branch before anyone can read it: every language
     * present in the parent version must survive with documents and
@@ -673,6 +674,143 @@ object Cdc {
       "WAP audit unexpectedly rejected the day-1 merge")
     Governance.releaseManifestBy(readVersion(spark, scratch, 1),
       "lang", "source")
+  }
+
+  // ---- optimistic concurrency (conflict-checked commit) ---------------
+
+  /** The second concurrent writer's dirty partition set — disjoint from
+    * [[dirtyLangs]], which is exactly what makes its rebase legal.
+    */
+  val dirtyLangsB: Seq[String] = Seq("es")
+
+  /** Writer B's delta arithmetic (moduli coprime to both days' so the
+    * scenario composes with the daily chain if ever layered).
+    */
+  val writerBRules: DeltaRules =
+    DeltaRules(23L, 3L, 29L, "cdcb", "insb", 3000000L)
+
+  /** Highest committed version: the head the optimistic protocol
+    * re-checks at commit time. Metadata-only (one directory listing).
+    */
+  def headVersion(spark: SparkSession, root: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/m")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toInt }.max
+  }
+
+  /** A committed version's WRITE SET, recovered purely from metadata:
+    * the partitions whose manifest file entries differ from the parent
+    * manifest's (clean partitions are carried VERBATIM, so set equality
+    * per lang is exact). Two manifest reads, zero data bytes.
+    */
+  def commitWriteSet(spark: SparkSession, root: String, v: Int)
+      : Set[String] = {
+    def byLang(p: String): Map[String, Set[String]] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).map { case (l, rs) => l -> rs.map(_._2).toSet }
+    val cur = byLang(s"$root/m/v=$v")
+    val par = byLang(s"$root/m/v=${v - 1}")
+    (cur.keySet ++ par.keySet).filter(l => cur.get(l) != par.get(l))
+  }
+
+  /** Optimistic-concurrency commit of a staged branch whose parent may
+    * have gone stale while the writer worked. The protocol a table
+    * format runs under snapshot isolation:
+    *
+    *   1. re-read the head (one listing);
+    *   2. CONFLICT CHECK: this writer's dirty set against the write set
+    *      of every commit that landed after its parent — write sets come
+    *      from manifest diffs ([[commitWriteSet]]), so the check is
+    *      metadata-sized no matter the corpus;
+    *   3. overlap → REJECT: drop the branch, the chain is untouched (the
+    *      writer must re-stage from the new head — its merge read
+    *      partitions someone else changed);
+    *   4. disjoint → REBASE + publish: re-parent the branch manifest
+    *      onto the head (head's rows for every partition this writer
+    *      didn't touch, the branch's fresh rows for those it did) and
+    *      commit with the same ONE-rename atomicity as WAP. The rebase
+    *      is semantically exact, not heuristic: the writer's merge read
+    *      only its dirty partitions, which no interleaved commit
+    *      touched, so its staged output is bit-identical to what a
+    *      restage from head would produce.
+    *
+    * At 100 TB the entire retry loop moves KB of manifest metadata; data
+    * files are never re-read or re-written on rebase.
+    */
+  def commitStaged(
+      spark: SparkSession, root: String, parentV: Int, branch: String,
+      dirty: Seq[String]): Either[String, Int] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = headVersion(spark, root)
+    val conflicts = ((parentV + 1) to head)
+      .flatMap(v => commitWriteSet(spark, root, v)).toSet
+      .intersect(dirty.toSet)
+    if (conflicts.nonEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/m/b_$branch"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/db_$branch"), true)
+      Left("write-write conflict on partitions " +
+        conflicts.toSeq.sorted.mkString(","))
+    } else {
+      val toV = head + 1
+      val publishFrom =
+        if (head == parentV) s"$root/m/b_$branch"
+        else {
+          // rebase: head's rows for untouched partitions + the branch's
+          // fresh rows for its dirty ones, staged then renamed — the
+          // same one-rename commit point as a clean publish
+          val headM = spark.read.parquet(s"$root/m/v=$head")
+          val branchM = spark.read.parquet(s"$root/m/b_$branch")
+          headM.where(!col("lang").isin(dirty: _*))
+            .unionByName(branchM.where(col("lang").isin(dirty: _*)))
+            .write.mode("overwrite").parquet(s"$root/m/rb_$branch")
+          fs.delete(new org.apache.hadoop.fs.Path(s"$root/m/b_$branch"), true)
+          s"$root/m/rb_$branch"
+        }
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(publishFrom),
+        new org.apache.hadoop.fs.Path(s"$root/m/v=$toV")),
+        s"concurrent publish rename failed for branch $branch")
+      Right(toV)
+    }
+  }
+
+  /** Registered concurrent-commit query: writers A and B both stage from
+    * v0 (B starts first and is still in flight when A lands); A commits
+    * clean as v1, B's commit detects the interleaved v1, proves
+    * disjointness from metadata alone, REBASES onto v1 and publishes as
+    * v2; then writer C — staged from v0 but touching a partition A
+    * changed — is REJECTED and the chain stays at v2. The oracle
+    * recomputes v1 (A's merge) and v2 (A's merge + B's merge of the
+    * partitions B read AT v0) from scratch: the v2 hash is the rebase
+    * theorem — a rebased concurrent commit lands the exact state a
+    * serial A-then-B execution would have — and v0/v1 hashing clean
+    * proves neither B's rebase nor C's rejected attempt disturbed
+    * history.
+    */
+  def concurrentManifest(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    // publish renames are not idempotent into leftover v= dirs — start clean
+    val fs = new org.apache.hadoop.fs.Path(scratch)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    versionedInit(spark, docs, scratch)
+    wapStage(spark, scratch, 0, "wb", writerBRules, dirtyLangsB)
+    wapStage(spark, scratch, 0, "wa", day1Rules, dirtyLangs)
+    require(commitStaged(spark, scratch, 0, "wa", dirtyLangs) == Right(1),
+      "writer A's clean commit did not land as v1")
+    require(commitStaged(spark, scratch, 0, "wb", dirtyLangsB) == Right(2),
+      "writer B's disjoint commit did not rebase onto v1 as v2")
+    wapStage(spark, scratch, 0, "wc", day2Rules, Seq("de"))
+    require(commitStaged(spark, scratch, 0, "wc", Seq("de")).isLeft,
+      "writer C's overlapping commit was not rejected")
+    (0 to 2).map { v =>
+      Governance.releaseManifestBy(readVersion(spark, scratch, v), "lang")
+        .withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select("version", "lang", "n_docs", "sum_chars", "fp_xor")
   }
 
   /** Right-to-be-forgotten purge: remove every row with

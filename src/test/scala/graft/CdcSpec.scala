@@ -375,6 +375,87 @@ class CdcSpec extends GraftSpec {
     assert(rowSet(Cdc.readVersion(spark, root, 1)) === day1FinalF2)
   }
 
+  // fixture2 plus an es partition for the concurrent second writer:
+  // every writer-B op fires (23 deletes; 6, 87 update; 29, 87 insert —
+  // 87 seeds both; 46 delete-beats-nothing; 4 untouched)
+  private def fixture3 = fixture2.union(Seq(
+    (4L, "omicron four", "es", "s1", 12L),
+    (6L, "pi six", "es", "s2", 6L),
+    (23L, "rho twentythree", "es", "s1", 15L),
+    (29L, "sigma twentynine", "es", "s2", 16L),
+    (46L, "tau fortysix", "es", "s1", 12L),
+    (87L, "ups eightyseven", "es", "s2", 15L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  private val esOrig = Set(
+    (4L, "omicron four", "es", 12L),
+    (6L, "pi six", "es", 6L),
+    (23L, "rho twentythree", "es", 15L),
+    (29L, "sigma twentynine", "es", 16L),
+    (46L, "tau fortysix", "es", 12L),
+    (87L, "ups eightyseven", "es", 15L))
+
+  // writer B's merge of the es partition it read AT v0 (23 and 46
+  // deleted; 6 and 87 updated; 29 and 87 seed re-keyed inserts)
+  private val esAfterB = Set(
+    (4L, "omicron four", "es", 12L),
+    (6L, "cdcb pi six", "es", 11L),
+    (29L, "sigma twentynine", "es", 16L),
+    (87L, "cdcb ups eightyseven", "es", 20L),
+    (3000029L, "insb sigma twentynine", "es", 21L),
+    (3000087L, "insb ups eightyseven", "es", 20L))
+
+  test("concurrent commits: disjoint writer rebases onto the head, overlap rejected") {
+    val root = java.nio.file.Files.createTempDirectory("graft_conc").toString + "/store"
+    Cdc.versionedInit(spark, fixture3, root)
+    // B stages FIRST and is still unpublished when A stages and commits
+    Cdc.wapStage(spark, root, 0, "wb", Cdc.writerBRules, Cdc.dirtyLangsB)
+    Cdc.wapStage(spark, root, 0, "wa", Cdc.day1Rules, Cdc.dirtyLangs)
+    assert(Cdc.commitStaged(spark, root, 0, "wa", Cdc.dirtyLangs) === Right(1))
+    // the write set is recoverable from manifest metadata alone
+    assert(Cdc.commitWriteSet(spark, root, 1) === Set("de", "fr"))
+    // B's commit sees the interleaved v1, proves disjointness, rebases
+    assert(Cdc.commitStaged(spark, root, 0, "wb", Cdc.dirtyLangsB) === Right(2))
+    assert(Cdc.commitWriteSet(spark, root, 2) === Set("es"))
+    def manifest(v: Int): Map[String, Set[String]] =
+      spark.read.parquet(s"$root/m/v=$v").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+        .groupBy(_._1).map { case (l, ps) => l -> ps.map(_._2).toSet }
+    val (m0, m1, m2) = (manifest(0), manifest(1), manifest(2))
+    // the rebase carried A's fresh files and v0's shared files VERBATIM
+    assert(m2("de") === m1("de"))
+    assert(m2("fr") === m1("fr"))
+    assert(m2("en") === m0("en"))
+    assert(m2("es").forall(_.contains("/db_wb/")), m2("es"))
+    // v1 is exactly A's merge (es untouched); v2 is serial A-then-B
+    assert(rowSet(Cdc.readVersion(spark, root, 1)) === day1FinalF2 ++ esOrig)
+    assert(rowSet(Cdc.readVersion(spark, root, 2)) === day1FinalF2 ++ esAfterB)
+    // writer C overlaps A's committed write set → rejected, branch
+    // dropped, the chain and its head untouched
+    Cdc.wapStage(spark, root, 0, "wc", Cdc.day2Rules, Seq("de"))
+    val rc = Cdc.commitStaged(spark, root, 0, "wc", Seq("de"))
+    assert(rc.isLeft && rc.swap.toOption.get.contains("de"), rc)
+    assert(Cdc.headVersion(spark, root) === 2)
+    assert(!new java.io.File(s"$root/m/b_wc").exists())
+    assert(!new java.io.File(s"$root/db_wc").exists())
+    assert(rowSet(Cdc.readVersion(spark, root, 2)) === day1FinalF2 ++ esAfterB)
+    // the rejected writer retries the only legal way — re-stage from the
+    // NEW head (its merge must re-read the partition A changed) — and
+    // lands clean as v3
+    Cdc.wapStage(spark, root, 2, "wc2", Cdc.day2Rules, Seq("de"))
+    assert(Cdc.commitStaged(spark, root, 2, "wc2", Seq("de")) === Right(3))
+    assert(Cdc.commitWriteSet(spark, root, 3) === Set("de"))
+    // serializability: the concurrent history (A ∥ B rebased, C retried)
+    // equals a fully SERIAL A → B → C execution on a fresh store
+    val ser = java.nio.file.Files.createTempDirectory("graft_ser").toString + "/store"
+    Cdc.versionedInit(spark, fixture3, ser)
+    Cdc.versionedMerge(spark, ser, 0, 1, Cdc.day1Rules)
+    Cdc.versionedMerge(spark, ser, 1, 2, Cdc.writerBRules, Cdc.dirtyLangsB)
+    Cdc.versionedMerge(spark, ser, 2, 3, Cdc.day2Rules, Seq("de"))
+    assert(rowSet(Cdc.readVersion(spark, root, 3)) ===
+      rowSet(Cdc.readVersion(spark, ser, 3)))
+  }
+
   test("streaming versioned commits: each micro-batch is one readable version") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_vstream").toString + "/store"

@@ -150,6 +150,45 @@ class GovernanceSpec extends GraftSpec {
     assert(!p.contains("Expand"), p)
   }
 
+  test("expectations: every constraint kind counts its violations exactly") {
+    // adversarial fixture: one violation of each kind, planted
+    val rows = Seq[(java.lang.Long, java.lang.Long, String, java.lang.Double)](
+      (1L, 10L, "O", 5.0),
+      (2L, null, "P", 0.0), // null custkey, bad status, non-positive price
+      (2L, 11L, "F", 3.0)   // duplicate key 2
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val checks = Seq(
+      Governance.Expectation("custkey_not_null", "not_null",
+        org.apache.spark.sql.functions.col("o_custkey").isNull),
+      Governance.Expectation("status_in_o_f", "accepted_values",
+        !org.apache.spark.sql.functions.col("o_orderstatus").isin("O", "F")),
+      Governance.Expectation("price_positive", "range",
+        !(org.apache.spark.sql.functions.col("o_totalprice") > 0.0)))
+    val got = Governance.checkTable("t", rows, checks, Seq("o_orderkey"))
+      .collect()
+      .map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("violations"), r.getAs[Boolean]("passed")))).toMap
+    assert(got === Map(
+      "custkey_not_null" -> ((1L, false)),
+      "status_in_o_f" -> ((1L, false)),
+      "price_positive" -> ((1L, false)),
+      "o_orderkey_unique" -> ((1L, false))))
+    // referential counts orphan ROWS (both copies of key 3), and the
+    // verdict goes green when the battery holds
+    val facts = Seq(1L, 2L, 3L, 3L).toDF("fk")
+    val parents = Seq(1L, 2L).toDF("pk")
+    val ref = Governance.checkReferential("t", "fk_in_parent",
+      facts, "fk", parents, "pk").collect().head
+    assert(ref.getAs[Long]("violations") === 2L)
+    assert(!ref.getAs[Boolean]("passed"))
+    val clean = Governance.checkTable("t", rows,
+      Seq(Governance.Expectation("key_not_null", "not_null",
+        org.apache.spark.sql.functions.col("o_orderkey").isNull)))
+      .collect().head
+    assert(clean.getAs[Long]("violations") === 0L)
+    assert(clean.getAs[Boolean]("passed"))
+  }
+
   test("key skew plan: corpus scanned once, totals broadcast back") {
     val li = Tables.load(spark, sf, "lineitem")
     val df = Governance.keySkew(li, "l_partkey", 15)

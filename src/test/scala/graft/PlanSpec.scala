@@ -801,4 +801,24 @@ class PlanSpec extends GraftSpec {
     assert(total <= 10,
       s"expected <= 10 scans (6 child + 4 single-use parent), got $total:\n$p")
   }
+
+  test("scd2 temporal join is an equi hash join with a range residual") {
+    // custkey is an equi key, so the interval predicate must ride as a
+    // residual on a hash join — never a nested-loop product over the
+    // fact table
+    val p = plan(Registry.queries("dim_scd2_asof")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("expectation suite: each table's battery rides one scan") {
+    // 3 table batteries + the referential leg's fact and parent-key
+    // scans = 5 parquet scans total; adding a row-level constraint must
+    // never add a scan
+    val p = plan(Registry.queries("gov_expectations")(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 5, s"expected <= 5 scans, got $scans:\n$p")
+    // the referential anti-join broadcasts the distinct parent keys
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
 }
