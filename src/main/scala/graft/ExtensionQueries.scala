@@ -5652,6 +5652,121 @@ object ExtensionQueries {
                  (85 * CAST(SUM(r.pr // ed.deg) AS BIGINT)) // 100 AS pr
                FROM ed JOIN r2 r ON ed.src = r.node GROUP BY 1)
         SELECT deg.node, deg.deg, r3.pr
-        FROM deg JOIN r3 ON deg.node = r3.node"""))
+        FROM deg JOIN r3 ON deg.node = r3.node""")),
+
+    // Triangle census via degree-ordered orientation: every undirected
+    // edge directed toward its (deg, id)-larger endpoint, wedges
+    // enumerated only at each triangle's degree-minimal corner (the
+    // O(m^1.5) arboricity bound that survives celebrity-node skew),
+    // closing edges verified by one equi-join. The oracle brute-forces
+    // triangles by id order — different algorithm, same rows; the
+    // clustering coefficient is integer basis points (DIV), so the
+    // hash match is exact.
+    QuerySpec(
+      "graph_triangles",
+      (s, dir) => Graphs.coSupplierTriangles(Tables.load(s, dir, "lineitem")),
+      Some("""
+        WITH su AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        up AS (
+          SELECT DISTINCT a.s AS src, b.s AS dst
+          FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s),
+        e AS (SELECT src, dst FROM up
+              UNION ALL SELECT dst AS src, src AS dst FROM up),
+        deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+        tri AS (
+          SELECT a.src AS x, a.dst AS y, b.dst AS z
+          FROM up a
+          JOIN up b ON b.src = a.dst
+          JOIN up c ON c.src = a.src AND c.dst = b.dst),
+        corners AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y AS node FROM tri
+          UNION ALL SELECT z AS node FROM tri),
+        pn AS (SELECT node, COUNT(*) AS triangles FROM corners GROUP BY 1)
+        SELECT deg.node, deg.deg,
+               COALESCE(pn.triangles, 0) AS triangles,
+               CASE WHEN deg.deg > 1
+                    THEN (10000 * 2 * COALESCE(pn.triangles, 0))
+                         // (deg.deg * (deg.deg - 1))
+                    ELSE 0 END AS cc_bp
+        FROM deg LEFT JOIN pn ON deg.node = pn.node""")),
+
+    // Fixed-round frontier BFS: exact hop distance (capped at 3) from
+    // nation 0's suppliers over the co-supplier graph. Each round joins
+    // only the newest frontier against the edge list and min-merges —
+    // K rounds = K bounded shuffles, job count known at plan time. The
+    // oracle unrolls reachable sets and takes set differences per hop.
+    QuerySpec(
+      "graph_bfs_hops",
+      (s, dir) => Graphs.coSupplierBfs(
+        Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "supplier")),
+      Some("""
+        WITH su AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        up AS (
+          SELECT DISTINCT a.s AS src, b.s AS dst
+          FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s),
+        e AS (SELECT src, dst FROM up
+              UNION ALL SELECT dst AS src, src AS dst FROM up),
+        n0 AS (SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 0),
+        n1 AS (SELECT node FROM n0
+               UNION SELECT e.dst FROM e JOIN n0 ON e.src = n0.node),
+        n2 AS (SELECT node FROM n1
+               UNION SELECT e.dst FROM e JOIN n1 ON e.src = n1.node),
+        n3 AS (SELECT node FROM n2
+               UNION SELECT e.dst FROM e JOIN n2 ON e.src = n2.node)
+        SELECT node, 0 AS dist FROM n0
+        UNION ALL SELECT node, 1 AS dist FROM
+          (SELECT node FROM n1 EXCEPT SELECT node FROM n0) t1
+        UNION ALL SELECT node, 2 AS dist FROM
+          (SELECT node FROM n2 EXCEPT SELECT node FROM n1) t2
+        UNION ALL SELECT node, 3 AS dist FROM
+          (SELECT node FROM n3 EXCEPT SELECT node FROM n2) t3""")),
+
+    // Peak session concurrency per day: sweep-line over session
+    // [start, end]-inclusive intervals, candidates evaluated at the
+    // GROUP level per distinct timestamp (prefix-before + starts-at-ts)
+    // so no intra-tie ordering exists to diverge between engines. The
+    // engine decomposes the global running sum two-level (day-partitioned
+    // window + days-sized carry through the single-partition window,
+    // broadcast back); the oracle runs the textbook single global
+    // window — different decomposition, identical arithmetic.
+    QuerySpec(
+      "ts_max_concurrent",
+      (s, dir) => TimeSeries.maxConcurrentSessions(events(s, dir)),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts, epoch_ns(ts) // 1000 AS us
+          FROM events),
+        l AS (
+          SELECT user_id, ts, us,
+                 lag(us, 1) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS prev_us,
+                 event_id
+          FROM e),
+        se AS (
+          SELECT user_id, ts,
+                 SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+          FROM l),
+        s AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+              FROM se GROUP BY 1, 2),
+        d AS (SELECT st AS ts, 1 AS nst, 0 AS nen FROM s
+              UNION ALL SELECT en AS ts, 0 AS nst, 1 AS nen FROM s),
+        p AS (SELECT ts, CAST(SUM(nst) AS BIGINT) AS ns,
+                     CAST(SUM(nen) AS BIGINT) AS ne
+              FROM d GROUP BY 1),
+        r AS (SELECT ts, ns, ne,
+                     SUM(ns - ne) OVER (ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS run
+              FROM p)
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(MAX(run - (ns - ne) + ns) AS BIGINT) AS max_concurrent
+        FROM r GROUP BY 1"""))
   )
 }

@@ -76,4 +76,97 @@ object Graphs {
     */
   def coSupplierPageRank(lineitem: DataFrame): DataFrame =
     pageRank(coSupplierEdges(lineitem), iters = 3)
+
+  /** Per-node triangle counts + clustering coefficient (integer basis
+    * points — the determinism discipline of [[pageRank]]) via
+    * DEGREE-ORDERED edge orientation: every undirected edge is directed
+    * from its (deg, id)-smaller endpoint to the larger, wedges are
+    * enumerated only at each triangle's degree-MINIMAL corner, and the
+    * closing edge is verified with one equi-join against the undirected
+    * edge list. Each triangle is generated exactly once.
+    *
+    * Scale: orientation is what makes this survive skew — a celebrity
+    * node of degree d contributes wedges only from its LOW-degree
+    * in-neighbors, bounding total wedge count by O(m^1.5) (arboricity
+    * bound) instead of Σ d² ≈ d_max² of the naive neighborhood
+    * self-join. All joins are equi hash joins on node ids; nothing
+    * materializes a full neighborhood in memory. cc_bp = (10000·2·tri)
+    * DIV (deg·(deg−1)) is exact integer arithmetic, so the oracle (which
+    * brute-forces triangles by id order — different algorithm) hash-
+    * matches bit-for-bit.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // undirected once (src < dst), then orient by (deg, id)
+    val und = edges.where(col("src") < col("dst"))
+      .join(deg.select(col("node").as("src"), col("deg").as("sd")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), Seq("dst"))
+    val srcIsLo = col("sd") < col("dd") ||
+      (col("sd") === col("dd") && col("src") < col("dst"))
+    val oriented = und.select(
+      when(srcIsLo, col("src")).otherwise(col("dst")).as("lo"),
+      when(srcIsLo, col("dst")).otherwise(col("src")).as("hi"))
+    // wedges at the degree-min corner; close with the undirected list
+    // (u < w by construction, matching its src < dst convention)
+    val tri = oriented.as("a")
+      .join(oriented.as("b"),
+        col("a.lo") === col("b.lo") && col("a.hi") < col("b.hi"))
+      .select(col("a.lo").as("v"), col("a.hi").as("u"), col("b.hi").as("w"))
+      .join(edges.where(col("src") < col("dst"))
+          .select(col("src").as("u"), col("dst").as("w")),
+        Seq("u", "w"))
+    val perNode = tri.select(col("v").as("node"))
+      .unionByName(tri.select(col("u").as("node")))
+      .unionByName(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_bp",
+        when(col("deg") > 1,
+          expr("(10000 * 2 * triangles) DIV (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Registered query: triangle census of the co-supplier graph. */
+  def coSupplierTriangles(lineitem: DataFrame): DataFrame =
+    triangleStats(coSupplierEdges(lineitem))
+
+  /** Fixed-round frontier BFS: exact hop distance from a seed set,
+    * capped at `rounds` (unreached nodes are absent, dist is INT).
+    * Classic frontier expansion — each round joins ONLY the newest
+    * frontier (nodes first reached last round) against the edge list,
+    * merges by min-distance, and checkpoints to cut the growing lineage
+    * (the bounded-rounds discipline of [[pageRank]] and the dedup CC:
+    * job count is known at plan time, never convergence-driven).
+    *
+    * Scale: per round one edge-sized equi join against a frontier that
+    * is at most node-sized, one node-sized min-agg; distances fit the
+    * visited table, never the edge list. K rounds = K bounded shuffles.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    (1 to rounds).foreach { i =>
+      val frontier = dist.where(col("dist") === i - 1)
+      val expanded = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"), lit(i).as("dist"))
+      dist = dist.unionByName(expanded)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Registered query: 3-hop BFS over the co-supplier graph seeded at
+    * one nation's suppliers (nationkey 0).
+    */
+  def coSupplierBfs(lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    bfsHops(
+      coSupplierEdges(lineitem),
+      supplier.where(col("s_nationkey") === 0)
+        .select(col("s_suppkey").as("node")),
+      rounds = 3)
 }

@@ -600,4 +600,62 @@ object TimeSeries {
       .filter(col("rn") <= k)
       .select(col("event_type"), col("event_id"), col("drift"), col("rn"))
   }
+
+  /** Peak concurrency: the maximum number of simultaneously-open user
+    * sessions, reported per day. Sessions are the same gap-split islands
+    * as [[sessionize]]; a session is open on `[start, end]` INCLUSIVE,
+    * so concurrency can only peak at a session-start instant and the
+    * candidate at each distinct timestamp is
+    * `running-before + starts-at-ts` — a GROUP-level formula with no
+    * intra-timestamp ordering, which is what makes the sweep
+    * deterministic on any engine (a row-level running max over tied
+    * timestamps would be order-dependent).
+    *
+    * Scale — the classic global-prefix-sum problem, solved two-level
+    * like the banded CUSUM above: the running sum within each day
+    * partition is a day-partitioned window (parallel across days), and
+    * only the per-day NET totals — a days-sized, metadata-scale table —
+    * pass through the single-partition carry window before broadcasting
+    * back. No corpus-sized frame is ever sorted on one partition.
+    */
+  def maxConcurrentSessions(
+      events: DataFrame, maxGapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(asc("ts"), asc("event_id"))
+    val sessions = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >
+            maxGapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val deltas = sessions
+      .select(col("s_start").as("ts"), lit(1L).as("st"), lit(0L).as("en"))
+      .unionByName(sessions
+        .select(col("s_end").as("ts"), lit(0L).as("st"), lit(1L).as("en")))
+    val points = deltas
+      .groupBy(to_date(col("ts")).as("day"), col("ts"))
+      .agg(sum(col("st")).as("ns"), sum(col("en")).as("ne"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(asc("ts")).rowsBetween(Window.unboundedPreceding, 0)
+    val wCarry = Window.orderBy(asc("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = points.groupBy(col("day"))
+      .agg(sum(col("ns") - col("ne")).as("net"))
+      .withColumn("offset", coalesce(sum(col("net")).over(wCarry), lit(0L)))
+      .select(col("day"), col("offset"))
+    points
+      .withColumn("run", sum(col("ns") - col("ne")).over(wDay))
+      .join(broadcast(carry), Seq("day"))
+      // candidate at ts = value after opening this instant's sessions but
+      // before closing any: prefix-before + ns
+      .withColumn("cand",
+        col("offset") + col("run") - (col("ns") - col("ne")) + col("ns"))
+      .groupBy(col("day"))
+      .agg(max(col("cand")).as("max_concurrent"))
+  }
 }

@@ -360,6 +360,122 @@ object StreamingQueries {
       } else Iterator.empty
   }
 
+  // ---- custom stateful operator: streaming SCD2 dimension maintenance ------
+
+  final case class Scd2Event(
+      custkey: Long, utc: java.sql.Timestamp, orderkey: Long, tier: String)
+  final case class Scd2Open(tier: String, eff_from_day: Long, version_no: Int)
+  final case class Scd2DayBest(orderkey: Long, tier: String)
+  final case class Scd2Closed(
+      custkey: Long, version_no: Int, tier: String,
+      eff_from: java.sql.Date, eff_to: java.sql.Date)
+
+  /** Streaming SCD Type-2 maintenance — the incremental twin of
+    * [[graft.operators.Dimensions.scd2Dim]]: a change-event stream
+    * (same-day collapse by max order key, no-op-update suppression,
+    * effective dating) maintained per key as events arrive OUT OF ORDER,
+    * emitting each dimension version the moment it CLOSES (its
+    * successor's day finalizes). The still-open current version lives in
+    * state, never emitted — so the output stream is exactly the batch
+    * build's `eff_to IS NOT NULL` rows (StreamingSpec pins the
+    * equality on an out-of-order replay).
+    *
+    * Finalization is watermark-driven: a day's collapsed winner can only
+    * be compared against its predecessor once no more events for that
+    * day can arrive, i.e. when the watermark passes the day's END. Until
+    * then the day sits in a MapState keyed by epoch day (state per key =
+    * open version + days still inside the lateness horizon — bounded by
+    * horizon/day, not by history). One live event-time timer per key at
+    * the earliest pending day's end; each firing drains every ready day
+    * in order and re-arms for the next pending one.
+    */
+  def scd2Stream(
+      spark: SparkSession,
+      events: Dataset[Scd2Event],
+      watermarkDelay: String = "10 seconds"): Dataset[Scd2Closed] = {
+    import spark.implicits._
+    events
+      .withWatermark("utc", watermarkDelay)
+      .groupByKey(_.custkey)
+      .transformWithState(
+        new Scd2Processor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[scd2Stream]] StatefulProcessor: `ValueState` for the open
+    * version, `MapState[epochDay, best-event]` for days not yet past the
+    * watermark, one live timer at the earliest pending day's end.
+    */
+  final class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Scd2Event, Scd2Closed] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[Scd2Open] = _
+    @transient private var pending: org.apache.spark.sql.streaming.MapState[Long, Scd2DayBest] = _
+    private val dayMs = 86400000L
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      open = getHandle.getValueState[Scd2Open](
+        "open", org.apache.spark.sql.Encoders.product[Scd2Open],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      pending = getHandle.getMapState[Long, Scd2DayBest](
+        "pending", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[Scd2DayBest],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def rearm(): Unit = {
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      val days = pending.keys().toSeq
+      if (days.nonEmpty) getHandle.registerTimer((days.min + 1L) * dayMs)
+    }
+
+    override def handleInputRows(
+        custkey: Long,
+        rows: Iterator[Scd2Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Scd2Closed] = {
+      rows.foreach { e =>
+        val day = micros(e.utc) / (dayMs * 1000L)
+        val keep = if (pending.containsKey(day)) {
+          val cur = pending.getValue(day)
+          if (e.orderkey > cur.orderkey) Scd2DayBest(e.orderkey, e.tier)
+          else cur
+        } else Scd2DayBest(e.orderkey, e.tier)
+        pending.updateValue(day, keep)
+      }
+      rearm()
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        custkey: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Scd2Closed] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val ready = pending.keys().toSeq.filter(d => (d + 1L) * dayMs <= wm).sorted
+      var out = List.empty[Scd2Closed]
+      ready.foreach { day =>
+        val best = pending.getValue(day)
+        pending.removeKey(day)
+        val cur = if (open.exists()) Some(open.get()) else None
+        cur match {
+          case None =>
+            open.update(Scd2Open(best.tier, day, 1))
+          case Some(o) if o.tier == best.tier => // no-op update: suppressed
+          case Some(o) =>
+            out ::= Scd2Closed(custkey, o.version_no, o.tier,
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(o.eff_from_day)),
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(day)))
+            open.update(Scd2Open(best.tier, day, o.version_no + 1))
+        }
+      }
+      rearm()
+      out.reverseIterator
+    }
+  }
+
   // ---- custom stateful operator: stream-stream as-of enrichment ------------
 
   final case class AsofSideEvent(

@@ -224,6 +224,50 @@ class CrossCheckSpec extends GraftSpec {
     }
   }
 
+  test("max concurrent sessions agrees with brute-force sweep across days") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 11)
+      // spread over ~3 days so the per-day carry (sessions spanning
+      // midnight) is genuinely exercised, not degenerate
+      val events = (1 to 200).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong,
+          new java.sql.Timestamp(
+            1704067200000L + rnd.nextInt(3 * 86400000).toLong),
+          0.0)
+      }
+      val got = TimeSeries.maxConcurrentSessions(
+        events.toDF("event_id", "user_id", "ts", "value"))
+        .collect()
+        .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+          r.getAs[Long]("max_concurrent")).toMap
+
+      // brute: sessions as [start, end]-inclusive intervals, concurrency
+      // evaluated at every delta point, per-day max over that day's points
+      val sessions = events.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._3.getTime, e._1))
+        val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var st = -1L; var prev = -1L
+        sorted.foreach { e =>
+          val t = e._3.getTime
+          if (st < 0 || t - prev > 30 * 60000L) {
+            if (st >= 0) bounds += ((st, prev))
+            st = t
+          }
+          prev = t
+        }
+        if (st >= 0) bounds += ((st, prev))
+        bounds
+      }
+      val points = sessions.flatMap(s => Seq(s._1, s._2)).distinct
+      val exp = points.map { t =>
+        val day = java.time.Instant.ofEpochMilli(t)
+          .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+        day -> sessions.count(s => s._1 <= t && t <= s._2).toLong
+      }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).max }
+      assert(got === exp, s"seed $seed")
+    }
+  }
+
   test("banded lag agrees with brute force at every band width") {
     // bandSeconds=1 leaves most bands empty — stresses the carry across
     // non-adjacent bands; 86400 puts everything in one band per key

@@ -23,6 +23,57 @@ class GraphsSpec extends GraftSpec {
     assert(ranks(2) === Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
   }
 
+  test("triangles: hand-walked square-with-diagonal incl. degree tie") {
+    // square 1-2-3-4-1 plus diagonal 1-3: triangles {1,2,3} and {1,3,4};
+    // the diagonal's endpoints tie on degree (3 = 3) so orientation
+    // falls back to id order — the tie-break path is exercised
+    val up = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    val edges = (up ++ up.map(_.swap)).toDF("src", "dst")
+    val got = Graphs.triangleStats(edges).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("triangles"),
+          r.getAs[Long]("cc_bp")))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L, 6666L)), // 2 of 3 possible: 40000 DIV 6
+      2L -> ((2L, 1L, 10000L)),
+      3L -> ((3L, 2L, 6666L)),
+      4L -> ((2L, 1L, 10000L))))
+  }
+
+  test("triangles: brute-force equivalence on seeded random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val up = (1 to 40).map { _ =>
+        val a = rnd.nextInt(12).toLong; val b = rnd.nextInt(12).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val edges = (up ++ up.map(_.swap)).toDF("src", "dst")
+      val got = Graphs.triangleStats(edges).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("triangles")).toMap
+      val upSet = up.toSet
+      val nodes = up.flatMap(p => Seq(p._1, p._2)).distinct
+      val tris = for {
+        x <- nodes; y <- nodes if x < y && upSet((x, y))
+        z <- nodes if y < z && upSet((y, z)) && upSet((x, z))
+      } yield (x, y, z)
+      val exp = nodes.map(n =>
+        n -> tris.count(t => t._1 == n || t._2 == n || t._3 == n).toLong).toMap
+      assert(got === exp, s"seed $seed")
+    }
+  }
+
+  test("bfs: exact hop layers on a path, cap honored, isolated seed kept") {
+    // path 1-2-3-4-5; seed {1} plus isolated node 9 (no edges at all)
+    val up = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (up ++ up.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("node")
+    val got = Graphs.bfsHops(edges, seeds, rounds = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Int]("dist")).toMap
+    // node 5 is 4 hops out — absent under the 3-round cap; the isolated
+    // seed is distance 0 by definition
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 9L -> 0))
+  }
+
   test("co-supplier edges: per-order pairs, deduped across orders, symmetric") {
     val li = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L), // order 10: suppliers 1,2,3

@@ -821,4 +821,27 @@ class PlanSpec extends GraftSpec {
     // the referential anti-join broadcasts the distinct parent keys
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
+
+  test("triangle census: every join is an equi join, no product anywhere") {
+    // degree orientation makes wedge generation an equi self-join on the
+    // low corner; the closing-edge check is an equi join on (u, w) —
+    // a plan with any nested-loop product would be the naive
+    // neighborhood-materializing algorithm this operator exists to avoid
+    val p = plan(Registry.queries("graph_triangles")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("max concurrent: the corpus-sized window is day-partitioned") {
+    val p = plan(Registry.queries("ts_max_concurrent")(spark, sf))
+    // the running sum over delta points partitions by day — the global
+    // prefix sum is only ever taken over the days-sized carry table
+    assert(p.contains("hashpartitioning(day"),
+      s"points window must partition by day:\n$p")
+    // exactly one single-partition exchange is allowed: the carry
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"expected <= 1 single-partition exchange:\n$p")
+    // and the carry table comes back as a broadcast, not a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -1365,6 +1365,62 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming SCD2 closed versions equal the batch build, out of order") {
+    import StreamingQueries.Scd2Event
+    // two tracked customers + a watermark-driver key (99) whose single
+    // version never closes, so it is absent from BOTH engines' output
+    val e = Map(
+      "c1d1" -> Scd2Event(1L, ts("2024-01-01 08:00:00"), 10L, "P1"),
+      "c1d2a" -> Scd2Event(1L, ts("2024-01-02 09:00:00"), 21L, "P2"),
+      "c1d2b" -> Scd2Event(1L, ts("2024-01-02 10:00:00"), 22L, "P3"),
+      "c1d3" -> Scd2Event(1L, ts("2024-01-03 11:00:00"), 30L, "P3"),
+      "c1d4" -> Scd2Event(1L, ts("2024-01-04 12:00:00"), 40L, "P1"),
+      "c2d1" -> Scd2Event(2L, ts("2024-01-01 09:00:00"), 11L, "P9"),
+      "c2d3" -> Scd2Event(2L, ts("2024-01-03 09:00:00"), 31L, "P8"),
+      "flush" -> Scd2Event(99L, ts("2024-01-10 00:00:00"), 90L, "PX"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val input = MemoryStream[Scd2Event]
+      val out = StreamingQueries.scd2Stream(
+        spark, input.toDS(), watermarkDelay = "2 hours").toDF()
+      // the day-2 collision pair arrives SPLIT across batches and in
+      // reverse order (the losing ok 21 lands after the winning ok 22,
+      // inside the 2 h delay): same-day collapse must hold cross-batch
+      val rows = runStream(input, out, Seq(
+        Seq(e("c1d1"), e("c2d1")),
+        Seq(e("c1d2b")),
+        Seq(e("c1d2a")),
+        Seq(e("c1d3"), e("c2d3")),
+        Seq(e("c1d4")),
+        Seq(e("flush"))))
+      val got = rows.map(r => (r.getAs[Long]("custkey"),
+        r.getAs[Int]("version_no"), r.getAs[String]("tier"),
+        r.getDate(3).toString, r.getDate(4).toString)).toSet
+
+      // batch twin over the SAME change set (as the orders-shaped frame
+      // the batch operator consumes); stream output = its closed rows
+      val orders = e.values.toSeq.map(ev => (ev.custkey,
+        new java.sql.Date(ev.utc.getTime), ev.tier, ev.orderkey))
+        .toDF("o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey")
+      val closed = graft.operators.Dimensions.scd2Dim(orders)
+        .where("eff_to IS NOT NULL").collect()
+        .map(r => (r.getAs[Long]("custkey"), r.getAs[Int]("version_no"),
+          r.getAs[String]("tier"), r.getDate(3).toString,
+          r.getDate(4).toString)).toSet
+      assert(got === closed, "stream must emit exactly the batch closed set")
+      assert(got === Set(
+        (1L, 1, "P1", "2024-01-01", "2024-01-02"),
+        (1L, 2, "P3", "2024-01-02", "2024-01-04"),
+        (2L, 1, "P9", "2024-01-01", "2024-01-03")),
+        s"hand-walked versions: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file source: schema-on-read drops producer-only fields, both ts formats parse") {
     val dir = java.nio.file.Files.createTempDirectory("ticks").toString
     val sqlLine = """{"utc":"2024-01-01 00:00:10.500","type":"x","source":"x",""" +
