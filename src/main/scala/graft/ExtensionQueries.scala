@@ -5555,6 +5555,33 @@ object ExtensionQueries {
                 AND (eff_to IS NULL OR l_shipdate < eff_to)
         GROUP BY 1, 2""")),
 
+    // Point-in-time dimension snapshot: the version of every customer
+    // in force on 1996-06-01 — intervals tile, so exactly one row per
+    // customer whose history had started by the as-of date.
+    QuerySpec(
+      "dim_scd2_snapshot",
+      (s, dir) => Dimensions.scd2Snapshot(
+        Tables.load(s, dir, "orders"), "1996-06-01"),
+      Some("WITH " + scd2VerCte + """
+        SELECT custkey, version_no, tier, eff_from, eff_to FROM ver
+        WHERE eff_from <= DATE '1996-06-01'
+          AND (eff_to IS NULL OR DATE '1996-06-01' < eff_to)""")),
+
+    // Incremental SCD2 maintenance round trip: build the dimension over
+    // the pre-1998 feed, PERSIST it, merge the 1998 delta incrementally
+    // (affected keys' open versions seed recomputed tails — the lag
+    // suppression works across the old/new boundary; untouched keys
+    // carry verbatim through a broadcast anti-join). The oracle is the
+    // from-scratch build over the FULL feed: the hash match is the
+    // merge theorem (incremental ≡ rebuild). The base write is priced
+    // inside the query, like the other persisted-artifact round trips.
+    QuerySpec(
+      "dim_scd2_merge",
+      (s, dir) => Dimensions.scd2MergeRoundTrip(
+        s, Tables.load(s, dir, "orders"), scratchPath("scd2dim", dir)),
+      Some("WITH " + scd2VerCte + """
+        SELECT custkey, version_no, tier, eff_from, eff_to FROM ver""")),
+
     // Declarative expectations gate: 11 constraints across three tables
     // (not-null / accepted-values / range / ordering / unique /
     // referential), each table's whole battery priced at ONE scan of

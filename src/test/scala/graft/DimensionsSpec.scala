@@ -35,6 +35,50 @@ class DimensionsSpec extends GraftSpec {
       (2L, 1, "X", d("1995-02-01"), None)))
   }
 
+  test("scd2 snapshot: exactly the version in force at the as-of date") {
+    val got = Dimensions.scd2Snapshot(orders, "1995-03-15").collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Int]("version_no"),
+        r.getAs[String]("tier"))).toSet
+    // cust 1 is still on version 1 (the change lands 06-01); cust 2's
+    // open version qualifies; nothing else exists yet
+    assert(got === Set((1L, 1, "B"), (2L, 1, "X")))
+  }
+
+  test("scd2 merge: incremental tail equals the from-scratch rebuild") {
+    // base feed (pre-cutoff): cust 1 has two versions, cust 2 one open
+    val base = orders
+    // delta feed (post-cutoff): cust 1 gets a no-op then a real change
+    // (the no-op must be suppressed ACROSS the old/new boundary); cust 3
+    // is brand new with its own internal no-op and a second version
+    val delta = Seq(
+      (10L, 1L, "C", d("1996-02-01")), // no-op vs the open C → suppressed
+      (11L, 1L, "D", d("1996-03-01")), // real change → version 3
+      (12L, 3L, "P", d("1996-02-01")),
+      (13L, 3L, "P", d("1996-03-01")), // internal no-op
+      (14L, 3L, "Q", d("1996-04-01"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+
+    val dim = Dimensions.scd2Dim(base)
+    val merged = Dimensions.scd2Merge(dim, delta).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Int]("version_no"),
+        r.getAs[String]("tier"), r.getAs[java.sql.Timestamp]("eff_from"),
+        Option(r.getAs[java.sql.Timestamp]("eff_to")))).toSet
+    assert(merged === Set(
+      (1L, 1, "B", d("1995-01-01"), Some(d("1995-06-01"))), // carried
+      (1L, 2, "C", d("1995-06-01"), Some(d("1996-03-01"))), // re-closed
+      (1L, 3, "D", d("1996-03-01"), None),
+      (2L, 1, "X", d("1995-02-01"), None),                  // untouched
+      (3L, 1, "P", d("1996-02-01"), Some(d("1996-04-01"))),
+      (3L, 2, "Q", d("1996-04-01"), None)))
+
+    // the merge theorem at spec scale: incremental ≡ rebuild
+    val rebuilt = Dimensions.scd2Dim(base.unionByName(delta)).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Int]("version_no"),
+        r.getAs[String]("tier"), r.getAs[java.sql.Timestamp]("eff_from"),
+        Option(r.getAs[java.sql.Timestamp]("eff_to")))).toSet
+    assert(merged === rebuilt)
+  }
+
   test("scd2 fact join: each fact priced under the version at its ship date") {
     // facts reach the dimension through their order's customer; ship
     // dates probe mid-interval, the inclusive eff_from boundary, the

@@ -832,6 +832,20 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("scd2 merge: untouched keys carry through a broadcast anti-join") {
+    // the dimension majority must never enter a window — only affected
+    // keys' rows are recomputed; the carry path is an anti-join against
+    // the broadcast affected-key set
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_scd2plan").toString + "/dim"
+    val p = plan(graft.operators.Dimensions.scd2MergeRoundTrip(
+      spark, Tables.load(spark, sf, "orders"), tmp))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("max concurrent: the corpus-sized window is day-partitioned") {
     val p = plan(Registry.queries("ts_max_concurrent")(spark, sf))
     // the running sum over delta points partitions by day — the global
