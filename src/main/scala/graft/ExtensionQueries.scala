@@ -3579,6 +3579,50 @@ object ExtensionQueries {
                LEAST(64, n_bytes - idx * 64) AS frame_bytes
         FROM f WHERE idx % 4 = 0""")),
 
+    // Video-container near-dup: sampled-frame fingerprint sets compared
+    // by integer containment — the frame-posting-index design video
+    // dedup uses (trims / re-containered copies keep sampled frames
+    // bit-identical). Fourth near-dup modality; blocks on EXACT frame
+    // identity through the DF-capped inverted-index shape of n-gram
+    // dedup (hot frames — branded intro cards — are blocked out, which
+    // bounds every posting list). 25 real pairs at sf0.01.
+    QuerySpec(
+      "mm_video_near_dup",
+      (s, dir) => Multimodal.videoNearDupPairs(docs(s, dir)),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        fr AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(
+                    substring(hx, CAST(idx*128 + 1 AS BIGINT), 128)),
+                    1, 15))::BIGINT AS fp
+          FROM (SELECT doc_id, hx,
+                       unnest(range(0,
+                         CAST(FLOOR((n - 1) / 64.0) AS BIGINT) + 1)) AS idx
+                FROM d)
+          WHERE idx % 4 = 0),
+        u AS (SELECT DISTINCT doc_id, fp FROM fr),
+        cnt AS (SELECT doc_id, COUNT(*) AS nf FROM u GROUP BY 1),
+        hot AS (SELECT fp FROM u GROUP BY fp HAVING COUNT(*) > 64),
+        uf AS (SELECT doc_id, fp FROM u
+               WHERE fp NOT IN (SELECT fp FROM hot)),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS shared_frames
+          FROM uf a JOIN uf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT p.doc_a, p.doc_b, p.shared_frames,
+               ca.nf AS nf_a, cb.nf AS nf_b,
+               (10000 * p.shared_frames) // LEAST(ca.nf, cb.nf)
+                 AS containment_bp
+        FROM pairs p
+        JOIN cnt ca ON p.doc_a = ca.doc_id
+        JOIN cnt cb ON p.doc_b = cb.doc_id
+        WHERE (10000 * p.shared_frames) // LEAST(ca.nf, cb.nf) >= 5000""")),
+
     // Fixed-offset binary header decode: big-endian u32 fields + magic tag
     // read straight out of the blob bytes — the SQL-expressible half of a
     // format sniffer. Pure projection; DuckDB reads the same offsets out of

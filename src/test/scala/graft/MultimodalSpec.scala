@@ -190,6 +190,47 @@ class MultimodalSpec extends GraftSpec {
     assert(got.filter(_._1 == 1L).toSeq === Seq((1L, 0, 11)))
   }
 
+  test("video near-dup: containment on sampled frames, DF cap blocks hot frames") {
+    // frameBytes=4, stride=2 → sampled frames are the 4-byte blocks at
+    // indices 0, 2, 4 of each text
+    val vids = Seq(
+      (1L, "AAAABBBBCCCCDDDDEEEE"), // sampled: AAAA CCCC EEEE
+      (2L, "AAAABBBBCCCCDDDDEEEE"), // identical → containment 10000
+      (3L, "AAAABBBBCCCCDDDDZZZZ"), // shares AAAA CCCC → 6666
+      (4L, "XXXXYYYYWWWWVVVVUUUU"), // disjoint
+      (5L, "AAAABBBBAAAA") // sampled AAAA, AAAA → DISTINCT set of 1
+    ).toDF("doc_id", "text")
+    def run(minBp: Long, maxDf: Int) =
+      Multimodal.videoNearDupPairs(vids, minBp, maxDf,
+        frameBytes = 4, stride = 2).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          ((r.getAs[Long]("shared_frames"), r.getAs[Long]("nf_a"),
+            r.getAs[Long]("nf_b"), r.getAs[Long]("containment_bp")))).toMap
+
+    val all = run(0L, 64)
+    assert(all === Map(
+      (1L, 2L) -> ((3L, 3L, 3L, 10000L)),
+      (1L, 3L) -> ((2L, 3L, 3L, 6666L)),
+      (2L, 3L) -> ((2L, 3L, 3L, 6666L)),
+      // doc 5's whole (deduped) frame set is inside 1, 2, 3 → 10000
+      (1L, 5L) -> ((1L, 3L, 1L, 10000L)),
+      (2L, 5L) -> ((1L, 3L, 1L, 10000L)),
+      (3L, 5L) -> ((1L, 3L, 1L, 10000L))))
+
+    // thresholding: only full containment survives 7000 bp
+    assert(run(7000L, 64).keySet ===
+      Set((1L, 2L), (1L, 5L), (2L, 5L), (3L, 5L)))
+
+    // DF cap: AAAA lives in docs 1,2,3,5 (df=4 > 3) → blocked out of the
+    // intersection; denominators stay exact. (1,2) drop to 2/3, the
+    // (·,5) pairs lose their only shared frame and vanish entirely
+    val capped = run(0L, 3)
+    assert(capped === Map(
+      (1L, 2L) -> ((2L, 3L, 3L, 6666L)),
+      (1L, 3L) -> ((1L, 3L, 3L, 3333L)),
+      (2L, 3L) -> ((1L, 3L, 3L, 3333L))))
+  }
+
   test("cross-modal linkage equals brute-forced joins of its two pair graphs") {
     import org.apache.spark.sql.functions.col
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
