@@ -5729,16 +5729,20 @@ object ExtensionQueries {
     // edge directed toward its (deg, id)-larger endpoint, wedges
     // enumerated only at each triangle's degree-minimal corner (the
     // O(m^1.5) arboricity bound that survives celebrity-node skew),
-    // closing edges verified by one equi-join. The oracle brute-forces
-    // triangles by id order — different algorithm, same rows; the
-    // clustering coefficient is integer basis points (DIV), so the
-    // hash match is exact.
+    // closing edges verified by one equi-join. Runs on the part
+    // co-occurrence graph, which stays SPARSE at every scale — the
+    // co-supplier projection approaches completeness (any two of the
+    // few suppliers co-occur somewhere), and on a near-complete graph
+    // triangle work is inherent, not a plan defect. The oracle
+    // brute-forces triangles by id order — different algorithm, same
+    // rows; the clustering coefficient is integer basis points (DIV),
+    // so the hash match is exact.
     QuerySpec(
       "graph_triangles",
-      (s, dir) => Graphs.coSupplierTriangles(Tables.load(s, dir, "lineitem")),
+      (s, dir) => Graphs.coPartTriangles(Tables.load(s, dir, "lineitem")),
       Some("""
         WITH su AS (
-          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
         up AS (
           SELECT DISTINCT a.s AS src, b.s AS dst
           FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s),
@@ -5764,23 +5768,26 @@ object ExtensionQueries {
         FROM deg LEFT JOIN pn ON deg.node = pn.node""")),
 
     // Fixed-round frontier BFS: exact hop distance (capped at 3) from
-    // nation 0's suppliers over the co-supplier graph. Each round joins
+    // one brand's parts over the part co-occurrence graph — affinity
+    // neighborhood layers (the dense co-supplier graph saturates in one
+    // hop; the sparse part graph has real layers). Each round joins
     // only the newest frontier against the edge list and min-merges —
     // K rounds = K bounded shuffles, job count known at plan time. The
     // oracle unrolls reachable sets and takes set differences per hop.
     QuerySpec(
       "graph_bfs_hops",
-      (s, dir) => Graphs.coSupplierBfs(
-        Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "supplier")),
+      (s, dir) => Graphs.coPartBfs(
+        Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "part")),
       Some("""
         WITH su AS (
-          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
         up AS (
           SELECT DISTINCT a.s AS src, b.s AS dst
           FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s),
         e AS (SELECT src, dst FROM up
               UNION ALL SELECT dst AS src, src AS dst FROM up),
-        n0 AS (SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 0),
+        n0 AS (SELECT p_partkey AS node FROM part
+               WHERE p_brand = 'Brand#11'),
         n1 AS (SELECT node FROM n0
                UNION SELECT e.dst FROM e JOIN n0 ON e.src = n0.node),
         n2 AS (SELECT node FROM n1
