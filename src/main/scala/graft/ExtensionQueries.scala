@@ -5802,6 +5802,68 @@ object ExtensionQueries {
         UNION ALL SELECT node, 3 AS dist FROM
           (SELECT node FROM n3 EXCEPT SELECT node FROM n2) t3""")),
 
+    // DOULION sampled triangle count: deterministic md5 edge coin at
+    // p=1/4, triangles of the sampled subgraph scaled by 4³ — the
+    // estimate itself is engine-replayable, so it hash-matches (the
+    // sketch-twin discipline applied to graphs). The census you run
+    // FIRST at 100 TB: 1/4 of the edges, ~1/64 of the intersection work.
+    QuerySpec(
+      "graph_triangles_sampled",
+      (s, dir) => Graphs.triangleCountSampled(
+        Graphs.coPartEdges(Tables.load(s, dir, "lineitem"))),
+      Some("""
+        WITH su AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        up AS (
+          SELECT DISTINCT a.s AS src, b.s AS dst
+          FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s),
+        sup AS (
+          SELECT src, dst FROM up
+          WHERE ('0x' || substring(md5(src::VARCHAR || '_' || dst::VARCHAR),
+                   1, 8))::BIGINT % 4 = 0),
+        stri AS (
+          SELECT a.src FROM sup a
+          JOIN sup b ON b.src = a.dst
+          JOIN sup c ON c.src = a.src AND c.dst = b.dst)
+        SELECT (SELECT COUNT(*) FROM sup) AS n_sampled_edges,
+               (SELECT COUNT(*) FROM stri) * 64 AS est_triangles""")),
+
+    // The estimator's accuracy contract: exact census total beside the
+    // estimate, integer-bp error, bound verdict — estimator drift flips
+    // the hash red (measured 144 bp at sf0.01 / 12 bp at sf0.1).
+    QuerySpec(
+      "graph_triangles_sampled_bound",
+      (s, dir) => Graphs.triangleSampledBound(
+        Graphs.coPartEdges(Tables.load(s, dir, "lineitem"))),
+      Some("""
+        WITH su AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        up AS (
+          SELECT DISTINCT a.s AS src, b.s AS dst
+          FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s),
+        tri AS (
+          SELECT a.src FROM up a
+          JOIN up b ON b.src = a.dst
+          JOIN up c ON c.src = a.src AND c.dst = b.dst),
+        sup AS (
+          SELECT src, dst FROM up
+          WHERE ('0x' || substring(md5(src::VARCHAR || '_' || dst::VARCHAR),
+                   1, 8))::BIGINT % 4 = 0),
+        stri AS (
+          SELECT a.src FROM sup a
+          JOIN sup b ON b.src = a.dst
+          JOIN sup c ON c.src = a.src AND c.dst = b.dst),
+        x AS (SELECT (SELECT COUNT(*) FROM tri) AS exact_triangles,
+                     (SELECT COUNT(*) FROM stri) * 64 AS est_triangles)
+        SELECT exact_triangles, est_triangles,
+               (10000 * abs(est_triangles - exact_triangles))
+                 // exact_triangles AS err_bp,
+               (10000 * abs(est_triangles - exact_triangles))
+                 // exact_triangles <= 2000 AS within_bound
+        FROM x""",
+      ),
+      benchmark = false),
+
     // Peak session concurrency per day: sweep-line over session
     // [start, end]-inclusive intervals, candidates evaluated at the
     // GROUP level per distinct timestamp (prefix-before + starts-at-ts)

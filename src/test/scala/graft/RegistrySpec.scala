@@ -76,7 +76,8 @@ class RegistrySpec extends GraftSpec {
       "sim_bitext_recall_planted", "sim_recall_lsh_planted",
       "sim_ann_ivfpq_compacted", "dedup_incremental_compacted",
       "sim_recall_ivf_planted", "er_canonical_persisted",
-      "dedup_decision_diff", "split_leakage_safe")
+      "dedup_decision_diff", "split_leakage_safe",
+      "graph_triangles_sampled_bound")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
