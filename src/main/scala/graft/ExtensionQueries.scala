@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Cdc, Dedup, Dimensions, EntityResolution, Governance, Graphs, Joins, Multimodal, Packing, Percentiles, Similarity, Sketches, StorageLayout, TextAnalysis, TimeSeries}
+import graft.operators.{Cdc, Dedup, Dimensions, EntityResolution, Governance, Graphs, Joins, Mining, Multimodal, Packing, Percentiles, Similarity, Sketches, StorageLayout, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions.{col, max}
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
@@ -5907,6 +5907,108 @@ object ExtensionQueries {
               FROM p)
         SELECT CAST(ts AS DATE) AS day,
                CAST(MAX(run - (ns - ne) + ns) AS BIGINT) AS max_concurrent
-        FROM r GROUP BY 1"""))
+        FROM r GROUP BY 1""")),
+
+    // ---- frequent-itemset mining -------------------------------------
+    // Association rules over order→part baskets: pair support,
+    // directional confidence, lift — all integer bp. Pair explosion is
+    // bounded per basket; item supports broadcast onto the pair table.
+    QuerySpec(
+      "mine_assoc_rules",
+      (s, dir) => Mining.assocRules(
+        Mining.partBaskets(Tables.load(s, dir, "lineitem"))),
+      Some("""
+        WITH op AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM op),
+        sup AS (SELECT item, COUNT(*) AS n FROM op GROUP BY 1),
+        pr AS (
+          SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+          FROM op a JOIN op b ON a.ok = b.ok AND a.item < b.item
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT item_a, item_b, sa.n AS n_a, sb.n AS n_b, n_ab, n_baskets,
+               (10000 * n_ab) // n_baskets AS support_bp,
+               (10000 * n_ab) // sa.n AS conf_ab_bp,
+               (10000 * n_ab) // sb.n AS conf_ba_bp,
+               (10000 * n_ab * n_baskets) // (sa.n * sb.n) AS lift_bp
+        FROM pr
+        JOIN sup sa ON pr.item_a = sa.item
+        JOIN sup sb ON pr.item_b = sb.item
+        CROSS JOIN n""")),
+
+    // Level-3 Apriori at the BRAND rollup (scale-stable density; the
+    // part projection's triples vanish as the item universe grows —
+    // measured: 12 itemsets at sf0.01, zero at sf0.1), min support as a
+    // scale-free bp fraction. Baskets are pruned to items in ANY
+    // frequent pair BEFORE the 3-way explosion; the prune is provably
+    // lossless (support monotonicity), so the unpruned oracle counts
+    // the same rows.
+    QuerySpec(
+      "mine_freq_triples",
+      (s, dir) => Mining.frequentTriples(Mining.brandBaskets(
+        Tables.load(s, dir, "lineitem"), part(s, dir))),
+      Some("""
+        WITH ob AS (
+          SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM ob)
+        SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+               COUNT(*) AS n_abc,
+               n_baskets,
+               (10000 * COUNT(*)) // n_baskets AS support_bp
+        FROM ob a
+        JOIN ob b ON a.ok = b.ok AND a.item < b.item
+        JOIN ob c ON a.ok = c.ok AND b.item < c.item
+        CROSS JOIN n
+        GROUP BY 1, 2, 3, 5
+        HAVING (10000 * COUNT(*)) // n_baskets >= 30""")),
+
+    // ---- privacy governance: k-anonymity ------------------------------
+    // Equivalence-class histogram at the finest quasi-identifier level
+    // (nation, segment, balance-thousand-bucket) with the class-size<k
+    // risk verdict — the pre-release re-identification exposure report.
+    QuerySpec(
+      "gov_k_anonymity",
+      (s, dir) => Governance.kAnonymityHistogram(
+        Tables.load(s, dir, "customer")),
+      Some("""
+        WITH q AS (
+          SELECT c_nationkey AS nation, c_mktsegment AS seg,
+                 CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_kb
+          FROM customer),
+        cl AS (
+          SELECT nation, seg, bal_kb, COUNT(*) AS class_size
+          FROM q GROUP BY 1, 2, 3)
+        SELECT class_size, COUNT(*) AS n_classes,
+               CAST(SUM(class_size) AS BIGINT) AS n_records,
+               class_size < 5 AS risky
+        FROM cl GROUP BY 1""")),
+
+    // The generalization ladder: risk at every ROLLUP level of the QI
+    // set in ONE corpus scan (Expand ×4). gid 0 = finest, 7 = fully
+    // generalized; walking up provably shrinks n_risky_records.
+    QuerySpec(
+      "gov_k_anon_ladder",
+      (s, dir) => Governance.kAnonymityLadder(
+        Tables.load(s, dir, "customer")),
+      Some("""
+        WITH q AS (
+          SELECT c_nationkey AS nation, c_mktsegment AS seg,
+                 CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_kb
+          FROM customer),
+        cl AS (
+          SELECT nation, seg, bal_kb,
+                 CAST(GROUPING_ID(nation, seg, bal_kb) AS BIGINT) AS gid,
+                 COUNT(*) AS n
+          FROM q GROUP BY ROLLUP(nation, seg, bal_kb))
+        SELECT gid, COUNT(*) AS n_classes,
+               CAST(SUM(n) AS BIGINT) AS n_records,
+               CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_risky_classes,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                 AS n_risky_records,
+               (10000 * CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT))
+                 // CAST(SUM(n) AS BIGINT) AS risk_bp
+        FROM cl GROUP BY 1"""))
   )
 }

@@ -416,4 +416,57 @@ object Governance {
       .unionByName(checkReferential("lineitem", "l_orderkey_in_orders",
         lineitem, "l_orderkey", orders, "o_orderkey"))
   }
+
+  /** Quasi-identifier projection shared by the k-anonymity gauges:
+    * (nation, market segment, account-balance thousand-bucket) — the
+    * classic "not directly identifying, jointly identifying" column set.
+    * The balance bucket uses IEEE double division + floor (bit-identical
+    * on any engine), never round (half-way ties could diverge).
+    */
+  private def quasiIds(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(floor(c_acctbal / 1000.0D) AS BIGINT)").as("bal_kb"))
+
+  /** k-anonymity equivalence-class histogram at the finest
+    * quasi-identifier level: how many classes (and records) exist at
+    * each class size, with the `risky` verdict (class size < k — those
+    * records are re-identifiable within a k-sized candidate set). This
+    * is the privacy-risk report a release runs BEFORE publishing
+    * quasi-identifier columns; the [[Cdc.rtbfManifest]] purge is what
+    * runs after a request, this is what bounds exposure before one.
+    *
+    * Scale: two map-side-combinable aggs (corpus → classes → histogram);
+    * the class table is |distinct QI| rows, the histogram |distinct
+    * sizes| — output never corpus-sized.
+    */
+  def kAnonymityHistogram(customer: DataFrame, k: Int = 5): DataFrame =
+    quasiIds(customer)
+      .groupBy("nation", "seg", "bal_kb")
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_records"))
+      .withColumn("risky", col("class_size") < k)
+
+  /** The generalization ladder: k-anonymity risk at every ROLLUP level
+    * of the quasi-identifier set in ONE corpus scan (Expand ×4 — adding
+    * a generalization level never adds a corpus pass). gid is the
+    * standard grouping bitmask (leftmost column = most significant bit):
+    * 0 = (nation, seg, bal_kb), 1 = (nation, seg), 3 = (nation),
+    * 7 = fully generalized. Walking up the ladder provably shrinks
+    * `n_risky_records` — the coarsening decision (suppress vs
+    * generalize) read straight off one report.
+    */
+  def kAnonymityLadder(customer: DataFrame, k: Int = 5): DataFrame =
+    quasiIds(customer)
+      .rollup("nation", "seg", "bal_kb")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .groupBy("gid")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_records"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_risky_classes"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_risky_records"))
+      .withColumn("risk_bp", expr("(10000 * n_risky_records) DIV n_records"))
 }

@@ -199,4 +199,60 @@ class GovernanceSpec extends GraftSpec {
     assert(!p.contains("FileScan"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  // customers: QI = (nation, seg, floor(bal/1000)).
+  //   (1, A, 0.0..999) x3  -> class of 3 (risky at k=5)
+  //   (1, A, 1000+)    x5  -> class of 5 (safe)
+  //   (2, B, 0..)      x1  -> class of 1 (risky)
+  //   (2, A, -500)     x1  -> bal_kb = -1 (floor, not trunc-toward-zero)
+  private def kAnonCustomers = {
+    val rows =
+      Seq.fill(3)((1, "A", 500.0)) ++ Seq.fill(5)((1, "A", 1500.0)) ++
+        Seq((2, "B", 10.0), (2, "A", -500.0))
+    rows.zipWithIndex.map { case ((n, s, b), i) =>
+      (i.toLong, n, s, b)
+    }.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+  }
+
+  test("k-anonymity histogram: class sizes, record mass, risky verdict") {
+    val got = Governance.kAnonymityHistogram(kAnonCustomers, k = 5)
+      .collect()
+      .map(r => r.getAs[Long]("class_size") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_records"),
+          r.getAs[Boolean]("risky")))).toMap
+    assert(got === Map(
+      3L -> ((1L, 3L, true)),
+      5L -> ((1L, 5L, false)),
+      1L -> ((2L, 2L, true))))
+  }
+
+  test("k-anonymity ladder: rollup levels, risk shrinks walking up") {
+    val got = Governance.kAnonymityLadder(kAnonCustomers, k = 5)
+      .collect()
+      .map(r => r.getAs[Long]("gid") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_records"),
+          r.getAs[Long]("n_risky_classes"), r.getAs[Long]("n_risky_records"),
+          r.getAs[Long]("risk_bp")))).toMap
+    // gid 0: classes {3,5,1,1} -> risky 3 classes / 5 records
+    assert(got(0L) === ((4L, 10L, 3L, 5L, 5000L)))
+    // gid 1 (bal generalized): (1,A)x8 (2,B)x1 (2,A)x1 -> risky 2/2
+    assert(got(1L) === ((3L, 10L, 2L, 2L, 2000L)))
+    // gid 3 (nation only): 1x8, 2x2 -> risky 1 class / 2 records
+    assert(got(3L) === ((2L, 10L, 1L, 2L, 2000L)))
+    // gid 7 (fully generalized): one class of 10, safe
+    assert(got(7L) === ((1L, 10L, 0L, 0L, 0L)))
+    // every level partitions ALL records; risk is monotone non-increasing
+    assert(got.values.forall(_._2 == 10L))
+    val walk = Seq(got(0L), got(1L), got(3L), got(7L)).map(_._4)
+    assert(walk.zip(walk.tail).forall { case (hi, lo) => lo <= hi })
+  }
+
+  test("k-anonymity ladder plan: one corpus scan, Expand carries the " +
+    "rollup — adding a generalization level is never another pass") {
+    val df = Governance.kAnonymityLadder(
+      Tables.load(spark, sf, "customer"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p)
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+  }
 }
