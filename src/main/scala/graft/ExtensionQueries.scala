@@ -6009,6 +6009,41 @@ object ExtensionQueries {
                  AS n_risky_records,
                (10000 * CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT))
                  // CAST(SUM(n) AS BIGINT) AS risk_bp
-        FROM cl GROUP BY 1"""))
+        FROM cl GROUP BY 1""")),
+
+    // k-core of the part co-occurrence graph: 6 fixed peel rounds at
+    // k=80 (measured converged at BOTH harness scale factors — a real
+    // multi-round cascade: sf0.01 1903→1857, sf0.1 19154→18863). The
+    // oracle unrolls the identical rounds, so even a mid-cascade state
+    // would hash-match; iterative multi-job → benchmark=false.
+    QuerySpec(
+      "graph_kcore",
+      (s, dir) => Graphs.coPartKCore(Tables.load(s, dir, "lineitem")),
+      benchmark = false,
+      oracle = Some(kcoreOracleSql(k = 80, rounds = 6)))
   )
+
+  /** Unrolled k-core peel oracle (the Lloyd-round / BPE-round CTE-chain
+    * discipline): e0 = symmetric part co-occurrence edges, round i keeps
+    * nodes of degree ≥ k and filters both edge endpoints.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s""",
+        k$i AS (SELECT src AS node FROM e${i - 1}
+                GROUP BY 1 HAVING COUNT(*) >= $k),
+        e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+                JOIN k$i a ON e.src = a.node
+                JOIN k$i b ON e.dst = b.node)"""
+    }.mkString
+    s"""
+        WITH su AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        up AS (
+          SELECT DISTINCT a.s AS src, b.s AS dst
+          FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s),
+        e0 AS (SELECT src, dst FROM up
+               UNION ALL SELECT dst AS src, src AS dst FROM up)$roundCtes
+        SELECT src AS node, COUNT(*) AS core_deg FROM e$rounds GROUP BY 1"""
+  }
 }

@@ -267,4 +267,45 @@ object Graphs {
       part.where(col("p_brand") === "Brand#11")
         .select(col("p_partkey").as("node")),
       rounds = 3)
+
+  /** Fixed-round k-core peel: `rounds` rounds of "drop every node whose
+    * current degree < k", then the surviving subgraph's nodes with their
+    * in-core degrees. The k-core (maximal subgraph of min-degree ≥ k) is
+    * the fixpoint of this peel; a FIXED round count keeps the job count
+    * known at plan time (the [[bfsHops]]/[[pageRank]] discipline) and
+    * makes the intermediate states engine-exact — the oracle unrolls the
+    * identical rounds, so the hash matches even mid-cascade. The
+    * registered query's (k=80, 6 rounds) is MEASURED converged on the
+    * part graph at both harness scale factors (sf0.01: 1903→…→1857
+    * stable; sf0.1: 19154→…→18863 stable — a real multi-round cascade,
+    * not a one-shot filter; spec-pinned that round 7 changes nothing).
+    *
+    * Scale: per round ONE edge-sized map-side-combinable degree agg and
+    * two semi-joins against the node-sized survivor list (broadcast
+    * while node count allows; Spark's size-based planning falls back to
+    * a shuffle semi-join when the node set outgrows the threshold — both
+    * are linear). The edge list shrinks monotonically, so round cost
+    * only ever goes down; each round is lineage-cut.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val keep = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select("node")
+        .localCheckpoint()
+      e = e.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Registered query: the 80-core of the part co-occurrence graph —
+    * the "stable affinity backbone" (nodes whose co-purchase
+    * neighborhood survives iterated pruning of weakly-connected parts).
+    */
+  def coPartKCore(lineitem: DataFrame): DataFrame =
+    kCore(coPartEdges(lineitem), k = 80, rounds = 6)
 }

@@ -74,6 +74,54 @@ class GraphsSpec extends GraftSpec {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 9L -> 0))
   }
 
+  test("k-core: the peel cascades — removing leaves exposes new leaves") {
+    // triangle 1-2-3 with a chain 3-4-5 hanging off it: the 2-core is
+    // exactly the triangle, but node 4 only drops once 5 (deg 1) is
+    // gone — one round is NOT enough, which is what the test pins
+    val up = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (up ++ up.map(_.swap)).toDF("src", "dst")
+    def core(rounds: Int) = Graphs.kCore(edges, k = 2, rounds = rounds)
+      .collect().map(r =>
+        r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    // round 1 removed only node 5; node 4 still present at deg 1
+    assert(core(1) === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // round 2 reaches the fixpoint: the bare triangle
+    val fix = Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    assert(core(2) === fix)
+    // converged: extra rounds change nothing
+    assert(core(3) === fix)
+  }
+
+  test("k-core: seeded random graphs match a brute-force peel") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val up = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      val edges = (up ++ up.map(_.swap)).toDF("src", "dst")
+      val k = 3
+      // brute: peel to the true fixpoint
+      var es = up.toSet
+      var changed = true
+      while (changed) {
+        val deg = (es.toSeq.flatMap(e => Seq(e._1, e._2)))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        changed = next != es
+        es = next
+      }
+      val exp = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // n rounds always suffice to converge on n nodes
+      val got = Graphs.kCore(edges, k, rounds = n.toInt).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+      assert(got === exp, s"trial $trial")
+    }
+  }
+
   test("co-supplier edges: per-order pairs, deduped across orders, symmetric") {
     val li = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L), // order 10: suppliers 1,2,3

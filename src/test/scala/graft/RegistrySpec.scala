@@ -77,7 +77,7 @@ class RegistrySpec extends GraftSpec {
       "sim_ann_ivfpq_compacted", "dedup_incremental_compacted",
       "sim_recall_ivf_planted", "er_canonical_persisted",
       "dedup_decision_diff", "split_leakage_safe",
-      "graph_triangles_sampled_bound")
+      "graph_triangles_sampled_bound", "graph_kcore")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
