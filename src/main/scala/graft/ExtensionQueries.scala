@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Cdc, Dedup, Dimensions, EntityResolution, Governance, Graphs, Joins, Mining, Multimodal, Packing, Percentiles, Similarity, Sketches, StorageLayout, TextAnalysis, TimeSeries}
+import graft.operators.{Cdc, Dedup, Dimensions, EntityResolution, Governance, Graphs, Joins, Mining, Multimodal, Packing, Pca, Percentiles, Similarity, Sketches, StorageLayout, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions.{col, max}
 
 /** LLM-data-pipeline extension operators (SURVEY.md §2-B): dedup,
@@ -6021,7 +6021,63 @@ object ExtensionQueries {
       (s, dir) => Graphs.coPartKCore(Tables.load(s, dir, "lineitem")),
       benchmark = false,
       oracle = Some(kcoreOracleSql(k = 80, rounds = 6)))
-  )
+  ) ++ pcaSpecs
+
+  /** PCA family: the projection itself is rows-only (the eigenbasis is
+    * not ANSI-SQL-expressible — the sketch-estimator discipline), flanked
+    * by TWO hash-matched bound twins: the harness corpus (near-random
+    * geometry → captured variance barely above the k/d floor — the honest
+    * number) and the planted clustered fixture (structure concentrated in
+    * 8 directions → captured variance near total — the accept verdict a
+    * broken eigensolve cannot fake). Same operator, both verdicts.
+    */
+  private def pcaSpecs: Seq[QuerySpec] = {
+    // exact scaled total variance: n·Σ_i G_ii − Σ_i S_i² over the shared
+    // floor-scaled-long quantization — identical integer arithmetic on
+    // both engines, computed here from `src`(vec_id, embedding-ish col)
+    def tvSql(src: String, vcol: String): String = s"""
+        q AS (SELECT list_transform(CAST($vcol AS DOUBLE[]),
+                x -> CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)) AS q
+              FROM $src),
+        comp AS (SELECT unnest(q) AS qi,
+                        unnest(range(1, len(q) + 1)) AS i FROM q),
+        si AS (SELECT i, CAST(SUM(qi) AS BIGINT) AS s FROM comp GROUP BY 1),
+        tot AS (SELECT
+          (SELECT COUNT(*) FROM q) AS n,
+          (SELECT CAST(SUM(list_sum(list_transform(q, x -> x * x)))
+             AS BIGINT) FROM q) AS sqq,
+          (SELECT CAST(SUM(s * s) AS BIGINT) FROM si) AS ssq)
+        SELECT CAST(n AS BIGINT) AS n_vectors,
+               CAST(n * sqq - ssq AS BIGINT) AS total_var_scaled,
+               TRUE AS captured_ok, TRUE AS orthonormal_ok
+        FROM tot"""
+    Seq(
+      // The projection: (vec_id, pc_0..pc_7) in quantized 1e4 units.
+      QuerySpec(
+        "emb_pca_project",
+        (s, dir) => Pca.pcaProject(emb(s, dir), k = 8),
+        None),
+      // Honest-floor contract on the near-random corpus: top-8 of 64
+      // must capture at least the mathematical k/d floor (a broken
+      // solve lands below; a non-orthonormal basis inflates past 10000).
+      QuerySpec(
+        "emb_pca_bound",
+        (s, dir) => Pca.pcaBound(emb(s, dir), k = 8, minCapturedBp = 1250L),
+        benchmark = false, // re-runs the already-priced projection
+        oracle = Some("WITH " + tvSql("embeddings", "embedding"))),
+      // Accept verdict on the planted clustered fixture: 8 tight
+      // clusters in 16 dims → the top-8 basis captures nearly all
+      // variance. Oracle recomputes total variance from the same
+      // generated VALUES (no parquet).
+      QuerySpec(
+        "emb_pca_planted_bound",
+        (s, _) => Pca.pcaBound(PlantedFixture.embDf(s), k = 8,
+          minCapturedBp = 9000L),
+        benchmark = false,
+        oracle = Some(s"""
+          WITH ${PlantedFixture.vSql},
+          ${tvSql("v", "v")}""")))
+  }
 
   /** Unrolled k-core peel oracle (the Lloyd-round / BPE-round CTE-chain
     * discipline): e0 = symmetric part co-occurrence edges, round i keeps

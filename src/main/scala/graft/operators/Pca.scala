@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Principal-component analysis over the embedding corpus — the
+  * dimensionality-reduction step a training pipeline runs before ANN
+  * indexing or PQ compression (extension surface; no counterpart in the
+  * reference demo). Spark-first split of the work:
+  *
+  *   - The CORPUS-sized work is two exact integer aggregations: the
+  *     per-dimension first moments S_i = Σ q_i and the upper-triangle
+  *     second moments G_ij = Σ q_i·q_j over floor-scaled-long components
+  *     (the [[Similarity]] 1e4-scaled `FLOOR(x·1e4 + 0.5)` discipline —
+  *     1e4, not 1e6, so n·G_ii stays inside BIGINT through the variance
+  *     identity at harness scales; a larger corpus moves the accumulator
+  *     to DECIMAL, per the Registry oracle-parity notes). Integer sums
+  *     are order-independent, so the moments — and everything derived
+  *     from them — are identical on any partitioning and any engine.
+  *   - The d×d eigensolve is DRIVER-side (d = 64 here; the Gram matrix
+  *     is d²·8 bytes — KB-scale metadata, the same driver/executor split
+  *     as the PQ codebooks): cyclic Jacobi with a fixed sweep cap,
+  *     deterministic rotation order, deterministic sign convention.
+  *   - The projection ships the top-k eigenvectors back as LITERAL
+  *     arrays (`typedlit` + HOF fold — the codegen-safe idiom that fixed
+  *     the 64 KB fallback) and runs scan-side: one `zip_with`/`aggregate`
+  *     dot product per component, no shuffle, no UDF.
+  *
+  * The explosion that feeds the second-moment agg is n·d² rows, the
+  * inherent O(n·d²) cost of a Gram matrix; map-side partial aggregation
+  * collapses it to 2080 rows per partition before the (tiny) shuffle.
+  */
+object Pca {
+
+  /** Scan-side floor-scaled-long components (1e4 units). */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))").as("q"))
+
+  /** Exact integer moments: (n, S_i, upper-triangle G_ij, dim).
+    * Two bounded collects (d and d·(d+1)/2 rows) — driver metadata, the
+    * codebook discipline.
+    */
+  private def moments(q: DataFrame)
+      : (Long, Array[Long], Map[(Int, Int), Long], Int) = {
+    val comps = q.select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+    val firsts = comps.groupBy("i")
+      .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val d = firsts.length
+    val n = firsts.head.getAs[Long]("n")
+    val s = Array.ofDim[Long](d)
+    firsts.foreach(r => s(r.getAs[Int]("i")) = r.getAs[Long]("s"))
+    val g = comps
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .where(col("j") >= col("i"))
+      .groupBy("i", "j").agg(sum(expr("qi * qj")).as("g"))
+      .collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getAs[Long]("g"))
+      .toMap
+    (n, s, g, d)
+  }
+
+  /** Cyclic Jacobi eigensolve of a symmetric matrix: fixed sweep cap,
+    * fixed (p, q) rotation order — deterministic for identical input,
+    * and the input (the covariance from exact integer moments) is itself
+    * partition-independent. Returns (eigenvalues, eigenvectors as rows)
+    * sorted by eigenvalue descending, each vector sign-fixed so its
+    * largest-|component| entry is positive.
+    */
+  private[graft] def jacobiEigen(m: Array[Array[Double]],
+      sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var qc = p + 1
+        while (qc < d) {
+          val apq = a(p)(qc)
+          if (math.abs(apq) > 1e-300) {
+            off += math.abs(apq)
+            val theta = (a(qc)(qc) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            val app = a(p)(p); val aqq = a(qc)(qc)
+            a(p)(p) = c * c * app - 2.0 * sn * c * apq + sn * sn * aqq
+            a(qc)(qc) = sn * sn * app + 2.0 * sn * c * apq + c * c * aqq
+            a(p)(qc) = 0.0; a(qc)(p) = 0.0
+            var r = 0
+            while (r < d) {
+              if (r != p && r != qc) {
+                val arp = a(r)(p); val arq = a(r)(qc)
+                a(r)(p) = c * arp - sn * arq; a(p)(r) = a(r)(p)
+                a(r)(qc) = sn * arp + c * arq; a(qc)(r) = a(r)(qc)
+              }
+              val vrp = v(r)(p); val vrq = v(r)(qc)
+              v(r)(p) = c * vrp - sn * vrq
+              v(r)(qc) = sn * vrp + c * vrq
+              r += 1
+            }
+          }
+          qc += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(j => (-a(j)(j), j))
+    val vals = order.map(j => a(j)(j)).toArray
+    val vecs = order.map { j =>
+      val col0 = Array.tabulate(d)(r => v(r)(j))
+      val pivot = col0.indices.maxBy(i => (math.abs(col0(i)), -i))
+      if (col0(pivot) < 0) col0.map(x => -x) else col0
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Shared core: quantize → moments → eigensolve → scan-side projection.
+    * Returns (projected frame with `pc_0..pc_{k-1}` quantized longs,
+    * exact total-variance numerator n·ΣG_ii − ΣS_i², n, orthonormal_ok).
+    * Runs Spark jobs at construction time (moment collects) — the
+    * documented eager class (quality gates, IVF training).
+    */
+  private def projectCore(emb: DataFrame, k: Int)
+      : (DataFrame, Long, Long, Boolean) = {
+    val q = quantized(emb).localCheckpoint()
+    val (n, s, g, d) = moments(q)
+    val tvNum = (0 until d).map(i => n * g((i, i)) - s(i) * s(i)).sum
+    // covariance in unscaled units: (G·n − S_i·S_j) / n² / 1e8
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val key = if (i <= j) (i, j) else (j, i)
+      (g(key).toDouble * n - s(i).toDouble * s(j)) / (n.toDouble * n) / 1e8
+    }
+    val (_, vecs) = jacobiEigen(cov)
+    val ortho = {
+      val dots = for (a <- 0 until k; b <- a until k) yield {
+        val dot = (0 until d).map(i => vecs(a)(i) * vecs(b)(i)).sum
+        math.abs(dot - (if (a == b) 1.0 else 0.0))
+      }
+      dots.max < 1e-8
+    }
+    val mu = (0 until d).map(i => s(i).toDouble / n / 1e4)
+    val proj = q.select(col("vec_id") +: (0 until k).map { c =>
+      val w = typedlit(vecs(c).toSeq)
+      val b = (0 until d).map(i => mu(i) * vecs(c)(i)).sum
+      val dot = aggregate(
+        zip_with(col("q"), w, (x, wc) => x.cast("double") * wc),
+        lit(0.0), (acc, e) => acc + e)
+      floor((dot * lit(1e-4) - lit(b)) * lit(1e4) + lit(0.5))
+        .cast("long").as(s"pc_$c")
+    }: _*)
+    (proj, tvNum, n, ortho)
+  }
+
+  /** Registered projection: (vec_id, pc_0..pc_{k-1}) in quantized 1e4
+    * units. Deterministic end-to-end (exact integer moments → driver
+    * doubles → per-row fixed-order fold), but the eigenbasis is not
+    * ANSI-SQL-expressible — rows-only at the gate, flanked by the two
+    * hash-matched bound twins (the sketch-estimator discipline).
+    */
+  def pcaProject(emb: DataFrame, k: Int = 8): DataFrame =
+    projectCore(emb, k)._1
+
+  /** Hash-matched accuracy contract: the EXACT scaled total-variance
+    * numerator (oracle recomputes it from the same quantized components
+    * — engine-independent integer arithmetic), the vector count, and two
+    * booleans the oracle asserts TRUE: captured variance of the k
+    * projected components within [minCapturedBp, maxCapturedBp] of total
+    * (top-k of d is mathematically ≥ k/d of total — a broken eigensolve
+    * lands below; a non-orthonormal basis inflates past 10000), and
+    * driver-checked basis orthonormality. Estimator drift flips the
+    * hash red while the expensive projection itself stays rows-only.
+    */
+  def pcaBound(emb: DataFrame, k: Int = 8, minCapturedBp: Long,
+      maxCapturedBp: Long = 10050L): DataFrame = {
+    val (proj, tvNum, _, ortho) = projectCore(emb, k)
+    val aggs = count(lit(1)).as("n") +: (0 until k).flatMap(c => Seq(
+      sum(col(s"pc_$c")).as(s"sp_$c"),
+      sum(expr(s"pc_$c * pc_$c")).as(s"spp_$c")))
+    val pvExpr = (0 until k)
+      .map(c => s"(n * spp_$c - sp_$c * sp_$c)").mkString(" + ")
+    proj.agg(aggs.head, aggs.tail: _*)
+      .withColumn("pv_num", expr(pvExpr))
+      .withColumn("captured_bp", expr(s"(10000 * pv_num) DIV ${tvNum}L"))
+      .select(
+        col("n").as("n_vectors"),
+        lit(tvNum).as("total_var_scaled"),
+        col("captured_bp").between(minCapturedBp, maxCapturedBp)
+          .as("captured_ok"),
+        lit(ortho).as("orthonormal_ok"))
+  }
+}

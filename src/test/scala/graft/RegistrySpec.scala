@@ -30,7 +30,7 @@ class RegistrySpec extends GraftSpec {
     // estimates), each flanked by a hash-matched exact twin and a
     // hash-matched error-bound query; everything else must carry SQL
     assert(noOracle === Set("sketch_distinct_users", "sketch_value_quantiles",
-      "gov_profile_columns_approx"),
+      "gov_profile_columns_approx", "emb_pca_project"),
       s"undocumented rows-only queries: $noOracle")
   }
 
@@ -77,7 +77,8 @@ class RegistrySpec extends GraftSpec {
       "sim_ann_ivfpq_compacted", "dedup_incremental_compacted",
       "sim_recall_ivf_planted", "er_canonical_persisted",
       "dedup_decision_diff", "split_leakage_safe",
-      "graph_triangles_sampled_bound", "graph_kcore")
+      "graph_triangles_sampled_bound", "graph_kcore",
+      "emb_pca_bound", "emb_pca_planted_bound")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
