@@ -6020,7 +6020,29 @@ object ExtensionQueries {
       "graph_kcore",
       (s, dir) => Graphs.coPartKCore(Tables.load(s, dir, "lineitem")),
       benchmark = false,
-      oracle = Some(kcoreOracleSql(k = 80, rounds = 6)))
+      oracle = Some(kcoreOracleSql(k = 80, rounds = 6))),
+
+    // Partition-spec evolution: gen-1 partitionBy(lang), gen-2
+    // partitionBy(lang, source), NO history rewrite; a (lang, source)
+    // query prunes each generation by its own spec (PlanSpec pins the
+    // two scan shapes). The per-generation manifest vs the unsplit
+    // oracle proves mixed-spec pruning loses/dupes nothing.
+    QuerySpec(
+      "io_partition_evolution",
+      (s, dir) => StorageLayout.partitionEvolution(
+        s, docs(s, dir), scratchPath("pe", dir)),
+      Some("""
+        SELECT CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+                      ::BIGINT % 2 = 0 THEN 'g1' ELSE 'g2' END
+                 AS generation,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM documents
+        WHERE lang = 'en' AND source = 'src1'
+        GROUP BY 1"""))
   ) ++ pcaSpecs
 
   /** PCA family: the projection itself is rows-only (the eigenbasis is

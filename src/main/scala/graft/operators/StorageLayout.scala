@@ -200,6 +200,44 @@ object StorageLayout {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
   }
 
+  /** Partition-spec EVOLUTION: generation 1 of the corpus was written
+    * `partitionBy(lang)`; a later ingest generation is written
+    * `partitionBy(lang, source)` after the pipeline learned that
+    * source-sliced reads dominate. The spec change applies to NEW files
+    * only — history is never rewritten (the table-format evolution
+    * contract: a repartition-the-world backfill at 100 TB is exactly
+    * what evolution exists to avoid). A (lang, source) query then prunes
+    * each generation BY ITS OWN SPEC: gen-2 scans only the
+    * `lang=/source=` leaf directory, gen-1 prunes to the `lang=`
+    * directory and applies `source` as an ordinary pushed data filter on
+    * the residual read (PlanSpec pins both shapes). Output is the
+    * per-generation release manifest of the slice — count, char volume,
+    * and the bit_xor content checksum — which the oracle recomputes from
+    * the unsplit table, proving the two-generation union under
+    * mixed-spec pruning loses and duplicates nothing.
+    */
+  def partitionEvolution(
+      spark: SparkSession, docs: DataFrame, scratch: String,
+      lang: String = "en", source: String = "src1"): DataFrame = {
+    val g1 = s"$scratch/gen1"
+    val g2 = s"$scratch/gen2"
+    // generation split by md5 coin, NOT doc_id parity: the harness
+    // generator derives source from doc_id, so any modular split would
+    // correlate with source and starve one generation of the slice
+    val coin = expr("cast(conv(substring(md5(cast(cast(doc_id as string) " +
+      "as binary)), 1, 8), 16, 10) as bigint) % 2")
+    docs.where(coin === 0)
+      .write.mode("overwrite").partitionBy("lang").parquet(g1)
+    docs.where(coin === 1)
+      .write.mode("overwrite").partitionBy("lang", "source").parquet(g2)
+    def slice(path: String, gen: String) =
+      spark.read.parquet(path)
+        .where(col("lang") === lang && col("source") === source)
+        .select(lit(gen).as("generation"), col("text"), col("n_chars"))
+    Governance.releaseManifestBy(
+      slice(g1, "g1").unionByName(slice(g2, "g2")), "generation")
+  }
+
   // ---- Z-order clustering ---------------------------------------------
 
   import org.apache.spark.sql.Column

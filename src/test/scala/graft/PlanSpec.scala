@@ -762,6 +762,18 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("LessThanOrEqual(qb,22937)"), p)
   }
 
+  test("partition evolution: each generation prunes by ITS OWN spec") {
+    val p = fplan(Registry.queries("io_partition_evolution")(spark, sf))
+    val pfs = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(pfs.size === 2, p)
+    // gen-2 (lang, source spec): BOTH predicates prune directories
+    assert(pfs.exists(pf => pf.contains("lang") && pf.contains("source")), p)
+    // gen-1 (lang-only spec): lang prunes, source CANNOT — it rides as a
+    // pushed data filter on the residual read instead
+    assert(pfs.exists(pf => pf.contains("lang") && !pf.contains("source")), p)
+    assert(p.contains("EqualTo(source,src1)"), p)
+  }
+
   test("bloom point lookup: partition filter from the blooms, needles pushed to parquet") {
     val p = fplan(Registry.queries("io_bloom_lookup")(spark, sf))
     val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
