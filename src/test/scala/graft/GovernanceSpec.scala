@@ -200,6 +200,22 @@ class GovernanceSpec extends GraftSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("join-cardinality estimate: MCV corrects what uniform misses") {
+    // keys: a x4, b x3, c x2, d x1 -> true self-join size 16+9+4+1 = 30
+    val rows = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).toDF("k")
+    val r = Governance.joinCardinalityEstimate(rows, "k", topN = 2).head()
+    assert(r.getAs[Long]("ndv") === 4L)
+    assert(r.getAs[Long]("total_rows") === 10L)
+    assert(r.getAs[Long]("actual_rows") === 30L)
+    // uniform: 100 DIV 4 = 25 (err 1666 bp); MCV keeps a,b exactly and
+    // models {c,d} as 3²/2 = 4: est 29 (err 333 bp)
+    assert(r.getAs[Long]("est_uniform") === 25L)
+    assert(r.getAs[Long]("est_mcv") === 29L)
+    assert(r.getAs[Long]("err_uniform_bp") === 1666L)
+    assert(r.getAs[Long]("err_mcv_bp") === 333L)
+  }
+
   // customers: QI = (nation, seg, floor(bal/1000)).
   //   (1, A, 0.0..999) x3  -> class of 3 (risky at k=5)
   //   (1, A, 1000+)    x5  -> class of 5 (safe)
