@@ -6051,6 +6051,24 @@ object ExtensionQueries {
                  // actual_rows AS err_mcv_bp
         FROM s""")),
 
+    // Deletion vectors: day-1 deletes land as (partition, pos) METADATA
+    // (|deletes| tiny rows, zero data files rewritten); the resolved
+    // read anti-joins on POSITION only — the row key never participates
+    // (CdcSpec pins the duplicate-key case tombstones get wrong; the DV
+    // side always broadcasts, base rows never shuffle).
+    QuerySpec(
+      "io_cdc_deletion_vectors",
+      (s, dir) => Cdc.dvManifest(s, docs(s, dir), scratchPath("dv", dir)),
+      Some("""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM documents
+        WHERE NOT (lang IN ('de', 'fr') AND doc_id % 11 = 0)
+        GROUP BY 1, 2""")),
+
     // Partition-spec evolution: gen-1 partitionBy(lang), gen-2
     // partitionBy(lang, source), NO history rewrite; a (lang, source)
     // query prunes each generation by its own spec (PlanSpec pins the
@@ -6108,6 +6126,30 @@ object ExtensionQueries {
         "emb_pca_project",
         (s, dir) => Pca.pcaProject(emb(s, dir), k = 8),
         None),
+      // The Gram/moment pipeline hash-matched, computed split-then-
+      // merged (md5-coin halves, algebraic sum) against the oracle's
+      // whole-corpus self-join — the hash IS the moment-mergeability
+      // (IVM) proof, and it pins the corpus-sized half of PCA exactly.
+      QuerySpec(
+        "emb_pca_moments_merged",
+        (s, dir) => Pca.momentsMerged(emb(s, dir)),
+        Some("""
+          WITH qt AS (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)) AS q
+            FROM embeddings),
+          comp AS (
+            SELECT vec_id, unnest(q) AS qi,
+                   unnest(range(1, len(q) + 1)) AS i
+            FROM qt)
+          SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+                 CAST(SUM(a.qi * b.qi) AS BIGINT) AS g,
+                 COUNT(*) AS n_pairs,
+                 CAST(SUM(CASE WHEN a.i = b.i THEN a.qi ELSE 0 END)
+                   AS BIGINT) AS s_diag
+          FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2""")),
+
       // Honest-floor contract on the near-random corpus: top-8 of 64
       // must capture at least the mathematical k/d floor (a broken
       // solve lands below; a non-orthonormal basis inflates past 10000).

@@ -965,4 +965,70 @@ object Cdc {
     Governance.releaseManifestBy(
       spark.read.parquet(base), "lang", "source")
   }
+
+  // ---- deletion vectors (position deletes) -----------------------------
+
+  /** Write the snapshot with explicit (partition, pos) row addressing:
+    * `pos` is the row's ordinal within its partition directory (dense,
+    * deterministic — row_number over doc_id). In a real table format the
+    * position is implicit in the parquet file; Spark's reader exposes no
+    * row ordinal, so the ordinal is materialized as a column at write
+    * time — the ADDRESSING SCHEME is the honest part (a row is named by
+    * where it sits, never by its key), the stored column is the
+    * sandbox stand-in, exactly the multimodal-codec-stub discipline.
+    */
+  def writePositionedSnapshot(docs: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select("doc_id", "text", "source", "n_chars", "lang")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))).cast("long"))
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+  }
+
+  /** Build the deletion vectors for a key set: ONE lookup pass over the
+    * snapshot (at 100 TB this is the pass a bloom/zone index prunes —
+    * [[graft.operators.StorageLayout.bloomLookup]] is that front) maps
+    * each doomed key to its (lang, pos) address. The result is the
+    * DV artifact: |deletes| tiny rows, the per-file position bitmap of
+    * Iceberg v2 / Delta DVs as a frame. Zero data files are rewritten —
+    * a delete costs METADATA, the rewrite is deferred to compaction.
+    */
+  def buildDeletionVectors(
+      spark: SparkSession, basePath: String, deleteKeys: DataFrame)
+      : DataFrame = {
+    spark.read.parquet(basePath)
+      .join(broadcast(deleteKeys.select("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("lang"), col("pos"))
+  }
+
+  /** The DV-resolved read: live rows = base ANTI-JOIN dv ON (partition,
+    * pos) — POSITIONS ONLY, the row key never participates. That is the
+    * semantic difference from the tombstone-key log of [[morRead]]: a
+    * position delete removes exactly the addressed physical row, works
+    * on tables with no key (or duplicate keys — spec-pinned: one of two
+    * same-key rows survives), and at scan time is a per-file ordinal
+    * filter a vectorized reader applies while decoding, not a join
+    * against a key set. The DV side is |deletes| rows, always broadcast;
+    * base rows never shuffle (PlanSpec pins the broadcast anti-join).
+    */
+  def dvRead(spark: SparkSession, basePath: String, dv: DataFrame)
+      : DataFrame =
+    spark.read.parquet(basePath)
+      .join(broadcast(dv), Seq("lang", "pos"), "left_anti")
+
+  /** Registered lifecycle: positioned base → day-1 delete keys become
+    * deletion vectors (one indexed-shaped lookup pass, zero rewrites) →
+    * DV-resolved read → per-(lang, source) manifest. Oracle recomputes
+    * the live set from the unsplit table, so the hash proves position
+    * addressing deletes exactly the doomed rows and nothing else.
+    */
+  def dvManifest(spark: SparkSession, docs: DataFrame, scratch: String)
+      : DataFrame = {
+    val base = s"$scratch/base"
+    writePositionedSnapshot(docs, base)
+    val dv = buildDeletionVectors(spark, base, deletes(feed(docs)))
+      .localCheckpoint() // the KB-scale DV artifact; cut its build lineage
+    Governance.releaseManifestBy(
+      dvRead(spark, base, dv), "lang", "source")
+  }
 }

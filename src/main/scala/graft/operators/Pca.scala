@@ -170,6 +170,40 @@ object Pca {
   def pcaProject(emb: DataFrame, k: Int = 8): DataFrame =
     projectCore(emb, k)._1
 
+  /** The Gram/moment pipeline as a REGISTERED result — the hash-matched
+    * leg of the PCA family (the projection's only other unverified part,
+    * the driver eigensolve, is spec-pinned and bound-twinned): per upper-
+    * triangle cell (i, j) the exact integer second moment G_ij, plus the
+    * first moments on the diagonal rows. Computed here the way a 100 TB
+    * ingest would — split the corpus (md5 coin), compute each split's
+    * moments independently, and MERGE ALGEBRAICALLY (moments are plain
+    * sums, so split-then-add ≡ whole-corpus; the IVM property that lets
+    * a daily delta update the covariance without a corpus rescan). The
+    * oracle computes the whole-corpus moments directly via a self-join
+    * on vec_id — different decomposition, identical integers, so the
+    * hash match IS the mergeability proof.
+    */
+  def momentsMerged(emb: DataFrame): DataFrame = {
+    val q = quantized(emb)
+    val coin = expr("cast(conv(substring(md5(cast(cast(vec_id as string) " +
+      "as binary)), 1, 8), 16, 10) as bigint) % 2")
+    def half(side: Int): DataFrame = {
+      val comps = q.where(coin === side)
+        .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+      comps
+        .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+        .where(col("j") >= col("i"))
+        .groupBy("i", "j")
+        .agg(sum(expr("qi * qj")).as("g"), count(lit(1)).as("n"),
+          sum(when(col("i") === col("j"), col("qi"))
+            .otherwise(lit(0L))).as("s"))
+    }
+    half(0).unionByName(half(1))
+      .groupBy("i", "j")
+      .agg(sum(col("g")).as("g"), sum(col("n")).as("n_pairs"),
+        sum(col("s")).as("s_diag"))
+  }
+
   /** Hash-matched accuracy contract: the EXACT scaled total-variance
     * numerator (oracle recomputes it from the same quantized components
     * — engine-independent integer arithmetic), the vector count, and two

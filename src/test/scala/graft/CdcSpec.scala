@@ -487,4 +487,48 @@ class CdcSpec extends GraftSpec {
     val sizes = (0 to 3).map(v => rowSet(Cdc.readVersion(spark, root, v)).size)
     assert(sizes.distinct.size > 1, "intermediate versions never moved")
   }
+
+  test("deletion vectors: end-to-end equals the key-filtered truth, " +
+    "DV artifact is delete-sized, base files untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val got = Cdc.dvManifest(spark, fixture, root).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        r.getAs[Long]("n_docs")).toMap
+    // deletes: 11, 22, 77 (dirty langs, %11) — en untouched
+    assert(got === Map(
+      ("en", "s1") -> 2L, ("de", "s1") -> 2L, ("de", "s2") -> 1L,
+      ("fr", "s1") -> 1L))
+    val dv = Cdc.buildDeletionVectors(spark, s"$root/base",
+      Cdc.deletes(Cdc.feed(fixture)))
+    assert(dv.count() === 3L) // one (partition, pos) row per deleted key
+    // a delete wrote zero data bytes: only parquet files in the base are
+    // the original snapshot's (no staging, no rewrite dirs)
+    val files = new java.io.File(s"$root/base").listFiles.map(_.getName)
+    assert(files.forall(n =>
+      n.startsWith("lang=") || n.startsWith("_") || n.startsWith(".")),
+      files.mkString(","))
+  }
+
+  test("deletion vectors address ROWS, not keys: with duplicate keys, " +
+    "one position delete removes exactly one of the copies") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dvdup").toString
+    val dup = Seq(
+      (7L, "first copy", "en", "s1", 10L),
+      (7L, "second copy", "en", "s1", 11L),
+      (8L, "bystander", "en", "s1", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    Cdc.writePositionedSnapshot(dup, s"$root/base")
+    // a KEY-based delete of 7 dooms both copies — the DV build maps the
+    // key to BOTH physical addresses
+    val keyDv = Cdc.buildDeletionVectors(spark, s"$root/base",
+      Seq(7L).toDF("doc_id"))
+    assert(keyDv.count() === 2L)
+    // a POSITION delete of just one address keeps the other copy — the
+    // semantics no key-tombstone log can express
+    val oneDv = Seq(("en", 1L)).toDF("lang", "pos")
+    val left = Cdc.dvRead(spark, s"$root/base", oneDv).collect()
+    assert(left.length === 2)
+    assert(left.count(_.getAs[Long]("doc_id") == 7L) === 1)
+    assert(left.count(_.getAs[Long]("doc_id") == 8L) === 1)
+  }
 }

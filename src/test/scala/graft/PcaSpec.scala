@@ -76,6 +76,26 @@ class PcaSpec extends GraftSpec {
     assert(row.getAs[Long]("n_vectors") === 96L)
   }
 
+  test("moments merged: split-then-add equals a JVM brute force") {
+    val rows = lineEmb.collect()
+      .map(r => r.getAs[Seq[Float]]("embedding").toArray)
+    def quant(x: Float): Long = math.floor(x.toDouble * 10000 + 0.5).toLong
+    val d = rows.head.length
+    val brute = (for {
+      i <- 0 until d; j <- i until d
+    } yield (i, j) -> (
+      rows.map(v => quant(v(i)) * quant(v(j))).sum,
+      rows.length.toLong,
+      if (i == j) rows.map(v => quant(v(i))).sum else 0L)).toMap
+    val got = Pca.momentsMerged(lineEmb).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        ((r.getAs[Long]("g"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("s_diag")))).toMap
+    assert(got.keySet === brute.keySet)
+    brute.foreach { case (k, (g, n, s)) =>
+      assert(got(k) === ((g, n, s)), s"cell $k") }
+  }
+
   test("harness corpus: captured stays above the k/d floor and the " +
     "whole-plan projection has no shuffle") {
     val emb = Tables.load(spark, sf, "embeddings")

@@ -752,6 +752,21 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("DV read: anti-join broadcasts positions, keys never join, base never shuffles") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dvplan").toString
+    val docs = Tables.load(spark, sf, "documents")
+    graft.operators.Cdc.writePositionedSnapshot(docs, s"$tmp/base")
+    val dv = graft.operators.Cdc.buildDeletionVectors(spark, s"$tmp/base",
+      graft.operators.Cdc.deletes(graft.operators.Cdc.feed(docs)))
+    val p = plan(graft.operators.Cdc.dvRead(spark, s"$tmp/base", dv))
+    val joinLine = p.linesIterator
+      .find(_.contains("BroadcastHashJoin")).getOrElse("")
+    // the join keys are (partition, position) — the row key is absent
+    assert(joinLine.contains("pos") && joinLine.contains("LeftAnti"), p)
+    assert(!joinLine.contains("doc_id"), joinLine)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("zorder lookup: admitted cells prune directories, box range pushed to parquet") {
     val p = fplan(Registry.queries("io_zorder_lookup")(spark, sf))
     val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
