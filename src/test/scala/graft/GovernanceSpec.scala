@@ -216,6 +216,46 @@ class GovernanceSpec extends GraftSpec {
     assert(r.getAs[Long]("err_mcv_bp") === 333L)
   }
 
+  test("range estimate: equals a JVM brute force of the same integer " +
+    "model, and the histogram beats min-max on skewed data") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val values = Seq.fill(200)(math.pow(rnd.nextDouble(), 3) * 500.0)
+      val df = values.toDF("value")
+      val (lo, hi, bk) = (5000L, 30000L, 10)
+      val got = Governance.rangeSelectivityEstimate(df, "value", lo, hi, bk)
+        .head()
+      val v = values.map(x => math.floor(x * 100).toLong)
+      val (mn, mx, n) = (v.min, v.max, v.size.toLong)
+      val qx = v.map(x => (x - mn) * 65536 / (mx - mn + 1))
+      val hist = qx.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val cum = hist.scanLeft((0L, 0L, 0L)) {
+        case ((_, _, c), (q, cn)) => (q, cn, c + cn) }.drop(1)
+      def pick(rk: Long): Long =
+        cum.find { case (_, cn, c) => c >= rk && c - cn < rk }.get._1
+      val cks = 0L +: (1 to bk).map(k => pick((k * n + bk - 1) / bk) + 1)
+      var est = 0L
+      (1 to bk).foreach { k =>
+        val d = (k * n + bk - 1) / bk - ((k - 1) * n + bk - 1) / bk
+        val (cp, ck) = (cks(k - 1), cks(k))
+        val frac =
+          if (ck - cp > 0)
+            10000L * math.max(0L, math.min(hi, ck) - math.max(lo, cp)) /
+              (ck - cp)
+          else if (cp >= lo && cp < hi) 10000L else 0L
+        est += d * frac
+      }
+      est /= 10000
+      val actual = qx.count(x => x >= lo && x < hi).toLong
+      assert(got.getAs[Long]("est_hist") === est, s"trial $trial")
+      assert(got.getAs[Long]("actual_rows") === actual, s"trial $trial")
+      assert(got.getAs[Long]("err_hist_bp") <= got.getAs[Long]("err_minmax_bp"),
+        s"trial $trial: hist ${got.getAs[Long]("err_hist_bp")} vs " +
+          s"minmax ${got.getAs[Long]("err_minmax_bp")}")
+    }
+  }
+
   // customers: QI = (nation, seg, floor(bal/1000)).
   //   (1, A, 0.0..999) x3  -> class of 3 (risky at k=5)
   //   (1, A, 1000+)    x5  -> class of 5 (safe)
