@@ -337,4 +337,65 @@ object GraftProperties extends Properties("graft") {
       }.toSet
       direct == brute && twoLevel == brute
     }
+
+  // ---- k-core peel == brute fixpoint --------------------------------------
+  property("kCore(n rounds) == brute peel fixpoint on n nodes") =
+    forAll(edgeGraphGen) { case (nodes, edges) =>
+      val und = edges.distinct
+      val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+      val k = 2
+      var es = und.toSet
+      var changed = true
+      while (changed) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        changed = next != es
+        es = next
+      }
+      val brute = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // n rounds always reach the fixpoint on n nodes (each non-final
+      // round removes at least one node)
+      val got = graft.operators.Graphs.kCore(sym, k, rounds = nodes.size)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == brute
+    }
+
+  // ---- association rules == brute basket algebra ---------------------------
+  private val basketsGen: Gen[Seq[(Long, Long)]] = for {
+    nb <- Gen.choose(2, 10)
+    rows <- Gen.listOfN(nb * 3, for {
+      ok <- Gen.choose(1L, nb.toLong)
+      item <- Gen.choose(1L, 6L)
+    } yield (ok, item))
+  } yield rows
+
+  property("assocRules == brute support/confidence/lift in integer bp") =
+    forAll(basketsGen) { rows =>
+      val distinctRows = rows.distinct
+      val df = distinctRows.toDF("ok", "item").localCheckpoint()
+      val got = graft.operators.Mining.assocRules(df, minPairCount = 1L)
+        .collect().map(r =>
+          (r.getAs[Long]("item_a"), r.getAs[Long]("item_b")) ->
+            ((r.getAs[Long]("n_ab"), r.getAs[Long]("support_bp"),
+              r.getAs[Long]("conf_ab_bp"), r.getAs[Long]("conf_ba_bp"),
+              r.getAs[Long]("lift_bp")))).toMap
+      val baskets = distinctRows.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val nb = baskets.size.toLong
+      val sup = distinctRows.map(_._2).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val brute = (for {
+        items <- Seq(baskets.values.toSeq)
+        pair <- items.flatMap(_.subsets(2)).map(_.toSeq.sorted)
+          .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      } yield {
+        val (a, b, nab) = (pair._1.head, pair._1(1), pair._2)
+        (a, b) -> ((nab, 10000L * nab / nb, 10000L * nab / sup(a),
+          10000L * nab / sup(b), 10000L * nab * nb / (sup(a) * sup(b))))
+      }).toMap
+      got == brute
+    }
 }
