@@ -1573,4 +1573,38 @@ object StreamingQueries {
       Iterator.empty
     }
   }
+
+  // ---- live CBO join statistics ----------------------------------------
+
+  final case class JoinStatState(c: Long)
+  final case class JoinStatDelta(key: Long, delta: Long)
+
+  /** Live join-cardinality statistics — the streaming twin of
+    * [[graft.operators.Governance.joinCardinalityEstimate]]'s
+    * `actual_rows`: the true self-join size Σ c_k² of everything
+    * ingested so far, maintained ALGEBRAICALLY (the manifestIvm move on
+    * a stream). Per key, `flatMapGroupsWithState` holds only the running
+    * count c and emits the batch's Σc² DELTA — (c+k)² − c², one row per
+    * touched key per batch — and a downstream running SUM folds the
+    * deltas, so after every batch the sink's single row equals the batch
+    * recompute over all data (spec-pinned per batch). State is
+    * O(|keys|)·16 bytes; no batch ever rescans history — the stats a
+    * CBO needs, kept current at ingest rates.
+    */
+  def runningJoinStats(
+      spark: SparkSession, keys: Dataset[Long]): DataFrame = {
+    import spark.implicits._
+    keys
+      .groupByKey(identity)
+      .flatMapGroupsWithState[JoinStatState, JoinStatDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, it: Iterator[Long], state: GroupState[JoinStatState]) =>
+          val add = it.size.toLong
+          val c0 = state.getOption.map(_.c).getOrElse(0L)
+          val c1 = c0 + add
+          state.update(JoinStatState(c1))
+          Iterator.single(JoinStatDelta(k, c1 * c1 - c0 * c0))
+      }
+      .agg(sum($"delta").as("actual_rows"))
+  }
 }

@@ -1796,6 +1796,34 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("running join stats: after every batch the sink equals the batch " +
+    "recompute of the true self-join size") {
+    val input = MemoryStream[Long]
+    val out = StreamingQueries.runningJoinStats(spark, input.toDS())
+    val name = freshName()
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    val batches = Seq(
+      Seq(1L, 1L, 2L),       // counts 1->2, 2->1: sum(c^2) = 4 + 1 = 5
+      Seq(2L, 3L),           // 2->2, 3->1: 4 + 4 + 1 = 9
+      Seq(1L, 1L, 1L, 4L))   // 1->5, 4->1: 25 + 4 + 1 + 1 = 31
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      var fed = Seq.empty[Long]
+      batches.foreach { b =>
+        input.addData(b); q.processAllAvailable()
+        fed = fed ++ b
+        val got = spark.table(name).collect().map(_.getLong(0))
+        assert(got.length === 1)
+        seen += got.head
+        val brute = fed.groupBy(identity).values
+          .map(v => v.size.toLong * v.size).sum
+        assert(got.head === brute, s"after batch $b")
+      }
+    } finally q.stop()
+    assert(seen.toSeq === Seq(5L, 9L, 31L))
+  }
+
   test("synthetic generators match the producer record shape") {
     assert(TickSource.rateSynthetic(spark).schema.fieldNames.toSeq ===
       Seq("ticker", "price", "utc"))
