@@ -6223,14 +6223,18 @@ object ExtensionQueries {
 
   /** Unrolled k-core peel oracle (the Lloyd-round / BPE-round CTE-chain
     * discipline): e0 = symmetric part co-occurrence edges, round i keeps
-    * nodes of degree ≥ k and filters both edge endpoints.
+    * nodes of degree ≥ k and filters both edge endpoints. Every e_i is
+    * referenced THREE times by round i+1 (degree agg + both endpoint
+    * joins), so each round CTE is AS MATERIALIZED — without it DuckDB
+    * inlines the chain 3^rounds-fold (measured: the sf0.1 run spilled
+    * past 79 GB of temp and died; materialized it is seconds).
     */
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s""",
-        k$i AS (SELECT src AS node FROM e${i - 1}
+        k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
                 GROUP BY 1 HAVING COUNT(*) >= $k),
-        e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+        e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
                 JOIN k$i a ON e.src = a.node
                 JOIN k$i b ON e.dst = b.node)"""
     }.mkString
@@ -6240,7 +6244,7 @@ object ExtensionQueries {
         up AS (
           SELECT DISTINCT a.s AS src, b.s AS dst
           FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s),
-        e0 AS (SELECT src, dst FROM up
+        e0 AS MATERIALIZED (SELECT src, dst FROM up
                UNION ALL SELECT dst AS src, src AS dst FROM up)$roundCtes
         SELECT src AS node, COUNT(*) AS core_deg FROM e$rounds GROUP BY 1"""
   }
