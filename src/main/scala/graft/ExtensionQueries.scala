@@ -6100,6 +6100,37 @@ object ExtensionQueries {
                  AS err_minmax_bp
         FROM am, est""")),
 
+    // The equi-depth histogram ARTIFACT itself: per bucket its grid
+    // span, rank-model depth, EXACT in-span row count, and the
+    // model-vs-actual error bp — the per-column stats table a format
+    // persists, with its own faithfulness measured in the same row.
+    QuerySpec(
+      "gov_histogram",
+      (s, dir) => Governance.equiDepthHistogram(events(s, dir), "value"),
+      Some("""
+        WITH v AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                     AS v FROM events),
+        s AS (SELECT MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n FROM v),
+        g AS (SELECT ((v - mn) * 65536) // (mx - mn + 1) AS qx FROM v, s),
+        h AS (SELECT qx, COUNT(*) AS cnt FROM g GROUP BY 1),
+        c AS (SELECT qx, cnt, SUM(cnt) OVER (ORDER BY qx) AS cum FROM h),
+        b AS (SELECT t.k AS k, c.qx AS bk
+              FROM range(1, 21) t(k), c, s
+              WHERE c.cum >= (t.k * s.n + 19) // 20
+                AND c.cum - c.cnt < (t.k * s.n + 19) // 20),
+        bb AS (SELECT k, bk + 1 AS ck FROM b
+               UNION ALL SELECT 0 AS k, 0 AS ck),
+        w AS (SELECT k, ck, lag(ck) OVER (ORDER BY k) AS cprev FROM bb),
+        d AS (SELECT CAST(k AS INTEGER) AS k, cprev AS lo, ck AS hi,
+                     ((k * n + 19) // 20) - (((k - 1) * n + 19) // 20)
+                       AS model_rows
+              FROM w, s WHERE k >= 1)
+        SELECT d.k, d.lo, d.hi, d.model_rows,
+               COUNT(*) AS actual_rows,
+               (10000 * abs(d.model_rows - COUNT(*))) // COUNT(*) AS err_bp
+        FROM d JOIN g ON g.qx >= d.lo AND g.qx < d.hi
+        GROUP BY 1, 2, 3, 4""")),
+
     // Deletion vectors: day-1 deletes land as (partition, pos) METADATA
     // (|deletes| tiny rows, zero data files rewritten); the resolved
     // read anti-joins on POSITION only — the row key never participates

@@ -481,8 +481,13 @@ object Governance {
     * ranks ((k·n + B−1) DIV B) so no float q·n can straddle an engine
     * ulp. Bucket overlap fractions are integer bp over grid units.
     */
-  def rangeSelectivityEstimate(rows: DataFrame, valCol: String,
-      loQ: Long, hiQ: Long, buckets: Int = 20): DataFrame = {
+  /** Shared equi-depth core: (grid projection, bucket table). The bucket
+    * table is `buckets` rows — (k, cprev, ck, d, n): half-open grid span
+    * [cprev, ck) and model depth d = rank(k) − rank(k−1) at pure-integer
+    * ceil ranks. The only window runs over the ≤65536-row GRID histogram.
+    */
+  private def equiDepthCore(rows: DataFrame, valCol: String, buckets: Int)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val b1 = buckets - 1
     val v = rows.select(
@@ -505,11 +510,37 @@ object Governance {
       .select(col("k"), (col("qx") + lit(1L)).as("ck"), col("n"))
     val zero = broadcast(bounds)
       .select(lit(0).as("k"), lit(0L).as("ck"), col("n"))
-    val contrib = picks.unionByName(zero)
+    val bucketTable = picks.unionByName(zero)
       .withColumn("cprev", lag(col("ck"), 1).over(Window.orderBy("k")))
       .where(col("k") >= 1)
       .withColumn("d", expr(
         s"(k * n + $b1) DIV $buckets - ((k - 1) * n + $b1) DIV $buckets"))
+    (grid, bucketTable)
+  }
+
+  /** The equi-depth histogram ARTIFACT itself, registered: per bucket k
+    * its half-open grid span [lo, hi), model depth, and the EXACT row
+    * count inside the span (one broadcast range join of the tiny bucket
+    * table against the grid) with the model-vs-actual error in integer
+    * bp — the per-column stats table a format persists at ingest, with
+    * its own faithfulness measured in the same row.
+    */
+  def equiDepthHistogram(rows: DataFrame, valCol: String,
+      buckets: Int = 20): DataFrame = {
+    val (grid, bucketTable) = equiDepthCore(rows, valCol, buckets)
+    grid.join(broadcast(bucketTable),
+        col("qx") >= col("cprev") && col("qx") < col("ck"))
+      .groupBy(col("k"))
+      .agg(first(col("cprev")).as("lo"), first(col("ck")).as("hi"),
+        first(col("d")).as("model_rows"), count(lit(1)).as("actual_rows"))
+      .withColumn("err_bp",
+        expr("(10000 * abs(model_rows - actual_rows)) DIV actual_rows"))
+  }
+
+  def rangeSelectivityEstimate(rows: DataFrame, valCol: String,
+      loQ: Long, hiQ: Long, buckets: Int = 20): DataFrame = {
+    val (grid, histBuckets) = equiDepthCore(rows, valCol, buckets)
+    val contrib = histBuckets
       .withColumn("frac_bp", expr(s"""
         CASE WHEN ck - cprev > 0
              THEN (10000 * GREATEST(0L, LEAST(${hiQ}L, ck)
