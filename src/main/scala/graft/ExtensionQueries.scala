@@ -6042,12 +6042,15 @@ object ExtensionQueries {
           (SELECT CAST(SUM(n) AS BIGINT) FROM m) AS mcv_tot)
         SELECT ndv, total_rows, actual_rows,
                (total_rows * total_rows) // ndv AS est_uniform,
-               mcv_sq + ((total_rows - mcv_tot) * (total_rows - mcv_tot))
-                 // (ndv - 20) AS est_mcv,
+               mcv_sq + CASE WHEN ndv > 20 THEN
+                 ((total_rows - mcv_tot) * (total_rows - mcv_tot))
+                 // (ndv - 20) ELSE 0 END AS est_mcv,
                (10000 * abs((total_rows * total_rows) // ndv - actual_rows))
                  // actual_rows AS err_uniform_bp,
-               (10000 * abs(mcv_sq + ((total_rows - mcv_tot) *
-                   (total_rows - mcv_tot)) // (ndv - 20) - actual_rows))
+               (10000 * abs(mcv_sq + CASE WHEN ndv > 20 THEN
+                   ((total_rows - mcv_tot) *
+                   (total_rows - mcv_tot)) // (ndv - 20) ELSE 0 END
+                   - actual_rows))
                  // actual_rows AS err_mcv_bp
         FROM s""")),
 
@@ -6080,7 +6083,7 @@ object ExtensionQueries {
             CASE WHEN ck - cprev > 0
                  THEN (10000 * GREATEST(0, LEAST(6000, ck)
                         - GREATEST(1000, cprev))) // (ck - cprev)
-                 ELSE CASE WHEN cprev >= 1000 AND cprev < 6000
+                 ELSE CASE WHEN cprev - 1 >= 1000 AND cprev - 1 < 6000
                            THEN 10000 ELSE 0 END
             END AS frac_bp
           FROM w, s WHERE k >= 1),
@@ -6093,10 +6096,15 @@ object ExtensionQueries {
         SELECT n, actual_rows, est_hist,
                CAST((n * ((10000 * 5000) // 65536)) // 10000 AS BIGINT)
                  AS est_minmax,
-               (10000 * abs(est_hist - actual_rows)) // actual_rows
+               CASE WHEN actual_rows > 0
+                    THEN (10000 * abs(est_hist - actual_rows)) // actual_rows
+                    ELSE 10000 * est_hist END
                  AS err_hist_bp,
-               (10000 * abs(CAST((n * ((10000 * 5000) // 65536)) // 10000
-                   AS BIGINT) - actual_rows)) // actual_rows
+               CASE WHEN actual_rows > 0
+                    THEN (10000 * abs(CAST((n * ((10000 * 5000) // 65536))
+                      // 10000 AS BIGINT) - actual_rows)) // actual_rows
+                    ELSE 10000 * CAST((n * ((10000 * 5000) // 65536))
+                      // 10000 AS BIGINT) END
                  AS err_minmax_bp
         FROM am, est""")),
 
@@ -6124,12 +6132,16 @@ object ExtensionQueries {
         d AS (SELECT CAST(k AS INTEGER) AS k, cprev AS lo, ck AS hi,
                      ((k * n + 19) // 20) - (((k - 1) * n + 19) // 20)
                        AS model_rows
-              FROM w, s WHERE k >= 1)
+              FROM w, s WHERE k >= 1),
+        m AS (SELECT d.k AS k, COUNT(*) AS n_match
+              FROM d JOIN g ON g.qx >= d.lo AND g.qx < d.hi
+              GROUP BY 1)
         SELECT d.k, d.lo, d.hi, d.model_rows,
-               COUNT(*) AS actual_rows,
-               (10000 * abs(d.model_rows - COUNT(*))) // COUNT(*) AS err_bp
-        FROM d JOIN g ON g.qx >= d.lo AND g.qx < d.hi
-        GROUP BY 1, 2, 3, 4""")),
+               COALESCE(m.n_match, 0) AS actual_rows,
+               CASE WHEN COALESCE(m.n_match, 0) > 0
+                    THEN (10000 * abs(d.model_rows - m.n_match)) // m.n_match
+                    ELSE 10000 * d.model_rows END AS err_bp
+        FROM d LEFT JOIN m ON d.k = m.k""")),
 
     // Deletion vectors: day-1 deletes land as (partition, pos) METADATA
     // (|deletes| tiny rows, zero data files rewritten); the resolved

@@ -452,8 +452,11 @@ object Governance {
       .withColumn("est_uniform",
         expr("(total_rows * total_rows) DIV ndv"))
       .withColumn("est_mcv",
-        expr(s"mcv_sq + ((total_rows - mcv_tot) * (total_rows - mcv_tot))" +
-          s" DIV (ndv - $topN)"))
+        // when ndv <= topN every key is an MCV: the remainder mass is 0
+        // and the uniform term must not divide by (ndv - topN) <= 0
+        expr(s"mcv_sq + CASE WHEN ndv > $topN THEN" +
+          s" ((total_rows - mcv_tot) * (total_rows - mcv_tot))" +
+          s" DIV (ndv - $topN) ELSE 0L END"))
       .select(
         col("ndv"), col("total_rows"), col("actual_rows"),
         col("est_uniform"), col("est_mcv"),
@@ -528,13 +531,22 @@ object Governance {
   def equiDepthHistogram(rows: DataFrame, valCol: String,
       buckets: Int = 20): DataFrame = {
     val (grid, bucketTable) = equiDepthCore(rows, valCol, buckets)
-    grid.join(broadcast(bucketTable),
+    // collapsed buckets (consecutive rank boundaries in one grid cell →
+    // [cprev, ck) empty) must still appear in the artifact: count matches
+    // per bucket, then LEFT-join the counts back onto the bucket table so
+    // an empty span emits actual_rows = 0 with a guarded err_bp instead
+    // of silently vanishing from the stats table
+    val matched = grid.join(broadcast(bucketTable),
         col("qx") >= col("cprev") && col("qx") < col("ck"))
-      .groupBy(col("k"))
-      .agg(first(col("cprev")).as("lo"), first(col("ck")).as("hi"),
-        first(col("d")).as("model_rows"), count(lit(1)).as("actual_rows"))
-      .withColumn("err_bp",
-        expr("(10000 * abs(model_rows - actual_rows)) DIV actual_rows"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_match"))
+    bucketTable.join(matched, Seq("k"), "left")
+      .select(col("k"), col("cprev").as("lo"), col("ck").as("hi"),
+        col("d").as("model_rows"),
+        coalesce(col("n_match"), lit(0L)).as("actual_rows"))
+      .withColumn("err_bp", expr(
+        """CASE WHEN actual_rows > 0
+                THEN (10000 * abs(model_rows - actual_rows)) DIV actual_rows
+                ELSE 10000 * model_rows END"""))
   }
 
   def rangeSelectivityEstimate(rows: DataFrame, valCol: String,
@@ -545,8 +557,11 @@ object Governance {
         CASE WHEN ck - cprev > 0
              THEN (10000 * GREATEST(0L, LEAST(${hiQ}L, ck)
                     - GREATEST(${loQ}L, cprev))) DIV (ck - cprev)
-             ELSE CASE WHEN cprev >= ${loQ}L AND cprev < ${hiQ}L
+             ELSE CASE WHEN cprev - 1 >= ${loQ}L AND cprev - 1 < ${hiQ}L
                        THEN 10000L ELSE 0L END END"""))
+    // collapsed-bucket branch: a zero-width bucket's boundary ck == cprev
+    // means its whole depth sits AT grid cell cprev - 1 (ck = qx + 1 at
+    // the pick), so the point mass is tested at cprev - 1, not cprev
     val est = contrib.agg(
       expr("SUM(d * frac_bp) DIV 10000").as("est_hist"))
     val actual = grid.agg(
@@ -556,10 +571,14 @@ object Governance {
       .withColumn("est_minmax",
         expr(s"(n * ((10000 * ${hiQ - loQ}L) DIV 65536)) DIV 10000"))
       .select(col("n"), col("actual_rows"), col("est_hist"), col("est_minmax"),
-        expr("(10000 * abs(est_hist - actual_rows)) DIV actual_rows")
-          .as("err_hist_bp"),
-        expr("(10000 * abs(est_minmax - actual_rows)) DIV actual_rows")
-          .as("err_minmax_bp"))
+        // an empty true range (actual_rows = 0) still gets a defined
+        // error: 10000 x the phantom estimate (0 when the model agrees)
+        expr("""CASE WHEN actual_rows > 0
+                THEN (10000 * abs(est_hist - actual_rows)) DIV actual_rows
+                ELSE 10000 * est_hist END""").as("err_hist_bp"),
+        expr("""CASE WHEN actual_rows > 0
+                THEN (10000 * abs(est_minmax - actual_rows)) DIV actual_rows
+                ELSE 10000 * est_minmax END""").as("err_minmax_bp"))
   }
 
   /** Quasi-identifier projection shared by the k-anonymity gauges:

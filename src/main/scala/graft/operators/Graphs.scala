@@ -286,6 +286,12 @@ object Graphs {
     * a shuffle semi-join when the node set outgrows the threshold — both
     * are linear). The edge list shrinks monotonically, so round cost
     * only ever goes down; each round is lineage-cut.
+    *
+    * INPUT CONTRACT: `edges` must be SYMMETRIZED (both (u,v) and (v,u)
+    * present, as [[coPartEdges]] emits) — degree is computed from the
+    * src side alone, so an asymmetric edge list silently yields wrong
+    * degrees and a wrong core. Symmetrize via union with the swapped
+    * projection before calling if the source list is directed.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges.localCheckpoint()

@@ -49,7 +49,13 @@ object Pca {
       .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
       .collect()
     val d = firsts.length
+    require(firsts.nonEmpty,
+      "Pca.moments: empty embedding input (no rows / no dimensions)")
     val n = firsts.head.getAs[Long]("n")
+    // a ragged corpus (arrays of differing lengths) would make the
+    // per-dimension counts diverge and silently skew the covariance
+    require(firsts.forall(_.getAs[Long]("n") == n),
+      "Pca.moments: ragged embedding arrays — per-dimension counts differ")
     val s = Array.ofDim[Long](d)
     firsts.foreach(r => s(r.getAs[Int]("i")) = r.getAs[Long]("s"))
     val g = comps

@@ -243,7 +243,7 @@ class GovernanceSpec extends GraftSpec {
           if (ck - cp > 0)
             10000L * math.max(0L, math.min(hi, ck) - math.max(lo, cp)) /
               (ck - cp)
-          else if (cp >= lo && cp < hi) 10000L else 0L
+          else if (cp - 1 >= lo && cp - 1 < hi) 10000L else 0L
         est += d * frac
       }
       est /= 10000
@@ -254,6 +254,53 @@ class GovernanceSpec extends GraftSpec {
         s"trial $trial: hist ${got.getAs[Long]("err_hist_bp")} vs " +
           s"minmax ${got.getAs[Long]("err_minmax_bp")}")
     }
+  }
+
+  test("join estimate: ndv == topN degenerate — every key an MCV, " +
+    "remainder term 0, never 0 DIV 0") {
+    val rows = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).toDF("k")
+    val r = Governance.joinCardinalityEstimate(rows, "k", topN = 4).head()
+    // all 4 keys kept exactly -> the estimate IS the truth
+    assert(r.getAs[Long]("est_mcv") === 30L)
+    assert(r.getAs[Long]("err_mcv_bp") === 0L)
+  }
+
+  // heavy point mass: 80x1.0 collapses ranks 25/50/75 into grid cell 0,
+  // so buckets 2 and 3 get zero-width spans [1, 1) — the degenerate case
+  // the histogram artifact and the range model must both survive
+  private def pointMassValues =
+    (Seq.fill(80)(1.0) ++ Seq.fill(10)(2.0) ++ Seq.fill(10)(3.0))
+      .toDF("value")
+
+  test("equi-depth histogram: collapsed buckets are emitted with " +
+    "actual_rows = 0 and a guarded err_bp, never silently dropped") {
+    val got = Governance.equiDepthHistogram(pointMassValues, "value", 4)
+      .collect().map(r => r.getAs[Int]("k") ->
+        ((r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+          r.getAs[Long]("actual_rows"), r.getAs[Long]("err_bp")))).toMap
+    assert(got.size === 4, s"all 4 buckets present: $got")
+    // zero-width buckets: span [1, 1), 0 actual rows, err = 10000 * model
+    assert(got(2) === ((1L, 1L, 0L, 250000L)))
+    assert(got(3) === ((1L, 1L, 0L, 250000L)))
+    assert(got(1)._3 === 80L)
+    assert(got(4)._3 === 20L)
+  }
+
+  test("range estimate: a collapsed bucket's mass sits at grid cell " +
+    "cprev - 1 — counted at [0,1), not double-counted at [1,2)") {
+    // [0, 1): bucket 1 fully inside (d=25) + both collapsed buckets'
+    // point mass at cell 0 (25 + 25) -> est 75 vs actual 80
+    val r0 = Governance.rangeSelectivityEstimate(
+      pointMassValues, "value", loQ = 0L, hiQ = 1L, buckets = 4).head()
+    assert(r0.getAs[Long]("est_hist") === 75L)
+    assert(r0.getAs[Long]("actual_rows") === 80L)
+    // [1, 2): nothing lives there; the pre-fix model charged both
+    // collapsed buckets (cprev = 1) here -> 50 phantom rows
+    val r1 = Governance.rangeSelectivityEstimate(
+      pointMassValues, "value", loQ = 1L, hiQ = 2L, buckets = 4).head()
+    assert(r1.getAs[Long]("est_hist") === 0L)
+    assert(r1.getAs[Long]("actual_rows") === 0L)
   }
 
   // customers: QI = (nation, seg, floor(bal/1000)).
