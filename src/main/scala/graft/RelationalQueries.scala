@@ -779,6 +779,28 @@ object RelationalQueries {
           AND CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) < 0.2 * (
             SELECT AVG(CAST(FLOOR(l2.l_quantity * 100 + 0.5) AS BIGINT))
             FROM lineitem l2
-            WHERE l2.l_partkey = p_partkey)"""))
+            WHERE l2.l_partkey = p_partkey)""")),
+
+    // The CBO loop CLOSED (r14): the Q3 shape written in the WORST
+    // syntactic order (fact ⋈ fact first, the selective BUILDING
+    // customer slice LAST), run over ANALYZE'd catalog tables with
+    // spark.sql.cbo.enabled + joinReorder.enabled — CostBasedJoinReorder
+    // re-roots the join tree at (customer ⋈ orders) from the statistics
+    // alone (PlanSpec pins both optimized plans; this oracle hash pins
+    // that the re-ordering changed no semantics). The consumer side of
+    // the r13 gov_join_estimate / gov_range_estimate gauges.
+    QuerySpec(
+      "q35_cbo_priority",
+      (s, dir) => graft.plans.Cbo.shippingPriorityCbo(s, dir),
+      Some("""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1e4
+                 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
   )
 }

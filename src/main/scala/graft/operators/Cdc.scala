@@ -427,14 +427,17 @@ object Cdc {
     * partition share) survives, while v0's superseded dirty files and
     * the whole d1 generation of an expired intermediate version go.
     * This is the GC contract a table format needs once commits share
-    * files: collect the live path set (metadata-sized, one driver pass
-    * over |files| manifest rows), sweep the data directories against
-    * it. CdcSpec pins both directions — shared files kept, orphans
-    * physically deleted — and that the surviving version's read is
-    * byte-identical after the sweep.
+    * files: the refcount is a DataFrame ANTI-JOIN of the file inventory
+    * against the union of surviving manifests — the live set (10⁶–10⁷
+    * entries at 100 TB) never materializes on the driver; only the
+    * ORPHAN list (the actual delete work list, bounded by what the
+    * expiry frees) is collected. CdcSpec pins both directions — shared
+    * files kept, orphans physically deleted — and that the surviving
+    * version's read is byte-identical after the sweep.
     */
   def expireVersions(
       spark: SparkSession, root: String, keep: Seq[Int]): Unit = {
+    import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(conf)
@@ -443,21 +446,31 @@ object Cdc {
       val v = st.getPath.getName.stripPrefix("v=").toInt
       if (!keepSet(v)) fs.delete(st.getPath, true)
     }
-    val live: Set[String] = keep.flatMap { v =>
-      spark.read.parquet(s"$root/m/v=$v").collect().map(_.getString(1))
-    }.toSet
+    // file inventory: what a format's inventory table provides (here a
+    // recursive listing of the data generations, metadata rows only)
+    val partDirs = fs.listStatus(rootP)
+      .filter(_.getPath.getName.startsWith("d"))
+      .flatMap(gen => fs.listStatus(gen.getPath))
+      .filter(_.getPath.getName.startsWith("lang="))
+    val candidates = partDirs
+      .flatMap(part => fs.listStatus(part.getPath))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).toSeq.toDF("path")
+    val live = keep
+      .map(v => spark.read.parquet(s"$root/m/v=$v").select(col("path")))
+      .reduce(_ unionByName _)
+    val orphans = candidates.join(live, Seq("path"), "left_anti")
+      .collect().map(_.getString(0))
+    orphans.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    // prune now-empty partition dirs and generations (metadata listing)
+    partDirs.foreach { part =>
+      if (fs.listStatus(part.getPath)
+          .forall(!_.getPath.getName.startsWith("part-")))
+        fs.delete(part.getPath, true)
+    }
     fs.listStatus(rootP).filter(_.getPath.getName.startsWith("d")).foreach {
       gen =>
-        fs.listStatus(gen.getPath)
-          .filter(_.getPath.getName.startsWith("lang=")).foreach { part =>
-            fs.listStatus(part.getPath)
-              .filter(f => f.getPath.getName.startsWith("part-") &&
-                !live(f.getPath.toString))
-              .foreach(f => fs.delete(f.getPath, false))
-            if (fs.listStatus(part.getPath)
-                .forall(!_.getPath.getName.startsWith("part-")))
-              fs.delete(part.getPath, true)
-          }
         if (fs.listStatus(gen.getPath).isEmpty) fs.delete(gen.getPath, true)
     }
   }
@@ -491,18 +504,22 @@ object Cdc {
     */
   def incrementalDiff(
       spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
-    def manifestRows(v: Int): Seq[(String, String)] =
-      spark.read.parquet(s"$root/m/v=$v").collect()
+    // the manifest set-diff runs as DataFrame anti-joins over the two
+    // manifest tables; the driver materializes ONLY the changed-file
+    // lists (dirty-partition-bounded — the read work lists it must hand
+    // the scheduler anyway), never a full manifest
+    val mOld = spark.read.parquet(s"$root/m/v=$fromV")
+    val mNew = spark.read.parquet(s"$root/m/v=$toV")
+    def changed(a: DataFrame, b: DataFrame): Seq[(String, String)] =
+      a.exceptAll(b).collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
-    val mOld = manifestRows(fromV)
-    val mNew = manifestRows(toV)
     def readSet(rows: Seq[(String, String)]): DataFrame =
       rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ps) =>
-        spark.read.parquet(ps.map(_._2): _*)
+        spark.read.parquet(ps.map(_._2).sorted: _*)
           .select(col("doc_id"), lit(lang).as("lang"), col("text"))
       }.reduce(_ unionByName _)
-    val o = readSet(mOld.diff(mNew))
-    val n = readSet(mNew.diff(mOld))
+    val o = readSet(changed(mOld, mNew))
+    val n = readSet(changed(mNew, mOld))
     o.withColumnRenamed("lang", "o_lang").withColumnRenamed("text", "o_text")
       .join(n, Seq("doc_id"), "full_outer")
       .select(
@@ -702,17 +719,17 @@ object Cdc {
   /** A committed version's WRITE SET, recovered purely from metadata:
     * the partitions whose manifest file entries differ from the parent
     * manifest's (clean partitions are carried VERBATIM, so set equality
-    * per lang is exact). Two manifest reads, zero data bytes.
+    * per lang is exact). The symmetric (lang, path) difference runs as
+    * DataFrame anti-joins over the two manifest tables; the driver
+    * receives ONLY the distinct dirty langs — never a manifest row set.
     */
   def commitWriteSet(spark: SparkSession, root: String, v: Int)
       : Set[String] = {
-    def byLang(p: String): Map[String, Set[String]] =
-      spark.read.parquet(p).collect()
-        .map(r => (r.getString(0), r.getString(1)))
-        .groupBy(_._1).map { case (l, rs) => l -> rs.map(_._2).toSet }
-    val cur = byLang(s"$root/m/v=$v")
-    val par = byLang(s"$root/m/v=${v - 1}")
-    (cur.keySet ++ par.keySet).filter(l => cur.get(l) != par.get(l))
+    val cur = spark.read.parquet(s"$root/m/v=$v")
+    val par = spark.read.parquet(s"$root/m/v=${v - 1}")
+    cur.exceptAll(par).unionByName(par.exceptAll(cur))
+      .select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
   }
 
   /** Optimistic-concurrency commit of a staged branch whose parent may
@@ -836,11 +853,16 @@ object Cdc {
     def norm(s: String): String = new java.net.URI(s).getPath
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    val entries: Seq[(Int, Array[(String, String)])] = versions.map { v =>
-      v -> spark.read.parquet(s"$root/m/v=$v").collect()
-        .map(r => (r.getString(0), r.getString(1)))
+    val manifests: Seq[(Int, DataFrame)] = versions.map { v =>
+      v -> spark.read.parquet(s"$root/m/v=$v")
     }
-    val distinctPaths = entries.flatMap(_._2.map(_._2)).distinct
+    // the distinct file set IS the tagging scan's work list — the one
+    // path list a driver must hand the scheduler to start any read; the
+    // manifests themselves are never collected (the dedup across
+    // versions runs engine-side)
+    val distinctPaths = manifests.map(_._2.select("path"))
+      .reduce(_ unionByName _).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
     val affected: Set[String] = spark.read.parquet(distinctPaths: _*)
       .where(col("doc_id") % purgeMod === purgeRes)
       .select(input_file_name()).distinct()
@@ -870,20 +892,32 @@ object Cdc {
         .repartition(col("fidx"))
         .write.mode("overwrite").partitionBy("fidx").parquet(s"$root/purge")
     }
-    val renames: Map[String, Option[String]] = affectedPaths.map { p =>
-      norm(p) ->
-        partFiles(spark, s"$root/purge/fidx=${key2idx(tail2(p))}").headOption
-    }.toMap
+    // old→new path substitution per manifest, as a broadcast join of the
+    // purge-bounded rename table against each manifest TABLE: affected &
+    // rewritten rows substitute, affected & fully-purged rows drop,
+    // untouched rows carry verbatim. The driver holds only the rename
+    // table (|affected| rows); manifests are read, joined, checkpointed
+    // (the read-then-overwrite barrier) and rewritten engine-side.
+    val renames: Seq[(String, String, Int)] = affectedPaths.map { p =>
+      (norm(p),
+        partFiles(spark, s"$root/purge/fidx=${key2idx(tail2(p))}")
+          .headOption.orNull,
+        1)
+    }
     affectedPaths.foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), false))
-    entries.foreach { case (v, rows) =>
-      rows.flatMap { case (lang, p) =>
-        renames.get(norm(p)) match {
-          case Some(replacement) => replacement.map((lang, _))
-          case None => Some((lang, p))
-        }
-      }.toSeq.toDF("lang", "path")
-        .write.mode("overwrite").parquet(s"$root/m/v=$v")
+    if (renames.nonEmpty) {
+      val renDf = renames.toDF("npath", "new_path", "hit")
+      manifests.foreach { case (v, m) =>
+        val rewritten = m
+          .withColumn("npath", regexp_replace(col("path"), "^file:", ""))
+          .join(broadcast(renDf), Seq("npath"), "left")
+          .where(col("hit").isNull || col("new_path").isNotNull)
+          .select(col("lang"),
+            coalesce(col("new_path"), col("path")).as("path"))
+          .localCheckpoint()
+        rewritten.write.mode("overwrite").parquet(s"$root/m/v=$v")
+      }
     }
   }
 

@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cost-based-optimizer loop closure: feed ANALYZE TABLE statistics into
+  * Catalyst and let them CHANGE A PLAN — the consumer side of the r13
+  * statistics gauges (`gov_join_estimate` proved the MCV histogram's
+  * join-cardinality accuracy, `gov_range_estimate` the equi-depth
+  * histogram's range accuracy; this module makes Catalyst act on the
+  * same class of statistics).
+  *
+  * Mechanics (all public Spark semantics):
+  *   - column/table statistics attach to CATALOG tables, not ad-hoc
+  *     `spark.read.parquet` frames — so the stats path registers the
+  *     parquet files as external tables (scratch-keyed names, the
+  *     bucketed-metastore discipline of `StorageLayout`) and runs
+  *     `ANALYZE TABLE … COMPUTE STATISTICS` (rowCount/sizeInBytes) plus
+  *     `… FOR COLUMNS` (ndv/min/max/nullCount per column);
+  *   - `spark.sql.cbo.enabled` turns on stats-based estimation
+  *     (FilterEstimation shrinks a filtered relation's rowCount using
+  *     column min/max/ndv; JoinEstimation uses key ndv);
+  *   - `spark.sql.cbo.joinReorder.enabled` turns on CostBasedJoinReorder,
+  *     the DP re-ordering of consecutive INNER joins by estimated
+  *     cost — the decision the r13 verdict asked to see flip;
+  *   - `spark.sql.statistics.histogram.enabled` (set during ANALYZE)
+  *     additionally stores equi-height histograms per column: Spark's
+  *     FilterEstimation consults the histogram for RANGE predicates
+  *     (the exact case `gov_range_estimate` measured at 17 bp vs the
+  *     min-max model's 8320 bp) and falls back to uniform ndv/min-max
+  *     interpolation without one. Equality predicates and join-key
+  *     estimation use ndv either way.
+  *
+  * The registered query (`q35_cbo_priority`) is the TPC-H Q3 shape
+  * WRITTEN IN THE WORST ORDER — lineitem ⋈ orders first, the selective
+  * BUILDING-segment customer LAST, so the syntactic plan carries the
+  * full fact-fact intermediate. With stats + CBO on, CostBasedJoinReorder
+  * provably re-roots the join tree at (customer ⋈ orders) and joins
+  * lineitem last (PlanSpec pins both optimized plans; the oracle hash
+  * pins that re-ordering changed nothing semantically). At 100 TB this
+  * exact flip is the difference between shuffling the fact table against
+  * an unfiltered fact and against a 1/5-segment dimension slice.
+  */
+object Cbo {
+
+  /** Register the three Q3 tables as external catalog tables over the
+    * sf-dir parquet (idempotent per session; names keyed by the dir so
+    * interleaved scale factors never clobber each other) and ANALYZE
+    * table + join/filter columns. Returns logical-name → catalog-name.
+    */
+  def ensureStats(spark: SparkSession, dir: String): Map[String, String] = {
+    val tag = Integer.toHexString(dir.hashCode)
+    val cols = Map(
+      "lineitem" -> Seq("l_orderkey", "l_extendedprice", "l_discount"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderdate"),
+      "customer" -> Seq("c_custkey", "c_mktsegment"))
+    cols.keys.toSeq.sorted.map { t =>
+      val name = s"graft_cbo_${t}_$tag"
+      if (!spark.catalog.tableExists(name)) {
+        spark.sql(s"CREATE TABLE $name USING parquet " +
+          s"LOCATION '$dir/$t.parquet'")
+        // histograms ride the same ANALYZE pass when enabled; stored
+        // per column, consulted by range-predicate estimation
+        val prev = spark.conf.getOption("spark.sql.statistics.histogram.enabled")
+        spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+        try {
+          spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+          spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS " +
+            s"FOR COLUMNS ${cols(t).mkString(", ")}")
+        } finally prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.statistics.histogram.enabled", v)
+          case None =>
+            spark.conf.unset("spark.sql.statistics.histogram.enabled")
+        }
+      }
+      t -> name
+    }.toMap
+  }
+
+  /** Run `body` with CBO + join reorder on, restoring prior conf values
+    * after — callers must force execution (checkpoint/collect) INSIDE,
+    * since Catalyst reads the conf at optimization time, not DataFrame
+    * construction time.
+    */
+  def withCbo[T](spark: SparkSession)(body: => T): T = {
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "true"))
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The Q3-shape SQL over the stats-bearing catalog tables, written in
+    * the WORST syntactic order (fact ⋈ fact first, selective dim last).
+    * Exposed so PlanSpec can pin the optimized plan under both conf
+    * states against the identical text.
+    */
+  def prioritySql(t: Map[String, String]): String = s"""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1e4
+             + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
+    FROM ${t("lineitem")}
+    JOIN ${t("orders")} ON o_orderkey = l_orderkey
+    JOIN ${t("customer")} ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+
+  /** Registered query: Q3 through the statistics-fed CBO path. The
+    * eager checkpoint materializes the result WHILE the CBO confs are
+    * set (plans resolve at action time); reps after the first re-run
+    * the already-analyzed tables, so the bench prices the CBO-planned
+    * execution, with the one-time ANALYZE priced by the first rep.
+    */
+  def shippingPriorityCbo(spark: SparkSession, dir: String): DataFrame = {
+    val t = ensureStats(spark, dir)
+    withCbo(spark) {
+      spark.sql(prioritySql(t)).localCheckpoint()
+    }
+  }
+}

@@ -885,4 +885,38 @@ class PlanSpec extends GraftSpec {
     // and the carry table comes back as a broadcast, not a shuffle join
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("CBO: ANALYZE'd column statistics flip the Q3 join order") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val t = graft.plans.Cbo.ensureStats(spark, sf)
+    val sql = graft.plans.Cbo.prioritySql(t)
+    // leaf relations in left-to-right join-tree order; the FIRST leaf is
+    // the left side of the innermost join
+    def leaves(p: LogicalPlan): Seq[String] =
+      p.collectLeaves().map(_.toString)
+    val offPlan = spark.sql(sql).queryExecution.optimizedPlan
+    val onPlan = graft.plans.Cbo.withCbo(spark) {
+      spark.sql(sql).queryExecution.optimizedPlan
+    }
+    val offLeaves = leaves(offPlan)
+    val onLeaves = leaves(onPlan)
+    // stats OFF: the syntactic order stands — lineitem ⋈ orders first,
+    // the selective customer slice last
+    assert(offLeaves.head.contains("graft_cbo_lineitem"),
+      s"stats-off plan should keep the written order:\n$offPlan")
+    assert(offLeaves.last.contains("graft_cbo_customer"), offLeaves.toString)
+    // stats ON: CostBasedJoinReorder re-roots at (customer ⋈ orders) and
+    // joins the fact table LAST — the statistics changed the plan
+    assert(!onLeaves.last.contains("graft_cbo_customer"),
+      s"stats-on plan should not leave customer last:\n$onPlan")
+    assert(onLeaves.take(2).exists(_.contains("graft_cbo_customer")) &&
+      onLeaves.take(2).exists(_.contains("graft_cbo_orders")),
+      s"stats-on plan should join customer with orders first:\n$onPlan")
+    // and the re-ordering is pure plan surgery: identical results
+    val offRows = spark.sql(sql).collect().map(_.toString).toSeq
+    val onRows = graft.plans.Cbo.withCbo(spark) {
+      spark.sql(sql).collect().map(_.toString).toSeq
+    }
+    assert(offRows === onRows)
+  }
 }

