@@ -125,6 +125,24 @@ object Bench {
       catch { case _: Throwable => None }
       finally reclaim()
     }
+    // One-time store builds (the mutation half of the CDC lifecycle
+    // queries), priced SEPARATELY before the rep passes: setup_s carries
+    // the build/commit cost once per query, and the per-rep times below
+    // then measure the terminal read leg on the already-built store
+    // (QuerySpec.setup memoizes per process) — so io_cdc_* numbers are
+    // comparable with pure-read queries while setup + measured still
+    // prices the full lifecycle (r13 What's-wrong #3).
+    val setupTimes: Seq[(String, Double)] =
+      Registry.all.filter(q => q.benchmark && q.setup.nonEmpty)
+        .sortBy(_.name).map { q =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { q.setup.get(spark, sfDir); true }
+            catch { case _: Throwable => false }
+          reclaim()
+          q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+    val setupTotal = setupTimes.map(_._2).filter(_ >= 0).sum
     val acc = scala.collection.mutable.LinkedHashMap(
       qseq.map { case (name, _) => name -> Vector.empty[Double] }: _*)
     for (_ <- 1 to reps; (name, fn) <- qseq)
@@ -151,8 +169,10 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Totals sum the successful queries only — a failed query stays -1 in
     // `queries` (visible breakage) but must not drag the headline negative.
-    val total = mins.map(_._2).filter(_ >= 0).sum
-    val totalWarm = minsWarm.map(_._2).filter(_ >= 0).sum
+    // Lifecycle setups count ONCE into each headline so totals stay
+    // comparable with rounds that priced setup inside every rep.
+    val total = mins.map(_._2).filter(_ >= 0).sum + setupTotal
+    val totalWarm = minsWarm.map(_._2).filter(_ >= 0).sum + setupTotal
     // Per-family subtotals so round-over-round comparison survives surface
     // growth without per-query spelunking; families derive from the name
     // conventions the inventory already uses (failed queries count as 0 in
@@ -200,9 +220,9 @@ object Bench {
     // streaming as its own trailing JSON line, and the short self-contained
     // total line both before streaming (kill-proof) and last (tail-window-
     // proof; the driver's tail-parse tolerates multiple lines).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,$calJson,"queries":${obj(mins)},"queries_warm":${obj(minsWarm)},"families":${famObj(mins)},"families_warm":${famObj(minsWarm)},"reps_all":${objArr(acc)},"reps_warm_all":${objArr(accWarm)},"env":${env(loadMid)},"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","excluded":$excluded}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"setup_total":$setupTotal,$calJson,"queries":${obj(mins)},"queries_warm":${obj(minsWarm)},"setup_s":${obj(setupTimes)},"families":${famObj(mins)},"families_warm":${famObj(minsWarm)},"reps_all":${objArr(acc)},"reps_warm_all":${objArr(accWarm)},"env":${env(loadMid)},"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","excluded":$excluded}""")
     def headline(): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,$calJson,"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","nqueries":${mins.size},"env":${env(loadAvg)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"setup_total":$setupTotal,$calJson,"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","nqueries":${mins.size},"env":${env(loadAvg)}}"""
     println(headline())
     Console.out.flush()
     // Optional deadline (seconds, from process start): when the elapsed

@@ -4966,7 +4966,9 @@ object ExtensionQueries {
     QuerySpec(
       "io_cdc_upsert",
       (s, dir) => Cdc.cowUpsert(s, docs(s, dir), scratchPath("cdc", dir)),
-      Some("WITH " + cdcFinalCte + """
+      setup = Some((s, dir) =>
+        Cdc.cowUpsertStore(s, docs(s, dir), scratchPath("cdc", dir))),
+      oracle = Some("WITH " + cdcFinalCte + """
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                bit_xor(('0x' || substring(
@@ -5015,7 +5017,9 @@ object ExtensionQueries {
     QuerySpec(
       "io_cdc_mor",
       (s, dir) => Cdc.morManifest(s, docs(s, dir), scratchPath("mor", dir)),
-      Some("WITH " + cdcFinalCte + """
+      setup = Some((s, dir) =>
+        Cdc.morStore(s, docs(s, dir), scratchPath("mor", dir))),
+      oracle = Some("WITH " + cdcFinalCte + """
         SELECT lang, source, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                bit_xor(('0x' || substring(
@@ -5033,7 +5037,9 @@ object ExtensionQueries {
     QuerySpec(
       "io_cdc_log_compact",
       (s, dir) => Cdc.morCompacted(s, docs(s, dir), scratchPath("morc", dir)),
-      Some("WITH " + cdcFinal2Cte + """
+      setup = Some((s, dir) =>
+        Cdc.morCompactedStore(s, docs(s, dir), scratchPath("morc", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + """
         SELECT lang, source, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                bit_xor(('0x' || substring(
@@ -5056,7 +5062,9 @@ object ExtensionQueries {
     QuerySpec(
       "io_cdc_time_travel",
       (s, dir) => Cdc.timeTravelManifest(s, docs(s, dir), scratchPath("tt", dir)),
-      Some("WITH " + cdcFinal2Cte + """
+      setup = Some((s, dir) =>
+        Cdc.timeTravelStore(s, docs(s, dir), scratchPath("tt", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + """
         SELECT 0 AS version, lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                bit_xor(('0x' || substring(
@@ -5090,7 +5098,9 @@ object ExtensionQueries {
     QuerySpec(
       "io_cdc_vacuum",
       (s, dir) => Cdc.vacuumedManifest(s, docs(s, dir), scratchPath("vac", dir)),
-      Some("WITH " + cdcFinal2Cte + """
+      setup = Some((s, dir) =>
+        Cdc.vacuumedStore(s, docs(s, dir), scratchPath("vac", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + """
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                bit_xor(('0x' || substring(
@@ -5137,7 +5147,9 @@ object ExtensionQueries {
     QuerySpec(
       "io_cdc_rtbf",
       (s, dir) => Cdc.rtbfManifest(s, docs(s, dir), scratchPath("rtbf", dir)),
-      Some("WITH " + cdcFinal2Cte + """
+      setup = Some((s, dir) =>
+        Cdc.rtbfStore(s, docs(s, dir), scratchPath("rtbf", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + """
         SELECT 0 AS version, lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                bit_xor(('0x' || substring(
@@ -5171,7 +5183,9 @@ object ExtensionQueries {
       "io_cdc_incremental",
       (s, dir) => Cdc.incrementalManifest(
         s, docs(s, dir), scratchPath("incr", dir)),
-      Some("WITH " + cdcFinalCte + """,
+      setup = Some((s, dir) =>
+        Cdc.incrementalStore(s, docs(s, dir), scratchPath("incr", dir))),
+      oracle = Some("WITH " + cdcFinalCte + """,
         o AS (SELECT doc_id, lang, text FROM documents
               WHERE lang IN ('de', 'fr')),
         n AS (SELECT doc_id, lang, text FROM cdc_final
@@ -5198,7 +5212,9 @@ object ExtensionQueries {
     QuerySpec(
       "io_cdc_wap",
       (s, dir) => Cdc.wapManifest(s, docs(s, dir), scratchPath("wap", dir)),
-      Some("WITH " + cdcFinalCte + """
+      setup = Some((s, dir) =>
+        Cdc.wapStore(s, docs(s, dir), scratchPath("wap", dir))),
+      oracle = Some("WITH " + cdcFinalCte + """
         SELECT lang, source, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                bit_xor(('0x' || substring(
@@ -5530,7 +5546,9 @@ object ExtensionQueries {
       "io_cdc_concurrent",
       (s, dir) => Cdc.concurrentManifest(
         s, docs(s, dir), scratchPath("conc", dir)),
-      Some("WITH " + cdcFinalCte + """,
+      setup = Some((s, dir) =>
+        Cdc.concurrentStore(s, docs(s, dir), scratchPath("conc", dir))),
+      oracle = Some("WITH " + cdcFinalCte + """,
         cdc_conc AS (
           SELECT doc_id, text, lang, source, n_chars FROM cdc_final
            WHERE lang <> 'es'
@@ -6151,7 +6169,9 @@ object ExtensionQueries {
     QuerySpec(
       "io_cdc_deletion_vectors",
       (s, dir) => Cdc.dvManifest(s, docs(s, dir), scratchPath("dv", dir)),
-      Some("""
+      setup = Some((s, dir) =>
+        Cdc.dvStore(s, docs(s, dir), scratchPath("dv", dir))),
+      oracle = Some("""
         SELECT lang, source, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                bit_xor(('0x' || substring(

@@ -27,11 +27,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `run` CALL, not just the action (Bench does); checkpointed partitions
   * are reclaimed by the ContextCleaner once the returned frame is GC'd.
   */
+/** @param setup optional one-time store build (the mutation half of a
+  *   lifecycle query). `run` composes setup + the measured read leg and
+  *   stays fully self-contained (the setup memoizes per process); Bench
+  *   times `setup` separately ONCE (`setup_s`) so per-rep `queries`
+  *   numbers price the read leg, comparable with pure-read queries,
+  *   while setup + measured still prices the full lifecycle.
+  */
 final case class QuerySpec(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    benchmark: Boolean = true)
+    benchmark: Boolean = true,
+    setup: Option[(SparkSession, String) => Unit] = None)
 
 object Registry {
   /** All registered queries, in SURVEY.md §2 inventory order. */

@@ -103,6 +103,23 @@ object Cdc {
     */
   def inserts(batch: DataFrame): DataFrame = insertsBy(batch, day1Rules)
 
+  /** Per-process memo of completed store builds, keyed by scratch path.
+    * Every registered CDC query is a lifecycle (build/commit mutations +
+    * a terminal read); the r13 bench priced the WHOLE lifecycle per rep,
+    * which made CDC numbers incomparable with pure-read queries and hid
+    * the read leg's cost. The split: all mutations live in a `*Store`
+    * setup (built once per process — reps replay the read leg on the
+    * already-built store), the registered entry still composes
+    * setup + read so Verify and standalone callers see identical
+    * end-to-end semantics. Bench times the setup separately (`setup_s`)
+    * and reps the read leg (`queries`), keeping a priced lifecycle
+    * total as setup + measured.
+    */
+  private val storeBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def buildOnce(key: String)(build: => Unit): Unit =
+    storeBuilt.getOrElseUpdate(key, { build; true })
+
   /** Write the lang-partitioned base snapshot — the "yesterday" state
     * the merge maintains.
     */
@@ -158,12 +175,18 @@ object Cdc {
     * every partition (rewritten and untouched alike) carries exactly
     * the post-merge content the oracle computes from scratch.
     */
+  def cowUpsertStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(scratch) {
+      val path = s"$scratch/snap"
+      writeSnapshot(docs, path)
+      mergeDelta(spark, feed(docs), path)
+    }
+
   def cowUpsert(spark: SparkSession, docs: DataFrame, scratch: String)
       : DataFrame = {
-    val path = s"$scratch/snap"
-    writeSnapshot(docs, path)
-    mergeDelta(spark, feed(docs), path)
-    Governance.releaseManifestBy(spark.read.parquet(path), "lang")
+    cowUpsertStore(spark, docs, scratch)
+    Governance.releaseManifestBy(spark.read.parquet(s"$scratch/snap"), "lang")
   }
 
   /** Signed per-row manifest effects of the batch: (source, d_docs,
@@ -408,11 +431,17 @@ object Cdc {
     * versioning contract: each commit produced exactly the next merge
     * state, AND committing never disturbed a prior version's read.
     */
+  def timeTravelStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(scratch) {
+      versionedInit(spark, docs, scratch)
+      versionedMerge(spark, scratch, 0, 1, day1Rules)
+      versionedMerge(spark, scratch, 1, 2, day2Rules)
+    }
+
   def timeTravelManifest(
       spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
-    versionedInit(spark, docs, scratch)
-    versionedMerge(spark, scratch, 0, 1, day1Rules)
-    versionedMerge(spark, scratch, 1, 2, day2Rules)
+    timeTravelStore(spark, docs, scratch)
     (0 to 2).map { v =>
       Governance.releaseManifestBy(readVersion(spark, scratch, v), "lang")
         .withColumn("version", lit(v))
@@ -483,12 +512,18 @@ object Cdc {
     * the clean-partition files v2 shares with the expired v0 — the
     * refcount case a directory-level GC would get wrong).
     */
+  def vacuumedStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(scratch) {
+      versionedInit(spark, docs, scratch)
+      versionedMerge(spark, scratch, 0, 1, day1Rules)
+      versionedMerge(spark, scratch, 1, 2, day2Rules)
+      expireVersions(spark, scratch, keep = Seq(2))
+    }
+
   def vacuumedManifest(
       spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
-    versionedInit(spark, docs, scratch)
-    versionedMerge(spark, scratch, 0, 1, day1Rules)
-    versionedMerge(spark, scratch, 1, 2, day2Rules)
-    expireVersions(spark, scratch, keep = Seq(2))
+    vacuumedStore(spark, docs, scratch)
     Governance.releaseManifestBy(readVersion(spark, scratch, 2), "lang")
   }
 
@@ -539,10 +574,16 @@ object Cdc {
     * identical, so the diff is empty there), which is exactly why the
     * scopes agree.
     */
+  def incrementalStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(scratch) {
+      versionedInit(spark, docs, scratch)
+      versionedMerge(spark, scratch, 0, 1, day1Rules)
+    }
+
   def incrementalManifest(
       spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
-    versionedInit(spark, docs, scratch)
-    versionedMerge(spark, scratch, 0, 1, day1Rules)
+    incrementalStore(spark, docs, scratch)
     incrementalDiff(spark, scratch, 0, 1)
   }
 
@@ -678,17 +719,23 @@ object Cdc {
     * renamed commit is byte-identical to a direct one, i.e. the audit
     * detour added durability and a gate without changing a single row.
     */
+  def wapStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(scratch) {
+      // the publish RENAME is not idempotent into a leftover m/v=1 from a
+      // prior rep (every other step is mode=overwrite) — start clean
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      versionedInit(spark, docs, scratch)
+      wapStage(spark, scratch, 0, "day1", day1Rules)
+      require(wapFinalize(spark, scratch, 0, "day1", 1),
+        "WAP audit unexpectedly rejected the day-1 merge")
+    }
+
   def wapManifest(
       spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
-    // the publish RENAME is not idempotent into a leftover m/v=1 from a
-    // prior rep (every other step is mode=overwrite) — start clean
-    val fs = new org.apache.hadoop.fs.Path(scratch)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-    versionedInit(spark, docs, scratch)
-    wapStage(spark, scratch, 0, "day1", day1Rules)
-    require(wapFinalize(spark, scratch, 0, "day1", 1),
-      "WAP audit unexpectedly rejected the day-1 merge")
+    wapStore(spark, docs, scratch)
     Governance.releaseManifestBy(readVersion(spark, scratch, 1),
       "lang", "source")
   }
@@ -807,22 +854,29 @@ object Cdc {
     * proves neither B's rebase nor C's rejected attempt disturbed
     * history.
     */
+  def concurrentStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(scratch) {
+      // publish renames are not idempotent into leftover v= dirs — start
+      // clean
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      versionedInit(spark, docs, scratch)
+      wapStage(spark, scratch, 0, "wb", writerBRules, dirtyLangsB)
+      wapStage(spark, scratch, 0, "wa", day1Rules, dirtyLangs)
+      require(commitStaged(spark, scratch, 0, "wa", dirtyLangs) == Right(1),
+        "writer A's clean commit did not land as v1")
+      require(commitStaged(spark, scratch, 0, "wb", dirtyLangsB) == Right(2),
+        "writer B's disjoint commit did not rebase onto v1 as v2")
+      wapStage(spark, scratch, 0, "wc", day2Rules, Seq("de"))
+      require(commitStaged(spark, scratch, 0, "wc", Seq("de")).isLeft,
+        "writer C's overlapping commit was not rejected")
+    }
+
   def concurrentManifest(
       spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
-    // publish renames are not idempotent into leftover v= dirs — start clean
-    val fs = new org.apache.hadoop.fs.Path(scratch)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-    versionedInit(spark, docs, scratch)
-    wapStage(spark, scratch, 0, "wb", writerBRules, dirtyLangsB)
-    wapStage(spark, scratch, 0, "wa", day1Rules, dirtyLangs)
-    require(commitStaged(spark, scratch, 0, "wa", dirtyLangs) == Right(1),
-      "writer A's clean commit did not land as v1")
-    require(commitStaged(spark, scratch, 0, "wb", dirtyLangsB) == Right(2),
-      "writer B's disjoint commit did not rebase onto v1 as v2")
-    wapStage(spark, scratch, 0, "wc", day2Rules, Seq("de"))
-    require(commitStaged(spark, scratch, 0, "wc", Seq("de")).isLeft,
-      "writer C's overlapping commit was not rejected")
+    concurrentStore(spark, docs, scratch)
     (0 to 2).map { v =>
       Governance.releaseManifestBy(readVersion(spark, scratch, v), "lang")
         .withColumn("version", lit(v))
@@ -929,12 +983,18 @@ object Cdc {
     * version and disturbed nothing else — including the untouched
     * clean-partition files all three manifests still share.
     */
+  def rtbfStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(scratch) {
+      versionedInit(spark, docs, scratch)
+      versionedMerge(spark, scratch, 0, 1, day1Rules)
+      versionedMerge(spark, scratch, 1, 2, day2Rules)
+      rtbfPurge(spark, scratch, Seq(0, 1, 2), 101L, 7L)
+    }
+
   def rtbfManifest(
       spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
-    versionedInit(spark, docs, scratch)
-    versionedMerge(spark, scratch, 0, 1, day1Rules)
-    versionedMerge(spark, scratch, 1, 2, day2Rules)
-    rtbfPurge(spark, scratch, Seq(0, 1, 2), 101L, 7L)
+    rtbfStore(spark, docs, scratch)
     (0 to 2).map { v =>
       Governance.releaseManifestBy(readVersion(spark, scratch, v), "lang")
         .withColumn("version", lit(v))
@@ -966,14 +1026,18 @@ object Cdc {
     * corpus state — same delta, opposite cost placement (zero-rewrite
     * ingest, merge-paying read).
     */
+  def morStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(scratch) {
+      writeSnapshot(docs, s"$scratch/base")
+      appendMorLog(feed(docs), day1Rules, s"$scratch/log", day = 1)
+    }
+
   def morManifest(spark: SparkSession, docs: DataFrame, scratch: String)
       : DataFrame = {
-    val base = s"$scratch/base"
-    val log = s"$scratch/log"
-    writeSnapshot(docs, base)
-    appendMorLog(feed(docs), day1Rules, log, day = 1)
+    morStore(spark, docs, scratch)
     Governance.releaseManifestBy(
-      morRead(spark, base, log), "lang", "source")
+      morRead(spark, s"$scratch/base", s"$scratch/log"), "lang", "source")
   }
 
   /** Registered two-day lifecycle: base + day-1 log + day-2 log (derived
@@ -984,20 +1048,26 @@ object Cdc {
     * resolution × compaction all compose to exactly the two sequential
     * merges.
     */
+  def morCompactedStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(scratch) {
+      val base = s"$scratch/base"
+      val log = s"$scratch/log"
+      writeSnapshot(docs, base)
+      appendMorLog(feed(docs), day1Rules, log, day = 1)
+      val feed2 = morRead(spark, base, log)
+        .where(col("lang").isin(dirtyLangs: _*))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint()
+      appendMorLog(feed2, day2Rules, log, day = 2)
+      compactMorLogs(spark, base, log)
+    }
+
   def morCompacted(spark: SparkSession, docs: DataFrame, scratch: String)
       : DataFrame = {
-    val base = s"$scratch/base"
-    val log = s"$scratch/log"
-    writeSnapshot(docs, base)
-    appendMorLog(feed(docs), day1Rules, log, day = 1)
-    val feed2 = morRead(spark, base, log)
-      .where(col("lang").isin(dirtyLangs: _*))
-      .select("doc_id", "text", "lang", "source", "n_chars")
-      .localCheckpoint()
-    appendMorLog(feed2, day2Rules, log, day = 2)
-    compactMorLogs(spark, base, log)
+    morCompactedStore(spark, docs, scratch)
     Governance.releaseManifestBy(
-      spark.read.parquet(base), "lang", "source")
+      spark.read.parquet(s"$scratch/base"), "lang", "source")
   }
 
   // ---- deletion vectors (position deletes) -----------------------------
@@ -1056,10 +1126,16 @@ object Cdc {
     * the live set from the unsplit table, so the hash proves position
     * addressing deletes exactly the doomed rows and nothing else.
     */
+  def dvStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(scratch) {
+      writePositionedSnapshot(docs, s"$scratch/base")
+    }
+
   def dvManifest(spark: SparkSession, docs: DataFrame, scratch: String)
       : DataFrame = {
     val base = s"$scratch/base"
-    writePositionedSnapshot(docs, base)
+    dvStore(spark, docs, scratch)
     val dv = buildDeletionVectors(spark, base, deletes(feed(docs)))
       .localCheckpoint() // the KB-scale DV artifact; cut its build lineage
     Governance.releaseManifestBy(
