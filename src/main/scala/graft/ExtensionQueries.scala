@@ -1664,6 +1664,69 @@ object ExtensionQueries {
                     ELSE CAST(0.0 AS DOUBLE) END AS dup_window_ratio
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""")),
 
+    // Exact char-level verification behind the stride-hash signal (Lee
+    // et al. discipline): per flagged pair, how many aligned windows are
+    // character-identical (precision of the stride hash — catches
+    // case-differing/hash-collision false positives) and how many raw
+    // windows the pair truly shares at stride 1 (catches
+    // stride-straddling misses). Pair-bounded work; DF cap 50.
+    QuerySpec(
+      "dedup_dup_windows_verified",
+      (s, dir) => Dedup.dupWindowVerification(docs(s, dir)),
+      Some("""
+        WITH rt AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS rt
+          FROM documents
+          WHERE len(string_split_regex(trim(text), '\s+')) >= 16),
+        pos AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, (len(rt) - 16) // 4 + 1),
+                   p -> ('0x' || substring(md5(lower(array_to_string(
+                          list_slice(rt, p*4 + 1, p*4 + 16), ' '))), 1, 12))
+                          ::BIGINT)) AS whash,
+                 unnest(list_transform(range(0, (len(rt) - 16) // 4 + 1),
+                   p -> array_to_string(
+                          list_slice(rt, p*4 + 1, p*4 + 16), ' '))) AS raw
+          FROM rt),
+        occ AS (SELECT DISTINCT doc_id, whash, raw FROM pos),
+        flagged AS (
+          SELECT whash FROM (
+            SELECT whash, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY 1)
+          WHERE nd >= 2 AND nd <= 50),
+        pw AS (
+          SELECT a.whash, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.raw AS raw_a, b.raw AS raw_b
+          FROM occ a JOIN occ b
+            ON a.whash = b.whash AND a.doc_id < b.doc_id
+          WHERE a.whash IN (SELECT whash FROM flagged)),
+        fp AS (
+          SELECT doc_a, doc_b, COUNT(DISTINCT whash) AS n_flagged,
+                 COUNT(DISTINCT CASE WHEN raw_a = raw_b THEN whash END)
+                   AS n_char_exact
+          FROM pw GROUP BY 1, 2),
+        ds AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM fp
+            UNION ALL SELECT doc_b FROM fp)),
+        s1raw AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, len(rt) - 16 + 1),
+                   p -> array_to_string(
+                          list_slice(rt, p + 1, p + 16), ' '))) AS rw
+          FROM rt JOIN ds USING (doc_id)),
+        s1 AS (SELECT DISTINCT doc_id, rw FROM s1raw),
+        t1 AS (
+          SELECT f.doc_a, f.doc_b, COUNT(DISTINCT x.rw) AS n_true_s1
+          FROM fp f
+          JOIN s1 x ON x.doc_id = f.doc_a
+          JOIN s1 y ON y.doc_id = f.doc_b AND y.rw = x.rw
+          GROUP BY 1, 2),
+        t1m AS (SELECT doc_a, doc_b, n_true_s1 FROM t1)
+        SELECT f.doc_a, f.doc_b, f.n_flagged, f.n_char_exact,
+               COALESCE(t.n_true_s1, 0) AS n_true_s1,
+               (10000 * f.n_char_exact) // f.n_flagged AS precision_bp
+        FROM fp f LEFT JOIN t1m t USING (doc_a, doc_b)""")),
+
     // Passage-level exact dedup: non-overlapping 32-token passages, first
     // corpus-wide occurrence (by doc_id, window idx) survives; per-doc
     // surviving passage/token counts. One rank exchange keyed by passage.

@@ -292,6 +292,42 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("dup-window verification catches both stride-hash failure modes") {
+    // pair (1, 2): FALSE POSITIVE — identical lowered tokens, differing
+    // case. The stride hash flags every aligned window; the char-exact
+    // verifier rejects them all.
+    val capA = (1 to 16).map(i => s"Word$i").mkString(" ")
+    val capB = capA.toLowerCase
+    // pair (10, 11): one aligned shared run S (flagged + verified) and a
+    // second true duplicated run T that sits at a stride-straddling
+    // offset in 11 (start 18, not ≡ 0 mod 4) — never flagged, but the
+    // stride-1 recheck counts it.
+    val s16 = (1 to 16).map(i => s"s$i").mkString(" ")
+    val t16 = (1 to 16).map(i => s"t$i").mkString(" ")
+    val docs = docsDf(
+      (1L, capA), (2L, capB),
+      (10L, s"$s16 u1 u2 u3 u4 $t16"),
+      (11L, s"$s16 v1 v2 $t16 w1 w2"))
+    val r = Dedup.dupWindowVerification(docs).collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")) -> x).toMap
+    assert(r.keySet === Set((1L, 2L), (10L, 11L)))
+    // false positive: flagged but zero char-exact, precision 0, and the
+    // stride-1 ground truth confirms NOTHING is truly shared
+    val fp = r((1L, 2L))
+    assert(fp.getAs[Long]("n_flagged") === 1L)
+    assert(fp.getAs[Long]("n_char_exact") === 0L)
+    assert(fp.getAs[Long]("n_true_s1") === 0L)
+    assert(fp.getAs[Long]("precision_bp") === 0L)
+    // straddling miss: one aligned window flagged AND verified, but the
+    // pair truly shares TWO distinct 16-token windows at stride 1 — the
+    // T run the stride hash missed is caught by the exact recheck
+    val st = r((10L, 11L))
+    assert(st.getAs[Long]("n_flagged") === 1L)
+    assert(st.getAs[Long]("n_char_exact") === 1L)
+    assert(st.getAs[Long]("precision_bp") === 10000L)
+    assert(st.getAs[Long]("n_true_s1") === 2L)
+  }
+
   test("dedup by content fingerprint collapses whitespace variants") {
     val docs = docsDf((1L, "a  b\tc"), (2L, " a b c "), (3L, "a b d"))
     val fps = graft.operators.TextAnalysis.fingerprints(docs).collect()
