@@ -202,6 +202,38 @@ object ExtensionQueries {
                         PARTITION BY doc_id ORDER BY pos) AS pos, tok
                       FROM r$i)"""
 
+  /** [[bpeRoundCte]] with the multiply-referenced CTEs MATERIALIZED:
+    * p$i is referenced 3× and s$i 2× per round, so an un-materialized
+    * k-round chain inlines ~3^k-fold (the k-core oracle lesson — 79 GB
+    * of temp at sf0.1). Mandatory for the 8-round trainer oracles.
+    */
+  private def bpeRoundCteM(i: Int): String = s"""
+        p$i AS MATERIALIZED (SELECT doc_id, pos, tok,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+               FROM t$i),
+        b$i AS MATERIALIZED (SELECT tok AS a, nxt AS b,
+                CAST(COUNT(*) AS BIGINT) AS n
+                FROM p$i WHERE nxt IS NOT NULL
+                GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+        o$i AS (SELECT p.doc_id, p.pos
+                FROM p$i p JOIN b$i ON p.tok = b$i.a AND p.nxt = b$i.b),
+        s$i AS MATERIALIZED (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos, row_number() OVER (
+                           PARTITION BY doc_id, grp ORDER BY pos) AS rn
+                  FROM (SELECT doc_id, pos, pos - row_number() OVER (
+                          PARTITION BY doc_id ORDER BY pos) AS grp FROM o$i))
+                WHERE rn % 2 = 1),
+        r$i AS (SELECT p.doc_id, p.pos,
+                       CASE WHEN s.pos IS NOT NULL THEN p.tok || ' ' || p.nxt
+                            ELSE p.tok END AS tok
+                FROM p$i p
+                LEFT JOIN s$i s ON p.doc_id = s.doc_id AND p.pos = s.pos
+                LEFT JOIN s$i d ON p.doc_id = d.doc_id AND p.pos = d.pos + 1
+                WHERE d.pos IS NULL),
+        t${i + 1} AS MATERIALIZED (SELECT doc_id, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY pos) AS pos, tok
+                      FROM r$i)"""
+
   /** Shared oracle CTE: word 3-gram shingles (mirrors Dedup.shingled;
     * DuckDB lists are 1-based where Spark arrays are 0-based — both
     * enumerate the n-2 consecutive triples).
@@ -4520,6 +4552,49 @@ object ExtensionQueries {
         ${bpeRoundCte(2)},
         ${bpeRoundCte(3)}
         SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM t4""")),
+
+    // The BPE TRAINER's artifact leg (r14): 8 fixed merge rounds, the
+    // merge table persisted as the parquet artifact a tokenizer ships,
+    // loaded back, and returned — the oracle unrolls the identical 8
+    // rounds (CTEs materialized — the 3^k inline hazard), so the hash
+    // proves train + write + read lossless end-to-end.
+    QuerySpec(
+      "vocab_bpe_train",
+      (s, dir) => TextAnalysis.bpeTrainPersisted(
+        s, docs(s, dir), scratchPath("bpe", dir)),
+      benchmark = false,
+      oracle = Some(s"""
+        WITH $toksCte,
+        t1 AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+                      unnest(t) AS tok
+               FROM toks),
+        ${(1 to 8).map(bpeRoundCteM).mkString(",\n")}
+        ${(1 to 8).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS merge_round, a AS lhs, b AS rhs, n FROM b$i")
+          .mkString("\nUNION ALL\n")}""")),
+
+    // The trained vocabulary's coverage, computed FROM THE LOADED
+    // artifact (not the in-process learner): apply the 8 rules in merge
+    // order with the scan-side fold, report total final tokens, merged
+    // units, and the integer-bp share — the consuming leg that would
+    // flip red on a lossy artifact.
+    QuerySpec(
+      "vocab_bpe_coverage_trained",
+      (s, dir) => TextAnalysis.bpeCoverageTrained(
+        s, docs(s, dir), scratchPath("bpe", dir)),
+      benchmark = false,
+      oracle = Some(s"""
+        WITH $toksCte,
+        t1 AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+                      unnest(t) AS tok
+               FROM toks),
+        ${(1 to 8).map(bpeRoundCteM).mkString(",\n")}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN tok LIKE '% %' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_merged,
+               (10000 * CAST(SUM(CASE WHEN tok LIKE '% %' THEN 1 ELSE 0 END)
+                 AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS merged_bp
+        FROM t9""")),
 
     // Context-window chunking: 64-token chunks at stride 48 (overlap 16),
     // scan-side transform + posexplode, zero shuffle.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token statistics,
@@ -496,6 +496,64 @@ object TextAnalysis {
       }
     }
     merges.toSeq
+  }
+
+  /** BPE TRAINER with the persisted-artifact round trip (the r13 verdict's
+    * missing tokenizer-pipeline leg): run [[bpeLearn]] for `k` fixed
+    * rounds (each round one corpus pair-count agg + a broadcast merge
+    * substitution — the pageRank fixed-round discipline), persist the
+    * merge table as the parquet artifact a tokenizer pipeline ships
+    * (merge_round, lhs, rhs, n), LOAD it back, and return the loaded
+    * frame — so the oracle (identical rounds unrolled in SQL, CTEs
+    * materialized) hash-proves the write → read round trip lossless.
+    * The artifact is k rows of metadata at any corpus size.
+    */
+  def bpeTrainPersisted(spark: SparkSession, docs: DataFrame,
+      scratch: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val artifact = s"$scratch/bpe_merges"
+    bpeLearn(docs, k)
+      .toDF("merge_round", "lhs", "rhs", "n")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(artifact)
+    spark.read.parquet(artifact)
+  }
+
+  /** Vocabulary coverage of the TRAINED merge table over the corpus: load
+    * the persisted artifact (building it first if absent — the query is
+    * self-contained), apply the k rules in merge order with the
+    * [[tokenizeBpe]] scan-side fold, and report how much of the final
+    * token stream the learned vocabulary captured — total tokens, tokens
+    * that are merged units (they contain the joining space; base tokens
+    * never do), and the integer-bp share. The consuming leg of the
+    * artifact round trip: the rules come back from parquet, not from the
+    * in-process learner, so a lossy artifact would flip the hash.
+    */
+  def bpeCoverageTrained(spark: SparkSession, docs: DataFrame,
+      scratch: String, k: Int = 8): DataFrame = {
+    val artifact = s"$scratch/bpe_merges"
+    val p = new org.apache.hadoop.fs.Path(artifact)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) bpeTrainPersisted(spark, docs, scratch, k)
+    val rules = spark.read.parquet(artifact)
+      .orderBy(col("merge_round"))
+      .collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    val applied = rules.foldLeft(Dedup.tokens(col("text"))) {
+      case (toksCol, (a, b)) =>
+        aggregate(toksCol, array().cast("array<string>"),
+          (acc, t) =>
+            when(try_element_at(acc, lit(-1)) === lit(a) && t === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(a + " " + b))))
+              .otherwise(concat(acc, array(t))))
+    }
+    docs.select(applied.as("toks"))
+      .select(size(col("toks")).cast("long").as("nt"),
+        expr("cast(size(filter(toks, t -> t like '% %')) as long)").as("nm"))
+      .agg(sum(col("nt")).as("n_tokens"), sum(col("nm")).as("n_merged"))
+      .select(col("n_tokens"), col("n_merged"),
+        expr("(10000 * n_merged) DIV n_tokens").as("merged_bp"))
   }
 
   /** BPE APPLY — re-tokenize the corpus with a learned merge table, the

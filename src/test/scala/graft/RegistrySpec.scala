@@ -102,7 +102,8 @@ class RegistrySpec extends GraftSpec {
       "sim_recall_ivf_planted", "er_canonical_persisted",
       "dedup_decision_diff", "split_leakage_safe",
       "graph_triangles_sampled_bound", "graph_kcore",
-      "emb_pca_bound", "emb_pca_planted_bound")
+      "emb_pca_bound", "emb_pca_planted_bound",
+      "vocab_bpe_train", "vocab_bpe_coverage_trained")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
