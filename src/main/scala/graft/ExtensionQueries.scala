@@ -3567,6 +3567,29 @@ object ExtensionQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""")),
 
+    // AQE skew join (r14): the same skew problem handed to the ENGINE —
+    // adaptive skew-join splits the oversized probe partition at runtime
+    // (PlanSpec pins OptimizeSkewedJoin firing); oracle = the plain
+    // join, so mitigation is provably result-invisible. Completes the
+    // manual-vs-adaptive pair with q22_join_salted_hot; tools/SkewProbe
+    // records which wins at which skew (SURVEY §8.16 measured note).
+    QuerySpec(
+      "q36_join_skew_aqe",
+      (s, dir) => Joins.skewAqeJoin(s,
+        Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders")),
+      Some("""
+        SELECT o.o_orderpriority,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 1e2 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 1e2 AS sum_price,
+               COUNT(*) AS n
+        FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0 ELSE l_orderkey END
+                       AS k, l_extendedprice
+              FROM lineitem) l
+        JOIN (SELECT o_orderkey AS k, o_orderpriority FROM orders
+              WHERE o_orderkey % 3 <> 0
+              UNION ALL SELECT CAST(0 AS BIGINT), 'HOT') o USING (k)
+        GROUP BY 1""")),
+
     // ---- sketches (approximate: rows-only check + hash-checked exact twin) -
     QuerySpec(
       "sketch_distinct_users",

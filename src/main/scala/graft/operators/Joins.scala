@@ -135,4 +135,97 @@ object Joins {
         salted("_salt") === buildAll("_salt"))
       .drop("_salt")
   }
+
+  /** Run `body` with session confs set, restoring prior values after.
+    * Callers must force execution INSIDE (Catalyst reads confs at
+    * optimization time, not DataFrame construction).
+    */
+  def withConfs[T](spark: org.apache.spark.sql.SparkSession,
+      pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Deterministic skewed fixture for the AQE-vs-manual comparison: the
+    * probe is lineitem with every third order key collapsed onto ONE hot
+    * key (~1/3 of all probe rows land in a single join partition), the
+    * build side keeps one row per surviving key plus a single row for
+    * the hot key — the classic fact-against-dimension skew shape where
+    * the join RESULT stays |probe|-sized but one reducer gets a third of
+    * the traffic. Both the AQE path and the manual salted path run this
+    * exact join; the oracle is the plain relational join, proving every
+    * mitigation result-identical.
+    */
+  def skewedFixture(li: DataFrame, orders: DataFrame)
+      : (DataFrame, DataFrame) = {
+    // MEASURED CONSTRAINT (r14): AQE splits a skewed partition at
+    // MAP-OUTPUT-BLOCK granularity — a hot partition fed by a single
+    // mapper cannot be split at all, and the harness parquet is one row
+    // group = one scan task, so OptimizeSkewedJoin silently never fires
+    // however low the thresholds. The repartition(8) stands in for the
+    // thousands of scan tasks a 100 TB probe side has (where this
+    // constraint never binds); the manual salted join has no such
+    // granularity floor — that asymmetry is part of the lesson.
+    val probe = li.repartition(8).select(
+      when(col("l_orderkey") % 3 === 0, 0L).otherwise(col("l_orderkey"))
+        .as("k"),
+      col("l_extendedprice"))
+    val build = orders.where(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      .unionByName(orders.sparkSession.range(1)
+        .select(lit(0L).as("k"), lit("HOT").as("o_orderpriority")))
+    (probe, build)
+  }
+
+  /** The fixture join + per-priority aggregate, un-executed — PlanSpec
+    * pins the adaptive plan this builds under different skew confs.
+    */
+  def skewedJoinAgg(li: DataFrame, orders: DataFrame): DataFrame = {
+    val (probe, build) = skewedFixture(li, orders)
+    probe.join(build, Seq("k"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        RelationalQueriesBridge.dsum(col("l_extendedprice"), 2)
+          .as("sum_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Registered AQE skew-join query: the skewed fixture under
+    * `spark.sql.adaptive.skewJoin` with thresholds scaled to the harness
+    * volumes (the defaults target 256 MB partitions; the DECISION logic —
+    * split the oversized probe partition, replicate the matching build
+    * rows — is identical at any scale). Broadcast is disabled so the
+    * skew actually reaches a sort-merge join, which is the 100 TB
+    * fact-fact situation where AQE skew handling matters. The eager
+    * checkpoint materializes under the confs; the oracle is the plain
+    * join (mitigation must be result-invisible).
+    */
+  def skewAqeJoin(spark: org.apache.spark.sql.SparkSession,
+      li: DataFrame, orders: DataFrame): DataFrame =
+    withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      skewedJoinAgg(li, orders).localCheckpoint()
+    }
+}
+
+/** Minimal bridge to RelationalQueries' decimal-stable sum without a
+  * package cycle (Joins lives in operators; dsum in graft).
+  */
+private[operators] object RelationalQueriesBridge {
+  def dsum(c: org.apache.spark.sql.Column, scale: Int)
+      : org.apache.spark.sql.Column = {
+    val f = math.pow(10.0, scale)
+    sum(floor(c * lit(f) + lit(0.5)).cast("long")).cast("double") / lit(f)
+  }
 }

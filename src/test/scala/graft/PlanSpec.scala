@@ -886,6 +886,44 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("AQE skew join: OptimizeSkewedJoin fires on the skewed fixture " +
+    "and the mitigated result equals the manual salted join's") {
+    import graft.operators.Joins
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val li = Tables.load(spark, sf, "lineitem")
+    val o = Tables.load(spark, sf, "orders")
+    // thresholds scaled to the sf0.001 suite volumes (the registered
+    // q36 query carries the sf0.1-scale 256 KB threshold; the DECISION
+    // logic under test is scale-free)
+    val (aqePlan, aqeRows) = Joins.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "4096",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048",
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = Joins.skewedJoinAgg(li, o)
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      (df.queryExecution.executedPlan.toString, rows)
+    }
+    // the FINAL adaptive plan must carry the skew mitigation: the
+    // sort-merge join is marked skew=true / reads a skewed shuffle
+    assert(aqePlan.contains("skew=true") || aqePlan.contains("skewed"),
+      s"OptimizeSkewedJoin did not fire:\n$aqePlan")
+    // and mitigation is result-invisible: the manual skew-aware salted
+    // join over the same fixture produces the identical aggregate
+    val (probe, build) = Joins.skewedFixture(li, o)
+    val manual = Joins.saltedJoinSkewAware(
+      probe, "k", "l_extendedprice", build, "k", hotThreshold = 1000L)
+      .groupBy(col("o_orderpriority"))
+      .agg(RelationalQueries.dsum(col("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(aqeRows === manual)
+  }
+
   test("CBO: ANALYZE'd column statistics flip the Q3 join order") {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     val t = graft.plans.Cbo.ensureStats(spark, sf)
