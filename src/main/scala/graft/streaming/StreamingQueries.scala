@@ -1607,4 +1607,52 @@ object StreamingQueries {
       }
       .agg(sum($"delta").as("actual_rows"))
   }
+
+  // ---- live k-anonymity gate --------------------------------------------
+
+  final case class QiRecord(nation: Long, seg: String, bal_kb: Long)
+  final case class QiState(c: Long)
+  final case class QiDelta(class_size: Long, d_classes: Long, d_records: Long)
+
+  /** Streaming k-anonymity gate — the live twin of
+    * [[graft.operators.Governance.kAnonymityHistogram]] (the 17th
+    * stateful operator): the equivalence-class histogram with the
+    * risky-class verdict, current after every micro-batch of arriving
+    * quasi-identifier records. The [[runningJoinStats]] algebraic-delta
+    * move applied to a HISTOGRAM: per QI class, `flatMapGroupsWithState`
+    * holds only the running class size c; a batch adding k members emits
+    * the two signed histogram effects — the class leaves size bucket c
+    * (−1 class, −c records, skipped when the class is new) and enters
+    * bucket c+k (+1, +(c+k)). A downstream complete-mode sum per bucket
+    * folds the deltas, and vacated buckets net to zero classes and drop.
+    * After every batch the sink equals the batch histogram over
+    * everything ingested (spec-pinned on an out-of-order replay).
+    *
+    * State is O(|distinct QI classes|)·8 bytes — never record-sized; no
+    * batch rescans history. This is the privacy gate a release pipeline
+    * keeps LIVE: the risky row count is readable the moment a feed
+    * closes, no corpus pass.
+    */
+  def kAnonymityStream(
+      spark: SparkSession, qi: Dataset[QiRecord], k: Int = 5): DataFrame = {
+    import spark.implicits._
+    qi.groupByKey(r => (r.nation, r.seg, r.bal_kb))
+      .flatMapGroupsWithState[QiState, QiDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Long, String, Long), it: Iterator[QiRecord],
+            state: GroupState[QiState]) =>
+          val add = it.size.toLong
+          val c0 = state.getOption.map(_.c).getOrElse(0L)
+          val c1 = c0 + add
+          state.update(QiState(c1))
+          val enter = QiDelta(c1, 1L, c1)
+          if (c0 > 0) Iterator(QiDelta(c0, -1L, -c0), enter)
+          else Iterator.single(enter)
+      }
+      .groupBy($"class_size")
+      .agg(sum($"d_classes").as("n_classes"),
+        sum($"d_records").as("n_records"))
+      .where($"n_classes" > 0)
+      .withColumn("risky", $"class_size" < k)
+  }
 }

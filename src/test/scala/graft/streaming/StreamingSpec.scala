@@ -1824,6 +1824,49 @@ class StreamingSpec extends GraftSpec {
     assert(seen.toSeq === Seq(5L, 9L, 31L))
   }
 
+  test("k-anonymity stream: after every batch the histogram equals the " +
+    "batch gauge over everything ingested") {
+    import StreamingQueries.QiRecord
+    val input = MemoryStream[QiRecord]
+    val out = StreamingQueries.kAnonymityStream(spark, input.toDS(), k = 5)
+    val name = freshName()
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    // the GovernanceSpec fixture shape, replayed OUT OF ORDER across
+    // three batches: classes grow across batch boundaries, one class
+    // crosses the risky threshold mid-stream, negatives exercise floor
+    def rec(n: Long, s: String, bal: Double) =
+      QiRecord(n, s, math.floor(bal / 1000.0).toLong)
+    val batches = Seq(
+      Seq(rec(1, "A", 500.0), rec(1, "A", 1500.0), rec(2, "B", 10.0)),
+      Seq(rec(1, "A", 1500.0), rec(1, "A", 1700.0), rec(1, "A", 999.0)),
+      Seq(rec(1, "A", 1600.0), rec(1, "A", 1800.0), rec(2, "A", -500.0),
+        rec(1, "A", 400.0)))
+    try {
+      var fed = Seq.empty[QiRecord]
+      batches.foreach { b =>
+        input.addData(b); q.processAllAvailable()
+        fed = fed ++ b
+        val got = spark.table(name).collect()
+          .map(r => r.getAs[Long]("class_size") ->
+            ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_records"),
+              r.getAs[Boolean]("risky")))).toMap
+        // batch twin over the ingested prefix
+        val brute = fed.groupBy(r => (r.nation, r.seg, r.bal_kb))
+          .values.map(_.size.toLong)
+          .groupBy(identity).map { case (sz, cs) =>
+            sz -> ((cs.size.toLong, sz * cs.size, sz < 5)) }
+        assert(got === brute, s"after ${fed.size} records")
+      }
+      // final state: (1,A,0kb) x3, (1,A,1kb) x5, (2,B,0) x1, (2,A,-1) x1
+      val fin = spark.table(name).collect()
+        .map(r => r.getAs[Long]("class_size") ->
+          ((r.getAs[Long]("n_classes"), r.getAs[Boolean]("risky")))).toMap
+      assert(fin === Map(
+        1L -> ((2L, true)), 3L -> ((1L, true)), 5L -> ((1L, false))))
+    } finally q.stop()
+  }
+
   test("synthetic generators match the producer record shape") {
     assert(TickSource.rateSynthetic(spark).schema.fieldNames.toSeq ===
       Seq("ticker", "price", "utc"))
