@@ -957,4 +957,48 @@ class PlanSpec extends GraftSpec {
     }
     assert(offRows === onRows)
   }
+
+  test("CBO: filter estimation flips a join strategy, not just an order") {
+    import graft.operators.Joins
+    // the second classic stats consumer: without stats a filtered
+    // relation's size estimate stays the FULL file size; with
+    // cbo.enabled + column stats, FilterEstimation shrinks the
+    // BUILDING-segment customer slice (~1/5 by ndv) — pick the broadcast
+    // threshold BETWEEN the two estimates and the join strategy itself
+    // flips from sort-merge to broadcast-hash on statistics alone
+    val t = graft.plans.Cbo.ensureStats(spark, sf)
+    val joinSql = s"""
+      SELECT c_custkey, o_orderkey FROM ${t("orders")}
+      JOIN ${t("customer")} ON c_custkey = o_custkey
+      WHERE c_mktsegment = 'BUILDING'"""
+    def filteredSize(cbo: Boolean): BigInt = {
+      // stats are computed lazily on access — both the plan AND the
+      // .stats call must sit inside the conf scope
+      // the broadcast decision reads the JOIN CHILD's estimate (the
+      // column-pruned side carrying the filter), not the filter node's
+      def sizeNow(): BigInt =
+        spark.sql(joinSql).queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.right.toString.contains("BUILDING") =>
+            j.right.stats.sizeInBytes
+        }.head
+      if (cbo) graft.plans.Cbo.withCbo(spark) { sizeNow() } else sizeNow()
+    }
+    val offSize = filteredSize(cbo = false)
+    val onSize = filteredSize(cbo = true)
+    assert(onSize < offSize,
+      s"column stats must shrink the filtered estimate: $onSize vs $offSize")
+    val threshold = ((onSize + offSize) / 2).toString
+    def strategy(cbo: Boolean): String = Joins.withConfs(spark,
+      (Seq("spark.sql.autoBroadcastJoinThreshold" -> threshold) ++
+        (if (cbo) Seq("spark.sql.cbo.enabled" -> "true") else Seq.empty)): _*) {
+      spark.sql(joinSql).queryExecution.executedPlan.toString
+    }
+    val off = strategy(cbo = false)
+    val on = strategy(cbo = true)
+    assert(off.contains("SortMergeJoin"),
+      s"stats-off estimate above threshold should sort-merge:\n$off")
+    assert(on.contains("BroadcastHashJoin"),
+      s"stats-on estimate below threshold should broadcast:\n$on")
+  }
 }

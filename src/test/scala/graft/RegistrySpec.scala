@@ -70,8 +70,9 @@ class RegistrySpec extends GraftSpec {
     } finally survey.close()
     // 27 families through r12 + 9 folded in from r13 (graphs, mining,
     // CDC/versioning, deletion vectors, partition evolution, SCD2, PCA,
-    // k-anonymity, CBO gauges); bump when a round adds a family
-    assert(rows === 36, s"SURVEY §2-B table has $rows rows — a new " +
+    // k-anonymity, CBO gauges) + 1 from r14 (statistics-driven
+    // planning); bump when a round adds a family
+    assert(rows === 37, s"SURVEY §2-B table has $rows rows — a new " +
       "operator family must land as a contract row, not only in §8 notes")
   }
 
