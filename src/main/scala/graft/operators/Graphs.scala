@@ -117,7 +117,8 @@ object Graphs {
     * intersect), so total work keeps the same Σ-degree-products bound
     * as wedge enumeration — without materializing it through a shuffle.
     */
-  private def triangleRows(edges: DataFrame): DataFrame = {
+  private[graft] def triangleRows(edges: DataFrame,
+      maxInDegree: Int = 1 << 16): DataFrame = {
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     // undirected once (src < dst), then orient by (deg, id)
@@ -129,8 +130,21 @@ object Graphs {
     val oriented = und.select(
       when(srcIsLo, col("src")).otherwise(col("dst")).as("lo"),
       when(srcIsLo, col("dst")).otherwise(col("src")).as("hi"))
+    // the degree-ordered orientation bounds every in-neighbor array by
+    // O(√m) arboricity — but at 100 TB that is an ASSUMPTION about the
+    // graph; make it OBSERVABLE: any array past `maxInDegree` raises a
+    // named error (the row that would have OOMed an executor instead
+    // names the hub node and its in-degree), results byte-identical
+    // whenever the bound holds
     val inAdj = oriented.groupBy(col("hi").as("node"))
       .agg(sort_array(collect_list(col("lo"))).as("ins"))
+      .withColumn("ins", expr(
+        s"""CASE WHEN size(ins) <= $maxInDegree THEN ins
+            ELSE raise_error(concat('graft.Graphs.triangleRows: oriented ',
+              'in-degree ', cast(size(ins) AS STRING), ' at node ',
+              cast(node AS STRING), ' exceeds the $maxInDegree cap — ',
+              'the arboricity bound no longer holds on this graph'))
+            END"""))
     edges.where(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("w"))
       .join(inAdj.select(col("node").as("u"), col("ins").as("iu")), Seq("u"))

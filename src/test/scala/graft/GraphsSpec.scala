@@ -40,6 +40,27 @@ class GraphsSpec extends GraftSpec {
       4L -> ((2L, 1L, 10000L))))
   }
 
+  test("triangles: the arboricity bound is observable — a hub past the " +
+    "cap raises a named error instead of silently growing an array") {
+    // square-with-diagonal: max oriented in-degree is 3 (node 3 receives
+    // 1, 2 AND 4 after (deg, id) orientation — (3,4) orients 4→3 since
+    // deg(4) < deg(3)) — cap 3 passes byte-identical, cap 1 raises with
+    // the hub node named
+    val up = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    val edges = (up ++ up.map(_.swap)).toDF("src", "dst")
+    val ok = Graphs.triangleRows(edges, maxInDegree = 3).collect()
+    val free = Graphs.triangleRows(edges).collect()
+    assert(ok.map(_.toString).sorted.toSeq === free.map(_.toString).sorted.toSeq)
+    val e = intercept[Exception] {
+      Graphs.triangleRows(edges, maxInDegree = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceeds the 1 cap")),
+      msgs(e).mkString(" | "))
+  }
+
   test("triangles: brute-force equivalence on seeded random graphs") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
