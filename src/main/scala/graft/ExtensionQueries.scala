@@ -3590,6 +3590,24 @@ object ExtensionQueries {
               UNION ALL SELECT CAST(0 AS BIGINT), 'HOT') o USING (k)
         GROUP BY 1""")),
 
+    // Runtime bloom-filter injection (r14): the engine plants a
+    // bloom_filter_agg over the selective dim's keys and pushes
+    // might_contain into the FACT scan's filter — pre-shuffle row
+    // dropping, the injected form of the pipeline's explicit bloom
+    // fronts. PlanSpec pins both plan halves; oracle = the plain join.
+    QuerySpec(
+      "q37_join_bloom_runtime",
+      (s, dir) => Joins.bloomRuntimeJoin(s,
+        Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders")),
+      Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 1e2 AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1""")),
+
     // ---- sketches (approximate: rows-only check + hash-checked exact twin) -
     QuerySpec(
       "sketch_distinct_users",

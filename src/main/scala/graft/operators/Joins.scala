@@ -205,6 +205,44 @@ object Joins {
     * checkpoint materializes under the confs; the oracle is the plain
     * join (mitigation must be result-invisible).
     */
+  /** Runtime bloom-filter join injection — Spark's ENGINE-INJECTED form
+    * of the bloom front this pipeline builds explicitly (the
+    * `decontaminate_ngram_bloom` / `io_bloom_lookup` discipline): with
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled`, Catalyst plants
+    * a `bloom_filter_agg` over the SELECTIVE side's join keys and pushes
+    * `might_contain(scalar-subquery, xxhash64(key))` into the FACT
+    * scan's filter — fact rows that cannot match are dropped at the scan
+    * before paying the shuffle. PlanSpec pins both plan halves and
+    * result-invisibility; the oracle is the plain join.
+    *
+    * Conf notes for 100 TB honesty: the
+    * `applicationSideScanSizeThreshold` default (10 GB) targets real
+    * fact scans — it is zeroed here so the mechanism engages at harness
+    * scale; broadcast is disabled so the join stays sort-merge, the
+    * shape where pre-shuffle row dropping pays.
+    */
+  def bloomRuntimeJoin(spark: org.apache.spark.sql.SparkSession,
+      li: DataFrame, orders: DataFrame): DataFrame =
+    withConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      bloomJoinAgg(li, orders).localCheckpoint()
+    }
+
+  /** The selective-dim ⋈ fact shape the runtime filter targets,
+    * un-executed — PlanSpec pins the injected bloom under the confs.
+    */
+  def bloomJoinAgg(li: DataFrame, orders: DataFrame): DataFrame =
+    li.join(orders.where(col("o_orderpriority") === "1-URGENT"),
+        li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        RelationalQueriesBridge.dsum(col("l_extendedprice"), 2)
+          .as("sum_price"),
+        count(lit(1)).as("n"))
+
   def skewAqeJoin(spark: org.apache.spark.sql.SparkSession,
       li: DataFrame, orders: DataFrame): DataFrame =
     withConfs(spark,

@@ -924,6 +924,37 @@ class PlanSpec extends GraftSpec {
     assert(aqeRows === manual)
   }
 
+  test("runtime bloom filter: the selective dim's keys prune the fact " +
+    "scan pre-shuffle, and injection is result-invisible") {
+    import graft.operators.Joins
+    val li = Tables.load(spark, sf, "lineitem")
+    val o = Tables.load(spark, sf, "orders")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val (onPlan, onRows) = Joins.withConfs(spark, confs: _*) {
+      val df = Joins.bloomJoinAgg(li, o)
+      (df.queryExecution.optimizedPlan.toString,
+        df.collect().map(_.toString).sorted.toSeq)
+    }
+    assert(onPlan.contains("bloom_filter_agg"),
+      s"no bloom built on the creation side:\n$onPlan")
+    assert(onPlan.contains("might_contain"),
+      s"no might_contain pushed into the fact side:\n$onPlan")
+    val offPlan = Joins.withConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+      Joins.bloomJoinAgg(li, o).queryExecution.optimizedPlan.toString
+    }
+    assert(!offPlan.contains("might_contain"), offPlan)
+    val offRows = Joins.withConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+      Joins.bloomJoinAgg(li, o).collect().map(_.toString).sorted.toSeq
+    }
+    assert(onRows === offRows)
+  }
+
   test("CBO: ANALYZE'd column statistics flip the Q3 join order") {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     val t = graft.plans.Cbo.ensureStats(spark, sf)
