@@ -132,24 +132,33 @@ object Bench {
     // (QuerySpec.setup memoizes per process) — so io_cdc_* numbers are
     // comparable with pure-read queries while setup + measured still
     // prices the full lifecycle (r13 What's-wrong #3).
+    // A setup that throws gets ONE retry (transient scratch hiccups);
+    // a query whose setup still fails is excluded from the rep passes
+    // entirely and stays -1 in the output — otherwise the first cold rep
+    // would silently rebuild the store inside run(), min-of-reps would
+    // discard that rep, and the build cost would vanish from both
+    // setup_s and the headline while the query looked green.
     val setupTimes: Seq[(String, Double)] =
       Registry.all.filter(q => q.benchmark && q.setup.nonEmpty)
         .sortBy(_.name).map { q =>
           val t0 = System.nanoTime()
-          val ok =
+          def attempt(): Boolean =
             try { q.setup.get(spark, sfDir); true }
             catch { case _: Throwable => false }
+          val ok = attempt() || attempt()
           reclaim()
           q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
+    val setupFailed: Set[String] =
+      setupTimes.collect { case (n, t) if t < 0 => n }.toSet
     val setupTotal = setupTimes.map(_._2).filter(_ >= 0).sum
     val acc = scala.collection.mutable.LinkedHashMap(
       qseq.map { case (name, _) => name -> Vector.empty[Double] }: _*)
-    for (_ <- 1 to reps; (name, fn) <- qseq)
+    for (_ <- 1 to reps; (name, fn) <- qseq if !setupFailed(name))
       timed(fn).foreach(t => acc(name) = acc(name) :+ t)
     val accWarm = scala.collection.mutable.LinkedHashMap(
       qseq.map { case (name, _) => name -> Vector.empty[Double] }: _*)
-    for ((name, fn) <- qseq; _ <- 1 to warmReps)
+    for ((name, fn) <- qseq if !setupFailed(name); _ <- 1 to warmReps)
       timed(fn).foreach(t => accWarm(name) = accWarm(name) :+ t)
     def minsOf(m: scala.collection.Map[String, Vector[Double]]): Seq[(String, Double)] =
       qseq.map { case (k, _) =>

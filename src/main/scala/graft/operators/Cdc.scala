@@ -117,8 +117,26 @@ object Cdc {
     */
   private val storeBuilt =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
-  private def buildOnce(key: String)(build: => Unit): Unit =
-    storeBuilt.getOrElseUpdate(key, { build; true })
+
+  /** Memoized store build, re-validated against the filesystem: the memo
+    * alone would go stale if the tmp scratch were removed mid-process
+    * (external tmp cleaner, manual cleanup between bench and verify) and
+    * every later rep would fail on an opaque missing-parquet error — so
+    * a cheap sentinel-path existence check guards the memo hit and a
+    * vanished store is rebuilt.
+    */
+  private def buildOnce(spark: SparkSession, key: String, sentinel: String)(
+      build: => Unit): Unit = {
+    def sentinelExists: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(sentinel)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    if (!storeBuilt.contains(key) || !sentinelExists) {
+      storeBuilt.remove(key)
+      build
+      storeBuilt.put(key, true)
+    }
+  }
 
   /** Write the lang-partitioned base snapshot — the "yesterday" state
     * the merge maintains.
@@ -177,7 +195,7 @@ object Cdc {
     */
   def cowUpsertStore(
       spark: SparkSession, docs: DataFrame, scratch: String): Unit =
-    buildOnce(scratch) {
+    buildOnce(spark, scratch, s"$scratch/snap") {
       val path = s"$scratch/snap"
       writeSnapshot(docs, path)
       mergeDelta(spark, feed(docs), path)
@@ -433,7 +451,7 @@ object Cdc {
     */
   def timeTravelStore(
       spark: SparkSession, docs: DataFrame, scratch: String): Unit =
-    buildOnce(scratch) {
+    buildOnce(spark, scratch, s"$scratch/m/v=2") {
       versionedInit(spark, docs, scratch)
       versionedMerge(spark, scratch, 0, 1, day1Rules)
       versionedMerge(spark, scratch, 1, 2, day2Rules)
@@ -514,7 +532,7 @@ object Cdc {
     */
   def vacuumedStore(
       spark: SparkSession, docs: DataFrame, scratch: String): Unit =
-    buildOnce(scratch) {
+    buildOnce(spark, scratch, s"$scratch/m/v=2") {
       versionedInit(spark, docs, scratch)
       versionedMerge(spark, scratch, 0, 1, day1Rules)
       versionedMerge(spark, scratch, 1, 2, day2Rules)
@@ -576,7 +594,7 @@ object Cdc {
     */
   def incrementalStore(
       spark: SparkSession, docs: DataFrame, scratch: String): Unit =
-    buildOnce(scratch) {
+    buildOnce(spark, scratch, s"$scratch/m/v=1") {
       versionedInit(spark, docs, scratch)
       versionedMerge(spark, scratch, 0, 1, day1Rules)
     }
@@ -721,7 +739,7 @@ object Cdc {
     */
   def wapStore(
       spark: SparkSession, docs: DataFrame, scratch: String): Unit =
-    buildOnce(scratch) {
+    buildOnce(spark, scratch, s"$scratch/m/v=1") {
       // the publish RENAME is not idempotent into a leftover m/v=1 from a
       // prior rep (every other step is mode=overwrite) — start clean
       val fs = new org.apache.hadoop.fs.Path(scratch)
@@ -856,7 +874,7 @@ object Cdc {
     */
   def concurrentStore(
       spark: SparkSession, docs: DataFrame, scratch: String): Unit =
-    buildOnce(scratch) {
+    buildOnce(spark, scratch, s"$scratch/m/v=2") {
       // publish renames are not idempotent into leftover v= dirs — start
       // clean
       val fs = new org.apache.hadoop.fs.Path(scratch)
@@ -985,7 +1003,7 @@ object Cdc {
     */
   def rtbfStore(
       spark: SparkSession, docs: DataFrame, scratch: String): Unit =
-    buildOnce(scratch) {
+    buildOnce(spark, scratch, s"$scratch/m/v=2") {
       versionedInit(spark, docs, scratch)
       versionedMerge(spark, scratch, 0, 1, day1Rules)
       versionedMerge(spark, scratch, 1, 2, day2Rules)
@@ -1028,7 +1046,7 @@ object Cdc {
     */
   def morStore(
       spark: SparkSession, docs: DataFrame, scratch: String): Unit =
-    buildOnce(scratch) {
+    buildOnce(spark, scratch, s"$scratch/log") {
       writeSnapshot(docs, s"$scratch/base")
       appendMorLog(feed(docs), day1Rules, s"$scratch/log", day = 1)
     }
@@ -1050,7 +1068,7 @@ object Cdc {
     */
   def morCompactedStore(
       spark: SparkSession, docs: DataFrame, scratch: String): Unit =
-    buildOnce(scratch) {
+    buildOnce(spark, scratch, s"$scratch/base") {
       val base = s"$scratch/base"
       val log = s"$scratch/log"
       writeSnapshot(docs, base)
@@ -1128,7 +1146,7 @@ object Cdc {
     */
   def dvStore(
       spark: SparkSession, docs: DataFrame, scratch: String): Unit =
-    buildOnce(scratch) {
+    buildOnce(spark, scratch, s"$scratch/base") {
       writePositionedSnapshot(docs, s"$scratch/base")
     }
 

@@ -190,7 +190,7 @@ object Joins {
     probe.join(build, Seq("k"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        RelationalQueriesBridge.dsum(col("l_extendedprice"), 2)
+        graft.RelationalQueries.dsum(col("l_extendedprice"), 2)
           .as("sum_price"),
         count(lit(1)).as("n"))
   }
@@ -239,7 +239,7 @@ object Joins {
         li("l_orderkey") === orders("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(
-        RelationalQueriesBridge.dsum(col("l_extendedprice"), 2)
+        graft.RelationalQueries.dsum(col("l_extendedprice"), 2)
           .as("sum_price"),
         count(lit(1)).as("n"))
 
@@ -257,13 +257,3 @@ object Joins {
     }
 }
 
-/** Minimal bridge to RelationalQueries' decimal-stable sum without a
-  * package cycle (Joins lives in operators; dsum in graft).
-  */
-private[operators] object RelationalQueriesBridge {
-  def dsum(c: org.apache.spark.sql.Column, scale: Int)
-      : org.apache.spark.sql.Column = {
-    val f = math.pow(10.0, scale)
-    sum(floor(c * lit(f) + lit(0.5)).cast("long")).cast("double") / lit(f)
-  }
-}

@@ -534,11 +534,22 @@ object TextAnalysis {
     val artifact = s"$scratch/bpe_merges"
     val p = new org.apache.hadoop.fs.Path(artifact)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) bpeTrainPersisted(spark, docs, scratch, k)
-    val rules = spark.read.parquet(artifact)
-      .orderBy(col("merge_round"))
-      .collect()
-      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    // validate a pre-existing artifact before reuse, not exists-only: an
+    // artifact trained with a different k (or left stale in a shared
+    // scratch) has a different row count, and consuming it would compute
+    // coverage from rules that don't match the requested k — rebuild
+    def loadRules(): Array[(String, String)] =
+      spark.read.parquet(artifact)
+        .orderBy(col("merge_round"))
+        .collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    val rules = {
+      val existing = if (fs.exists(p)) Some(loadRules()) else None
+      existing.filter(_.length == k).getOrElse {
+        bpeTrainPersisted(spark, docs, scratch, k)
+        loadRules()
+      }
+    }
     val applied = rules.foldLeft(Dedup.tokens(col("text"))) {
       case (toksCol, (a, b)) =>
         aggregate(toksCol, array().cast("array<string>"),

@@ -55,26 +55,42 @@ object Cbo {
       "customer" -> Seq("c_custkey", "c_mktsegment"))
     cols.keys.toSeq.sorted.map { t =>
       val name = s"graft_cbo_${t}_$tag"
-      if (!spark.catalog.tableExists(name)) {
-        spark.sql(s"CREATE TABLE $name USING parquet " +
-          s"LOCATION '$dir/$t.parquet'")
-        // histograms ride the same ANALYZE pass when enabled; stored
-        // per column, consulted by range-predicate estimation
-        val prev = spark.conf.getOption("spark.sql.statistics.histogram.enabled")
-        spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
-        try {
-          spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
-          spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS " +
-            s"FOR COLUMNS ${cols(t).mkString(", ")}")
-        } finally prev match {
-          case Some(v) =>
-            spark.conf.set("spark.sql.statistics.histogram.enabled", v)
-          case None =>
-            spark.conf.unset("spark.sql.statistics.histogram.enabled")
-        }
-      }
+      if (!spark.catalog.tableExists(name))
+        createAnalyzed(spark, name, s"$dir/$t.parquet", cols(t))
       t -> name
     }.toMap
+  }
+
+  /** CREATE + ANALYZE as one failure-atomic step: if any ANALYZE throws,
+    * the table is DROPPED before rethrowing, so a later retry re-runs
+    * the full sequence — otherwise tableExists would be true for the
+    * rest of the session with no statistics attached, and CBO would
+    * silently stop reordering while the oracle still passed.
+    */
+  private def createAnalyzed(
+      spark: SparkSession, name: String, location: String,
+      cols: Seq[String]): Unit = {
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$location'")
+    // histograms ride the same ANALYZE pass when enabled; stored
+    // per column, consulted by range-predicate estimation
+    val prev = spark.conf.getOption("spark.sql.statistics.histogram.enabled")
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    try {
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+      if (cols.nonEmpty)
+        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS " +
+          s"FOR COLUMNS ${cols.mkString(", ")}")
+    } catch {
+      case e: Throwable =>
+        try spark.sql(s"DROP TABLE IF EXISTS $name")
+        catch { case _: Throwable => () }
+        throw e
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.statistics.histogram.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.statistics.histogram.enabled")
+    }
   }
 
   /** Run `body` with CBO + join reorder on, restoring prior conf values
