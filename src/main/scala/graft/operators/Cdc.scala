@@ -358,39 +358,154 @@ object Cdc {
       .filter(_.split('/').last.startsWith("part-")).sorted.toSeq
   }
 
+  /** Per-file zone-map columns every manifest row carries beside `path`
+    * (lang is the manifest's PARTITION column): min/max of the store's
+    * natural key and of its size column, plus the file's row count —
+    * the footer statistics a table format records at commit so reads
+    * can skip files whose range cannot match a predicate.
+    */
+  private val manifestStatCols: Seq[String] =
+    Seq("min_doc_id", "max_doc_id", "min_n_chars", "max_n_chars", "n_rows")
+
+  /** Build the manifest rows for just-written partition directories:
+    * list the files, then ONE column-pruned read of exactly those files
+    * computes each file's zone map (min/max doc_id, min/max n_chars,
+    * row count), keyed back by the `lang=<l>/<fname>` tail (unique — a
+    * write job never emits two files with the same part index within a
+    * directory). The stats frame is |written files| rows — the same
+    * dirty-bounded metadata list the commit already holds.
+    */
+  private def manifestEntries(
+      spark: SparkSession, dataDir: String, langs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val files: Seq[(String, String)] =
+      langs.sorted.flatMap(l => partFiles(spark, s"$dataDir/lang=$l").map((l, _)))
+    // a feed can legitimately wipe a partition (the WAP bad-feed abort
+    // path stages exactly that) — zero files means zero manifest rows,
+    // never a zero-path read
+    if (files.isEmpty)
+      return Seq.empty[(String, String, Long, Long, Long, Long, Long)]
+        .toDF("lang" +: "path" +: manifestStatCols: _*)
+    def tail2(p: String): String = p.split('/').takeRight(2).mkString("/")
+    val stats: Map[String, (Long, Long, Long, Long, Long)] =
+      spark.read.parquet(files.map(_._2): _*)
+        .groupBy(regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1)
+          .as("fkey"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+          min(col("n_chars")).as("mnc"), max(col("n_chars")).as("mxc"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))))
+        .toMap
+    files.map { case (l, p) =>
+      val (mn, mx, mnc, mxc, n) = stats(tail2(p))
+      (l, p, mn, mx, mnc, mxc, n)
+    }.toDF("lang" +: "path" +: manifestStatCols: _*)
+  }
+
+  /** Persist a manifest frame partitionBy(lang): each partition's file
+    * entries land in their own `lang=<l>` manifest directory, so an
+    * as-of read filtered to a lang subset LISTS (and collects) only
+    * those partitions' metadata — at 10⁶–10⁷ files/version the flat
+    * manifest collect is the lakehouse metadata wall this avoids.
+    */
+  private def writeManifest(m: DataFrame, manifestPath: String): Unit =
+    m.select("lang" +: "path" +: manifestStatCols map col: _*)
+      .write.mode("overwrite").partitionBy("lang").parquet(manifestPath)
+
+  /** The number of rows per data file in a ZONED store commit
+    * ([[zonedStore]]): rows sort by (lang, doc_id) and roll to a new
+    * file every `zoneRows` records, so file boundaries are a
+    * deterministic function of the committed STATE — which is what lets
+    * the DuckDB oracle reproduce the per-file zone maps and hash-check
+    * the skipping gauge. 0 = unzoned (the layout the other stores use).
+    */
+  val defaultZoneRows: Int = 128
+
+  /** Write a commit's partition data: unzoned (the plain partitioned
+    * write) or zoned — one task per lang (hash repartition), rows
+    * sorted by (lang, doc_id), files rolled every `zoneRows` records.
+    * At 100 TB the zoned write range-partitions WITHIN a lang instead
+    * of one-task-per-lang; the file-boundary contract (sorted runs of
+    * ≤ zoneRows rows) is the same.
+    */
+  private def writeData(df: DataFrame, dataDir: String, zoneRows: Int): Unit =
+    if (zoneRows <= 0)
+      df.write.mode("overwrite").partitionBy("lang").parquet(dataDir)
+    else
+      df.repartition(col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", zoneRows.toString)
+        .partitionBy("lang").parquet(dataDir)
+
   /** Write version 0 of the versioned store: data files under `d0/`,
-    * plus the v0 manifest — (lang, path) rows, the metadata-sized
-    * artifact every later version builds on.
+    * plus the v0 manifest — per-file (path, zone map) rows partitioned
+    * by lang, the metadata-sized artifact every later version builds
+    * on. The one-time init stats pass reads only the zone-map columns
+    * of what it just wrote (the corpus pass "day 0" already paid).
     */
   def versionedInit(
-      spark: SparkSession, docs: DataFrame, root: String): Unit = {
-    import spark.implicits._
-    writeSnapshot(docs, s"$root/d0")
+      spark: SparkSession, docs: DataFrame, root: String,
+      zoneRows: Int = 0): Unit = {
+    writeData(docs.select("doc_id", "text", "source", "n_chars", "lang"),
+      s"$root/d0", zoneRows)
     val langs = docs.select("lang").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    langs.flatMap(l => partFiles(spark, s"$root/d0/lang=$l").map((l, _)))
-      .toDF("lang", "path")
-      .write.mode("overwrite").parquet(s"$root/m/v=0")
+    writeManifest(manifestEntries(spark, s"$root/d0", langs), s"$root/m/v=0")
   }
 
   /** Read the store AS OF a version: the manifest names the files, the
     * scan unions one pruned file-list read per partition value. Nothing
     * about later versions is visible — old manifests keep pointing at
     * their files, which commits never mutate (copy-on-write + rename).
+    * `langs` prunes the MANIFEST read itself (only those partitions'
+    * metadata is listed or collected); `idRange` additionally admits
+    * only files whose doc_id zone map overlaps [lo, hi] — zone maps
+    * have no false negatives, so with the exact predicate re-applied on
+    * top the skipped read is hash-identical to the full one.
     */
   def readVersion(
-      spark: SparkSession, root: String, v: Int): DataFrame =
-    readManifest(spark, s"$root/m/v=$v")
+      spark: SparkSession, root: String, v: Int,
+      langs: Seq[String] = Nil,
+      idRange: Option[(Long, Long)] = None): DataFrame =
+    readManifest(spark, s"$root/m/v=$v", langs, idRange)
+
+  /** The manifest TABLE of a version/branch, optionally pruned to a
+    * lang subset — the partition predicate reaches the manifest's own
+    * parquet scan as a PartitionFilter (CdcSpec pins the listing), so
+    * the collect below it is bounded by the pruned partitions' rows.
+    */
+  def manifestFrame(
+      spark: SparkSession, manifestPath: String,
+      langs: Seq[String] = Nil): DataFrame = {
+    val m = spark.read.parquet(manifestPath)
+    if (langs.isEmpty) m else m.where(col("lang").isin(langs: _*))
+  }
 
   /** As-of read through an arbitrary manifest path (a published version
     * or a staged WAP branch): the manifest names the files, the scan
-    * unions one pruned file-list read per partition value.
+    * unions one pruned file-list read per partition value. The driver
+    * collects ONLY the pruned partitions' file groups (and, under
+    * `idRange`, only the zone-map-admitted files of those).
     */
-  def readManifest(spark: SparkSession, manifestPath: String): DataFrame = {
-    val manifest = spark.read.parquet(manifestPath)
+  def readManifest(
+      spark: SparkSession, manifestPath: String,
+      langs: Seq[String] = Nil,
+      idRange: Option[(Long, Long)] = None): DataFrame = {
+    val pruned = idRange match {
+      case Some((lo, hi)) =>
+        manifestFrame(spark, manifestPath, langs)
+          .where(col("max_doc_id") >= lo && col("min_doc_id") <= hi)
+      case None => manifestFrame(spark, manifestPath, langs)
+    }
+    val manifest = pruned.select("lang", "path")
       .collect().map(r => r.getString(0) -> r.getString(1))
     manifest.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, rows) =>
-      spark.read.parquet(rows.map(_._2): _*).withColumn("lang", lit(lang))
+      spark.read.parquet(rows.map(_._2).sorted: _*)
+        .withColumn("lang", lit(lang))
     }.reduce(_ unionByName _)
   }
 
@@ -406,9 +521,10 @@ object Cdc {
     */
   def versionedMerge(
       spark: SparkSession, root: String, fromV: Int, toV: Int,
-      rules: DeltaRules, dirty: Seq[String] = dirtyLangs): Unit =
+      rules: DeltaRules, dirty: Seq[String] = dirtyLangs,
+      zoneRows: Int = 0): Unit =
     mergeCommit(spark, s"$root/m/v=$fromV", s"$root/d$toV",
-      s"$root/m/v=$toV", rules, dirty)
+      s"$root/m/v=$toV", rules, dirty, zoneRows)
 
   /** The commit core shared by published versions and staged WAP
     * branches: apply one day's rules to the parent manifest's as-of
@@ -419,26 +535,26 @@ object Cdc {
   private def mergeCommit(
       spark: SparkSession, fromManifest: String, dataDir: String,
       toManifest: String, rules: DeltaRules,
-      dirty: Seq[String] = dirtyLangs): Unit = {
-    import spark.implicits._
-    val cur = readManifest(spark, fromManifest)
-      .where(col("lang").isin(dirty: _*))
+      dirty: Seq[String] = dirtyLangs, zoneRows: Int = 0): Unit = {
+    // the dirty-lang predicate prunes the MANIFEST partitions before the
+    // driver collects any file list — a commit's metadata cost is
+    // |dirty partitions' files|, never the full manifest
+    val cur = readManifest(spark, fromManifest, dirty)
       .select("doc_id", "text", "lang", "source", "n_chars")
     val batch = cur.localCheckpoint()
     val changed = deletesBy(batch, rules)
       .union(updatesBy(batch, rules).select("doc_id"))
     val cols = batch.columns.map(col).toSeq
-    batch.join(changed, Seq("doc_id"), "left_anti")
-      .unionByName(updatesBy(batch, rules).select(cols: _*))
-      .unionByName(insertsBy(batch, rules).select(cols: _*))
-      .write.mode("overwrite").partitionBy("lang").parquet(dataDir)
-    val parent = spark.read.parquet(fromManifest)
-    val fresh = dirty
-      .flatMap(l => partFiles(spark, s"$dataDir/lang=$l").map((l, _)))
-      .toDF("lang", "path")
-    parent.where(!col("lang").isin(dirty: _*))
-      .unionByName(fresh)
-      .write.mode("overwrite").parquet(toManifest)
+    writeData(
+      batch.join(changed, Seq("doc_id"), "left_anti")
+        .unionByName(updatesBy(batch, rules).select(cols: _*))
+        .unionByName(insertsBy(batch, rules).select(cols: _*)),
+      dataDir, zoneRows)
+    val parent = manifestFrame(spark, fromManifest)
+    writeManifest(
+      parent.where(!col("lang").isin(dirty: _*))
+        .unionByName(manifestEntries(spark, dataDir, dirty)),
+      toManifest)
   }
 
   /** Registered time-travel query: build v0 → v1 (day-1 rules) → v2
@@ -561,8 +677,10 @@ object Cdc {
     // manifest tables; the driver materializes ONLY the changed-file
     // lists (dirty-partition-bounded — the read work lists it must hand
     // the scheduler anyway), never a full manifest
-    val mOld = spark.read.parquet(s"$root/m/v=$fromV")
-    val mNew = spark.read.parquet(s"$root/m/v=$toV")
+    val mOld = manifestFrame(spark, s"$root/m/v=$fromV")
+      .select("lang", "path")
+    val mNew = manifestFrame(spark, s"$root/m/v=$toV")
+      .select("lang", "path")
     def changed(a: DataFrame, b: DataFrame): Seq[(String, String)] =
       a.exceptAll(b).collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -633,12 +751,12 @@ object Cdc {
   def commitLogBatch(
       spark: SparkSession, root: String, fromV: Int, toV: Int,
       log: DataFrame): Unit = {
-    import spark.implicits._
     val logB = log.localCheckpoint()
     val touched = logB.select("lang").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val cur = readVersion(spark, root, fromV)
-      .where(col("lang").isin(touched: _*))
+    // the touched-lang list prunes the parent MANIFEST partitions before
+    // any file list is collected (same discipline as mergeCommit)
+    val cur = readVersion(spark, root, fromV, touched)
       .select("doc_id", "text", "lang", "source", "n_chars")
       .localCheckpoint()
     cur.join(logB.where(col("op").isin("D", "U")).select("doc_id"),
@@ -646,13 +764,11 @@ object Cdc {
       .unionByName(logB.where(col("op").isin("U", "I"))
         .select("doc_id", "text", "lang", "source", "n_chars"))
       .write.mode("overwrite").partitionBy("lang").parquet(s"$root/d$toV")
-    val parent = spark.read.parquet(s"$root/m/v=$fromV")
-    val fresh = touched
-      .flatMap(l => partFiles(spark, s"$root/d$toV/lang=$l").map((l, _)))
-      .toDF("lang", "path")
-    parent.where(!col("lang").isin(touched: _*))
-      .unionByName(fresh)
-      .write.mode("overwrite").parquet(s"$root/m/v=$toV")
+    val parent = manifestFrame(spark, s"$root/m/v=$fromV")
+    writeManifest(
+      parent.where(!col("lang").isin(touched: _*))
+        .unionByName(manifestEntries(spark, s"$root/d$toV", touched)),
+      s"$root/m/v=$toV")
   }
 
   /** Streaming versioned commits: every arriving micro-batch of
@@ -790,8 +906,9 @@ object Cdc {
     */
   def commitWriteSet(spark: SparkSession, root: String, v: Int)
       : Set[String] = {
-    val cur = spark.read.parquet(s"$root/m/v=$v")
-    val par = spark.read.parquet(s"$root/m/v=${v - 1}")
+    val cur = manifestFrame(spark, s"$root/m/v=$v").select("lang", "path")
+    val par = manifestFrame(spark, s"$root/m/v=${v - 1}")
+      .select("lang", "path")
     cur.exceptAll(par).unionByName(par.exceptAll(cur))
       .select("lang").distinct()
       .collect().map(_.getString(0)).toSet
@@ -843,11 +960,11 @@ object Cdc {
           // rebase: head's rows for untouched partitions + the branch's
           // fresh rows for its dirty ones, staged then renamed — the
           // same one-rename commit point as a clean publish
-          val headM = spark.read.parquet(s"$root/m/v=$head")
-          val branchM = spark.read.parquet(s"$root/m/b_$branch")
-          headM.where(!col("lang").isin(dirty: _*))
-            .unionByName(branchM.where(col("lang").isin(dirty: _*)))
-            .write.mode("overwrite").parquet(s"$root/m/rb_$branch")
+          val headM = manifestFrame(spark, s"$root/m/v=$head")
+          val branchM = manifestFrame(spark, s"$root/m/b_$branch", dirty)
+          writeManifest(
+            headM.where(!col("lang").isin(dirty: _*)).unionByName(branchM),
+            s"$root/m/rb_$branch")
           fs.delete(new org.apache.hadoop.fs.Path(s"$root/m/b_$branch"), true)
           s"$root/m/rb_$branch"
         }
@@ -926,7 +1043,7 @@ object Cdc {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val manifests: Seq[(Int, DataFrame)] = versions.map { v =>
-      v -> spark.read.parquet(s"$root/m/v=$v")
+      v -> manifestFrame(spark, s"$root/m/v=$v")
     }
     // the distinct file set IS the tagging scan's work list — the one
     // path list a driver must hand the scheduler to start any read; the
@@ -970,25 +1087,54 @@ object Cdc {
     // untouched rows carry verbatim. The driver holds only the rename
     // table (|affected| rows); manifests are read, joined, checkpointed
     // (the read-then-overwrite barrier) and rewritten engine-side.
-    val renames: Seq[(String, String, Int)] = affectedPaths.map { p =>
-      (norm(p),
-        partFiles(spark, s"$root/purge/fidx=${key2idx(tail2(p))}")
-          .headOption.orNull,
-        1)
-    }
+    // fresh zone maps for the replacement files (one pruned read of the
+    // purge output, |affected| rows) — the rewritten files shrank, so
+    // their manifest stats are recomputed rather than carried stale
+    val newStats: Map[Int, (Long, Long, Long, Long, Long)] =
+      if (affectedPaths.isEmpty) Map.empty
+      else spark.read.parquet(s"$root/purge")
+        .groupBy(col("fidx"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+          min(col("n_chars")).as("mnc"), max(col("n_chars")).as("mxc"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))))
+        .toMap
+    val renames: Seq[(String, String, Int, Long, Long, Long, Long, Long)] =
+      affectedPaths.map { p =>
+        val idx = key2idx(tail2(p))
+        val np = partFiles(spark, s"$root/purge/fidx=$idx")
+          .headOption.orNull
+        val (mn, mx, mnc, mxc, n) =
+          newStats.getOrElse(idx, (0L, 0L, 0L, 0L, 0L))
+        (norm(p), np, 1, mn, mx, mnc, mxc, n)
+      }
     affectedPaths.foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), false))
     if (renames.nonEmpty) {
-      val renDf = renames.toDF("npath", "new_path", "hit")
+      val renDf = renames.toDF("npath", "new_path", "hit",
+        "nw_min_doc_id", "nw_max_doc_id", "nw_min_n_chars",
+        "nw_max_n_chars", "nw_n_rows")
       manifests.foreach { case (v, m) =>
         val rewritten = m
           .withColumn("npath", regexp_replace(col("path"), "^file:", ""))
           .join(broadcast(renDf), Seq("npath"), "left")
           .where(col("hit").isNull || col("new_path").isNotNull)
           .select(col("lang"),
-            coalesce(col("new_path"), col("path")).as("path"))
+            coalesce(col("new_path"), col("path")).as("path"),
+            coalesce(col("nw_min_doc_id"), col("min_doc_id"))
+              .as("min_doc_id"),
+            coalesce(col("nw_max_doc_id"), col("max_doc_id"))
+              .as("max_doc_id"),
+            coalesce(col("nw_min_n_chars"), col("min_n_chars"))
+              .as("min_n_chars"),
+            coalesce(col("nw_max_n_chars"), col("max_n_chars"))
+              .as("max_n_chars"),
+            coalesce(col("nw_n_rows"), col("n_rows")).as("n_rows"))
           .localCheckpoint()
-        rewritten.write.mode("overwrite").parquet(s"$root/m/v=$v")
+        writeManifest(rewritten, s"$root/m/v=$v")
       }
     }
   }
@@ -1086,6 +1232,98 @@ object Cdc {
     morCompactedStore(spark, docs, scratch)
     Governance.releaseManifestBy(
       spark.read.parquet(s"$scratch/base"), "lang", "source")
+  }
+
+  // ---- zone-mapped reads (file-level data skipping) ---------------------
+
+  /** The doc_id band the zone-map queries select: the middle
+    * [25%, 40%] of the base corpus id range, computed from the corpus
+    * with integer arithmetic (one scalar agg — both engines run the
+    * same subquery), so the predicate scales with the SF instead of
+    * going stale as a constant.
+    */
+  def zoneBand(docs: DataFrame): (Long, Long) = {
+    val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    ((mx * 25L) / 100L, (mx * 40L) / 100L)
+  }
+
+  /** Three-version store committed with ZONED data files: rows sorted by
+    * (lang, doc_id) and rolled to a new file every [[defaultZoneRows]]
+    * records, manifests carrying each file's zone map. File boundaries
+    * are thereby a deterministic function of the committed state —
+    * file k of a partition holds its k-th sorted run — which is what
+    * lets the DuckDB oracle reproduce the per-file zone maps and
+    * hash-check the skipping gauge, not just the skipped read.
+    */
+  def zonedStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(spark, scratch, s"$scratch/m/v=2") {
+      versionedInit(spark, docs, scratch, defaultZoneRows)
+      versionedMerge(spark, scratch, 0, 1, day1Rules, dirtyLangs,
+        defaultZoneRows)
+      versionedMerge(spark, scratch, 1, 2, day2Rules, dirtyLangs,
+        defaultZoneRows)
+    }
+
+  /** Zone-map-SKIPPED as-of read: the v2 manifest's per-file
+    * min/max doc_id admits only the files whose range overlaps the
+    * band, the exact predicate re-applies on top (zone maps have no
+    * false negatives, the predicate rejects anything extra an admitted
+    * file carries), and the result manifests per lang. Shares its
+    * oracle SQL with [[zonemapReadFull]] — the hash match IS the proof
+    * that file skipping changed nothing. At 100 TB this is the
+    * difference between opening every file of a partition and opening
+    * the ~15% whose zone overlaps the predicate.
+    */
+  def zonemapRead(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    zonedStore(spark, docs, scratch)
+    val (lo, hi) = zoneBand(docs)
+    Governance.releaseManifestBy(
+      readVersion(spark, scratch, 2, Nil, Some((lo, hi)))
+        .where(col("doc_id").between(lo, hi)),
+      "lang")
+  }
+
+  /** The unskipped twin: full v2 file list, same exact predicate — the
+    * baseline [[zonemapRead]] must hash-equal.
+    */
+  def zonemapReadFull(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    zonedStore(spark, docs, scratch)
+    val (lo, hi) = zoneBand(docs)
+    Governance.releaseManifestBy(
+      readVersion(spark, scratch, 2)
+        .where(col("doc_id").between(lo, hi)),
+      "lang")
+  }
+
+  /** Data-skipping gauge over the v2 manifest's zone maps (the
+    * [[graft.operators.StorageLayout.zorderSkippingGauge]] discipline
+    * applied to the CDC store): per lang, how many FILES the band
+    * predicate admits vs total, how many rows those files force the
+    * scan to read vs the partition's total, and the skipped share in
+    * basis points. Pure manifest arithmetic — O(files) rows, the
+    * corpus is never read — and because the zoned layout's file
+    * boundaries are deterministic, the DuckDB oracle recomputes the
+    * same numbers from the v2 state + the chunking rule.
+    */
+  def zonemapGauge(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    zonedStore(spark, docs, scratch)
+    val (lo, hi) = zoneBand(docs)
+    manifestFrame(spark, s"$scratch/m/v=2")
+      .select(col("lang"),
+        (col("max_doc_id") >= lo && col("min_doc_id") <= hi).as("admitted"),
+        col("n_rows"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("files_admitted"),
+        sum(when(col("admitted"), col("n_rows")).otherwise(0L))
+          .as("rows_scanned"),
+        sum(col("n_rows")).as("rows_total"))
+      .withColumn("skip_bp",
+        expr("(rows_total - rows_scanned) * 10000 div rows_total"))
   }
 
   // ---- deletion vectors (position deletes) -----------------------------

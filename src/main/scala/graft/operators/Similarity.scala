@@ -1224,4 +1224,98 @@ object Similarity {
   def annRecallIvfPqAppended(
       emb: DataFrame, indexDir: String, k: Int = 10): DataFrame =
     annRecallAgainst(l2TopK(emb, k = k), annIvfPqAppended(emb, indexDir, k = k))
+
+  // ---- two-stage search: ADC shortlist -> exact re-rank ------------------
+
+  private val indexBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Memoized IVFADC index build (the [[graft.operators.Cdc]] buildOnce
+    * discipline): train + persist both codebook artifacts once per
+    * process, with a sentinel-path existence check so a scratch swept
+    * mid-process rebuilds instead of failing every later read.
+    */
+  def ensureIvfPqIndex(emb: DataFrame, indexDir: String): Unit = {
+    val spark = emb.sparkSession
+    def sentinelExists: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/pq_codebook")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    if (!indexBuilt.contains(indexDir) || !sentinelExists) {
+      indexBuilt.remove(indexDir)
+      writeIvfPqIndex(emb, indexDir)
+      indexBuilt.put(indexDir, true)
+    }
+  }
+
+  /** EXACT re-rank of a (qid, vec_id) shortlist: join the shortlist back
+    * to the scaled-long vectors and rank by TRUE L2 to top-k. The
+    * shortlist is O(nq·shortlist) driver-bounded rows, so it broadcasts
+    * into the corpus scan (a semi-join — exact floats are read for only
+    * the shortlisted vectors), and the final window carries k rows per
+    * query. Exact BIGINT distances end-to-end, hash-stable.
+    */
+  private def rerankExact(
+      emb: DataFrame, short: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val dim = probeDim(emb)
+    val sv = scaledLongs(emb, dim)
+    val q = sv.select(col("vec_id").as("qid") +:
+      (0 until dim).map(i => col(s"x_$i").as(s"q_$i")): _*)
+      .filter(col("qid") < nQueries)
+    val dist = (0 until dim).map { i =>
+      val d = col(s"x_$i") - col(s"q_$i"); d * d
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(asc("dist"), asc("vec_id"))
+    sv.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("dist"), col("rn"))
+  }
+
+  /** Two-stage IVFADC search — ADC shortlist, then exact re-rank: stage 1
+    * prices every probed candidate at m code-byte lookups and keeps only
+    * the top `shortlist` (= 4k) rows per query; stage 2 re-ranks exactly
+    * those by true L2. The standard recall fix for a quantized index:
+    * any true neighbor the code bytes mis-RANK inside the shortlist is
+    * recovered exactly, so the only remaining losses are coarse-probe
+    * misses and mis-ranks past the shortlist boundary —
+    * [[annRecallIvfPqRerank]] gauges the lift over the one-stage
+    * [[annRecallIvfPq]]. At 100 TB the exact-float read touches
+    * ~nq·shortlist vectors, not the corpus: the funnel is
+    * corpus → probed cells (code bytes) → shortlist (exact floats) → k.
+    */
+  def annIvfPqRerank(
+      emb: DataFrame, nQueries: Int = 8, k: Int = 10, shortlist: Int = 40,
+      nCells: Int = 16, ivfIters: Int = 1, nProbe: Int = 3,
+      m: Int = 8, nCents: Int = 16, pqIters: Int = 1): DataFrame =
+    rerankExact(emb,
+      annIvfPq(emb, nQueries, shortlist, nCells, ivfIters, nProbe, m,
+        nCents, pqIters).select(col("qid"), col("vec_id")),
+      nQueries, k)
+
+  /** [[annIvfPqRerank]] against the persisted codebook artifacts — the
+    * production amortized shape (train once via [[ensureIvfPqIndex]],
+    * search many): the benchmarked two-stage representative, since the
+    * per-search cost is the funnel, not the training loops.
+    */
+  def annIvfPqRerankPersisted(
+      emb: DataFrame, indexDir: String,
+      nQueries: Int = 8, k: Int = 10, shortlist: Int = 40,
+      nProbe: Int = 3, m: Int = 8): DataFrame = {
+    ensureIvfPqIndex(emb, indexDir)
+    rerankExact(emb,
+      annIvfPqPersisted(emb, indexDir, nQueries, shortlist, nProbe, m)
+        .select(col("qid"), col("vec_id")),
+      nQueries, k)
+  }
+
+  /** Recall contract of the TWO-STAGE search vs exact L2 — the lift the
+    * re-rank leg buys over [[annRecallIvfPq]]'s one-stage number, at the
+    * cost of reading ~shortlist exact vectors per query.
+    */
+  def annRecallIvfPqRerank(emb: DataFrame, k: Int = 10): DataFrame =
+    annRecallAgainst(l2TopK(emb, k = k), annIvfPqRerank(emb, k = k))
 }

@@ -519,6 +519,118 @@ object TextAnalysis {
     spark.read.parquet(artifact)
   }
 
+  /** BATCHED BPE trainer — the real tokenizer-trainer move [[bpeLearn]]'s
+    * 1-merge-per-pass loop can't scale to (a 32k vocab would be ~64k
+    * Spark jobs): per corpus pass, count pairs ONCE, then select the top
+    * `batchSize` pairwise NON-INTERFERING merges and defer the rest to
+    * a later pass. Non-interference is the exact count-invariance
+    * condition, not blanket token disjointness: rewriting "(a b)" only
+    * destroys pairs of the form (x, a) / (b, y) (and creates (x, ab) /
+    * (ab, y)), so a candidate (c, d) is safe beside (a, b) iff c ≠ b
+    * and d ≠ a — the CHAIN cases. Same-left (a, x)/(a, y) or same-right
+    * (x, b)/(y, b) pairs can't overlap positionally (one position has
+    * one nxt) and leave each other's counts untouched, so they batch
+    * together. Merge numbering is
+    * selection order (count desc, pair asc — the sequential
+    * tiebreak), so where batching semantics coincide with the
+    * 1-merge-per-pass reference the merge TABLES are identical
+    * (PackingSpec pins both the coincidence fixture and a forced-defer
+    * fixture). Returns (merge table, passes used) — passes/k is the
+    * jobs-saved ratio, ~1/batchSize when batches fill.
+    */
+  private[graft] def bpeLearnBatched(
+      docs: DataFrame, k: Int, batchSize: Int = 4)
+      : (Seq[(Long, String, String, Long)], Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+    var toks = docs.select(col("doc_id"),
+      posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var passes = 0
+    var exhausted = false
+    while (merges.size < k && !exhausted) {
+      passes += 1
+      val byDoc = w.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val pairs = toks
+        .withColumn("p", row_number().over(byDoc))
+        .select(col("doc_id"), col("p"), col("tok"))
+        .withColumn("nxt",
+          lead(col("tok"), 1).over(w.partitionBy(col("doc_id")).orderBy(col("p"))))
+      // candidate list deep enough that deferrals can still fill the
+      // batch (each kept pair blocks at most two tokens); only these
+      // O(batch) metadata rows ever reach the driver
+      val want = math.min(batchSize, k - merges.size)
+      val top = pairs.filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok"), asc("nxt"))
+        .limit(batchSize * 8).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val lefts = scala.collection.mutable.Set.empty[String]
+        val rights = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        for (r <- top if sel.size < want) {
+          val (a, b) = (r.getString(0), r.getString(1))
+          // defer only the chain cases: candidate's left equals a
+          // selected right, or candidate's right equals a selected left
+          // (a == b within one pair is fine — the odd-occurrence rule
+          // handles self-runs)
+          if (!rights(a) && !lefts(b)) {
+            sel += ((a, b, r.getLong(2))); lefts += a; rights += b
+          }
+        }
+        sel.foreach { case (a, b, n) => merges += ((merges.size + 1L, a, b, n)) }
+        // one rewrite applies the whole batch: per pair, greedy
+        // non-overlapping occurrences via gaps-and-islands (as in
+        // bpeLearn); the chain-exclusion makes the unioned position sets
+        // collision-free — q = p+1 across pairs needs c == b, q+1 = p
+        // needs d == a (both deferred), and q = p needs (a,b) == (c,d)
+        val selAll = sel.toSeq.map { case (a, b, _) =>
+          pairs.filter(col("tok") === lit(a) && col("nxt") === lit(b))
+            .select(col("doc_id"), col("p"))
+            .withColumn("grp", col("p") -
+              row_number().over(w.partitionBy(col("doc_id")).orderBy(col("p"))))
+            .withColumn("rn",
+              row_number().over(
+                w.partitionBy(col("doc_id"), col("grp")).orderBy(col("p"))))
+            .filter(col("rn") % 2 === 1)
+            .select(col("doc_id"), col("p"))
+        }.reduce(_ unionByName _)
+        toks = pairs
+          .join(selAll.withColumn("m", lit(true)), Seq("doc_id", "p"), "left")
+          .join(selAll.select(col("doc_id"), (col("p") + 1).as("p"))
+            .withColumn("drp", lit(true)), Seq("doc_id", "p"), "left")
+          .filter(col("drp").isNull)
+          .select(col("doc_id"), col("p").as("pos"),
+            when(col("m"), concat(col("tok"), lit(" "), col("nxt")))
+              .otherwise(col("tok")).as("tok"))
+          .localCheckpoint()
+      }
+    }
+    (merges.toSeq, passes)
+  }
+
+  /** [[bpeLearnBatched]] with the persisted-artifact round trip —
+    * batchSize=4 over k=8 merges is 2 corpus passes instead of 8. The
+    * returned merge table is hash-checked against the SAME sequential
+    * 8-round oracle as [[bpeTrainPersisted]]: on the harness corpus the
+    * top pairs are deep enough apart that batching and the
+    * 1-merge-per-pass reference select identical tables (the
+    * interference cases are PackingSpec fixtures), so one hash match
+    * proves batched-selection ≡ sequential AND the artifact round trip,
+    * at a quarter of the passes.
+    */
+  def bpeTrainBatchedPersisted(spark: SparkSession, docs: DataFrame,
+      scratch: String, k: Int = 8, batchSize: Int = 4): DataFrame = {
+    import spark.implicits._
+    val artifact = s"$scratch/bpe_merges_batched"
+    val (merges, _) = bpeLearnBatched(docs, k, batchSize)
+    merges
+      .toDF("merge_round", "lhs", "rhs", "n")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(artifact)
+    spark.read.parquet(artifact)
+  }
+
   /** Vocabulary coverage of the TRAINED merge table over the corpus: load
     * the persisted artifact (building it first if absent — the query is
     * self-contained), apply the k rules in merge order with the

@@ -360,6 +360,38 @@ object StreamingQueries {
       } else Iterator.empty
   }
 
+  /** Spark's NATIVE session windows on a stream — the built-in
+    * merging-window twin of the custom [[sessionize]]: one
+    * `groupBy(session_window(ts, gap))` agg under a watermark, state and
+    * window merging managed by the engine. Semantics differences vs the
+    * custom sessionizer, documented because they matter at the edges:
+    * (1) the native window's `end` is `last event + gap` (a session's
+    * reach), not the last event itself — the custom op emits the raw
+    * [start_us, last_us] edges; (2) a straggler older than
+    * `watermark − delay` is DROPPED by the native operator (standard
+    * late-data policy), while the custom op still folds any straggler
+    * the watermark lets through as a standalone session; (3) sessions
+    * emit only when the watermark passes `end` (append mode) — the
+    * custom op can also close a session inline the moment a same-key
+    * event lands beyond the gap. StreamingSpec pins an out-of-order
+    * replay ≡ the BATCH native [[graft.operators.TimeSeries
+    * .sessionWindows]] on the same rows — the same ≡-batch contract
+    * every stateful operator here carries.
+    */
+  def sessionWindowsNative(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 seconds"): DataFrame =
+    events.toDF()
+      .withWatermark("utc", watermarkDelay)
+      .groupBy(session_window(col("utc"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   // ---- custom stateful operator: streaming SCD2 dimension maintenance ------
 
   final case class Scd2Event(

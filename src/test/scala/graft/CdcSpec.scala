@@ -237,7 +237,7 @@ class CdcSpec extends GraftSpec {
     assert(rowSet(Cdc.readVersion(spark, root, 2)) === day2Final)
     def manifest(v: Int): Map[String, Set[String]] =
       spark.read.parquet(s"$root/m/v=$v").collect()
-        .map(r => r.getString(0) -> r.getString(1))
+        .map(r => r.getAs[String]("lang") -> r.getAs[String]("path"))
         .groupBy(_._1).map { case (l, ps) => l -> ps.map(_._2).toSet }
     val (m0, m1, m2) = (manifest(0), manifest(1), manifest(2))
     // zero-copy contract: the clean partition's file entries are carried
@@ -259,7 +259,7 @@ class CdcSpec extends GraftSpec {
     Cdc.versionedMerge(spark, root, 1, 2, Cdc.day2Rules)
     def manifestPaths(v: Int): Map[String, Set[String]] =
       spark.read.parquet(s"$root/m/v=$v").collect()
-        .map(r => r.getString(0) -> r.getString(1))
+        .map(r => r.getAs[String]("lang") -> r.getAs[String]("path"))
         .groupBy(_._1).map { case (l, ps) => l -> ps.map(_._2).toSet }
     val m0 = manifestPaths(0)
     val m2 = manifestPaths(2)
@@ -291,7 +291,7 @@ class CdcSpec extends GraftSpec {
     Cdc.versionedMerge(spark, root, 1, 2, Cdc.day2Rules)
     def manifest(v: Int): Map[String, Set[String]] =
       spark.read.parquet(s"$root/m/v=$v").collect()
-        .map(r => r.getString(0) -> r.getString(1))
+        .map(r => r.getAs[String]("lang") -> r.getAs[String]("path"))
         .groupBy(_._1).map { case (l, ps) => l -> ps.map(_._2).toSet }
     val before = (0 to 2).map(manifest)
     // purge doc_id ≡ 0 (mod 7): hits every version, every dirty lang, and
@@ -419,7 +419,7 @@ class CdcSpec extends GraftSpec {
     assert(Cdc.commitWriteSet(spark, root, 2) === Set("es"))
     def manifest(v: Int): Map[String, Set[String]] =
       spark.read.parquet(s"$root/m/v=$v").collect()
-        .map(r => r.getString(0) -> r.getString(1))
+        .map(r => r.getAs[String]("lang") -> r.getAs[String]("path"))
         .groupBy(_._1).map { case (l, ps) => l -> ps.map(_._2).toSet }
     val (m0, m1, m2) = (manifest(0), manifest(1), manifest(2))
     // the rebase carried A's fresh files and v0's shared files VERBATIM
@@ -530,5 +530,57 @@ class CdcSpec extends GraftSpec {
     assert(left.length === 2)
     assert(left.count(_.getAs[Long]("doc_id") == 7L) === 1)
     assert(left.count(_.getAs[Long]("doc_id") == 8L) === 1)
+  }
+
+  test("zone maps: skipped read ≡ full read on fewer files; manifest pruned by lang") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_zone").toString + "/store"
+    // enough rows per lang for several 128-row zone files
+    val docs = spark.range(1L, 1201L).select(
+      col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"),
+      element_at(typedLit(Seq("en", "de", "fr")),
+        (col("id") % 3 + 1).cast("int")).as("lang"),
+      concat(lit("s"), col("id") % 4).as("source"),
+      length(concat(lit("doc "), col("id"))).cast("long").as("n_chars"))
+    Cdc.zonedStore(spark, docs, root)
+    // every zoned data file respects the roll size, and each lang has
+    // enough files for skipping to be observable
+    val m2 = Cdc.manifestFrame(spark, s"$root/m/v=2").collect()
+    assert(m2.forall(_.getAs[Long]("n_rows") <= Cdc.defaultZoneRows))
+    val filesPerLang = m2.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    assert(filesPerLang.values.forall(_ >= 3), filesPerLang.toMap.toString)
+    // the skipped read admits strictly fewer files yet returns the
+    // identical aggregate state (zone maps have no false negatives, the
+    // re-applied exact predicate removes anything extra)
+    val skipped = Cdc.zonemapRead(spark, docs, root)
+    val full = Cdc.zonemapReadFull(spark, docs, root)
+    assert(skipped.collect().map(_.toSeq).toSet ===
+      full.collect().map(_.toSeq).toSet)
+    assert(skipped.inputFiles.length < full.inputFiles.length,
+      s"${skipped.inputFiles.length} vs ${full.inputFiles.length}")
+    // the gauge agrees with the physical admit count and reports real
+    // skipping for every lang
+    val gauge = Cdc.zonemapGauge(spark, docs, root).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("files_admitted"), r.getAs[Long]("files_total"),
+          r.getAs[Long]("skip_bp")))).toMap
+    assert(gauge.values.map(_._1).sum === skipped.inputFiles.length)
+    gauge.foreach { case (l, (adm, tot, bp)) =>
+      assert(adm < tot, s"$l admitted all files")
+      assert(bp > 0L, s"$l skipped nothing")
+    }
+    // a lang-filtered as-of read prunes the MANIFEST partitions: the
+    // partition predicate reaches the manifest's own parquet scan, so
+    // the driver never lists the other langs' metadata
+    val mf = Cdc.manifestFrame(spark, s"$root/m/v=2", Seq("de"))
+    val p = mf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("lang") && pf.contains("de"), p)
+    // and the pruned as-of read returns exactly the full read's de slice
+    val deOnly = Cdc.readVersion(spark, root, 2, Seq("de"))
+    assert(rowSet(deOnly) ===
+      rowSet(Cdc.readVersion(spark, root, 2)).filter(_._3 == "de"))
   }
 }

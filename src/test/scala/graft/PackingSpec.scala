@@ -317,4 +317,48 @@ class PackingSpec extends GraftSpec {
     assert(cov.getAs[Long]("n_merged") === nMerged)
     assert(cov.getAs[Long]("merged_bp") === 10000L * nMerged / nTok)
   }
+
+  test("batched bpe: non-interfering merges batch into one pass, table ≡ sequential") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // (a,b) and (c,d) share no chain tokens and no new pair ties them:
+    // one pass selects both, and the merge table equals the
+    // 1-merge-per-pass reference at half the passes
+    val docs = Seq((1L, "a b a b c d c d")).toDF("doc_id", "text")
+    val (bat, passes) = TextAnalysis.bpeLearnBatched(docs, k = 2, batchSize = 2)
+    assert(passes === 1, "non-interfering top-2 must fit one pass")
+    assert(bat === TextAnalysis.bpeLearn(docs, 2))
+    assert(bat === Seq((1L, "a", "b", 2L), (2L, "c", "d", 2L)))
+  }
+
+  test("batched bpe: chain-interfering merges DEFER to a later pass with recounted stats") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // top pair (x,y) x3; every other candidate chains with it ((y,z)'s
+    // left is its right, (z,x)'s right is its left) — pass 1 must select
+    // ONLY (x,y) and the deferred merge re-counts AFTER the rewrite
+    // (where it becomes ("x y", z), the sequential round-2 pick)
+    val docs = Seq((1L, "x y z x y z x y w")).toDF("doc_id", "text")
+    val (bat, passes) = TextAnalysis.bpeLearnBatched(docs, k = 2, batchSize = 2)
+    assert(passes === 2, "chained candidates must not share a pass")
+    assert(bat === Seq((1L, "x", "y", 3L), (2L, "x y", "z", 2L)))
+    // and deferral keeps the table equal to the sequential reference
+    assert(bat === TextAnalysis.bpeLearn(docs, 2))
+  }
+
+  test("batched bpe artifact: persisted round trip identical to the in-process table") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c a b c a b c d"),
+      (2L, "a b e a b e")).toDF("doc_id", "text")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_bpeb_spec").toString
+    val loaded = TextAnalysis
+      .bpeTrainBatchedPersisted(spark, docs, scratch, k = 2, batchSize = 2)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(loaded === TextAnalysis.bpeLearnBatched(docs, 2, 2)._1)
+  }
 }

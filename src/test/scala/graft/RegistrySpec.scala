@@ -71,8 +71,9 @@ class RegistrySpec extends GraftSpec {
     // 27 families through r12 + 9 folded in from r13 (graphs, mining,
     // CDC/versioning, deletion vectors, partition evolution, SCD2, PCA,
     // k-anonymity, CBO gauges) + 1 from r14 (statistics-driven
-    // planning); bump when a round adds a family
-    assert(rows === 37, s"SURVEY §2-B table has $rows rows — a new " +
+    // planning) + 2 from r15 (manifest scale-out/zone maps, two-stage
+    // re-rank + batched BPE); bump when a round adds a family
+    assert(rows === 39, s"SURVEY §2-B table has $rows rows — a new " +
       "operator family must land as a contract row, not only in §8 notes")
   }
 
@@ -104,7 +105,12 @@ class RegistrySpec extends GraftSpec {
       "dedup_decision_diff", "split_leakage_safe",
       "graph_triangles_sampled_bound", "graph_kcore",
       "emb_pca_bound", "emb_pca_planted_bound",
-      "vocab_bpe_train", "vocab_bpe_coverage_trained")
+      "vocab_bpe_train", "vocab_bpe_coverage_trained",
+      // r15: the gauge is metadata arithmetic (not engine throughput);
+      // the batched trainer is the same driver-looped pipeline as
+      // vocab_bpe_train; the rerank recall gauge re-trains in-plan
+      "io_cdc_zonemap_gauge", "vocab_bpe_train_batched",
+      "sim_recall_ivfpq_rerank")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }

@@ -432,6 +432,30 @@ class SimilaritySpec extends GraftSpec {
     assert(mean >= 0.25, f"ivfadc recall collapsed: $mean%.3f")
   }
 
+  test("ivfadc re-rank: exact second stage dominates one-stage recall pointwise") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val one = Similarity.annRecallIvfPq(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val two = Similarity.annRecallIvfPqRerank(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(two.keySet === one.keySet)
+    // per query: every one-stage hit sits inside the 40-row shortlist,
+    // and a true neighbor in the shortlist always survives the exact
+    // re-rank (at most 9 others can beat it) — so domination is a
+    // THEOREM here, not a tuning outcome
+    one.foreach { case (q, r1) => assert(two(q) >= r1, s"q$q: ${two(q)} < $r1") }
+    val m1 = one.values.sum / one.size
+    val m2 = two.values.sum / two.size
+    info(f"recall@10: one-stage $m1%.3f -> two-stage $m2%.3f (shortlist 40)")
+    assert(m2 > m1, "re-rank bought no lift on the random corpus")
+    // planted fixture: probes cover the query's cluster, the tight
+    // cluster fills the shortlist's head, exact re-rank returns all 10
+    val rec = Similarity
+      .annRecallIvfPqRerank(PlantedFixture.embDf(spark)).collect()
+    assert(rec.length === 8)
+    rec.foreach(x => assert(x.getDouble(3) === 1.0, x.toString))
+  }
+
   test("ivfadc append: frozen-codebook append equals one-shot union indexing") {
     import org.apache.spark.sql.functions.{col, max}
     val emb = Tables.load(spark, sf, "embeddings")

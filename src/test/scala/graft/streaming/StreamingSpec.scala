@@ -219,6 +219,45 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("native session_window stream: out-of-order replay equals the batch native form") {
+    import StreamingQueries.SessionEvent
+    val input = MemoryStream[SessionEvent]
+    val out = StreamingQueries.sessionWindowsNative(spark, input.toDS(),
+      gap = "60 seconds", watermarkDelay = "10 seconds")
+    def ev(u: Long, id: Long, t: String) = SessionEvent(u, id, ts(t))
+    val batches = Seq(
+      Seq(ev(1, 1, "2024-01-01 00:00:00"), ev(2, 5, "2024-01-01 00:00:20")),
+      // out of order INSIDE the watermark: the 00:00:30 event arrives
+      // after 00:00:40 — the native merging state must fold it in place
+      Seq(ev(1, 2, "2024-01-01 00:00:40"), ev(1, 3, "2024-01-01 00:00:30")),
+      Seq(ev(1, 4, "2024-01-01 00:05:00")), // second session for user 1
+      Seq(ev(3, 9, "2024-01-01 01:00:00"))) // advances the watermark far
+    val rows = runStream(input, out, batches)
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("n_events"))).toSet
+    // the batch native twin over the SAME rows; the only sessions the
+    // stream cannot have emitted are those whose end the final watermark
+    // (01:00:00 − 10s) has not passed — here just user 3's own session
+    val wm = ts("2024-01-01 00:59:50")
+    val batch = graft.operators.TimeSeries.sessionWindows(
+      spark.createDataset(batches.flatten).toDF()
+        .select($"user_id", $"utc".as("ts")), "60 seconds")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("n_events")))
+      .filter(_._3.compareTo(wm) <= 0).toSet
+    assert(rows === batch, s"stream $rows vs batch $batch")
+    // shape sanity: user 1's first session merged all three events, and
+    // the native end is last-event + gap (the session's reach), not the
+    // last event itself — the documented divergence from the custom op
+    assert(rows.contains((1L, ts("2024-01-01 00:00:00"),
+      ts("2024-01-01 00:01:40"), 3L)))
+  }
+
   test("streaming CUSUM drift alarm equals the ts-ordered Page fold (out-of-order input)") {
     import StreamingQueries.{DriftEvent, DriftAlarm}
     val key = "spark.sql.streaming.stateStore.providerClass"
