@@ -16,11 +16,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** When this conf holds the sfDir, [[load]] resolves tables through the
+    * ANALYZE'd catalog ([[graft.plans.Cbo.ensureStatsAll]]) instead of raw
+    * parquet paths — the stats-ON posture: CBO estimation and join
+    * reorder only see rowCount/ndv/histograms on CATALOG relations, never
+    * on ad-hoc path reads. Default unset = the existing path reads,
+    * bit-identical behavior. events is exempt (legacy nanos read).
+    */
+  val statsCatalogConf = "spark.graft.stats.catalog"
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Pin the session zone up front, not only when an NTZ column happens to
     // be present: session state must not depend on which table loads first.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val cat = graft.plans.Cbo.catalogName(name, sfDir)
     if (name == "events") events(spark, sfDir)
+    else if (spark.conf.getOption(statsCatalogConf).contains(sfDir) &&
+      spark.catalog.tableExists(cat))
+      ltz(spark, spark.table(cat))
     else ltz(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 

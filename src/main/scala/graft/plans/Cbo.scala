@@ -47,19 +47,53 @@ object Cbo {
     * interleaved scale factors never clobber each other) and ANALYZE
     * table + join/filter columns. Returns logical-name → catalog-name.
     */
-  def ensureStats(spark: SparkSession, dir: String): Map[String, String] = {
-    val tag = Integer.toHexString(dir.hashCode)
-    val cols = Map(
+  /** The scratch-keyed catalog name a table registers under — ONE
+    * formula shared with [[graft.Tables]]' stats-catalog redirect so the
+    * sweep and the loaders can never disagree on the name.
+    */
+  def catalogName(table: String, dir: String): String =
+    s"graft_cbo_${table}_${Integer.toHexString(dir.hashCode)}"
+
+  def ensureStats(spark: SparkSession, dir: String): Map[String, String] =
+    ensureTables(spark, dir, Map(
       "lineitem" -> Seq("l_orderkey", "l_extendedprice", "l_discount"),
       "orders" -> Seq("o_orderkey", "o_custkey", "o_orderdate"),
-      "customer" -> Seq("c_custkey", "c_mktsegment"))
+      "customer" -> Seq("c_custkey", "c_mktsegment")))
+
+  /** ANALYZE'd catalog tables for EVERY relational table plus documents
+    * and embeddings (events is exempt — its nanosecond timestamps need
+    * the legacy long read, which has no catalog equivalent) — the
+    * stats-ON-everywhere posture a production deployment runs with.
+    * Column lists cover every join key and the selective filter/agg
+    * columns the registered queries touch; heavy payload columns (text,
+    * embedding) are deliberately excluded from FOR COLUMNS. Used by the
+    * `tools/StatsSweep` breadth gauge and the [[graft.Tables]]
+    * stats-catalog redirect.
+    */
+  def ensureStatsAll(spark: SparkSession, dir: String): Map[String, String] =
+    ensureTables(spark, dir, Map(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+        "l_returnflag", "l_linestatus"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderdate",
+        "o_orderpriority", "o_totalprice"),
+      "customer" -> Seq("c_custkey", "c_nationkey", "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_nationkey"),
+      "part" -> Seq("p_partkey", "p_name"),
+      "nation" -> Seq("n_nationkey", "n_regionkey", "n_name"),
+      "region" -> Seq("r_regionkey", "r_name"),
+      "documents" -> Seq("doc_id", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id")))
+
+  private def ensureTables(
+      spark: SparkSession, dir: String,
+      cols: Map[String, Seq[String]]): Map[String, String] =
     cols.keys.toSeq.sorted.map { t =>
-      val name = s"graft_cbo_${t}_$tag"
+      val name = catalogName(t, dir)
       if (!spark.catalog.tableExists(name))
         createAnalyzed(spark, name, s"$dir/$t.parquet", cols(t))
       t -> name
     }.toMap
-  }
 
   /** CREATE + ANALYZE as one failure-atomic step: if any ANALYZE throws,
     * the table is DROPPED before rethrowing, so a later retry re-runs
@@ -71,15 +105,27 @@ object Cbo {
       spark: SparkSession, name: String, location: String,
       cols: Seq[String]): Unit = {
     spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$location'")
+    // Spark 4.1 FilterEstimation.evaluateBinary has no TimestampNTZType
+    // case (scala.MatchError at FilterEstimation.scala:281) — column
+    // stats on an NTZ column crash PLANNING of any query comparing it to
+    // a literal once CBO is on (the StatsSweep breadth gauge surfaced
+    // this on q4/q7's o_orderdate range filters; the driver's parquet
+    // timestamps all read as NTZ). Excluding NTZ columns from FOR
+    // COLUMNS makes estimation skip them (no stats -> default
+    // selectivity) at the cost of date-range selectivity — the safe
+    // posture until the upstream gap closes.
+    val schema = spark.table(name).schema
+    val safe = cols.filter(c =>
+      schema(c).dataType != org.apache.spark.sql.types.TimestampNTZType)
     // histograms ride the same ANALYZE pass when enabled; stored
     // per column, consulted by range-predicate estimation
     val prev = spark.conf.getOption("spark.sql.statistics.histogram.enabled")
     spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
     try {
       spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
-      if (cols.nonEmpty)
+      if (safe.nonEmpty)
         spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS " +
-          s"FOR COLUMNS ${cols.mkString(", ")}")
+          s"FOR COLUMNS ${safe.mkString(", ")}")
     } catch {
       case e: Throwable =>
         try spark.sql(s"DROP TABLE IF EXISTS $name")

@@ -392,6 +392,87 @@ object StreamingQueries {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  // ---- custom stateful operator: streaming dedup-index maintenance ---------
+
+  final case class DedupDoc(doc_id: Long, text: String)
+  final case class BucketProbe(
+      band: Long, bucket_key: String, doc_id: Long, in_artifact: Boolean)
+  final case class BucketHit(doc_id: Long, band: Long, hit: Boolean)
+
+  /** Streaming dedup-index maintenance — the LIVE twin of
+    * [[graft.operators.Dedup.incrementalDedupPersisted]]'s daily
+    * read-check-update loop (the 18th custom stateful operator): each
+    * arriving doc's MinHash band buckets probe the persisted band
+    * artifact (a stream-static join — the standing index as of stream
+    * start) AND the buckets of every EARLIER micro-batch (the ratchet),
+    * held as one boolean ValueState per (band, bucket_key) in
+    * `transformWithState`; after probing, the batch's own buckets enter
+    * the state, so micro-batch N+1 sees batch N — exactly the batch
+    * loop's append, at micro-batch granularity. Docs sharing a NEW
+    * bucket within one micro-batch don't flag each other (the batch
+    * loop's whole-delta semantics, preserved).
+    *
+    * Emits one (doc_id, band, hit) row per probe; per-doc verdicts are a
+    * stateless fold of these. StreamingSpec pins the folded verdicts ≡
+    * N sequential [[graft.operators.Dedup.incrementalDedupPersisted]]
+    * runs over the same micro-batches — ARRIVAL order is the contract,
+    * exactly as it is for the daily loop it twins.
+    *
+    * State is O(distinct buckets seen in-stream) — the artifact's own
+    * growth rate; a production deployment flushes closed state into the
+    * artifact on a cadence (the ExactlyOnceParquet manifest pattern)
+    * instead of holding it forever.
+    */
+  def dedupIndexStream(
+      spark: SparkSession,
+      docs: Dataset[DedupDoc],
+      indexPath: String,
+      k: Int = 8, rowsPerBand: Int = 2): Dataset[BucketHit] = {
+    import spark.implicits._
+    val index = spark.read.parquet(indexPath)
+      .select(col("band"), col("bucket_key")).distinct()
+      .withColumn("in_art", lit(true))
+    graft.operators.Dedup.minhashBuckets(
+        docs.toDF().select(col("doc_id"), col("text")), k, rowsPerBand)
+      .join(index, Seq("band", "bucket_key"), "left")
+      .select(col("band"), col("bucket_key"), col("doc_id"),
+        coalesce(col("in_art"), lit(false)).as("in_artifact"))
+      .as[BucketProbe]
+      .groupByKey(p => (p.band, p.bucket_key))
+      .transformWithState(new DedupIndexProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The [[dedupIndexStream]] StatefulProcessor: one boolean ValueState
+    * per bucket — "seen in a prior micro-batch". A probe hits iff the
+    * bucket was in the artifact or in prior-batch state; the batch's own
+    * probes never see each other (prior is read once, before update).
+    */
+  final class DedupIndexProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), BucketProbe, BucketHit] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (Long, String),
+        rows: Iterator[BucketProbe],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[BucketHit] = {
+      val prior = seen.exists()
+      val out = rows.map(p =>
+        BucketHit(p.doc_id, p.band, hit = prior || p.in_artifact)).toList
+      seen.update(true)
+      out.iterator
+    }
+  }
+
   // ---- custom stateful operator: streaming SCD2 dimension maintenance ------
 
   final case class Scd2Event(

@@ -989,6 +989,41 @@ class PlanSpec extends GraftSpec {
     assert(offRows === onRows)
   }
 
+  test("stats-ON posture: the catalog redirect flips registered plans and stays NTZ-safe") {
+    // the StatsSweep breadth gauge's two pinned discoveries, as
+    // regression tests: (1) under ensureStatsAll + the Tables
+    // stats-catalog redirect, CostBasedJoinReorder flips q33's join
+    // order (part's selective LIKE slice moves FIRST) with identical
+    // results — a registered query, untouched, re-planned by statistics
+    // alone; (2) planning a date-range query stays NTZ-safe: Spark 4.1's
+    // FilterEstimation has no TimestampNTZType case (MatchError at
+    // evaluateBinary), so ensureStatsAll must never attach column stats
+    // to NTZ columns — q4's o_orderdate range filter is the crash repro.
+    graft.plans.Cbo.ensureStatsAll(spark, sf)
+    def spec(name: String) =
+      (RelationalQueries.specs ++ ExtensionQueries.specs).find(_.name == name).get
+    def leaves(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+    val q33 = spec("q33_scalar_subquery_agg")
+    val offLeaves = leaves(q33.run(spark, sf))
+    val (onLeaves, onRows) = graft.tools.StatsSweep.withStatsOn(spark, sf) {
+      (leaves(q33.run(spark, sf)),
+        q33.run(spark, sf).collect().map(_.toString).sorted.toSeq)
+    }
+    assert(offLeaves.head.contains("l_") || offLeaves.head.contains("lineitem"),
+      s"stats-off keeps the written order: $offLeaves")
+    assert(onLeaves.head.contains("part"),
+      s"stats-on should move the selective part slice first: $onLeaves")
+    val offRows = q33.run(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(offRows === onRows, "the reorder must be pure plan surgery")
+    // (2) the NTZ guard: this PLANNING call crashed with a MatchError
+    // before ensureStatsAll excluded NTZ columns from FOR COLUMNS
+    val q4 = spec("q4_semi_join")
+    graft.tools.StatsSweep.withStatsOn(spark, sf) {
+      q4.run(spark, sf).queryExecution.sparkPlan
+    }
+  }
+
   test("CBO: filter estimation flips a join strategy, not just an order") {
     import graft.operators.Joins
     // the second classic stats consumer: without stats a filtered

@@ -219,6 +219,54 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming dedup-index maintenance equals sequential batch read-check-update runs") {
+    import StreamingQueries.DedupDoc
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, JobRunner.RocksDbProvider)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+      val base = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog tonight"),
+        (101L, "completely different standing document about spark engines")
+      ).toDF("doc_id", "text")
+      // one artifact for the stream, an identical copy for the batch
+      // reference loop (each mutates its own)
+      graft.operators.Dedup.writeBucketIndex(base, s"$dir/idx")
+      graft.operators.Dedup.writeBucketIndex(base, s"$dir/idx_ref")
+      // batch 1: a dup of a STANDING doc + a fresh doc; batch 2: a dup
+      // of the fresh BATCH-1 doc (the ratchet case the artifact alone
+      // would miss) + a unique doc
+      val b1 = Seq(
+        DedupDoc(1L, "the quick brown fox jumps over the lazy dog tonight"),
+        DedupDoc(2L, "novel first batch text with many unusual words here"))
+      val b2 = Seq(
+        DedupDoc(3L, "novel first batch text with many unusual words here"),
+        DedupDoc(4L, "entirely unrelated closing text nothing matches this"))
+      val input = MemoryStream[DedupDoc]
+      val out = StreamingQueries.dedupIndexStream(spark, input.toDS(), s"$dir/idx")
+      val rows = runStream(input, out.toDF(), Seq(b1, b2))
+        .map(r => (r.getLong(0), r.getBoolean(2)))
+      val streamVerdicts =
+        rows.groupBy(_._1).view.mapValues(_.exists(_._2)).toMap
+      // the daily loop, run once per micro-batch in the same ARRIVAL
+      // order (the contract both forms share) over the reference copy
+      def run(batch: Seq[DedupDoc]): Map[Long, Boolean] =
+        graft.operators.Dedup.incrementalDedupPersisted(
+          batch.toDF().select($"doc_id", $"text"), s"$dir/idx_ref")
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+      val ref = run(b1) ++ run(b2)
+      assert(streamVerdicts === ref)
+      // and the fixture exercises all three verdict sources: artifact
+      // hit (1), fresh (2, 4), prior-micro-batch ratchet hit (3)
+      assert(ref === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("native session_window stream: out-of-order replay equals the batch native form") {
     import StreamingQueries.SessionEvent
     val input = MemoryStream[SessionEvent]
