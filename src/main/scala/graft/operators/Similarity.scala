@@ -1230,20 +1230,21 @@ object Similarity {
   private val indexBuilt =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  /** Memoized IVFADC index build (the [[graft.operators.Cdc]] buildOnce
-    * discipline): train + persist both codebook artifacts once per
-    * process, with a sentinel-path existence check so a scratch swept
-    * mid-process rebuilds instead of failing every later read.
+  /** Memoized FULL IVFADC index build (the [[graft.operators.Cdc]]
+    * buildOnce discipline): train + persist both codebooks AND the
+    * assigned posting table once per process, with a sentinel-path
+    * existence check so a scratch swept mid-process rebuilds instead of
+    * failing every later read.
     */
   def ensureIvfPqIndex(emb: DataFrame, indexDir: String): Unit = {
     val spark = emb.sparkSession
     def sentinelExists: Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/pq_codebook")
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
     if (!indexBuilt.contains(indexDir) || !sentinelExists) {
       indexBuilt.remove(indexDir)
-      writeIvfPqIndex(emb, indexDir)
+      writeIvfPqIndexFull(emb, indexDir)
       indexBuilt.put(indexDir, true)
     }
   }
@@ -1296,10 +1297,14 @@ object Similarity {
         nCents, pqIters).select(col("qid"), col("vec_id")),
       nQueries, k)
 
-  /** [[annIvfPqRerank]] against the persisted codebook artifacts — the
-    * production amortized shape (train once via [[ensureIvfPqIndex]],
-    * search many): the benchmarked two-stage representative, since the
-    * per-search cost is the funnel, not the training loops.
+  /** [[annIvfPqRerank]] against the persisted FULL index — the
+    * production amortized shape (train + assign once via
+    * [[ensureIvfPqIndex]], search many): stage 1 reads the probed
+    * cells' POSTINGS from the cell-partitioned artifact (dynamic
+    * partition pruning, never a corpus re-encode), stage 2 reads exact
+    * floats for only the shortlist. The benchmarked two-stage
+    * representative — per-search cost is the funnel, not the training
+    * loops or the posting projection.
     */
   def annIvfPqRerankPersisted(
       emb: DataFrame, indexDir: String,
@@ -1307,7 +1312,7 @@ object Similarity {
       nProbe: Int = 3, m: Int = 8): DataFrame = {
     ensureIvfPqIndex(emb, indexDir)
     rerankExact(emb,
-      annIvfPqPersisted(emb, indexDir, nQueries, shortlist, nProbe, m)
+      annIvfPqAppended(emb, indexDir, nQueries, shortlist, nProbe, m)
         .select(col("qid"), col("vec_id")),
       nQueries, k)
   }
