@@ -5565,6 +5565,33 @@ object ExtensionQueries {
         FROM f, band GROUP BY lang"""),
       benchmark = false), // metadata-only arithmetic, not engine throughput
 
+    // OPTIMIZE as a commit: v2's 128-row zoned files bin-packed into v3's
+    // 512-row files — state bit-identical (rewrite-only), old version
+    // keeps its files (snapshot isolation), vacuum reclaims them on
+    // expiry. Output carries the per-lang state checksum AND the
+    // before/after file counts; both chunkings are deterministic, so the
+    // oracle recomputes the counts from the corpus state — one hash pins
+    // "no row moved" and "the compaction ratio is exactly ceil(n/128) ->
+    // ceil(n/512)".
+    QuerySpec(
+      "io_cdc_optimize",
+      (s, dir) => Cdc.optimizeManifest(s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.optimizedStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + """,
+        st AS (
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                 bit_xor(('0x' || substring(
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                   1, 15))::BIGINT) AS fp_xor
+          FROM cdc_final2 GROUP BY lang)
+        SELECT lang, n_docs, sum_chars, fp_xor,
+               (n_docs + 127) // 128 AS files_before,
+               (n_docs + 511) // 512 AS files_after
+        FROM st"""),
+      benchmark = true),
+
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion
     // neighborhoods over the DISTINCT entity table (never all-pairs, and

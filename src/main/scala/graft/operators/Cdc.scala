@@ -1326,6 +1326,72 @@ object Cdc {
         expr("(rows_total - rows_scanned) * 10000 div rows_total"))
   }
 
+  /** OPTIMIZE — bin-pack a version's small files into fewer, larger
+    * sorted ones AS A NEW COMMIT: v(toV)'s state is bit-identical to
+    * v(fromV)'s (rewrite-only, nothing inserted/deleted/updated), its
+    * data files are the same (lang, doc_id)-sorted runs rolled at a
+    * LARGER size, and its manifest carries freshly computed zone maps.
+    * Modeling compaction as a commit keeps every invariant the store
+    * already has: v(fromV) keeps reading its own small files (snapshot
+    * isolation), vacuum's manifest-row refcount reclaims them when the
+    * old version expires, and readers switch atomically. This closes
+    * the small-files tax the fine-grained zoned layout pays for its
+    * oracle-reproducible skipping: at 100 TB, ingest commits land many
+    * small sorted files per partition and a background OPTIMIZE
+    * re-rolls them — file count drops ~zoneRows/targetRows while every
+    * read and every zone-map skip stays correct.
+    */
+  def optimizeCommit(
+      spark: SparkSession, root: String, fromV: Int, toV: Int,
+      targetRows: Int): Unit = {
+    val cur = readVersion(spark, root, fromV)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint() // read-then-overwrite barrier (d_toV is fresh,
+    // but the manifest listing must not observe the write)
+    val langs = cur.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    writeData(cur, s"$root/d$toV", targetRows)
+    writeManifest(manifestEntries(spark, s"$root/d$toV", langs),
+      s"$root/m/v=$toV")
+  }
+
+  /** Registered OPTIMIZE query: the zoned store's v2 (128-row files)
+    * compacted into v3 (512-row files), read back per lang WITH the
+    * before/after file counts beside the state checksum — one hash
+    * proves (a) compaction changed no row (same n_docs / sum_chars /
+    * fp_xor the time-travel v2 leg pins), (b) the deterministic
+    * re-chunking landed exactly ceil(n/512) files per lang, and (c) the
+    * 128-row layout it replaced had its own deterministic count — the
+    * oracle recomputes BOTH chunkings from the corpus state.
+    */
+  def optimizeManifest(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    optimizedStore(spark, docs, scratch)
+    val counts = manifestFrame(spark, s"$scratch/m/v=2")
+      .groupBy(col("lang")).agg(count(lit(1)).as("files_before"))
+      .join(manifestFrame(spark, s"$scratch/m/v=3")
+        .groupBy(col("lang")).agg(count(lit(1)).as("files_after")),
+        Seq("lang"))
+    Governance.releaseManifestBy(readVersion(spark, scratch, 3), "lang")
+      .join(counts, Seq("lang"))
+  }
+
+  /** One-time build for [[optimizeManifest]]: the three-version ZONED
+    * store plus the v3 OPTIMIZE commit.
+    */
+  def optimizedStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(spark, s"$scratch#opt", s"$scratch/m/v=3") {
+      zonedStore(spark, docs, scratch)
+      optimizeCommit(spark, scratch, 2, 3, optimizeTargetRows)
+    }
+
+  /** OPTIMIZE roll size: 4× the ingest zone size — big enough that the
+    * compaction ratio is visible at sf0.01, small enough that sf0.1
+    * still rolls many files per lang.
+    */
+  val optimizeTargetRows: Int = 512
+
   // ---- deletion vectors (position deletes) -----------------------------
 
   /** Write the snapshot with explicit (partition, pos) row addressing:

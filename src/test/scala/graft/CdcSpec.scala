@@ -582,5 +582,21 @@ class CdcSpec extends GraftSpec {
     val deOnly = Cdc.readVersion(spark, root, 2, Seq("de"))
     assert(rowSet(deOnly) ===
       rowSet(Cdc.readVersion(spark, root, 2)).filter(_._3 == "de"))
+    // OPTIMIZE as a commit: v3 = v2 bin-packed into 512-row files —
+    // identical rows, strictly fewer files per multi-file lang, fresh
+    // zone maps respecting the larger roll, and v2 still reading its own
+    // small files afterwards (snapshot isolation through compaction)
+    Cdc.optimizeCommit(spark, root, 2, 3, Cdc.optimizeTargetRows)
+    assert(rowSet(Cdc.readVersion(spark, root, 3)) ===
+      rowSet(Cdc.readVersion(spark, root, 2)))
+    val m3 = Cdc.manifestFrame(spark, s"$root/m/v=3").collect()
+    assert(m3.forall(_.getAs[Long]("n_rows") <= Cdc.optimizeTargetRows))
+    val after = m3.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    filesPerLang.foreach { case (l, before) =>
+      assert(after(l) < before, s"$l: $before files -> ${after(l)}")
+    }
+    def exists(p: String) = new java.io.File(new java.net.URI(p).getPath).exists
+    assert(m2.map(_.getAs[String]("path")).forall(exists),
+      "optimize must not touch the files the old version references")
   }
 }
