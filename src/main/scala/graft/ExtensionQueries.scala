@@ -2583,6 +2583,28 @@ object ExtensionQueries {
                                     ORDER BY dist, vec_id) AS rn
           FROM l2r) WHERE rn <= 10""")),
 
+    // FILTERED ANN (r15): "nearest neighbors among the German docs" —
+    // the metadata predicate PRE-filters the posting table (semi-join on
+    // vec_id) before any distance math, so top-k is exact over the
+    // allowed subset; a post-filter would silently under-fill k. Oracle
+    // = the unrolled IVFADC chain with the candidate set restricted by
+    // the same documents join.
+    QuerySpec(
+      "sim_ann_ivfpq_filtered",
+      (s, dir) => Similarity.annIvfPqFiltered(emb(s, dir), docs(s, dir)),
+      benchmark = false, // same re-trained pipeline as sim_ann_ivfpq
+      oracle = Some(s"""
+        ${ivfPqCtes()},
+        adf AS (
+          SELECT ad.qid, ad.vec_id, ad.dist
+          FROM ad JOIN documents d
+            ON d.doc_id = ad.vec_id AND d.lang = 'de')
+        SELECT qid, vec_id, dist, rn FROM (
+          SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, vec_id) AS rn
+          FROM adf) WHERE rn <= 10""")),
+
     // The two-stage recall contract vs exact L2 — the lift the re-rank
     // leg buys over sim_recall_ivfpq's one-stage number (losses left:
     // coarse-probe misses + code mis-ranks past the 40-row shortlist).

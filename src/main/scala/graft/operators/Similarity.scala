@@ -1323,4 +1323,33 @@ object Similarity {
     */
   def annRecallIvfPqRerank(emb: DataFrame, k: Int = 10): DataFrame =
     annRecallAgainst(l2TopK(emb, k = k), annIvfPqRerank(emb, k = k))
+
+  /** FILTERED ANN — predicate-constrained vector search, the
+    * metadata+vector query every retrieval corpus runs ("nearest
+    * neighbors among the German docs"): the metadata predicate
+    * PRE-filters the posting table with a semi-join on vec_id before any
+    * distance math, so the top-k is exact over the allowed subset — the
+    * correctness-preserving strategy. The POST-filter alternative
+    * (search first, filter the top-k after) silently returns FEWER than
+    * k when the predicate is selective; pre-filtering pays one semi-join
+    * on the posting table's key instead. At 100 TB the allowed set is
+    * corpus-scale (never broadcastable) — the semi-join shuffles
+    * posting-table keys against the filtered dimension, or rides
+    * partition pruning when the store is partitioned by the predicate
+    * column (the [[graft.operators.Cdc]] layout).
+    */
+  def annIvfPqFiltered(
+      emb: DataFrame, docs: DataFrame, lang: String = "de",
+      nQueries: Int = 8, k: Int = 10,
+      nCells: Int = 16, ivfIters: Int = 1, nProbe: Int = 3,
+      m: Int = 8, nCents: Int = 16, pqIters: Int = 1): DataFrame = {
+    val ivfCents = ivfCentroidsTrained(emb, nCells, ivfIters)
+    val pqCents = pqCodebookTrained(emb, m, nCents, pqIters)
+    val allowed = docs.filter(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+    ivfPqSearch(
+      ivfPqPostings(emb, ivfCents, pqCents, m)
+        .join(allowed, Seq("vec_id"), "left_semi"),
+      emb, ivfCents, pqCents, nQueries, k, nProbe, m)
+  }
 }

@@ -110,7 +110,7 @@ class RegistrySpec extends GraftSpec {
       // the batched trainer is the same driver-looped pipeline as
       // vocab_bpe_train; the rerank recall gauge re-trains in-plan
       "io_cdc_zonemap_gauge", "vocab_bpe_train_batched",
-      "sim_recall_ivfpq_rerank")
+      "sim_recall_ivfpq_rerank", "sim_ann_ivfpq_filtered")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
