@@ -67,6 +67,19 @@ object ExtensionQueries {
         FROM documents
        WHERE lang IN ('de', 'fr') AND doc_id % 13 = 0)"""
 
+  /** Oracle twin of the full-width orders row fingerprint
+    * ([[graft.operators.StorageLayout]]'s format round trips): the same
+    * canonical rendering — integers verbatim, price through the exact
+    * DECIMAL(18,2) text, NTZ timestamp at fixed microsecond width — so
+    * the 60-bit md5 term matches Spark's engine-to-engine.
+    */
+  private val ordersFpXorSql = """bit_xor(('0x' || substring(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                 o_orderpriority), 1, 15))::BIGINT) AS fp_xor"""
+
   /** Oracle twin of [[graft.operators.StorageLayout.zorderKeyed]]: exact
     * 16-bit quantization over the min/max bounds, then the magic-number
     * Morton interleave ladder — identical BIGINT arithmetic on both
@@ -5237,6 +5250,59 @@ object ExtensionQueries {
                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
                  1, 15))::BIGINT) AS fp_xor
         FROM documents GROUP BY source""")),
+
+    // CSV interchange round trip of the fully TYPED orders table:
+    // unlike the JSONL twin this exercises the numeric/temporal text
+    // cycle — double price, NTZ timestamp at fixed microsecond width —
+    // and the bit_xor term covers EVERY column of every row, so a value
+    // perturbed anywhere in the write/parse cycle hash-mismatches the
+    // oracle computed straight off parquet.
+    QuerySpec(
+      "io_csv_roundtrip",
+      (s, dir) => StorageLayout.csvRoundtrip(
+        s, Tables.load(s, dir, "orders"), scratchPath("ordcsv", dir)),
+      Some(s"""
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+               $ordersFpXorSql
+        FROM orders GROUP BY 1""")),
+
+    // ORC round trip with a PUSHED key-range predicate: types survive
+    // natively (no text cycle); the point is that scan machinery —
+    // pruning, pushdown, vectorized decode — carries to the second
+    // columnar format with identical results (PlanSpec pins the ORC
+    // scan's PushedFilters).
+    QuerySpec(
+      "io_orc_roundtrip",
+      (s, dir) => StorageLayout.orcRoundtrip(
+        s, Tables.load(s, dir, "orders"), scratchPath("ordorc", dir)),
+      Some(s"""
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+               $ordersFpXorSql
+        FROM orders WHERE o_orderkey <= 40000 GROUP BY 1""")),
+
+    // Malformed-record quarantine: a feed where every o_orderkey%97==0
+    // line carries an unparseable price is read PERMISSIVE — bad lines
+    // route to the corrupt-record column (one bad row costs one row,
+    // never a failed scan), clean rows parse undamaged. The oracle
+    // recomputes the same split from parquet + the corruption rule.
+    QuerySpec(
+      "io_csv_badrecords",
+      (s, dir) => StorageLayout.csvBadRecords(
+        s, Tables.load(s, dir, "orders"), scratchPath("ordbad", dir)),
+      Some("""
+        SELECT CASE WHEN o_orderkey % 97 = 0 THEN '_corrupt'
+                    ELSE o_orderstatus END AS status,
+               COUNT(*) AS n_rows,
+               CAST(COALESCE(SUM(CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                 ELSE CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+                 AS sum_price
+        FROM orders GROUP BY 1""")),
 
     // ---- CDC maintenance (r13) ---------------------------------------
     // Copy-on-write MERGE of a derived insert/update/delete delta into

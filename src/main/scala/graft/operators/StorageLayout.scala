@@ -75,6 +75,147 @@ object StorageLayout {
     Governance.releaseManifest(back)
   }
 
+  /** Canonical full-width rendering of one `orders` row, identical on
+    * Spark and DuckDB so the md5-based 60-bit fingerprint term matches
+    * engine-to-engine: integers verbatim, the double through the exact
+    * DECIMAL(18,2) text form, the NTZ timestamp at fixed microsecond
+    * width. Any column of any row perturbed by an interchange format's
+    * write/parse cycle flips its group's bit_xor — the per-ROW fidelity
+    * proof behind the format round-trip queries below.
+    */
+  private[graft] def ordersRowFp: org.apache.spark.sql.Column =
+    md5(concat_ws("|",
+      col("o_orderkey").cast("string"),
+      col("o_custkey").cast("string"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").cast("string"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      col("o_orderpriority")))
+
+  /** Per-status integrity manifest of an orders frame: row count, exact
+    * decimal price sum, key span, and the full-row fingerprint checksum.
+    */
+  private[graft] def ordersManifest(back: DataFrame): DataFrame =
+    back.groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        expr("bit_xor(cast(conv(substring(fp, 1, 15), 16, 10) as bigint))")
+          .as("fp_xor"))
+
+  /** The microsecond-width timestamp text form shared by the CSV writer
+    * and reader so the timestamp survives the text cycle bit-exactly.
+    * The engine's time semantics are instant-based UTC ([[graft.Tables]]
+    * reinterprets the driver's naive parquet micros as UTC instants), so
+    * this is applied as the LTZ `timestampFormat` under the pinned UTC
+    * session zone — zoneless text, micros width, identical to DuckDB's
+    * rendering of the same stored micros.
+    */
+  private val tsMicros = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** CSV interchange round trip of a fully TYPED table: write `orders`
+    * (bigint, string, double, UTC-instant timestamp) as headered CSV
+    * with an explicit microsecond timestamp format, read it back with an
+    * EXPLICIT schema (schema-on-read — no inference pass over the data)
+    * and the same format, and emit the per-status manifest of the
+    * re-read frame. The bit_xor checksum covers EVERY column of every
+    * row — a double whose text form failed to round-trip, or a
+    * timestamp truncated by the format, flips its status's checksum and
+    * the oracle (computed straight off parquet) hash-mismatches. Writer
+    * shape: one pass, line-per-row, splittable on read — and unlike the
+    * JSONL twin ([[jsonlRoundtrip]]) this exercises the numeric/temporal
+    * text cycle, not just string escaping.
+    */
+  def csvRoundtrip(
+      spark: SparkSession, orders: DataFrame, scratch: String): DataFrame = {
+    val path = s"$scratch/orders_csv"
+    orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", tsMicros)
+      .csv(path)
+    val back = spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, " +
+        "o_orderpriority STRING")
+      .option("header", "true").option("timestampFormat", tsMicros)
+      .csv(path)
+    ordersManifest(back.withColumn("fp", ordersRowFp))
+  }
+
+  /** ORC interchange round trip with a PUSHED predicate: write `orders`
+    * as ORC (the other columnar warehouse format — types survive
+    * natively, no text cycle), read it back with a key-range predicate
+    * that must reach the ORC reader as a pushed filter (PlanSpec pins
+    * `PushedFilters` on the scan), and emit the per-status manifest of
+    * the slice. At 100 TB the point of a second columnar format is that
+    * the engine's scan machinery — column pruning, predicate pushdown,
+    * vectorized decode — carries over unchanged; this query proves the
+    * results do too, against the parquet-computed oracle.
+    */
+  def orcRoundtrip(
+      spark: SparkSession, orders: DataFrame, scratch: String,
+      keyCap: Long = 40000L): DataFrame = {
+    val path = s"$scratch/orders_orc"
+    orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path).where(col("o_orderkey") <= keyCap)
+    ordersManifest(back.withColumn("fp", ordersRowFp))
+  }
+
+  /** Malformed-record routing: a feed where a deterministic subset of
+    * lines (o_orderkey % 97 == 0) carries an unparseable price. The
+    * PERMISSIVE read routes each bad line into the corrupt-record
+    * column instead of failing the scan — the quarantine contract a
+    * 100 TB ingest needs, since one bad line must cost one row, never a
+    * task retry storm or a dropped partition. Output: per-status row
+    * counts with corrupt rows under the reserved `_corrupt` status,
+    * price sums over the clean rows only; the oracle recomputes the
+    * same split from parquet + the corruption rule, so the hash pins
+    * BOTH that every bad line was quarantined AND that no clean row
+    * was damaged by a neighbor's corruption.
+    */
+  def csvBadRecords(
+      spark: SparkSession, orders: DataFrame, scratch: String): DataFrame = {
+    val path = s"$scratch/orders_csv_bad"
+    // render the feed deterministically: the exact DECIMAL text form for
+    // the price (so clean rows parse back to values that agree with the
+    // oracle's decimal cast), the fixed-width NTZ form for the timestamp
+    orders.select(concat_ws(",",
+        col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 97 === 0, lit("notanumber"))
+          .otherwise(col("o_totalprice").cast("decimal(18,2)").cast("string")),
+        date_format(col("o_orderdate"), tsMicros),
+        col("o_orderpriority")).as("value"))
+      .write.mode("overwrite").text(path)
+    val back = spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, " +
+        "o_orderpriority STRING, _bad STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .option("timestampFormat", tsMicros)
+      .csv(path)
+    back
+      .withColumn("status",
+        when(col("_bad").isNotNull, lit("_corrupt"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("price_ok",
+        when(col("_bad").isNotNull, lit(null).cast("decimal(18,2)"))
+          .otherwise(col("o_totalprice").cast("decimal(18,2)")))
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(col("price_ok")), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+  }
+
   /** Schema evolution: generation-1 files carry (doc_id, lang, source,
     * n_chars); generation-2 files ADD a computed n_toks column. One
     * mergeSchema read unions both generations, NULL-filling the old

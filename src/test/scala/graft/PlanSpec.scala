@@ -1067,4 +1067,13 @@ class PlanSpec extends GraftSpec {
     assert(on.contains("BroadcastHashJoin"),
       s"stats-on estimate below threshold should broadcast:\n$on")
   }
+
+  test("orc round trip: key-range predicate reaches the ORC reader pushed") {
+    val p = fplan(Registry.queries("io_orc_roundtrip")(spark, sf))
+    // the scan must be the ORC reader with the range pushed into it —
+    // not a post-scan filter over an unpruned read
+    assert(p.contains("orc") || p.contains("Orc"), p)
+    assert(p.contains("PushedFilters") &&
+      p.contains("LessThanOrEqual(o_orderkey"), p)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.StorageLayout
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Z-order clustering: Morton-code correctness against a bit-by-bit
   * brute force, and the data-skipping gauge's invariants on the real
@@ -136,5 +136,70 @@ class StorageLayoutSpec extends GraftSpec {
     val g1pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(g1p).getOrElse("")
     assert(g1pf.contains("lang") && !g1pf.contains("source"), g1p)
     assert(g1p.contains("EqualTo(source,src1)"), g1p)
+  }
+
+  private def manifestMap(df: org.apache.spark.sql.DataFrame)
+      : Map[String, (Long, Double, Long, Long, Long)] =
+    df.collect().map(r => r.getAs[String]("o_orderstatus") ->
+      ((r.getAs[Long]("n_rows"), r.getAs[Double]("sum_price"),
+        r.getAs[Long]("min_key"), r.getAs[Long]("max_key"),
+        r.getAs[Long]("fp_xor")))).toMap
+
+  test("csv round trip: typed columns survive the text cycle bit-exactly") {
+    val orders = Tables.load(spark, sf, "orders")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_ocsv").toString
+    val got = manifestMap(StorageLayout.csvRoundtrip(spark, orders, scratch))
+    val want = manifestMap(StorageLayout.ordersManifest(
+      orders.withColumn("fp", StorageLayout.ordersRowFp)))
+    assert(got === want)
+    assert(got.nonEmpty && got.values.map(_._1).sum > 0)
+  }
+
+  test("orc round trip: pushed key-range slice equals the parquet-computed slice") {
+    val orders = Tables.load(spark, sf, "orders")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_oorc").toString
+    val cap = 40000L
+    val got = manifestMap(StorageLayout.orcRoundtrip(spark, orders, scratch, cap))
+    val want = manifestMap(StorageLayout.ordersManifest(
+      orders.where(col("o_orderkey") <= cap)
+        .withColumn("fp", StorageLayout.ordersRowFp)))
+    assert(got === want)
+    assert(got.values.forall(_._4 <= cap))
+  }
+
+  test("orders row fingerprint is a tripwire: any column perturbation flips it") {
+    val base = Seq((1L, 2L, "O", 123.45, ts("2020-01-02 03:04:05"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    def fp(df: org.apache.spark.sql.DataFrame): String =
+      df.select(StorageLayout.ordersRowFp.as("fp")).head.getString(0)
+    val orig = fp(base)
+    // a cent of price, a microsecond of time, one key digit — each flips
+    assert(fp(base.withColumn("o_totalprice", col("o_totalprice") + 0.01)) !== orig)
+    assert(fp(base.withColumn("o_orderdate",
+      col("o_orderdate") + expr("INTERVAL 1 MICROSECOND"))) !== orig)
+    assert(fp(base.withColumn("o_orderkey", col("o_orderkey") + 1)) !== orig)
+    assert(fp(base.withColumn("o_orderstatus", lit("F"))) !== orig)
+  }
+
+  test("csv bad records: every corrupt line quarantined, clean rows undamaged") {
+    val orders = Tables.load(spark, sf, "orders")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_obad").toString
+    val got = StorageLayout.csvBadRecords(spark, orders, scratch).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("sum_price")))).toMap
+    val nBad = orders.where(col("o_orderkey") % 97 === 0).count()
+    assert(nBad > 0, "fixture must contain corrupt lines")
+    assert(got("_corrupt") === ((nBad, 0.0)))
+    // clean side: counts and exact decimal sums match parquet truth
+    val want = orders.where(col("o_orderkey") % 97 =!= 0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("s")))).toMap
+    assert(got - "_corrupt" === want)
   }
 }
