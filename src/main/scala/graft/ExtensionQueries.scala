@@ -5436,6 +5436,31 @@ object ExtensionQueries {
         FROM cdc_final2 GROUP BY lang"""),
       benchmark = true),
 
+    // Streamed ingestion with an at-least-once duplicate: the day-1 op
+    // log arrives as 3 micro-batches, each committed as one version by
+    // the foreachBatch sink; batch 1 is then DELIVERED AGAIN (the
+    // checkpoint-replay duplicate) and must change nothing -- a commit
+    // is a pure function of (parent version, batch), so the replay
+    // rewrites its slot instead of re-applying ops (a re-APPLY would
+    // duplicate the batch's insert keys and flip n_docs + fp_xor; the
+    // spec exhibits it). Final state equals the one-shot day-1 merge;
+    // n_versions pins 3 versions from 4 deliveries.
+    QuerySpec(
+      "io_cdc_stream_ingest",
+      (s, dir) => Cdc.streamIngestManifest(
+        s, docs(s, dir), scratchPath("sing", dir)),
+      setup = Some((s, dir) =>
+        Cdc.streamIngestStore(s, docs(s, dir), scratchPath("sing", dir))),
+      oracle = Some("WITH " + cdcFinalCte + """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor,
+               CAST(3 AS INTEGER) AS n_versions
+        FROM cdc_final GROUP BY lang"""),
+      benchmark = true),
+
     // Retention + vacuum: the back half of the versioning lifecycle —
     // v0/v1 expired, every data file no surviving manifest references
     // physically deleted (refcount over manifest ROWS, not directories:

@@ -788,6 +788,79 @@ object Cdc {
           fromV = batchId.toInt, toV = batchId.toInt + 1, log = batch)
       }
 
+  /** Streamed ingestion end to end as one registered lifecycle: v0
+    * snapshot, then the day-1 op log arrives as THREE micro-batches
+    * (split by doc_id % 3 — the feed contract keeps one op per key per
+    * day, so the split composes delivery-order-free), each committed by
+    * [[versionedLogStream]] as one readable version. After batch 1's
+    * commit the SAME batch is delivered again — the at-least-once
+    * duplicate every stream transport eventually produces, exactly what
+    * a foreachBatch sink sees when the driver restarts and the
+    * checkpoint replays the last batch id. The replay maps to the same
+    * (fromV=1, toV=2) commit and rewrites it from the same PARENT state:
+    * a commit is a pure function of (parent version, batch), never an
+    * append to current state, so the duplicate changes nothing — had the
+    * sink instead re-APPLIED the batch on top of its own output, the
+    * batch's INSERT images would land beside the copies the first
+    * application already wrote (duplicate keys; CdcSpec exhibits the
+    * corruption) and the oracle's counts and checksum would flip. Final
+    * state therefore equals the one-shot day-1 merge, which is what the
+    * oracle recomputes.
+    *
+    * The driver-side batch list is DELTA-sized (the day's op rows, never
+    * the corpus) — the offline stand-in for a stream transport in this
+    * zero-egress environment; at scale the transport delivers the same
+    * op rows and the commit path below is unchanged.
+    */
+  def streamIngestStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(spark, scratch, s"$scratch/m/v=3") {
+      versionedInit(spark, docs, scratch)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val logCols = Seq("op", "doc_id", "text", "lang", "source", "n_chars")
+      val entries = partitionedLogEntries(feed(docs), day1Rules).collect()
+        .map(r => (r.getAs[String]("op"), r.getAs[Long]("doc_id"),
+          r.getAs[String]("text"), r.getAs[String]("lang"),
+          r.getAs[String]("source"),
+          Option(r.getAs[java.lang.Long]("n_chars")).map(_.longValue)))
+      val batches = (0L to 2L).map(i => entries.filter(_._2 % 3 == i).toSeq)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        require(b.nonEmpty, s"stream-ingest fixture batch $i is empty at " +
+          s"this corpus — the 3-batch split no longer covers the delta")
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, String, String, String, Option[Long])]
+      val q = versionedLogStream(input.toDF().toDF(logCols: _*), scratch)
+        .start()
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          input.addData(b)
+          q.processAllAvailable()
+          if (i == 1)
+            // checkpoint-replay duplicate: same batch, same batch id →
+            // the same (fromV, toV) slot, recomputed from the same parent
+            commitLogBatch(spark, scratch, fromV = 1, toV = 2,
+              log = spark.createDataset(b).toDF(logCols: _*))
+        }
+      } finally q.stop()
+    }
+
+  /** Registered read leg of [[streamIngestStore]]: the per-lang release
+    * manifest of the stream's FINAL version plus the chain length — 3
+    * versions from 4 deliveries (the duplicate rewrote its slot instead
+    * of minting a version), content hash-equal to the one-shot day-1
+    * merge the oracle recomputes.
+    */
+  def streamIngestManifest(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    streamIngestStore(spark, docs, scratch)
+    val head = headVersion(spark, scratch)
+    Governance.releaseManifestBy(readVersion(spark, scratch, head), "lang")
+      .withColumn("n_versions", lit(head))
+      .select("lang", "n_docs", "sum_chars", "fp_xor", "n_versions")
+  }
+
   // ---- write-audit-publish --------------------------------------------
 
   /** Stage the next commit on a BRANCH: same merge core as a published

@@ -488,6 +488,39 @@ class CdcSpec extends GraftSpec {
     assert(sizes.distinct.size > 1, "intermediate versions never moved")
   }
 
+  test("streamed ingest: an at-least-once duplicate delivery changes nothing, " +
+    "a naive re-APPLY would not") {
+    // 33 (de, %11 → deleted) fills the %3==0 micro-batch the base fixture
+    // leaves empty, without changing the day-1 final state
+    val docs = fixture2.union(Seq(
+      (33L, "omega thirtythree", "de", "s2", 17L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sing").toString + "/store"
+    Cdc.streamIngestStore(spark, docs, root)
+    // 4 deliveries, 3 versions: the duplicate replayed its slot
+    assert(Cdc.headVersion(spark, root) === 3)
+    assert(rowSet(Cdc.readVersion(spark, root, 3)) === day1FinalF2)
+    assert(rowSet(Cdc.readVersion(spark, root, 0)) === rowSet(docs))
+    // the registered read leg agrees with the raw as-of read
+    val m = Cdc.streamIngestManifest(spark, docs, root).collect()
+    assert(m.map(_.getAs[Int]("n_versions")).toSet === Set(3))
+    assert(m.map(_.getAs[Long]("n_docs")).sum === day1FinalF2.size.toLong)
+    // and the hazard the slot-replay protocol avoids: re-APPLYING a
+    // batch on top of the chain's own output re-unions its INSERT
+    // images beside the copies the first application already landed —
+    // duplicate keys, the corruption an append-style duplicate handler
+    // ships (batch %3==2 carries the 1000013/1000091 insert images)
+    val batch2 = Cdc.partitionedLogEntries(Cdc.feed(docs), Cdc.day1Rules)
+      .where(org.apache.spark.sql.functions.col("doc_id") % 3 === 2)
+    Cdc.commitLogBatch(spark, root, fromV = 3, toV = 4, log = batch2)
+    val keys = Cdc.readVersion(spark, root, 4).collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(keys.length > keys.distinct.length,
+      "re-apply must exhibit the duplicated-insert corruption")
+    assert(keys.count(_ == 1000013L) === 2)
+  }
+
   test("deletion vectors: end-to-end equals the key-filtered truth, " +
     "DV artifact is delete-sized, base files untouched") {
     val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
