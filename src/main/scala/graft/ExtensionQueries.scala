@@ -1114,7 +1114,7 @@ object ExtensionQueries {
     * always corpus-wide — recall is judged against ALL vectors even when
     * training saw only the base).
     */
-  private def ivfPqRecallTailFrom(src: String) = s"""
+  private def ivfPqRecallTailFrom(src: String, exactJoin: String = "") = s"""
         approx AS (
           SELECT qid, vec_id FROM (
             SELECT qid, vec_id,
@@ -1125,6 +1125,7 @@ object ExtensionQueries {
           SELECT qq.qid, s.vec_id,
                  CAST(SUM((s.sx - qq.qx) * (s.sx - qq.qx)) AS BIGINT) AS dist
           FROM sv s JOIN qq ON s.i = qq.i
+          $exactJoin
           GROUP BY 1, 2),
         exact AS (
           SELECT qid, vec_id FROM (
@@ -2629,6 +2630,25 @@ object ExtensionQueries {
         ${ivfPqCtes()},
         $ivfPqRerankCtes,
         ${ivfPqRecallTailFrom("l2r")}""")),
+
+    // Recall of FILTERED ANN vs the exact FILTERED L2 truth — the gauge
+    // the r15 ledger left open: under a selective predicate the
+    // coarse-probe loss differs from the unfiltered gauge's (a probed
+    // cell can hold zero allowed members while the true allowed neighbor
+    // sits unprobed), so the filtered path earns its own honest number.
+    // Both sides restrict the CORPUS, never the query points.
+    QuerySpec(
+      "sim_recall_ivfpq_filtered",
+      (s, dir) => Similarity.annRecallIvfPqFiltered(emb(s, dir), docs(s, dir)),
+      benchmark = false, // contract query over the re-trained pipeline
+      oracle = Some(s"""
+        ${ivfPqCtes()},
+        adf AS (
+          SELECT ad.qid, ad.vec_id, ad.dist
+          FROM ad JOIN documents d
+            ON d.doc_id = ad.vec_id AND d.lang = 'de'),
+        ${ivfPqRecallTailFrom("adf",
+          "JOIN documents dd ON dd.doc_id = s.vec_id AND dd.lang = 'de'")}""")),
 
     // Embedding-cosine near-dup: LSH-bucket blocking + exact threshold.
     QuerySpec(
@@ -5704,6 +5724,92 @@ object ExtensionQueries {
                (n_docs + 511) // 512 AS files_after
         FROM st"""),
       benchmark = true),
+
+    // SORT-KEY EVOLUTION: v4 rewrites v3's state sorted by
+    // (lang, n_chars, doc_id) — a rewrite-only commit like OPTIMIZE.
+    // The skipped read admits files by the fresh min/max n_chars zone
+    // maps (useless under the doc_id layout, tight under this one),
+    // exact predicate re-applied; shares the _full twin's oracle — the
+    // hash match is the no-false-negatives proof on the evolved key.
+    QuerySpec(
+      "io_cdc_resort_read",
+      (s, dir) => Cdc.resortRead(s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.resortStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + """,
+        nb AS (SELECT (max(n_chars) * 25) // 100 AS nlo,
+                      (max(n_chars) * 40) // 100 AS nhi FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final2, nb
+        WHERE n_chars BETWEEN nlo AND nhi GROUP BY lang"""),
+      benchmark = true),
+
+    // The unskipped twin: full v4 file list, same exact predicate, same
+    // oracle SQL.
+    QuerySpec(
+      "io_cdc_resort_full",
+      (s, dir) => Cdc.resortReadFull(s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.resortStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + """,
+        nb AS (SELECT (max(n_chars) * 25) // 100 AS nlo,
+                      (max(n_chars) * 40) // 100 AS nhi FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final2, nb
+        WHERE n_chars BETWEEN nlo AND nhi GROUP BY lang"""),
+      benchmark = true),
+
+    // The payoff gauge: the SAME n_chars band priced against both
+    // layouts' zone maps at the SAME 128-row roll (v2 by doc_id, v4 by
+    // n_chars) — which predicates skip is a LAYOUT property. Both
+    // chunkings deterministic (total sort orders), so the oracle
+    // recomputes every file's zone map from state + the roll rule.
+    QuerySpec(
+      "io_cdc_resort_gauge",
+      (s, dir) => Cdc.resortGauge(s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.resortStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + """,
+        nb AS (SELECT (max(n_chars) * 25) // 100 AS nlo,
+                      (max(n_chars) * 40) // 100 AS nhi FROM documents),
+        r3 AS (SELECT lang, n_chars,
+                      (row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                       - 1) // 128 AS chunk
+               FROM cdc_final2),
+        f3 AS (SELECT lang, chunk, min(n_chars) AS mn, max(n_chars) AS mx,
+                      COUNT(*) AS n
+               FROM r3 GROUP BY lang, chunk),
+        r4 AS (SELECT lang, n_chars,
+                      (row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id)
+                       - 1) // 128 AS chunk
+               FROM cdc_final2),
+        f4 AS (SELECT lang, chunk, min(n_chars) AS mn, max(n_chars) AS mx,
+                      COUNT(*) AS n
+               FROM r4 GROUP BY lang, chunk),
+        g AS (
+          SELECT 'by_doc_id' AS layout, lang, mn, mx, n FROM f3
+          UNION ALL
+          SELECT 'by_n_chars' AS layout, lang, mn, mx, n FROM f4)
+        SELECT layout, lang, COUNT(*) AS files_total,
+               CAST(SUM(CASE WHEN mx >= nlo AND mn <= nhi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_admitted,
+               CAST(SUM(CASE WHEN mx >= nlo AND mn <= nhi
+                             THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(SUM(n) AS BIGINT) AS rows_total,
+               CAST((SUM(n) - SUM(CASE WHEN mx >= nlo AND mn <= nhi
+                                       THEN n ELSE 0 END)) * 10000
+                    // SUM(n) AS BIGINT) AS skip_bp
+        FROM g, nb GROUP BY layout, lang"""),
+      benchmark = false), // metadata-only arithmetic, not engine throughput
 
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion

@@ -426,17 +426,20 @@ object Cdc {
 
   /** Write a commit's partition data: unzoned (the plain partitioned
     * write) or zoned — one task per lang (hash repartition), rows
-    * sorted by (lang, doc_id), files rolled every `zoneRows` records.
-    * At 100 TB the zoned write range-partitions WITHIN a lang instead
-    * of one-task-per-lang; the file-boundary contract (sorted runs of
-    * ≤ zoneRows rows) is the same.
+    * sorted by `sortCols` (a TOTAL order: the default and every caller
+    * end in the unique doc_id, which is what keeps file boundaries a
+    * deterministic function of state), files rolled every `zoneRows`
+    * records. At 100 TB the zoned write range-partitions WITHIN a lang
+    * instead of one-task-per-lang; the file-boundary contract (sorted
+    * runs of ≤ zoneRows rows) is the same.
     */
-  private def writeData(df: DataFrame, dataDir: String, zoneRows: Int): Unit =
+  private def writeData(df: DataFrame, dataDir: String, zoneRows: Int,
+      sortCols: Seq[String] = Seq("lang", "doc_id")): Unit =
     if (zoneRows <= 0)
       df.write.mode("overwrite").partitionBy("lang").parquet(dataDir)
     else
       df.repartition(col("lang"))
-        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .sortWithinPartitions(sortCols.map(col): _*)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", zoneRows.toString)
         .partitionBy("lang").parquet(dataDir)
@@ -470,8 +473,9 @@ object Cdc {
   def readVersion(
       spark: SparkSession, root: String, v: Int,
       langs: Seq[String] = Nil,
-      idRange: Option[(Long, Long)] = None): DataFrame =
-    readManifest(spark, s"$root/m/v=$v", langs, idRange)
+      idRange: Option[(Long, Long)] = None,
+      statRange: Option[(String, Long, Long)] = None): DataFrame =
+    readManifest(spark, s"$root/m/v=$v", langs, idRange, statRange)
 
   /** The manifest TABLE of a version/branch, optionally pruned to a
     * lang subset — the partition predicate reaches the manifest's own
@@ -494,12 +498,17 @@ object Cdc {
   def readManifest(
       spark: SparkSession, manifestPath: String,
       langs: Seq[String] = Nil,
-      idRange: Option[(Long, Long)] = None): DataFrame = {
-    val pruned = idRange match {
-      case Some((lo, hi)) =>
-        manifestFrame(spark, manifestPath, langs)
-          .where(col("max_doc_id") >= lo && col("min_doc_id") <= hi)
-      case None => manifestFrame(spark, manifestPath, langs)
+      idRange: Option[(Long, Long)] = None,
+      statRange: Option[(String, Long, Long)] = None): DataFrame = {
+    // every stat predicate admits only files whose recorded [min, max]
+    // overlaps the band — no false negatives by construction, so any
+    // zone-mapped column can prune (doc_id via idRange; n_chars once a
+    // resort commit makes its ranges tight, see [[resortCommit]])
+    val bands = idRange.map { case (lo, hi) => ("doc_id", lo, hi) }.toSeq ++
+      statRange.toSeq
+    val pruned = bands.foldLeft(manifestFrame(spark, manifestPath, langs)) {
+      case (m, (c, lo, hi)) =>
+        m.where(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
     }
     val manifest = pruned.select("lang", "path")
       .collect().map(r => r.getString(0) -> r.getString(1))
@@ -1464,6 +1473,119 @@ object Cdc {
     * still rolls many files per lang.
     */
   val optimizeTargetRows: Int = 512
+
+  /** SORT-KEY EVOLUTION as a commit: rewrite a version's files sorted by
+    * (lang, n_chars, doc_id) instead of (lang, doc_id) — state
+    * bit-identical, same roll size, fresh zone maps. The point: zone
+    * maps only skip for predicates CORRELATED with the sort key, so the
+    * store's recorded min/max n_chars were useless under the doc_id
+    * layout (every file's range is wide) and become tight under this
+    * one — which predicates skip is a LAYOUT property, evolved by a
+    * rewrite-only commit exactly like OPTIMIZE, never by rewriting
+    * history (v3 keeps its doc_id-clustered files; readers that filter
+    * on doc_id keep using it until expiry). The doc_id tiebreak keeps
+    * the sort total, so file boundaries stay a deterministic function
+    * of state and the oracle recomputes both layouts' zone maps.
+    */
+  def resortCommit(
+      spark: SparkSession, root: String, fromV: Int, toV: Int,
+      targetRows: Int): Unit = {
+    val cur = readVersion(spark, root, fromV)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint()
+    val langs = cur.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    writeData(cur, s"$root/d$toV", targetRows,
+      Seq("lang", "n_chars", "doc_id"))
+    writeManifest(manifestEntries(spark, s"$root/d$toV", langs),
+      s"$root/m/v=$toV")
+  }
+
+  /** One-time build for the resort queries: the zoned store, its v3
+    * OPTIMIZE, then the v4 re-sort commit.
+    */
+  def resortStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(spark, s"$scratch#resort", s"$scratch/m/v=4") {
+      optimizedStore(spark, docs, scratch)
+      // re-sort at the INGEST roll (128), not the OPTIMIZE roll: the
+      // gauge compares v2 (128-row, doc_id-sorted) against v4 (128-row,
+      // n_chars-sorted) so the layout FLIP is the only variable — a
+      // coarser v4 would confound sort-key evolution with file size
+      resortCommit(spark, scratch, 3, 4, defaultZoneRows)
+    }
+
+  /** The n_chars band the resort queries predicate on: the middle
+    * [25%, 40%] of the ORIGINAL corpus's n_chars range — computed from
+    * the base table so the oracle recomputes it verbatim and it scales
+    * with SF.
+    */
+  def nCharsBand(docs: DataFrame): (Long, Long) = {
+    val mx = docs.agg(max(col("n_chars"))).head.getLong(0)
+    ((mx * 25L) / 100L, (mx * 40L) / 100L)
+  }
+
+  /** Zone-map-SKIPPED n_chars-band read of the RE-SORTED v4: the fresh
+    * manifest's per-file min/max n_chars admits only overlapping files,
+    * exact predicate re-applied on top. Shares its oracle SQL with
+    * [[resortReadFull]] — the hash match proves skipping on the evolved
+    * sort key changed nothing.
+    */
+  def resortRead(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    resortStore(spark, docs, scratch)
+    val (lo, hi) = nCharsBand(docs)
+    Governance.releaseManifestBy(
+      readVersion(spark, scratch, 4,
+          statRange = Some(("n_chars", lo, hi)))
+        .where(col("n_chars").between(lo, hi)),
+      "lang")
+  }
+
+  /** The unskipped twin of [[resortRead]]: full v4 file list, same exact
+    * predicate.
+    */
+  def resortReadFull(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    resortStore(spark, docs, scratch)
+    val (lo, hi) = nCharsBand(docs)
+    Governance.releaseManifestBy(
+      readVersion(spark, scratch, 4)
+        .where(col("n_chars").between(lo, hi)),
+      "lang")
+  }
+
+  /** The sort-key-evolution payoff as a verified number: the SAME
+    * n_chars band priced against BOTH layouts' zone maps at the SAME
+    * 128-row roll — v2 (doc_id-sorted: n_chars ranges wide, nearly
+    * every file admitted) vs v4 (n_chars-sorted: tight ranges, a
+    * band-sized slice admitted). Pure manifest arithmetic, corpus never
+    * read; both chunkings are deterministic so the oracle recomputes
+    * every number.
+    */
+  def resortGauge(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    resortStore(spark, docs, scratch)
+    val (lo, hi) = nCharsBand(docs)
+    Seq(("by_doc_id", 2), ("by_n_chars", 4)).map { case (layout, v) =>
+      manifestFrame(spark, s"$scratch/m/v=$v")
+        .select(col("lang"),
+          (col("max_n_chars") >= lo && col("min_n_chars") <= hi)
+            .as("admitted"),
+          col("n_rows"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("files_admitted"),
+          sum(when(col("admitted"), col("n_rows")).otherwise(0L))
+            .as("rows_scanned"),
+          sum(col("n_rows")).as("rows_total"))
+        .withColumn("skip_bp",
+          expr("(rows_total - rows_scanned) * 10000 div rows_total"))
+        .withColumn("layout", lit(layout))
+    }.reduce(_ unionByName _)
+      .select("layout", "lang", "files_total", "files_admitted",
+        "rows_scanned", "rows_total", "skip_bp")
+  }
 
   // ---- deletion vectors (position deletes) -----------------------------
 

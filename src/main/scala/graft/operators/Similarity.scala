@@ -735,7 +735,8 @@ object Similarity {
     * hash-match. Same brute-force shape as [[cosineTopK]]: queries
     * broadcast, one corpus scan, WindowGroupLimit prunes the top-k.
     */
-  def l2TopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+  def l2TopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val dim = probeDim(emb)
     val sv = scaledLongs(emb, dim)
     val q = sv.select(col("vec_id").as("qid") +:
@@ -746,7 +747,12 @@ object Similarity {
     }.reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(asc("dist"), asc("vec_id"))
-    sv.crossJoin(broadcast(q))
+    // an allowed set restricts the CORPUS side only — query points stay
+    // unrestricted, matching the filtered-search contract ("neighbors of
+    // q among the German docs", whatever language q is)
+    val corpus = allowed.fold(sv)(a =>
+      sv.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+    corpus.crossJoin(broadcast(q))
       .withColumn("dist", dist)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -1351,5 +1357,22 @@ object Similarity {
       ivfPqPostings(emb, ivfCents, pqCents, m)
         .join(allowed, Seq("vec_id"), "left_semi"),
       emb, ivfCents, pqCents, nQueries, k, nProbe, m)
+  }
+
+  /** Recall gauge of FILTERED ANN against the exact FILTERED L2 truth —
+    * the honest number for predicate-constrained search (coarse-probe
+    * misses under a filter are not the unfiltered gauge's: a probed
+    * cell can hold zero allowed members while the true allowed neighbor
+    * sits in an unprobed one). Same per-qid roll-up as the other recall
+    * gauges; both sides restrict the corpus, never the query points.
+    */
+  def annRecallIvfPqFiltered(
+      emb: DataFrame, docs: DataFrame, lang: String = "de",
+      k: Int = 10): DataFrame = {
+    val allowed = docs.filter(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+    annRecallAgainst(
+      l2TopK(emb, k = k, allowed = Some(allowed)),
+      annIvfPqFiltered(emb, docs, lang, k = k))
   }
 }

@@ -488,6 +488,44 @@ class CdcSpec extends GraftSpec {
     assert(sizes.distinct.size > 1, "intermediate versions never moved")
   }
 
+  test("sort-key evolution: re-sort commit flips which predicate skips, " +
+    "state identical") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_resort").toString + "/store"
+    // n_chars deliberately DECORRELATED from doc_id ((id*37) % 500 cycles
+    // fast), so doc_id-sorted files have near-full n_chars ranges and the
+    // layout flip is what creates the skipping
+    val docs = spark.range(1L, 1201L).select(
+      col("id").as("doc_id"),
+      concat(lit("text "), col("id")).as("text"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"),
+      lit("s1").as("source"),
+      ((col("id") * 37) % 500 + 10).as("n_chars"))
+    Cdc.versionedInit(spark, docs, root, 128)
+    Cdc.resortCommit(spark, root, 0, 1, 128)
+    // rewrite-only: not a row moved
+    assert(rowSet(Cdc.readVersion(spark, root, 1)) ===
+      rowSet(Cdc.readVersion(spark, root, 0)))
+    val (lo, hi) = Cdc.nCharsBand(docs)
+    val skipped = Cdc.readVersion(spark, root, 1,
+        statRange = Some(("n_chars", lo, hi)))
+      .where(col("n_chars").between(lo, hi))
+    val full = Cdc.readVersion(spark, root, 1)
+      .where(col("n_chars").between(lo, hi))
+    // no false negatives, strictly fewer files opened
+    assert(rowSet(skipped) === rowSet(full))
+    assert(skipped.inputFiles.length < full.inputFiles.length,
+      s"${skipped.inputFiles.length} vs ${full.inputFiles.length}")
+    // the layout property: the SAME band forces the doc_id-sorted layout
+    // to scan more rows than the n_chars-sorted one
+    def scanned(v: Int): Long =
+      Cdc.manifestFrame(spark, s"$root/m/v=$v")
+        .where(col("max_n_chars") >= lo && col("min_n_chars") <= hi)
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
+    assert(scanned(1) < scanned(0), s"${scanned(1)} vs ${scanned(0)}")
+  }
+
   test("streamed ingest: an at-least-once duplicate delivery changes nothing, " +
     "a naive re-APPLY would not") {
     // 33 (de, %11 → deleted) fills the %3==0 micro-batch the base fixture

@@ -89,7 +89,7 @@ class RegistrySpec extends GraftSpec {
       "dedup_ngram_containment", "dedup_ngram_jaccard",
       "dedup_semantic_clusters", "sim_ann_ivf_probe8", "sim_ann_ivf_trained",
       "tokenize_bpe", "vocab_bpe_merges",
-      "sim_recall_lsh", "sim_recall_lsh_probe",
+      "sim_recall_lsh", "sim_recall_lsh_probe", "sim_recall_ivfpq_filtered",
       "sim_recall_ivf", "sim_recall_ivf_probe8", "sim_recall_pq",
       "mm_phash_clusters", "emb_pq_codes_trained", "sim_recall_pq_trained",
       "sim_ann_ivfpq", "sim_ann_ivfpq_persisted", "sim_recall_ivfpq",
@@ -111,7 +111,7 @@ class RegistrySpec extends GraftSpec {
       // r15: the gauge is metadata arithmetic (not engine throughput);
       // the batched trainer is the same driver-looped pipeline as
       // vocab_bpe_train; the rerank recall gauge re-trains in-plan
-      "io_cdc_zonemap_gauge", "vocab_bpe_train_batched",
+      "io_cdc_zonemap_gauge", "io_cdc_resort_gauge", "vocab_bpe_train_batched",
       "sim_recall_ivfpq_rerank", "sim_ann_ivfpq_filtered")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")

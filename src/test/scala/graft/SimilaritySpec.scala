@@ -522,4 +522,29 @@ class SimilaritySpec extends GraftSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(searchAfter === searchBefore && searchAfter.nonEmpty)
   }
+
+  test("filtered recall: truth and candidates confined to the allowed subset, " +
+    "queries unrestricted") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sf, "embeddings")
+    val docs = Tables.load(spark, sf, "documents")
+    val allowedIds = docs.filter(col("lang") === "de")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the exact filtered truth: every neighbor allowed, full k per query
+    val exact = Similarity.l2TopK(emb, k = 10,
+      allowed = Some(docs.filter(col("lang") === "de")
+        .select(col("doc_id").as("vec_id")))).collect()
+    assert(exact.map(_.getAs[Long]("vec_id")).forall(allowedIds))
+    assert(exact.groupBy(_.getAs[Long]("qid")).values.forall(_.length == 10))
+    // query points include non-allowed ids (vec_id < 8 spans langs)
+    assert(exact.map(_.getAs[Long]("qid")).distinct.length === 8)
+    // the gauge: per-query recall well-formed against the filtered truth
+    val g = Similarity.annRecallIvfPqFiltered(emb, docs).collect()
+    assert(g.length === 8)
+    g.foreach { r =>
+      val (n, h) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"))
+      assert(n === 10L && h >= 0L && h <= n)
+      assert(r.getAs[Double]("recall") === h.toDouble / n.toDouble)
+    }
+  }
 }
