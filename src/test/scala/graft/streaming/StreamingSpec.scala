@@ -267,6 +267,53 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("dedup-index maintenance with flushed state: the artifact IS the state, " +
+    "replay slot idempotent") {
+    import StreamingQueries.DedupDoc
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_flush").toString
+    val base = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different standing document about spark engines")
+    ).toDF("doc_id", "text")
+    graft.operators.Dedup.writeBucketIndex(base, s"$dir/idx")
+    // same fixture as the stateful twin: artifact hit (1), fresh (2, 4),
+    // prior-batch ratchet hit (3)
+    val b1 = Seq(
+      DedupDoc(1L, "the quick brown fox jumps over the lazy dog tonight"),
+      DedupDoc(2L, "novel first batch text with many unusual words here"))
+    val b2 = Seq(
+      DedupDoc(3L, "novel first batch text with many unusual words here"),
+      DedupDoc(4L, "entirely unrelated closing text nothing matches this"))
+    val input = MemoryStream[DedupDoc]
+    val q = StreamingQueries.dedupIndexMaintained(spark, input.toDS(),
+      s"$dir/idx", s"$dir/stream", s"$dir/out").start()
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def verdicts: Map[Long, Boolean] =
+      spark.read.option("basePath", s"$dir/out").parquet(s"$dir/out")
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    val got = verdicts
+    // ≡ the stateful twin's folded verdicts on this replay — the flush
+    // moves where the knowledge lives, not what it says
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    // the knowledge lives in batch-keyed artifact partitions, zero rows
+    // of stream state
+    def parts(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts("stream") === Set("batch=0", "batch=1"))
+    assert(parts("out") === Set("batch=0", "batch=1"))
+    // replay the batch-1 slot (at-least-once re-delivery after restart):
+    // the parent prune excludes its own earlier write, both slots
+    // overwrite — verdicts and partitions byte-stable
+    StreamingQueries.maintainDedupBatch(spark,
+      spark.createDataset(b2).toDF(), 1L,
+      s"$dir/idx", s"$dir/stream", s"$dir/out")
+    assert(verdicts === got)
+    assert(parts("stream") === Set("batch=0", "batch=1"))
+  }
+
   test("native session_window stream: out-of-order replay equals the batch native form") {
     import StreamingQueries.SessionEvent
     val input = MemoryStream[SessionEvent]
