@@ -67,6 +67,47 @@ object ExtensionQueries {
         FROM documents
        WHERE lang IN ('de', 'fr') AND doc_id % 13 = 0)"""
 
+  /** Oracle twin of [[graft.operators.Cdc.zorderCommit]]'s clustering
+    * key over the day-2 corpus state: exact 16-bit quantization over
+    * the state's (doc_id, n_chars) bounds, the magic-number Morton
+    * interleave ladder, top-8-bit bucket — identical BIGINT arithmetic
+    * to the engine's `zorderKeyed`, so per-file zone maps derived from
+    * the (zbucket, doc_id) chunking are bit-equal by construction.
+    */
+  private val zcdcCtes = """
+    zb AS (SELECT CAST(min(doc_id) AS BIGINT) AS mn_a,
+                  CAST(max(doc_id) AS BIGINT) AS mx_a,
+                  CAST(min(n_chars) AS BIGINT) AS mn_b,
+                  CAST(max(n_chars) AS BIGINT) AS mx_b
+           FROM cdc_final2),
+    zq AS (SELECT lang, doc_id, n_chars,
+                  ((doc_id - mn_a) * 65536) // (mx_a - mn_a + 1) AS qa,
+                  ((n_chars - mn_b) * 65536) // (mx_b - mn_b + 1) AS qb
+           FROM cdc_final2, zb),
+    zm1 AS (SELECT lang, doc_id, n_chars,
+                   (qa | (qa << 8)) & 16711935 AS sa,
+                   (qb | (qb << 8)) & 16711935 AS sb FROM zq),
+    zm2 AS (SELECT lang, doc_id, n_chars,
+                   (sa | (sa << 4)) & 252645135 AS sa,
+                   (sb | (sb << 4)) & 252645135 AS sb FROM zm1),
+    zm3 AS (SELECT lang, doc_id, n_chars,
+                   (sa | (sa << 2)) & 858993459 AS sa,
+                   (sb | (sb << 2)) & 858993459 AS sb FROM zm2),
+    zm4 AS (SELECT lang, doc_id, n_chars,
+                   (sa | (sa << 1)) & 1431655765 AS sa,
+                   (sb | (sb << 1)) & 1431655765 AS sb FROM zm3),
+    zk AS (SELECT lang, doc_id, n_chars,
+                  (sa | (sb << 1)) >> 24 AS zbucket FROM zm4)"""
+
+  /** The 2-D box both zorder read legs and the gauge share: the middle
+    * [25%, 40%] band of each base-table dimension.
+    */
+  private val zcdcBands = """
+    dband AS (SELECT (max(doc_id) * 25) // 100 AS dlo,
+                     (max(doc_id) * 40) // 100 AS dhi FROM documents),
+    nband AS (SELECT (max(n_chars) * 25) // 100 AS nlo,
+                     (max(n_chars) * 40) // 100 AS nhi FROM documents)"""
+
   /** Oracle twin of the full-width orders row fingerprint
     * ([[graft.operators.StorageLayout]]'s format round trips): the same
     * canonical rendering — integers verbatim, price through the exact
@@ -5809,6 +5850,104 @@ object ExtensionQueries {
                                        THEN n ELSE 0 END)) * 10000
                     // SUM(n) AS BIGINT) AS skip_bp
         FROM g, nb GROUP BY layout, lang"""),
+      benchmark = false), // metadata-only arithmetic, not engine throughput
+
+    // OPTIMIZE ZORDER as a commit: v5 rewrites v4's state clustered by
+    // the Morton interleave of (doc_id, n_chars). A 2-D box predicate
+    // then prunes on BOTH stat pairs; exact conjunction re-applied;
+    // shares the _full twin's oracle — the hash match is the
+    // no-false-negatives proof on the multi-dimensional key.
+    QuerySpec(
+      "io_cdc_zorder_read",
+      (s, dir) => Cdc.zorderRead(s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.zorderStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final2, dband, nband
+        WHERE doc_id BETWEEN dlo AND dhi
+          AND n_chars BETWEEN nlo AND nhi GROUP BY lang"""),
+      benchmark = true),
+
+    QuerySpec(
+      "io_cdc_zorder_full",
+      (s, dir) => Cdc.zorderReadFull(s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.zorderStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final2, dband, nband
+        WHERE doc_id BETWEEN dlo AND dhi
+          AND n_chars BETWEEN nlo AND nhi GROUP BY lang"""),
+      benchmark = true),
+
+    // The layout-DECISION gauge: the SAME 2-D box priced against all
+    // THREE layouts' zone maps at the same 128-row roll. The measured
+    // result on this store is that Z-order LOSES to both 1-D sorts —
+    // insert-key spacing (+1M/+2M/+3M) squashes the base ids into <1%
+    // of the min-max-quantized range, and 41 files cannot resolve a
+    // 16x16 cell grid — which is the point: the gauge says which
+    // regime a store is in before anyone pays for the rewrite (the
+    // dense-id 256-file CdcSpec fixture pins the crossover where
+    // Z-order wins). Oracle replays quantization, Morton ladder,
+    // chunking, and admit arithmetic in SQL.
+    QuerySpec(
+      "io_cdc_zorder_gauge",
+      (s, dir) => Cdc.zorderCdcGauge(s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.zorderStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + "," +
+        zcdcCtes + """,
+        r2 AS (SELECT lang, doc_id, n_chars,
+                      (row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                       - 1) // 128 AS chunk
+               FROM cdc_final2),
+        r4 AS (SELECT lang, doc_id, n_chars,
+                      (row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id)
+                       - 1) // 128 AS chunk
+               FROM cdc_final2),
+        r5 AS (SELECT lang, doc_id, n_chars,
+                      (row_number() OVER (PARTITION BY lang
+                                          ORDER BY zbucket, doc_id)
+                       - 1) // 128 AS chunk
+               FROM zk),
+        g AS (
+          SELECT 'by_doc_id' AS layout, lang, chunk,
+                 min(doc_id) AS mnd, max(doc_id) AS mxd,
+                 min(n_chars) AS mnc, max(n_chars) AS mxc, COUNT(*) AS n
+          FROM r2 GROUP BY 2, 3
+          UNION ALL
+          SELECT 'by_n_chars' AS layout, lang, chunk,
+                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
+                 COUNT(*)
+          FROM r4 GROUP BY 2, 3
+          UNION ALL
+          SELECT 'zorder' AS layout, lang, chunk,
+                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
+                 COUNT(*)
+          FROM r5 GROUP BY 2, 3)
+        SELECT layout, lang, COUNT(*) AS files_total,
+               CAST(SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
+                              AND mxc >= nlo AND mnc <= nhi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_admitted,
+               CAST(SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
+                              AND mxc >= nlo AND mnc <= nhi
+                             THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(SUM(n) AS BIGINT) AS rows_total,
+               CAST((SUM(n) - SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
+                                        AND mxc >= nlo AND mnc <= nhi
+                                       THEN n ELSE 0 END)) * 10000
+                    // SUM(n) AS BIGINT) AS skip_bp
+        FROM g, dband, nband GROUP BY layout, lang"""),
       benchmark = false), // metadata-only arithmetic, not engine throughput
 
     // ---- fuzzy entity resolution (r12) -------------------------------

@@ -395,7 +395,7 @@ object StorageLayout {
   }
 
   /** 32-bit Morton code of two 16-bit quantized dimensions. */
-  private def morton(qa: Column, qb: Column): Column =
+  private[graft] def morton(qa: Column, qb: Column): Column =
     spread16(qa).bitwiseOR(shiftleft(spread16(qb), 1))
 
   /** Quantize two numeric columns to 16 bits each over their EXACT

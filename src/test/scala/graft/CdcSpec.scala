@@ -526,6 +526,45 @@ class CdcSpec extends GraftSpec {
     assert(scanned(1) < scanned(0), s"${scanned(1)} vs ${scanned(0)}")
   }
 
+  test("z-order commit: the 2-D box admits fewer rows than EITHER 1-D layout, " +
+    "state identical, both prunes applied on the read") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zcdc").toString + "/store"
+    // 4096 rows/lang at 16-row files = 256 files/lang — enough layout
+    // resolution that the z-curve's ~cell-per-file granularity shows
+    val docs = spark.range(1L, 8193L).select(
+      col("id").as("doc_id"),
+      concat(lit("text "), col("id")).as("text"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"),
+      lit("s1").as("source"),
+      ((col("id") * 37) % 500 + 10).as("n_chars"))
+    Cdc.versionedInit(spark, docs, root, 16)   // v0: by doc_id
+    Cdc.resortCommit(spark, root, 0, 1, 16)    // v1: by n_chars
+    Cdc.zorderCommit(spark, root, 1, 2, 16)    // v2: z-order
+    assert(rowSet(Cdc.readVersion(spark, root, 2)) ===
+      rowSet(Cdc.readVersion(spark, root, 0)))
+    val (dlo, dhi) = Cdc.zoneBand(docs)
+    val (nlo, nhi) = Cdc.nCharsBand(docs)
+    def scanned(v: Int): Long =
+      Cdc.manifestFrame(spark, s"$root/m/v=$v")
+        .where(col("max_doc_id") >= dlo && col("min_doc_id") <= dhi &&
+          col("max_n_chars") >= nlo && col("min_n_chars") <= nhi)
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
+    val (s0, s1, s2) = (scanned(0), scanned(1), scanned(2))
+    assert(s2 < s0 && s2 < s1,
+      s"zorder must beat both 1-D layouts: doc_id=$s0 n_chars=$s1 zorder=$s2")
+    // skipped read prunes on BOTH stat pairs and equals the full read
+    val box = col("doc_id").between(dlo, dhi) &&
+      col("n_chars").between(nlo, nhi)
+    val skipped = Cdc.readVersion(spark, root, 2,
+      idRange = Some((dlo, dhi)),
+      statRange = Some(("n_chars", nlo, nhi))).where(box)
+    val full = Cdc.readVersion(spark, root, 2).where(box)
+    assert(rowSet(skipped) === rowSet(full))
+    assert(skipped.inputFiles.length < full.inputFiles.length)
+  }
+
   test("streamed ingest: an at-least-once duplicate delivery changes nothing, " +
     "a naive re-APPLY would not") {
     // 33 (de, %11 → deleted) fills the %3==0 micro-batch the base fixture

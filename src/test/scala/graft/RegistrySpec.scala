@@ -111,7 +111,8 @@ class RegistrySpec extends GraftSpec {
       // r15: the gauge is metadata arithmetic (not engine throughput);
       // the batched trainer is the same driver-looped pipeline as
       // vocab_bpe_train; the rerank recall gauge re-trains in-plan
-      "io_cdc_zonemap_gauge", "io_cdc_resort_gauge", "vocab_bpe_train_batched",
+      "io_cdc_zonemap_gauge", "io_cdc_resort_gauge", "io_cdc_zorder_gauge",
+      "vocab_bpe_train_batched",
       "sim_recall_ivfpq_rerank", "sim_ann_ivfpq_filtered")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
