@@ -5347,6 +5347,22 @@ object ExtensionQueries {
                $ordersFpXorSql
         FROM orders WHERE o_orderkey <= 40000 GROUP BY 1""")),
 
+    // Codec round trip: the same typed table through zstd parquet (the
+    // archive codec a 100 TB store actually runs) — the full-width
+    // fingerprint manifest proves the codec invisible to every value.
+    QuerySpec(
+      "io_parquet_zstd_roundtrip",
+      (s, dir) => StorageLayout.parquetZstdRoundtrip(
+        s, Tables.load(s, dir, "orders"), scratchPath("ordzstd", dir)),
+      Some(s"""
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+               $ordersFpXorSql,
+               'zstd' AS codec
+        FROM orders GROUP BY 1""")),
+
     // Malformed-record quarantine: a feed where every o_orderkey%97==0
     // line carries an unparseable price is read PERMISSIVE — bad lines
     // route to the corrupt-record column (one bad row costs one row,

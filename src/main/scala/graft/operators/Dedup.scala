@@ -419,6 +419,43 @@ object Dedup {
       .select(col("doc_id"), col("bucket_key"), col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(indexPath)
 
+  /** Fold a maintenance stream's batch-keyed bucket partitions
+    * ([[graft.streaming.StreamingQueries.dedupIndexMaintained]]'s
+    * `streamRoot`) back into the base band-partitioned index — the end
+    * of the flush cadence: the stream externalized its state as
+    * `batch=N` partitions; the fold compacts that window into the base
+    * artifact the daily batch loop and every ad-hoc probe read, and
+    * truncates the window. Set-merge via DISTINCT + a staged
+    * write-then-rename swap (the [[graft.operators.StorageLayout
+    * .compactPartitioned]] discipline) makes the fold idempotent across
+    * every crash window: re-folding after a crash between swap and
+    * stream-truncate re-merges an already-folded window into the same
+    * set, and a fold with no stream window is a no-op.
+    */
+  def foldStreamIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      baseIndex: String, streamRoot: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val streamP = new org.apache.hadoop.fs.Path(streamRoot)
+    val fs = streamP.getFileSystem(conf)
+    if (!fs.exists(streamP)) return
+    val cols = Seq("doc_id", "bucket_key", "band")
+    val merged = spark.read.parquet(baseIndex).select(cols.map(col): _*)
+      .unionByName(
+        spark.read.option("basePath", streamRoot).parquet(streamRoot)
+          .select(cols.map(col): _*))
+      .distinct()
+    val staging = s"${baseIndex}_folding"
+    merged.repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("bucket_key"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("band").parquet(staging)
+    val baseP = new org.apache.hadoop.fs.Path(baseIndex)
+    fs.delete(baseP, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), baseP),
+      s"fold swap failed: could not rename $staging to $baseIndex")
+    fs.delete(streamP, true)
+  }
+
   /** [[incrementalDedup]] as the daily-crawl READ-CHECK-UPDATE loop it
     * documents: load the standing bucket index from its parquet artifact
     * ([[writeBucketIndex]]), verdict the delta batch against it, then

@@ -312,6 +312,40 @@ class StreamingSpec extends GraftSpec {
       s"$dir/idx", s"$dir/stream", s"$dir/out")
     assert(verdicts === got)
     assert(parts("stream") === Set("batch=0", "batch=1"))
+    // FOLD the flushed window into the base artifact (end of cadence):
+    // stream dirs truncated, and the knowledge survives — a fresh batch
+    // duplicating a STREAM-era doc must verdict dup off the base alone
+    def baseSet = spark.read.parquet(s"$dir/idx")
+      .select("doc_id", "bucket_key", "band").collect().map(_.toSeq).toSet
+    // keep a copy of the window to simulate the crash-between-swap-and-
+    // truncate replay below
+    val windowCopy = spark.read.option("basePath", s"$dir/stream")
+      .parquet(s"$dir/stream").collect()
+    val windowSchema = spark.read.option("basePath", s"$dir/stream")
+      .parquet(s"$dir/stream").schema
+    graft.operators.Dedup.foldStreamIndex(spark, s"$dir/idx", s"$dir/stream")
+    assert(!new java.io.File(s"$dir/stream").exists())
+    val folded = baseSet
+    val b3 = Seq(DedupDoc(5L, "entirely unrelated closing text nothing matches this"))
+    StreamingQueries.maintainDedupBatch(spark,
+      spark.createDataset(b3).toDF(), 2L,
+      s"$dir/idx", s"$dir/stream", s"$dir/out")
+    val v3 = spark.read.parquet(s"$dir/out/batch=2").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(v3 === Map(5L -> true), "folded knowledge must survive the truncate")
+    // crash-window replay: the window reappears after the swap already
+    // folded it — re-folding merges the same SET, so the base is
+    // byte-for-byte the post-fold state (b3's buckets live in the new
+    // stream window, not the base, so base === folded exactly)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(windowCopy.toSeq), windowSchema)
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$dir/stream_replay")
+    graft.operators.Dedup.foldStreamIndex(spark, s"$dir/idx", s"$dir/stream_replay")
+    assert(baseSet === folded)
+    // fold with no window is a no-op
+    graft.operators.Dedup.foldStreamIndex(spark, s"$dir/idx", s"$dir/stream_gone")
+    assert(baseSet === folded)
   }
 
   test("native session_window stream: out-of-order replay equals the batch native form") {
