@@ -72,10 +72,10 @@ class RegistrySpec extends GraftSpec {
     // CDC/versioning, deletion vectors, partition evolution, SCD2, PCA,
     // k-anonymity, CBO gauges) + 1 from r14 (statistics-driven
     // planning) + 2 from r15 (manifest scale-out/zone maps, two-stage
-    // re-rank + batched BPE) + 1 from r15 leg 2 (multi-format
-    // interchange + malformed-record quarantine); bump when a round
-    // adds a family
-    assert(rows === 40, s"SURVEY §2-B table has $rows rows — a new " +
+    // re-rank + batched BPE) + 2 from r15 leg 2 (multi-format
+    // interchange + malformed-record quarantine; layout evolution +
+    // exactly-once streamed ingestion); bump when a round adds a family
+    assert(rows === 41, s"SURVEY §2-B table has $rows rows — a new " +
       "operator family must land as a contract row, not only in §8 notes")
   }
 
