@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions.col
-import graft.operators.{Dedup, EntityResolution, Governance, Packing, Percentiles, Windows}
+import graft.operators.{Dedup, EntityResolution, Governance, Packing, Percentiles, StorageLayout, Windows}
 
 /** Property-based equivalence checks (ScalaCheck, fixed initial seed so
   * runs are reproducible): each property pits an engine operator against
@@ -397,5 +397,46 @@ object GraftProperties extends Properties("graft") {
           10000L * nab / sup(b), 10000L * nab * nb / (sup(a) * sup(b))))
       }).toMap
       got == brute
+    }
+
+  // ---- format fingerprint: any single-column perturbation flips it --------
+  // The generalization of StorageLayoutSpec's hand-built tripwire: the
+  // interchange round trips lean entirely on the full-width row
+  // fingerprint to catch a value perturbed by a text/codec cycle, so the
+  // fingerprint must (a) agree on identical rows and (b) flip under a
+  // MINIMAL change to any one column — one key digit, one cent, one
+  // microsecond, one status letter.
+  private val ordersRowGen = for {
+    key <- Gen.choose(0L, 1000000000L)
+    cust <- Gen.choose(0L, 100000L)
+    status <- Gen.oneOf("F", "O", "P")
+    cents <- Gen.choose(100L, 99999999L)
+    micros <- Gen.choose(0L, 4102444800000000L) // epoch .. year 2100
+    prio <- Gen.oneOf("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    which <- Gen.choose(0, 5)
+  } yield (key, cust, status, cents, micros, prio, which)
+
+  property("orders row fingerprint: equal rows agree, any minimal single-column perturbation flips") =
+    forAll(ordersRowGen) { case (key, cust, status, cents, micros, prio, which) =>
+      def ts(us: Long) = java.sql.Timestamp.from(
+        java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS))
+      def row(k: Long, c: Long, s: String, ce: Long, us: Long, p: String) =
+        (k, c, s, ce / 100.0, ts(us), p)
+      val base = row(key, cust, status, cents, micros, prio)
+      val pert = which match {
+        case 0 => row(key + 1, cust, status, cents, micros, prio)
+        case 1 => row(key, cust + 1, status, cents, micros, prio)
+        case 2 => row(key, cust, if (status == "F") "O" else "F",
+          cents, micros, prio)
+        case 3 => row(key, cust, status, cents + 1, micros, prio)
+        case 4 => row(key, cust, status, cents, micros + 1, prio)
+        case _ => row(key, cust, status, cents, micros,
+          if (prio == "5-LOW") "2-HIGH" else "5-LOW")
+      }
+      val df = Seq(base, pert, base).toDF("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      val fps = df.select(StorageLayout.ordersRowFp.as("fp"))
+        .collect().map(_.getString(0))
+      fps(0) == fps(2) && fps(0) != fps(1)
     }
 }
