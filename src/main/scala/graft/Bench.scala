@@ -62,6 +62,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Stats-ON default posture (r15 verdict #1): the benched binary plans
+    // with ANALYZE'd catalog statistics + CBO, the same posture Verify
+    // checks and a production deployment runs. The one-time ANALYZE cost
+    // is priced into setup_total (emitted separately as stats_s so rounds
+    // before the flip stay comparable by subtraction). SPARK_GRAFT_STATS=0
+    // opts out — the r14/r15-style stats-less A/B lever.
+    val statsS: Double =
+      if (sys.env.get("SPARK_GRAFT_STATS").contains("0")) 0.0
+      else {
+        val t0 = System.nanoTime()
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        graft.plans.Cbo.ensureStatsAll(spark, sfDir)
+        spark.conf.set(Tables.statsCatalogConf, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }
     val loadStart = loadAvg
     // Pruning-proof action: a noop-format write consumes every output
     // column of every row, so Catalyst cannot collapse projection-only
@@ -151,7 +167,7 @@ object Bench {
         }
     val setupFailed: Set[String] =
       setupTimes.collect { case (n, t) if t < 0 => n }.toSet
-    val setupTotal = setupTimes.map(_._2).filter(_ >= 0).sum
+    val setupTotal = setupTimes.map(_._2).filter(_ >= 0).sum + statsS
     val acc = scala.collection.mutable.LinkedHashMap(
       qseq.map { case (name, _) => name -> Vector.empty[Double] }: _*)
     for (_ <- 1 to reps; (name, fn) <- qseq if !setupFailed(name))
@@ -229,9 +245,9 @@ object Bench {
     // streaming as its own trailing JSON line, and the short self-contained
     // total line both before streaming (kill-proof) and last (tail-window-
     // proof; the driver's tail-parse tolerates multiple lines).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"setup_total":$setupTotal,$calJson,"queries":${obj(mins)},"queries_warm":${obj(minsWarm)},"setup_s":${obj(setupTimes)},"families":${famObj(mins)},"families_warm":${famObj(minsWarm)},"reps_all":${objArr(acc)},"reps_warm_all":${objArr(accWarm)},"env":${env(loadMid)},"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","excluded":$excluded}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"setup_total":$setupTotal,"stats_s":$statsS,$calJson,"queries":${obj(mins)},"queries_warm":${obj(minsWarm)},"setup_s":${obj(setupTimes)},"families":${famObj(mins)},"families_warm":${famObj(minsWarm)},"reps_all":${objArr(acc)},"reps_warm_all":${objArr(accWarm)},"env":${env(loadMid)},"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","excluded":$excluded}""")
     def headline(): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"setup_total":$setupTotal,$calJson,"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","nqueries":${mins.size},"env":${env(loadAvg)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"setup_total":$setupTotal,"stats_s":$statsS,$calJson,"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","nqueries":${mins.size},"env":${env(loadAvg)}}"""
     println(headline())
     Console.out.flush()
     // Optional deadline (seconds, from process start): when the elapsed

@@ -23,6 +23,18 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Stats-ON default posture (r15 verdict #1): ANALYZE'd catalog tables
+    // for every non-events table + CBO with join reorder, so the verified
+    // binary exercises the SAME statistics-fed plans the engine runs at
+    // scale — the r15 sweep proved 6 plan changes, all wins, and a 100 TB
+    // engine does not plan stats-less. SPARK_GRAFT_STATS=0 opts out (the
+    // A/B lever); the NTZ FilterEstimation guard lives in ensureStatsAll.
+    if (!sys.env.get("SPARK_GRAFT_STATS").contains("0")) {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      graft.plans.Cbo.ensureStatsAll(spark, sfDir)
+      spark.conf.set(Tables.statsCatalogConf, sfDir)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try {

@@ -424,25 +424,116 @@ object Cdc {
     */
   val defaultZoneRows: Int = 128
 
+  /** Whole files per zoned-write TASK: each write task receives a
+    * contiguous rank interval of `zoneRows * zoneSplitFiles` rows (a
+    * whole number of files), so the task split can NEVER move a file
+    * boundary — small enough that every harness lang spans several
+    * tasks (the scale behavior under test), large enough that a file
+    * never splits.
+    */
+  val zoneSplitFiles: Int = 4
+
+  /** Deterministic grid resolution for the exact-rank computation in
+    * [[writeData]]: cells per lang on the primary sort column, and
+    * doc_id sub-cells inside a single-valued primary cell.
+    */
+  private val zoneGridCells = 4096L
+  private val zoneSubCells = 256L
+
   /** Write a commit's partition data: unzoned (the plain partitioned
-    * write) or zoned — one task per lang (hash repartition), rows
-    * sorted by `sortCols` (a TOTAL order: the default and every caller
-    * end in the unique doc_id, which is what keeps file boundaries a
-    * deterministic function of state), files rolled every `zoneRows`
-    * records. At 100 TB the zoned write range-partitions WITHIN a lang
-    * instead of one-task-per-lang; the file-boundary contract (sorted
-    * runs of ≤ zoneRows rows) is the same.
+    * write) or zoned — rows sorted by `sortCols` (a TOTAL order: the
+    * default and every caller end in the unique doc_id), files rolled
+    * every `zoneRows` records, so file boundaries are a deterministic
+    * function of the committed STATE and the DuckDB oracle recomputes
+    * every file's zone map from state + the roll rule.
+    *
+    * The zoned path used to `repartition(lang)` — ONE sort task per
+    * partition value, the serialization a terabyte-scale lang cannot
+    * afford. It now RANGE-SPLITS each lang across tasks at EXACT rank
+    * positions that are multiples of `zoneRows`, which keeps the row →
+    * file mapping bit-identical to the single-task layout (a task
+    * boundary is always also a file boundary; every non-tail group has
+    * a whole number of files, so any concatenation of groups rolls the
+    * same files the global sorted run would):
+    *
+    *  1. one tiny agg reads the sort-column bounds, defining a
+    *     deterministic two-level interval grid on the within-lang sort
+    *     order (primary column cells; doc_id sub-cells when a primary
+    *     cell is single-valued — no sampling anywhere, unlike
+    *     `repartitionByRange`, whose sampled bounds would make file
+    *     boundaries a function of the RUN instead of the state);
+    *  2. per-(lang, cell) counts prefix-sum into cell start ranks via a
+    *     window over the CELL-sized counts frame (metadata-sized — the
+    *     driver never sees it);
+    *  3. each row's exact lang rank = its cell's start + its
+    *     row_number within the cell (a window partitioned by CELL, so
+    *     the worst task is the largest grid cell, not the largest
+    *     lang); groups = rank div (zoneRows * [[zoneSplitFiles]]);
+    *  4. hash-repartition on (lang, group) + sortWithinPartitions:
+    *     groups of one lang that share a task concatenate in rank order
+    *     (sort order IS rank order), each lang's ragged tail group
+    *     sorts last within its lang, and the dynamic-partition writer
+    *     rolls each lang directory independently — boundaries hold.
+    *
+    * Cost: two data-sized shuffles instead of one. Worth it — the old
+    * shape sorted a whole partition value through one task, this one's
+    * critical path is `splitRows` rows per task regardless of lang
+    * size.
     */
   private def writeData(df: DataFrame, dataDir: String, zoneRows: Int,
-      sortCols: Seq[String] = Seq("lang", "doc_id")): Unit =
-    if (zoneRows <= 0)
-      df.write.mode("overwrite").partitionBy("lang").parquet(dataDir)
-    else
-      df.repartition(col("lang"))
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", zoneRows.toString)
-        .partitionBy("lang").parquet(dataDir)
+      sortCols: Seq[String] = Seq("lang", "doc_id"),
+      outCols: Seq[String] = Nil): Unit = {
+    val out = if (outCols.nonEmpty) outCols else df.columns.toSeq
+    if (zoneRows <= 0) {
+      df.select(out.map(col): _*)
+        .write.mode("overwrite").partitionBy("lang").parquet(dataDir)
+      return
+    }
+    val v1 = sortCols(1) // primary within-lang sort column (lang is first)
+    val bounds = df.agg(
+      min(col(v1).cast("long")), max(col(v1).cast("long")),
+      min(col("doc_id")), max(col("doc_id"))).head
+    if (bounds.isNullAt(0)) { // empty commit: nothing to split
+      df.select(out.map(col): _*)
+        .write.mode("overwrite").partitionBy("lang").parquet(dataDir)
+      return
+    }
+    val (mn1, mx1) = (bounds.getLong(0), bounds.getLong(1))
+    val (mnD, mxD) = (bounds.getLong(2), bounds.getLong(3))
+    val w1 = math.max(1L, (mx1 - mn1) / zoneGridCells + 1L)
+    // doc_id sub-cells are lexicographically valid intervals of the
+    // sort order only when a primary cell holds ONE value (w1 == 1);
+    // they bound the window skew when the primary column is coarse
+    // (n_chars, zbucket) and are redundant when it is doc_id itself
+    val useSub = w1 == 1L && v1 != "doc_id"
+    val wD = math.max(1L, (mxD - mnD) / zoneSubCells + 1L)
+    val splitRows = zoneRows.toLong * zoneSplitFiles
+    val cells = df
+      .withColumn("__c1",
+        expr(s"(coalesce(cast($v1 as bigint), ${mn1}L) - ${mn1}L) div ${w1}L"))
+      .withColumn("__c2",
+        if (useSub) expr(s"(doc_id - ${mnD}L) div ${wD}L") else lit(0L))
+    val starts = cells.groupBy(col("lang"), col("__c1"), col("__c2"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__start", coalesce(sum(col("__cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("__c1"), col("__c2"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .drop("__cnt")
+    val rest = sortCols.drop(1)
+    cells.join(starts, Seq("lang", "__c1", "__c2"))
+      .withColumn("__grp", expr(s"(__start - 1 + row_number() over (" +
+        s"partition by lang, __c1, __c2 order by " +
+        s"${rest.mkString(", ")})) div ${splitRows}L"))
+      .repartition(col("lang"), col("__grp"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      // narrow projection preserves intra-partition order; helper
+      // columns (and any clustering key) are never stored
+      .select(out.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", zoneRows.toString)
+      .partitionBy("lang").parquet(dataDir)
+  }
 
   /** Write version 0 of the versioned store: data files under `d0/`,
     * plus the v0 manifest — per-file (path, zone map) rows partitioned
@@ -766,10 +857,22 @@ object Cdc {
     * untouched partitions' entries verbatim. Within a batch the key sets
     * are disjoint by the feed contract (one op per key per batch), so
     * anti-join(D ∪ U) + union(U ∪ I images) is the whole merge.
+    *
+    * Slot replay is valid ONLY while `toV` is the head version — the
+    * foreachBatch contract, where a restart replays at most the latest
+    * batch id. Rewriting a NON-tail slot would regenerate `d$toV` with
+    * fresh part-file names while descendant manifests (which copy parent
+    * rows verbatim for untouched langs) still reference the old paths —
+    * dangling references, not idempotence. The guard below turns that
+    * misuse into an immediate failure instead of a corrupted chain.
     */
   def commitLogBatch(
       spark: SparkSession, root: String, fromV: Int, toV: Int,
       log: DataFrame): Unit = {
+    val head = headVersion(spark, root)
+    require(toV == head || toV == head + 1,
+      s"commitLogBatch: v=$toV is not the tail (head=$head) — replaying " +
+        "a non-tail slot would dangle descendant manifests' file paths")
     val logB = log.localCheckpoint()
     val touched = logB.select("lang").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
@@ -1627,16 +1730,12 @@ object Cdc {
     val langs = cur.select("lang").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     // quantization bounds span the whole state (not per lang) — the
-    // oracle recomputes them from the same frame
-    StorageLayout.zorderKeyed(cur, "doc_id", "n_chars", zorderBits)
-      .repartition(col("lang"))
-      .sortWithinPartitions(col("lang"), col("zbucket"), col("doc_id"))
-      // the narrow projection preserves intra-partition order; the
-      // clustering key itself is never stored
-      .select("doc_id", "text", "source", "n_chars", "lang")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", targetRows.toString)
-      .partitionBy("lang").parquet(s"$root/d$toV")
+    // oracle recomputes them from the same frame; the range-split zoned
+    // write sorts by the Morton bucket (doc_id tiebreak keeps it total)
+    // and drops the clustering key at the write boundary
+    writeData(StorageLayout.zorderKeyed(cur, "doc_id", "n_chars", zorderBits),
+      s"$root/d$toV", targetRows, Seq("lang", "zbucket", "doc_id"),
+      outCols = Seq("doc_id", "text", "source", "n_chars", "lang"))
     writeManifest(manifestEntries(spark, s"$root/d$toV", langs),
       s"$root/m/v=$toV")
   }

@@ -430,7 +430,11 @@ object Dedup {
     * .compactPartitioned]] discipline) makes the fold idempotent across
     * every crash window: re-folding after a crash between swap and
     * stream-truncate re-merges an already-folded window into the same
-    * set, and a fold with no stream window is a no-op.
+    * set, a fold with no stream window is a no-op, and a crash INSIDE
+    * the swap (base deleted, staging not yet renamed) self-heals on the
+    * next call — the staging dir holds the complete merged set (its
+    * write finished before the delete began), so it is promoted to base
+    * before the re-fold re-merges the still-present window.
     */
   def foldStreamIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -438,6 +442,16 @@ object Dedup {
     val conf = spark.sessionState.newHadoopConf()
     val streamP = new org.apache.hadoop.fs.Path(streamRoot)
     val fs = streamP.getFileSystem(conf)
+    val baseP = new org.apache.hadoop.fs.Path(baseIndex)
+    val stagingP = new org.apache.hadoop.fs.Path(s"${baseIndex}_folding")
+    // Self-heal the delete-then-rename crash window: base missing with a
+    // staging dir present can only mean a prior fold died between
+    // fs.delete(base) and fs.rename(staging, base). A base that still
+    // exists beside a stale staging dir (crash mid-staging-write) takes
+    // the normal path — mode=overwrite rewrites the staging dir.
+    if (!fs.exists(baseP) && fs.exists(stagingP))
+      require(fs.rename(stagingP, baseP),
+        s"fold self-heal failed: could not promote $stagingP to $baseIndex")
     if (!fs.exists(streamP)) return
     val cols = Seq("doc_id", "bucket_key", "band")
     val merged = spark.read.parquet(baseIndex).select(cols.map(col): _*)
@@ -445,14 +459,12 @@ object Dedup {
         spark.read.option("basePath", streamRoot).parquet(streamRoot)
           .select(cols.map(col): _*))
       .distinct()
-    val staging = s"${baseIndex}_folding"
     merged.repartition(col("band"))
       .sortWithinPartitions(col("band"), col("bucket_key"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("band").parquet(staging)
-    val baseP = new org.apache.hadoop.fs.Path(baseIndex)
+      .write.mode("overwrite").partitionBy("band").parquet(stagingP.toString)
     fs.delete(baseP, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), baseP),
-      s"fold swap failed: could not rename $staging to $baseIndex")
+    require(fs.rename(stagingP, baseP),
+      s"fold swap failed: could not rename $stagingP to $baseIndex")
     fs.delete(streamP, true)
   }
 

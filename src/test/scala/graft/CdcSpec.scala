@@ -596,6 +596,13 @@ class CdcSpec extends GraftSpec {
     assert(keys.length > keys.distinct.length,
       "re-apply must exhibit the duplicated-insert corruption")
     assert(keys.count(_ == 1000013L) === 2)
+    // the guard: replaying a slot that is no longer the tail must FAIL
+    // fast — descendant manifests carry its part-file paths verbatim for
+    // untouched langs, so a rewrite would dangle them
+    val ex = intercept[IllegalArgumentException] {
+      Cdc.commitLogBatch(spark, root, fromV = 1, toV = 2, log = batch2)
+    }
+    assert(ex.getMessage.contains("not the tail"))
   }
 
   test("deletion vectors: end-to-end equals the key-filtered truth, " +
@@ -708,5 +715,74 @@ class CdcSpec extends GraftSpec {
     def exists(p: String) = new java.io.File(new java.net.URI(p).getPath).exists
     assert(m2.map(_.getAs[String]("path")).forall(exists),
       "optimize must not touch the files the old version references")
+  }
+
+  test("zoned write range-splits each lang across tasks; file boundaries " +
+    "stay the single-task chunking") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_split").toString + "/store"
+    // 2000 rows/lang at the 128-row roll → ~4 rank groups per lang, so
+    // the split path (not the old one-task-per-lang sort) is what writes
+    val docs = spark.range(1L, 4001L).select(
+      col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"),
+      element_at(typedLit(Seq("en", "de")),
+        (col("id") % 2 + 1).cast("int")).as("lang"),
+      lit("s1").as("source"),
+      ((col("id") * 37) % 500 + 10).cast("long").as("n_chars"))
+    // AQE legitimately coalesces this KB-sized shuffle back into one
+    // task (merging whole rank groups cannot move a file boundary; at
+    // scale it coalesces toward the advisory partition SIZE, keeping
+    // thousands of tasks per terabyte lang) — disable coalescing here
+    // so the pin observes the raw multi-task split
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+    Cdc.versionedInit(spark, docs, root, Cdc.defaultZoneRows)
+    // >1 write task per lang: distinct part indices in each lang dir
+    def taskIds(dir: String): Set[String] =
+      new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("part-")).map(_.split("-")(1)).toSet
+    Seq("en", "de").foreach { l =>
+      assert(taskIds(s"$root/d0/lang=$l").size > 1, s"$l written by one task")
+    }
+    // file boundaries: EXACTLY the global (lang, doc_id)-sorted roll —
+    // the contract every oracle recomputes, now produced by many tasks
+    val expected = docs.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).flatMap { case (l, rs) =>
+        rs.map(_._2).sorted.grouped(Cdc.defaultZoneRows).map(c =>
+          (l, c.min, c.max, c.size.toLong))
+      }.toSet
+    val got = Cdc.manifestFrame(spark, s"$root/m/v=0").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("min_doc_id"),
+        r.getAs[Long]("max_doc_id"), r.getAs[Long]("n_rows"))).toSet
+    assert(got === expected)
+    // same contract under an evolved sort key — n_chars is coarse, so
+    // this exercises the doc_id SUB-cell branch of the rank grid
+    Cdc.resortCommit(spark, root, 0, 1, Cdc.defaultZoneRows)
+    val expectedN = docs.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("doc_id")))
+      .groupBy(_._1).flatMap { case (l, rs) =>
+        rs.map(t => (t._2, t._3)).sortBy(identity)
+          .grouped(Cdc.defaultZoneRows).map { c =>
+            (l, c.map(_._1).min, c.map(_._1).max,
+              c.map(_._2).min, c.map(_._2).max, c.size.toLong) }
+      }.toSet
+    val gotN = Cdc.manifestFrame(spark, s"$root/m/v=1").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("min_n_chars"),
+        r.getAs[Long]("max_n_chars"), r.getAs[Long]("min_doc_id"),
+        r.getAs[Long]("max_doc_id"), r.getAs[Long]("n_rows"))).toSet
+    assert(gotN === expectedN)
+    Seq("en", "de").foreach { l =>
+      assert(taskIds(s"$root/d1/lang=$l").size > 1, s"resort $l one task")
+    }
+    } finally prevCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
   }
 }

@@ -346,6 +346,22 @@ class StreamingSpec extends GraftSpec {
     // fold with no window is a no-op
     graft.operators.Dedup.foldStreamIndex(spark, s"$dir/idx", s"$dir/stream_gone")
     assert(baseSet === folded)
+    // swap-crash self-heal: a prior fold died between fs.delete(base)
+    // and fs.rename(staging, base) — base is GONE, the complete merged
+    // set sits in idx_folding. Simulated by moving base into the staging
+    // slot; the next fold must promote it before merging, recovering the
+    // exact post-fold state.
+    val fsx = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fsx.rename(new org.apache.hadoop.fs.Path(s"$dir/idx"),
+      new org.apache.hadoop.fs.Path(s"$dir/idx_folding")))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(windowCopy.toSeq), windowSchema)
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$dir/stream_crash")
+    graft.operators.Dedup.foldStreamIndex(spark, s"$dir/idx", s"$dir/stream_crash")
+    assert(baseSet === folded, "self-healed fold must recover the post-fold base")
+    assert(!new java.io.File(s"$dir/idx_folding").exists())
   }
 
   test("native session_window stream: out-of-order replay equals the batch native form") {
