@@ -1103,7 +1103,8 @@ object ExtensionQueries {
     * Ends with the `ad (qid, vec_id, dist)` CTE; callers append their
     * own tail (top-k or recall roll-up).
     */
-  private def ivfPqCtes(nProbe: Int = 3, trainOnBase: Boolean = false): String = {
+  private def ivfPqCtes(nProbe: Int = 3, trainOnBase: Boolean = false,
+      probeCtes: Option[String] = None): String = {
     // trainOnBase: BOTH training loops see only the base (vec_id < cut,
     // cut = 80% of max+1 — ids arrive in order, so the delta is the
     // tail), while the final assignments (cell2 / pqbest2) cover the
@@ -1124,12 +1125,12 @@ object ExtensionQueries {
     ${lloydAssignCte(1, "c0", nSrc)},
     ${lloydUpdateCte(1, "c0")},
     ${lloydAssignCte(2, "c1")},
-    qp AS (
+    ${probeCtes.getOrElse(s"""qp AS (
       SELECT vec_id AS qid, cent_id AS qcell FROM (
         SELECT vec_id, cent_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY score DESC, cent_id) AS rn
-        FROM sc2 WHERE vec_id < 8) WHERE rn <= $nProbe),
+        FROM sc2 WHERE vec_id < 8) WHERE rn <= $nProbe)""")},
     $pqSvCvCte,$svSplit
     ${pqAssignCteN("1", "cv", svSrc)},
     ${pqUpdateCte("1", "pqbest1", "cv")},
@@ -1201,6 +1202,58 @@ object ExtensionQueries {
           SELECT sh.qid, sh.vec_id,
                  CAST(SUM((s.sx - qq.qx) * (s.sx - qq.qx)) AS BIGINT) AS dist
           FROM short sh
+          JOIN sv s ON s.vec_id = sh.vec_id
+          JOIN qq ON qq.qid = sh.qid AND qq.i = s.i
+          GROUP BY 1, 2)"""
+
+  /** Filter-adaptive probe block (replaces the fixed-nProbe `qp` inside
+    * [[ivfPqCtes]]): per-cell ALLOWED counts from the final assignments,
+    * every cell ranked per query, and qp = the minimal ranked prefix
+    * whose cumulative allowed count reaches the re-rank shortlist —
+    * never fewer than the baseline nProbe. The SQL twin of
+    * [[graft.operators.Similarity.annIvfPqFilteredAdaptive]]'s rule.
+    */
+  private def ivfPqAdaptiveProbeCtes(
+      lang: String = "de", nProbe: Int = 3, shortlist: Int = 40): String = s"""
+    acnt AS (
+      SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cell2 a JOIN documents dx
+        ON dx.doc_id = a.vec_id AND dx.lang = '$lang'
+      GROUP BY 1),
+    qr AS (
+      SELECT vec_id AS qid, cent_id AS qcell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cent_id) AS rn
+      FROM sc2 WHERE vec_id < 8),
+    qp AS (
+      SELECT qid, qcell FROM (
+        SELECT qr.qid, qr.qcell, qr.rn,
+               COALESCE(SUM(acnt.cnt) OVER (PARTITION BY qr.qid
+                 ORDER BY qr.rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS prior
+        FROM qr LEFT JOIN acnt ON acnt.cell = qr.qcell)
+      WHERE rn <= $nProbe OR prior < $shortlist)"""
+
+  /** The filtered two-stage tail: ADC distances restricted to the
+    * allowed set, shortlist, exact-L2 re-rank — appended after an
+    * [[ivfPqCtes]] chain whose qp is the adaptive block above.
+    */
+  private def ivfPqFilteredRerankCtes(lang: String = "de"): String = s"""
+        adf AS (
+          SELECT ad.qid, ad.vec_id, ad.dist
+          FROM ad JOIN documents d
+            ON d.doc_id = ad.vec_id AND d.lang = '$lang'),
+        shortf AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, vec_id) AS rn
+            FROM adf) WHERE rn <= 40),
+        l2rf AS (
+          SELECT sh.qid, sh.vec_id,
+                 CAST(SUM((s.sx - qq.qx) * (s.sx - qq.qx)) AS BIGINT) AS dist
+          FROM shortf sh
           JOIN sv s ON s.vec_id = sh.vec_id
           JOIN qq ON qq.qid = sh.qid AND qq.i = s.i
           GROUP BY 1, 2)"""
@@ -2689,6 +2742,44 @@ object ExtensionQueries {
           FROM ad JOIN documents d
             ON d.doc_id = ad.vec_id AND d.lang = 'de'),
         ${ivfPqRecallTailFrom("adf",
+          "JOIN documents dd ON dd.doc_id = s.vec_id AND dd.lang = 'de'")}""")),
+
+    // FILTERED ANN, filter-ADAPTIVE (r16): the fixed-probe filtered
+    // search measured recall 0.51 because a selective predicate can
+    // leave a query's nProbe closest cells with few or zero allowed
+    // members. This variant widens the probe prefix per query until the
+    // allowed candidates fill the re-rank shortlist (a deterministic
+    // rule over the index's own per-cell allowed counts), then exact
+    // re-ranks — exact over the probed allowed subset, same discipline
+    // as the unfiltered two-stage. Oracle = the same unrolled chain with
+    // the adaptive qp block and the filtered re-rank tail.
+    QuerySpec(
+      "sim_ann_ivfpq_filtered_adaptive",
+      (s, dir) => Similarity.annIvfPqFilteredAdaptive(emb(s, dir), docs(s, dir)),
+      benchmark = true, // the production filtered-search representative:
+      // per-rep cost = the widened funnel (counts scan + probed ADC +
+      // shortlist re-rank) over the in-plan-trained codebooks
+      oracle = Some(s"""
+        ${ivfPqCtes(probeCtes = Some(ivfPqAdaptiveProbeCtes()))},
+        ${ivfPqFilteredRerankCtes()}
+        SELECT qid, vec_id, dist, rn FROM (
+          SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, vec_id) AS rn
+          FROM l2rf) WHERE rn <= 10""")),
+
+    // The adaptive filtered recall vs the exact FILTERED truth — the
+    // lift widening + re-rank buys over sim_recall_ivfpq_filtered's
+    // fixed-probe 0.51.
+    QuerySpec(
+      "sim_recall_ivfpq_filtered_adaptive",
+      (s, dir) => Similarity.annRecallIvfPqFilteredAdaptive(
+        emb(s, dir), docs(s, dir)),
+      benchmark = false, // contract query over the re-trained pipeline
+      oracle = Some(s"""
+        ${ivfPqCtes(probeCtes = Some(ivfPqAdaptiveProbeCtes()))},
+        ${ivfPqFilteredRerankCtes()},
+        ${ivfPqRecallTailFrom("l2rf",
           "JOIN documents dd ON dd.doc_id = s.vec_id AND dd.lang = 'de'")}""")),
 
     // Embedding-cosine near-dup: LSH-bucket blocking + exact threshold.

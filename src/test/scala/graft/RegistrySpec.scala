@@ -113,7 +113,10 @@ class RegistrySpec extends GraftSpec {
       // vocab_bpe_train; the rerank recall gauge re-trains in-plan
       "io_cdc_zonemap_gauge", "io_cdc_resort_gauge", "io_cdc_zorder_gauge",
       "vocab_bpe_train_batched",
-      "sim_recall_ivfpq_rerank", "sim_ann_ivfpq_filtered")
+      "sim_recall_ivfpq_rerank", "sim_ann_ivfpq_filtered",
+      // r16: the adaptive-filtered recall gauge re-trains in-plan (the
+      // search itself IS benched as sim_ann_ivfpq_filtered_adaptive)
+      "sim_recall_ivfpq_filtered_adaptive")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }

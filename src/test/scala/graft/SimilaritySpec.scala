@@ -547,4 +547,26 @@ class SimilaritySpec extends GraftSpec {
       assert(r.getAs[Double]("recall") === h.toDouble / n.toDouble)
     }
   }
+
+  test("adaptive filtered search: results allowed-only and k-filled, " +
+    "recall does not lose to the fixed probe") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sf, "embeddings")
+    val docs = Tables.load(spark, sf, "documents")
+    val allowedIds = docs.filter(col("lang") === "de")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val res = Similarity.annIvfPqFilteredAdaptive(emb, docs).collect()
+    assert(res.nonEmpty)
+    assert(res.map(_.getAs[Long]("vec_id")).forall(allowedIds))
+    // widening guarantees ≥ min(k, |allowed candidates probed|) — at this
+    // corpus the allowed set far exceeds the shortlist, so k fills
+    assert(res.groupBy(_.getAs[Long]("qid")).values.forall(_.length == 10))
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val rs = df.collect(); rs.map(_.getAs[Double]("recall")).sum / rs.length
+    }
+    val fixed = mean(Similarity.annRecallIvfPqFiltered(emb, docs))
+    val adaptive = mean(Similarity.annRecallIvfPqFilteredAdaptive(emb, docs))
+    assert(adaptive >= fixed,
+      s"widening + re-rank must not lose to the fixed probe: $adaptive vs $fixed")
+  }
 }
