@@ -538,30 +538,130 @@ object TextAnalysis {
     * fixture). Returns (merge table, passes used) — passes/k is the
     * jobs-saved ratio, ~1/batchSize when batches fill.
     */
+  /** Dense-positioned token pairs of a corpus state: positions re-number
+    * 1-based per doc, pair at p = (tok_p, tok_{p+1}), `nxt` null at doc
+    * end — the shared substrate of the batched trainer's passes.
+    */
+  private[graft] def bpePairs(toks: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    toks
+      .withColumn("p", row_number().over(
+        w.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .select(col("doc_id"), col("p"), col("tok"))
+      .withColumn("nxt",
+        lead(col("tok"), 1).over(w.partitionBy(col("doc_id")).orderBy(col("p"))))
+  }
+
+  /** Full pair-count table of a pairs frame — the pass-1 baseline that
+    * [[bpeCountDelta]] maintains incrementally afterwards.
+    */
+  private[graft] def bpeCounts(pairs: DataFrame): DataFrame =
+    pairs.filter(col("nxt").isNotNull)
+      .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("n"))
+
+  /** Greedy non-overlapping occurrences of (a, b) via gaps-and-islands:
+    * runs of dense positions keep their odd-indexed members ("x x x"
+    * merges once, the third x survives).
+    */
+  private[graft] def bpeOccurrences(
+      pairs: DataFrame, a: String, b: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    pairs.filter(col("tok") === lit(a) && col("nxt") === lit(b))
+      .select(col("doc_id"), col("p"))
+      .withColumn("grp", col("p") -
+        row_number().over(w.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("doc_id"), col("grp")).orderBy(col("p"))))
+      .filter(col("rn") % 2 === 1)
+      .select(col("doc_id"), col("p"))
+  }
+
+  /** Apply a chain-free merge batch: each position in `mergedAt` takes
+    * its pair's concatenated form, its successor drops. The
+    * chain-exclusion makes the unioned position sets collision-free —
+    * q = p+1 across pairs needs c == b, q+1 = p needs d == a (both
+    * deferred), and q = p needs (a,b) == (c,d).
+    */
+  private[graft] def bpeRewrite(pairs: DataFrame, mergedAt: DataFrame): DataFrame =
+    pairs
+      .join(mergedAt.withColumn("m", lit(true)), Seq("doc_id", "p"), "left")
+      .join(mergedAt.select(col("doc_id"), (col("p") + 1).as("p"))
+        .withColumn("drp", lit(true)), Seq("doc_id", "p"), "left")
+      .filter(col("drp").isNull)
+      .select(col("doc_id"), col("p").as("pos"),
+        when(col("m"), concat(col("tok"), lit(" "), col("nxt")))
+          .otherwise(col("tok")).as("tok"))
+
+  /** INCREMENTAL pair-count delta of a chain-free merge batch — the 32k-
+    * vocab move: only pairs with an endpoint ADJACENT to an applied merge
+    * change counts, so maintaining the count table costs O(|merged
+    * positions|) instead of a full corpus re-aggregation per pass.
+    *
+    * Closed algebra (S = merged positions, S+1 = dropped successors):
+    * an OLD pair at position q changes iff one of its endpoints {q, q+1}
+    * lies in S ∪ (S+1), i.e. q ∈ (S−1) ∪ S ∪ (S+1) — those count
+    * negative. NEW pairs exist exactly where an endpoint is a merged
+    * position: (tok_{p−1}, merged_p) when p−1 survives un-merged (a
+    * dropped p−1 means p−2 ∈ S, whose own right-pair covers it; p−1 ∈ S
+    * is impossible — adjacent selections are chain-excluded), and
+    * (merged_p, newtok_{p+2}) where p+2's token is its merged form when
+    * p+2 ∈ S (p+2 dropped would need p+1 ∈ S — impossible). The spec
+    * pins delta-maintained ≡ recounted on interfering, self-run, and
+    * randomized fixtures.
+    */
+  private[graft] def bpeCountDelta(
+      pairs: DataFrame, mergedAt: DataFrame): DataFrame = {
+    val affQ = mergedAt.select(col("doc_id"), (col("p") - 1).as("p"))
+      .unionByName(mergedAt.select(col("doc_id"), col("p")))
+      .unionByName(mergedAt.select(col("doc_id"), (col("p") + 1).as("p")))
+      .distinct()
+    val oldNeg = pairs.filter(col("nxt").isNotNull)
+      .join(affQ, Seq("doc_id", "p"))
+      .groupBy(col("tok"), col("nxt")).agg((-count(lit(1))).as("dn"))
+    val m = mergedAt.join(pairs, Seq("doc_id", "p"))
+      .select(col("doc_id"), col("p"),
+        concat(col("tok"), lit(" "), col("nxt")).as("mtok"))
+    val dropped = mergedAt.select(col("doc_id"), (col("p") + 1).as("p"))
+    val leftNew = m.select(col("doc_id"), (col("p") - 1).as("p"), col("mtok"))
+      .join(pairs.select(col("doc_id"), col("p"), col("tok")), Seq("doc_id", "p"))
+      .join(dropped.withColumn("d", lit(true)), Seq("doc_id", "p"), "left")
+      .filter(col("d").isNull)
+      .select(col("tok"), col("mtok").as("nxt"))
+    val rightNew = m
+      .join(pairs.select(col("doc_id"), (col("p") - 2).as("p"),
+        col("tok").as("rtok")), Seq("doc_id", "p"))
+      .join(m.select(col("doc_id"), (col("p") - 2).as("p"),
+        col("mtok").as("rmtok")), Seq("doc_id", "p"), "left")
+      .select(col("mtok").as("tok"), coalesce(col("rmtok"), col("rtok")).as("nxt"))
+    leftNew.unionByName(rightNew)
+      .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("dn"))
+      .unionByName(oldNeg)
+  }
+
   private[graft] def bpeLearnBatched(
       docs: DataFrame, k: Int, batchSize: Int = 4)
       : (Seq[(Long, String, String, Long)], Int) = {
-    val w = org.apache.spark.sql.expressions.Window
     var toks = docs.select(col("doc_id"),
       posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     var passes = 0
     var exhausted = false
+    // the maintained pair-count table: one full aggregation on pass 1,
+    // then O(|merged positions|) deltas — the incremental discipline a
+    // 32k-vocab run needs (recounting the corpus every pass was the
+    // r15 ledger's residual note)
+    var cnts: DataFrame = null
     while (merges.size < k && !exhausted) {
       passes += 1
-      val byDoc = w.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val pairs = toks
-        .withColumn("p", row_number().over(byDoc))
-        .select(col("doc_id"), col("p"), col("tok"))
-        .withColumn("nxt",
-          lead(col("tok"), 1).over(w.partitionBy(col("doc_id")).orderBy(col("p"))))
+      // checkpointed once per pass: selection support, the batch
+      // rewrite, and the count delta all read the same pair frame
+      val pairs = bpePairs(toks).localCheckpoint()
+      if (cnts == null) cnts = bpeCounts(pairs).localCheckpoint()
       // candidate list deep enough that deferrals can still fill the
       // batch (each kept pair blocks at most two tokens); only these
       // O(batch) metadata rows ever reach the driver
       val want = math.min(batchSize, k - merges.size)
-      val top = pairs.filter(col("nxt").isNotNull)
-        .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), asc("tok"), asc("nxt"))
+      val top = cnts.orderBy(desc("n"), asc("tok"), asc("nxt"))
         .limit(batchSize * 8).collect()
       if (top.isEmpty) exhausted = true
       else {
@@ -579,30 +679,14 @@ object TextAnalysis {
           }
         }
         sel.foreach { case (a, b, n) => merges += ((merges.size + 1L, a, b, n)) }
-        // one rewrite applies the whole batch: per pair, greedy
-        // non-overlapping occurrences via gaps-and-islands (as in
-        // bpeLearn); the chain-exclusion makes the unioned position sets
-        // collision-free — q = p+1 across pairs needs c == b, q+1 = p
-        // needs d == a (both deferred), and q = p needs (a,b) == (c,d)
-        val selAll = sel.toSeq.map { case (a, b, _) =>
-          pairs.filter(col("tok") === lit(a) && col("nxt") === lit(b))
-            .select(col("doc_id"), col("p"))
-            .withColumn("grp", col("p") -
-              row_number().over(w.partitionBy(col("doc_id")).orderBy(col("p"))))
-            .withColumn("rn",
-              row_number().over(
-                w.partitionBy(col("doc_id"), col("grp")).orderBy(col("p"))))
-            .filter(col("rn") % 2 === 1)
-            .select(col("doc_id"), col("p"))
-        }.reduce(_ unionByName _)
-        toks = pairs
-          .join(selAll.withColumn("m", lit(true)), Seq("doc_id", "p"), "left")
-          .join(selAll.select(col("doc_id"), (col("p") + 1).as("p"))
-            .withColumn("drp", lit(true)), Seq("doc_id", "p"), "left")
-          .filter(col("drp").isNull)
-          .select(col("doc_id"), col("p").as("pos"),
-            when(col("m"), concat(col("tok"), lit(" "), col("nxt")))
-              .otherwise(col("tok")).as("tok"))
+        val selAll = sel.toSeq
+          .map { case (a, b, _) => bpeOccurrences(pairs, a, b) }
+          .reduce(_ unionByName _).localCheckpoint()
+        toks = bpeRewrite(pairs, selAll).localCheckpoint()
+        cnts = cnts.select(col("tok"), col("nxt"), col("n").as("dn"))
+          .unionByName(bpeCountDelta(pairs, selAll))
+          .groupBy(col("tok"), col("nxt")).agg(sum(col("dn")).as("n"))
+          .filter(col("n") > 0)
           .localCheckpoint()
       }
     }

@@ -361,4 +361,56 @@ class PackingSpec extends GraftSpec {
       .toSeq
     assert(loaded === TextAnalysis.bpeLearnBatched(docs, 2, 2)._1)
   }
+
+  test("incremental pair counts ≡ full recount after a chain-free batch " +
+    "(interfering, self-run, adjacent-merge, randomized corpora)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis._
+    import org.apache.spark.sql.functions._
+    def cntMap(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def checkOnePass(docs: org.apache.spark.sql.DataFrame, batchSize: Int): Unit = {
+      // whitespace split suffices here: the property is count algebra
+      // over an arbitrary token sequence, not tokenizer parity
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val pairs = bpePairs(toks).localCheckpoint()
+      val cnts = bpeCounts(pairs)
+      val top = cnts.orderBy(desc("n"), asc("tok"), asc("nxt"))
+        .limit(batchSize * 8).collect()
+      if (top.isEmpty) return
+      // the trainer's own chain-free greedy selection
+      val lefts = scala.collection.mutable.Set.empty[String]
+      val rights = scala.collection.mutable.Set.empty[String]
+      val sel = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      for (r <- top if sel.size < batchSize) {
+        val (a, b) = (r.getString(0), r.getString(1))
+        if (!rights(a) && !lefts(b)) { sel += ((a, b)); lefts += a; rights += b }
+      }
+      val mergedAt = sel.toSeq.map { case (a, b) => bpeOccurrences(pairs, a, b) }
+        .reduce(_ unionByName _).localCheckpoint()
+      val recount = cntMap(bpeCounts(bpePairs(bpeRewrite(pairs, mergedAt))))
+      val incr = cntMap(
+        cnts.select(col("tok"), col("nxt"), col("n").as("dn"))
+          .unionByName(bpeCountDelta(pairs, mergedAt))
+          .groupBy(col("tok"), col("nxt")).agg(sum(col("dn")).as("n"))
+          .filter(col("n") > 0))
+      assert(incr === recount, docs.collect().mkString("; "))
+    }
+    // chain interference, a self-run, adjacent merges of the same pair
+    checkOnePass(Seq((1L, "x y z x y z x y w")).toDF("doc_id", "text"), 2)
+    checkOnePass(Seq((1L, "x x x x x")).toDF("doc_id", "text"), 2)
+    checkOnePass(Seq((1L, "a b a b a b c")).toDF("doc_id", "text"), 2)
+    // randomized corpora over a 4-letter alphabet (seeded): adjacency,
+    // run, and doc-boundary cases arise by volume
+    val rnd = new scala.util.Random(20260816L)
+    for (_ <- 1 to 8) {
+      val docs = (1 to 3).map { d =>
+        val len = 5 + rnd.nextInt(26)
+        (d.toLong, (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar.toString)
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      checkOnePass(docs, 3)
+    }
+  }
 }
