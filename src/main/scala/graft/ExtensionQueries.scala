@@ -99,6 +99,38 @@ object ExtensionQueries {
     zk AS (SELECT lang, doc_id, n_chars,
                   (sa | (sb << 1)) >> 24 AS zbucket FROM zm4)"""
 
+  /** Oracle twin of [[graft.operators.Cdc.zorderEquiDepthCommit]]'s
+    * rank-quantized clustering key: row_number over doc_id (unique, so
+    * it equals the engine's grid-computed rank), rank() over n_chars
+    * (tie-min — value-pure, matching the engine's value-level prefix
+    * sums), both scaled to 16 bits over the state's row count, then the
+    * same Morton ladder. Ends with `zke (lang, doc_id, n_chars,
+    * zbucket)`.
+    */
+  private val zcdcEdCtes = """
+    zrk AS (SELECT lang, doc_id, n_chars,
+                   row_number() OVER (ORDER BY doc_id) AS ra,
+                   rank() OVER (ORDER BY n_chars) AS rb,
+                   COUNT(*) OVER () AS nt
+            FROM cdc_final2),
+    zqe AS (SELECT lang, doc_id, n_chars,
+                   ((ra - 1) * 65536) // nt AS qa,
+                   ((rb - 1) * 65536) // nt AS qb FROM zrk),
+    zme1 AS (SELECT lang, doc_id, n_chars,
+                    (qa | (qa << 8)) & 16711935 AS sa,
+                    (qb | (qb << 8)) & 16711935 AS sb FROM zqe),
+    zme2 AS (SELECT lang, doc_id, n_chars,
+                    (sa | (sa << 4)) & 252645135 AS sa,
+                    (sb | (sb << 4)) & 252645135 AS sb FROM zme1),
+    zme3 AS (SELECT lang, doc_id, n_chars,
+                    (sa | (sa << 2)) & 858993459 AS sa,
+                    (sb | (sb << 2)) & 858993459 AS sb FROM zme2),
+    zme4 AS (SELECT lang, doc_id, n_chars,
+                    (sa | (sa << 1)) & 1431655765 AS sa,
+                    (sb | (sb << 1)) & 1431655765 AS sb FROM zme3),
+    zke AS (SELECT lang, doc_id, n_chars,
+                   (sa | (sb << 1)) >> 24 AS zbucket FROM zme4)"""
+
   /** The 2-D box both zorder read legs and the gauge share: the middle
     * [25%, 40%] band of each base-table dimension.
     */
@@ -6042,6 +6074,96 @@ object ExtensionQueries {
                  min(doc_id), max(doc_id), min(n_chars), max(n_chars),
                  COUNT(*)
           FROM r5 GROUP BY 2, 3)
+        SELECT layout, lang, COUNT(*) AS files_total,
+               CAST(SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
+                              AND mxc >= nlo AND mnc <= nhi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_admitted,
+               CAST(SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
+                              AND mxc >= nlo AND mnc <= nhi
+                             THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(SUM(n) AS BIGINT) AS rows_total,
+               CAST((SUM(n) - SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
+                                        AND mxc >= nlo AND mnc <= nhi
+                                       THEN n ELSE 0 END)) * 10000
+                    // SUM(n) AS BIGINT) AS skip_bp
+        FROM g, dband, nband GROUP BY layout, lang"""),
+      benchmark = false), // metadata-only arithmetic, not engine throughput
+
+    // EQUI-DEPTH Z-ORDER (r16): the quantizer option the min-max gauge's
+    // measured lesson pointed at — rank-quantized dimensions are uniform
+    // by construction, immune to the +1M/+2M/+3M insert-key skew that
+    // squashed the min-max curve's doc_id bits. v6 rewrites v5's state
+    // clustered by the rank-Morton key; the skipped 2-D box read shares
+    // the state-only oracle with the v5 twins (hash match = the
+    // no-false-negatives proof on the rank-quantized layout).
+    QuerySpec(
+      "io_cdc_zorder_ed_read",
+      (s, dir) => Cdc.zorderEdRead(s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.zorderEdStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(('0x' || substring(
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT) AS fp_xor
+        FROM cdc_final2, dband, nband
+        WHERE doc_id BETWEEN dlo AND dhi
+          AND n_chars BETWEEN nlo AND nhi GROUP BY lang"""),
+      benchmark = true),
+
+    // The decision gauge with the equi-depth arm: the SAME 2-D box
+    // priced against all FOUR layouts' zone maps — where rank
+    // quantization moves the min-max crossover on this store's skewed id
+    // space. Oracle replays BOTH quantizers (min-max bounds vs rank
+    // windows), the Morton ladders, the chunkings, and the admit
+    // arithmetic in SQL.
+    QuerySpec(
+      "io_cdc_zorder_ed_gauge",
+      (s, dir) => Cdc.zorderEdCdcGauge(s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.zorderEdStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + "," +
+        zcdcCtes + "," + zcdcEdCtes + """,
+        r2 AS (SELECT lang, doc_id, n_chars,
+                      (row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                       - 1) // 128 AS chunk
+               FROM cdc_final2),
+        r4 AS (SELECT lang, doc_id, n_chars,
+                      (row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id)
+                       - 1) // 128 AS chunk
+               FROM cdc_final2),
+        r5 AS (SELECT lang, doc_id, n_chars,
+                      (row_number() OVER (PARTITION BY lang
+                                          ORDER BY zbucket, doc_id)
+                       - 1) // 128 AS chunk
+               FROM zk),
+        r6 AS (SELECT lang, doc_id, n_chars,
+                      (row_number() OVER (PARTITION BY lang
+                                          ORDER BY zbucket, doc_id)
+                       - 1) // 128 AS chunk
+               FROM zke),
+        g AS (
+          SELECT 'by_doc_id' AS layout, lang, chunk,
+                 min(doc_id) AS mnd, max(doc_id) AS mxd,
+                 min(n_chars) AS mnc, max(n_chars) AS mxc, COUNT(*) AS n
+          FROM r2 GROUP BY 2, 3
+          UNION ALL
+          SELECT 'by_n_chars' AS layout, lang, chunk,
+                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
+                 COUNT(*)
+          FROM r4 GROUP BY 2, 3
+          UNION ALL
+          SELECT 'zorder' AS layout, lang, chunk,
+                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
+                 COUNT(*)
+          FROM r5 GROUP BY 2, 3
+          UNION ALL
+          SELECT 'zorder_ed' AS layout, lang, chunk,
+                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
+                 COUNT(*)
+          FROM r6 GROUP BY 2, 3)
         SELECT layout, lang, COUNT(*) AS files_total,
                CAST(SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
                               AND mxc >= nlo AND mnc <= nhi

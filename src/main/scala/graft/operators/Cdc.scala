@@ -1834,6 +1834,127 @@ object Cdc {
         "rows_scanned", "rows_total", "skip_bp")
   }
 
+  /** Equi-depth (rank-based) clustering key — the quantization fix for
+    * skewed key spaces that [[zorderCommit]]'s min-max gauge measured
+    * itself losing on: the CDC insert convention (+1M/+2M/+3M) squashes
+    * base ids into <1% of the min-max-quantized range, so the curve's
+    * doc_id bits carry nothing. Ranks are uniform BY CONSTRUCTION, so
+    * rank-quantized dimensions spend their bits where the data is.
+    * Both ranks compute distributedly and deterministically:
+    * doc_id (unique) via the same interval-grid prefix-sum discipline as
+    * [[writeData]] (cell counts → tiny prefix window → within-cell
+    * row_number — never one global sort task); n_chars via VALUE-level
+    * prefix sums (rank() semantics — ties share the min rank, so the
+    * quantized value is a pure function of the value and the oracle's
+    * `rank() OVER (ORDER BY n_chars)` reproduces it exactly).
+    */
+  private def zorderEquiDepthKeyed(df: DataFrame, bucketBits: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(min(col("doc_id")), max(col("doc_id")),
+      count(lit(1))).head
+    val (mn, mx, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val wd = math.max(1L, (mx - mn) / 4096L + 1L)
+    val cells = df.withColumn("__c", expr(s"(doc_id - ${mn}L) div ${wd}L"))
+    val starts = cells.groupBy(col("__c")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__start", coalesce(sum(col("__cnt")).over(
+        w.orderBy(col("__c")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .drop("__cnt")
+    val ra = cells.join(starts, Seq("__c"))
+      .withColumn("__ra", col("__start") +
+        row_number().over(w.partitionBy(col("__c")).orderBy(col("doc_id"))))
+    val vrank = df.groupBy(col("n_chars")).agg(count(lit(1)).as("__vc"))
+      .withColumn("__rb", coalesce(sum(col("__vc")).over(
+        w.orderBy(col("n_chars")).rowsBetween(Long.MinValue, -1)), lit(0L)) + 1L)
+      .drop("__vc")
+    ra.join(vrank, Seq("n_chars"))
+      .withColumn("qa", expr(s"((__ra - 1) * 65536) div ${n}L"))
+      .withColumn("qb", expr(s"((__rb - 1) * 65536) div ${n}L"))
+      .withColumn("zbucket",
+        shiftright(StorageLayout.morton(col("qa"), col("qb")), 32 - bucketBits))
+      .drop("__c", "__start", "__ra", "__rb", "qa", "qb")
+  }
+
+  /** OPTIMIZE ZORDER with EQUI-DEPTH quantization as a commit: same
+    * rewrite-only discipline as [[zorderCommit]] (parent untouched,
+    * fresh zone maps, deterministic file boundaries), different
+    * quantizer — the option the min-max gauge's measured lesson pointed
+    * at. The (zbucket, doc_id) sort stays total, so the oracle replays
+    * rank windows + Morton ladder + chunking in SQL.
+    */
+  def zorderEquiDepthCommit(
+      spark: SparkSession, root: String, fromV: Int, toV: Int,
+      targetRows: Int): Unit = {
+    val cur = readVersion(spark, root, fromV)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint()
+    val langs = cur.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    writeData(zorderEquiDepthKeyed(cur, zorderBits),
+      s"$root/d$toV", targetRows, Seq("lang", "zbucket", "doc_id"),
+      outCols = Seq("doc_id", "text", "source", "n_chars", "lang"))
+    writeManifest(manifestEntries(spark, s"$root/d$toV", langs),
+      s"$root/m/v=$toV")
+  }
+
+  /** One-time build: the zorder chain plus the v6 equi-depth commit. */
+  def zorderEdStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(spark, s"$scratch#zed", s"$scratch/m/v=6") {
+      zorderStore(spark, docs, scratch)
+      zorderEquiDepthCommit(spark, scratch, 5, 6, defaultZoneRows)
+    }
+
+  /** Zone-map-SKIPPED 2-D box read of the equi-depth-Z-ordered v6 —
+    * shares its oracle SQL with [[zorderReadFull]] (the state is
+    * version-invariant), so the hash match is the no-false-negatives
+    * proof for the rank-quantized layout.
+    */
+  def zorderEdRead(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    zorderEdStore(spark, docs, scratch)
+    val (dlo, dhi) = zoneBand(docs)
+    val (nlo, nhi) = nCharsBand(docs)
+    Governance.releaseManifestBy(
+      readVersion(spark, scratch, 6, idRange = Some((dlo, dhi)),
+          statRange = Some(("n_chars", nlo, nhi)))
+        .where(col("doc_id").between(dlo, dhi) &&
+          col("n_chars").between(nlo, nhi)),
+      "lang")
+  }
+
+  /** [[zorderCdcGauge]] extended with the equi-depth arm: the SAME 2-D
+    * box priced against all FOUR layouts' zone maps at the same 128-row
+    * roll — the decision gauge that shows where rank quantization moves
+    * the min-max crossover on a skewed id space.
+    */
+  def zorderEdCdcGauge(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    zorderEdStore(spark, docs, scratch)
+    val (dlo, dhi) = zoneBand(docs)
+    val (nlo, nhi) = nCharsBand(docs)
+    Seq(("by_doc_id", 2), ("by_n_chars", 4), ("zorder", 5),
+      ("zorder_ed", 6)).map {
+      case (layout, v) =>
+        manifestFrame(spark, s"$scratch/m/v=$v")
+          .select(col("lang"),
+            (col("max_doc_id") >= dlo && col("min_doc_id") <= dhi &&
+              col("max_n_chars") >= nlo && col("min_n_chars") <= nhi)
+              .as("admitted"),
+            col("n_rows"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("files_total"),
+            sum(when(col("admitted"), 1L).otherwise(0L)).as("files_admitted"),
+            sum(when(col("admitted"), col("n_rows")).otherwise(0L))
+              .as("rows_scanned"),
+            sum(col("n_rows")).as("rows_total"))
+          .withColumn("skip_bp",
+            expr("(rows_total - rows_scanned) * 10000 div rows_total"))
+          .withColumn("layout", lit(layout))
+    }.reduce(_ unionByName _)
+      .select("layout", "lang", "files_total", "files_admitted",
+        "rows_scanned", "rows_total", "skip_bp")
+  }
+
   // ---- deletion vectors (position deletes) -----------------------------
 
   /** Write the snapshot with explicit (partition, pos) row addressing:

@@ -717,6 +717,41 @@ class CdcSpec extends GraftSpec {
       "optimize must not touch the files the old version references")
   }
 
+  test("equi-depth z-order recovers the skew-squashed dimension min-max loses") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zed").toString + "/store"
+    // a skewed id space shaped like the CDC store: a dense base plus a
+    // sparse far tail — min-max quantization squashes the base into <1%
+    // of the doc_id range (the curve's doc_id bits go dead), equi-depth
+    // spreads it by rank
+    val base = spark.range(1L, 2901L).select(col("id").as("doc_id"))
+    val tail = spark.range(0L, 100L)
+      .select((lit(1000000L) + col("id") * 10000L).as("doc_id"))
+    val docs = base.unionByName(tail).select(
+      col("doc_id"),
+      concat(lit("doc "), col("doc_id")).as("text"),
+      lit("en").as("lang"),
+      lit("s1").as("source"),
+      ((col("doc_id") * 37) % 500 + 10).cast("long").as("n_chars"))
+    Cdc.versionedInit(spark, docs, root, 16)          // v0: by doc_id
+    Cdc.zorderCommit(spark, root, 0, 1, 16)           // v1: min-max Z
+    Cdc.zorderEquiDepthCommit(spark, root, 1, 2, 16)  // v2: equi-depth Z
+    assert(rowSet(Cdc.readVersion(spark, root, 2)) ===
+      rowSet(Cdc.readVersion(spark, root, 0)))
+    // a 2-D box inside the dense base: doc_id middle band × n_chars band
+    val (dlo, dhi) = (600L, 1200L)
+    val (nlo, nhi) = (135L, 210L)
+    def scanned(v: Int): Long =
+      Cdc.manifestFrame(spark, s"$root/m/v=$v")
+        .where(col("max_doc_id") >= dlo && col("min_doc_id") <= dhi &&
+          col("max_n_chars") >= nlo && col("min_n_chars") <= nhi)
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
+    val (sMinMax, sEd) = (scanned(1), scanned(2))
+    assert(sEd < sMinMax,
+      s"equi-depth must recover the squashed dimension: ed=$sEd minmax=$sMinMax")
+  }
+
   test("zoned write range-splits each lang across tasks; file boundaries " +
     "stay the single-task chunking") {
     import org.apache.spark.sql.functions._

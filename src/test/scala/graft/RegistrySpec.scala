@@ -115,8 +115,9 @@ class RegistrySpec extends GraftSpec {
       "vocab_bpe_train_batched",
       "sim_recall_ivfpq_rerank", "sim_ann_ivfpq_filtered",
       // r16: the adaptive-filtered recall gauge re-trains in-plan (the
-      // search itself IS benched as sim_ann_ivfpq_filtered_adaptive)
-      "sim_recall_ivfpq_filtered_adaptive")
+      // search itself IS benched as sim_ann_ivfpq_filtered_adaptive);
+      // the 4-layout gauge is metadata arithmetic like its 3-layout twin
+      "sim_recall_ivfpq_filtered_adaptive", "io_cdc_zorder_ed_gauge")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
