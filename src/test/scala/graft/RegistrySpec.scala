@@ -74,8 +74,10 @@ class RegistrySpec extends GraftSpec {
     // planning) + 2 from r15 (manifest scale-out/zone maps, two-stage
     // re-rank + batched BPE) + 2 from r15 leg 2 (multi-format
     // interchange + malformed-record quarantine; layout evolution +
-    // exactly-once streamed ingestion); bump when a round adds a family
-    assert(rows === 41, s"SURVEY §2-B table has $rows rows — a new " +
+    // exactly-once streamed ingestion) + 1 from r16 (stats-ON posture,
+    // range-split zoned writes, adaptive filtered ANN, equi-depth
+    // Z-order, incremental BPE counts); bump when a round adds a family
+    assert(rows === 42, s"SURVEY §2-B table has $rows rows — a new " +
       "operator family must land as a contract row, not only in §8 notes")
   }
 
