@@ -603,16 +603,25 @@ object Cdc {
     }
     val manifest = pruned.select("lang", "path")
       .collect().map(r => r.getString(0) -> r.getString(1))
-    if (manifest.isEmpty) {
+    if (manifest.isEmpty)
       // zone maps legitimately admit ZERO files when no file's range
       // overlaps the band — an empty frame with the store schema, not a
-      // zero-path read error
-      val sample = manifestFrame(spark, manifestPath).select("path")
-        .limit(1).collect().map(_.getString(0))
-      require(sample.nonEmpty, s"empty manifest at $manifestPath")
-      return spark.read.parquet(sample.head).limit(0)
-        .withColumn("lang", lit(null).cast("string"))
-    }
+      // zero-path read error. The schema is a compile-time constant of
+      // the store (every commit writes exactly these columns), so the
+      // zero case costs no filesystem round trip.
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType))))
     manifest.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, rows) =>
       spark.read.parquet(rows.map(_._2).sorted: _*)
         .withColumn("lang", lit(lang))

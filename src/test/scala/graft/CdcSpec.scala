@@ -717,6 +717,31 @@ class CdcSpec extends GraftSpec {
       "optimize must not touch the files the old version references")
   }
 
+  test("zero-admission skipped read: empty frame with the store schema, " +
+    "no file read") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zadm").toString + "/store"
+    val docs = spark.range(1L, 201L).select(
+      col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"),
+      lit("en").as("lang"),
+      lit("s1").as("source"),
+      (col("id") % 100 + 10).cast("long").as("n_chars"))
+    Cdc.versionedInit(spark, docs, root, 16)
+    // a band no file's zone map overlaps → zero admitted files, an
+    // empty frame with the store schema (literal — no sample-file read)
+    val empty = Cdc.readVersion(spark, root, 0,
+      idRange = Some((100000L, 200000L)))
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq ===
+      Seq("doc_id", "text", "source", "n_chars", "lang"))
+    assert(empty.inputFiles.isEmpty, "zero-admission must read no file")
+    // and unions cleanly with a non-empty admitted read (schema parity)
+    val some = Cdc.readVersion(spark, root, 0, idRange = Some((1L, 50L)))
+    assert(some.unionByName(empty).count() === some.count())
+  }
+
   test("equi-depth z-order recovers the skew-squashed dimension min-max loses") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files
