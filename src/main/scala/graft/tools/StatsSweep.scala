@@ -15,10 +15,12 @@ import graft.plans.Cbo
   * CHANGED query both ways (min of reps).
   *
   * A 100 TB deployment runs with statistics ON everywhere; this gauge
-  * answers "what would that change here, and is each change a win"
-  * without silently switching the correctness-gated registry (which
-  * stays stats-less/path-based — the harness contract). Results land in
-  * SURVEY §8.17.
+  * answers "what would that change here, and is each change a win".
+  * Since r16 the sweep's conclusion IS the default: Verify and Bench
+  * run ANALYZE'd + CBO-on out of the box (`SPARK_GRAFT_STATS=0` opts
+  * out), so this tool's remaining job is the PLAN DIFF — naming which
+  * queries statistics move when the surface grows. Results land in
+  * SURVEY §8.17 (the r15 sweep) and §8.19 (the default flip).
   *
   * Usage: StatsSweep <sfDir> [reps]
   */
