@@ -72,10 +72,18 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_STATS").contains("0")) 0.0
       else {
         val t0 = System.nanoTime()
-        spark.conf.set("spark.sql.cbo.enabled", "true")
-        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-        graft.plans.Cbo.ensureStatsAll(spark, sfDir)
-        spark.conf.set(Tables.statsCatalogConf, sfDir)
+        try {
+          spark.conf.set("spark.sql.cbo.enabled", "true")
+          spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+          graft.plans.Cbo.ensureStatsAll(spark, sfDir)
+          spark.conf.set(Tables.statsCatalogConf, sfDir)
+        } catch { case e: Throwable =>
+          // degrade to stats-less rather than killing the whole bench
+          // (the conf stays unset → path reads; half-made tables were
+          // dropped by createAnalyzed's failure atomicity)
+          System.err.println(s"[bench] stats-ON setup failed, running " +
+            s"stats-less: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
     val loadStart = loadAvg
