@@ -77,10 +77,14 @@ object Bench {
           spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
           graft.plans.Cbo.ensureStatsAll(spark, sfDir)
           spark.conf.set(Tables.statsCatalogConf, sfDir)
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           // degrade to stats-less rather than killing the whole bench
-          // (the conf stays unset → path reads; half-made tables were
-          // dropped by createAnalyzed's failure atomicity)
+          // (the catalog conf stays unset → path reads; half-made tables
+          // were dropped by createAnalyzed's failure atomicity). NonFatal
+          // only, and the CBO confs reset, so the degraded run is the
+          // true stats-less posture, not CBO-over-empty-stats.
+          spark.conf.set("spark.sql.cbo.enabled", "false")
+          spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
           System.err.println(s"[bench] stats-ON setup failed, running " +
             s"stats-less: ${e.getMessage}")
         }

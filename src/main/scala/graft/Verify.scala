@@ -34,11 +34,16 @@ object Verify {
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
       graft.plans.Cbo.ensureStatsAll(spark, sfDir)
       spark.conf.set(Tables.statsCatalogConf, sfDir)
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       // a failed ANALYZE must degrade to the stats-less posture, never
       // zero the round's correctness artifact (createAnalyzed already
-      // dropped any half-made table; the conf stays unset, so every
-      // load falls back to path reads)
+      // dropped any half-made table; the catalog conf stays unset, so
+      // every load falls back to path reads). NonFatal only — an OOM or
+      // interrupt must kill the run, not masquerade as a degraded one.
+      // Reset the CBO confs set above so the degraded run truly IS the
+      // stats-less posture (CBO over empty stats is not the same plans).
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
       System.err.println(s"[verify] stats-ON setup failed, running " +
         s"stats-less: ${e.getMessage}")
     }

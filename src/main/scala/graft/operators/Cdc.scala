@@ -37,6 +37,31 @@ object Cdc {
     */
   val dirtyLangs: Seq[String] = Seq("de", "fr")
 
+  /** The versioned store's 5-column schema, in the order a manifest read
+    * yields it (data columns as written, then the lang partition column
+    * the reader re-attaches). Shared by every commit's write-side select
+    * list ([[storeCols]]) and the zero-admission empty read, so the two
+    * CANNOT drift: a future column addition changes both together or
+    * fails loudly, never returns a silently mismatched empty frame.
+    */
+  val storeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+
+  /** Write-side column order of the store (lang last — the partition
+    * column the dynamic writer strips into directory names).
+    */
+  val storeCols: Seq[String] = storeSchema.fieldNames.toSeq
+
   private val insIdOffset = 1000000L
 
   /** One day's synthetic delta arithmetic: which keys delete
@@ -142,7 +167,7 @@ object Cdc {
     * the merge maintains.
     */
   def writeSnapshot(docs: DataFrame, path: String): Unit =
-    docs.select("doc_id", "text", "source", "n_chars", "lang")
+    docs.select(storeCols.map(col): _*)
       .write.mode("overwrite").partitionBy("lang").parquet(path)
 
   /** The rewritten content of the DIRTY partitions only: snapshot rows
@@ -489,50 +514,132 @@ object Cdc {
         .write.mode("overwrite").partitionBy("lang").parquet(dataDir)
       return
     }
-    val v1 = sortCols(1) // primary within-lang sort column (lang is first)
-    val bounds = df.agg(
-      min(col(v1).cast("long")), max(col(v1).cast("long")),
-      min(col("doc_id")), max(col("doc_id"))).head
-    if (bounds.isNullAt(0)) { // empty commit: nothing to split
-      df.select(out.map(col): _*)
-        .write.mode("overwrite").partitionBy("lang").parquet(dataDir)
-      return
+    zoneGrid(df, zoneRows, sortCols) match {
+      case None => // TRULY empty commit: nothing to split
+        df.select(out.map(col): _*)
+          .write.mode("overwrite").partitionBy("lang").parquet(dataDir)
+      case Some(granked) =>
+        granked
+          .repartition(col("lang"), col("__grp"))
+          .sortWithinPartitions(sortCols.map(col): _*)
+          // narrow projection preserves intra-partition order; helper
+          // columns (and any clustering key) are never stored
+          .select(out.map(col): _*)
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", zoneRows.toString)
+          .partitionBy("lang").parquet(dataDir)
     }
-    val (mn1, mx1) = (bounds.getLong(0), bounds.getLong(1))
-    val (mnD, mxD) = (bounds.getLong(2), bounds.getLong(3))
+  }
+
+  /** Grid-key column names [[zoneGrid]] attaches (besides `__grp`) —
+    * exposed with it so specs can pin the window-partition bound.
+    */
+  private[graft] val zoneGridKeys: Seq[String] =
+    Seq("__c1", "__c2", "__r1", "__r2")
+
+  /** The deterministic rank-grid assignment of a zoned write: the input
+    * frame plus the grid key columns ([[zoneGridKeys]]) and `__grp`, the
+    * whole-file rank group each row writes through. None on an empty
+    * input. Package-private so CdcSpec can pin BOTH halves of the
+    * contract directly: `__grp` ≡ the global-sorted rank div splitRows
+    * (boundary exactness) and no (lang, grid-key) window partition
+    * exceeding the hot-cell bound (no straggler window), without reading
+    * task internals.
+    */
+  private[graft] def zoneGrid(df: DataFrame, zoneRows: Int,
+      sortCols: Seq[String]): Option[DataFrame] = {
+    val v1 = sortCols(1) // primary within-lang sort column (lang is first)
+    val bounds = df.agg(count(lit(1)),
+      min(col(v1).cast("long")), max(col(v1).cast("long")),
+      count(col(v1)),
+      min(col("doc_id")), max(col("doc_id"))).head
+    if (bounds.getLong(0) == 0L) return None
+    // rows exist: doc_id (the store key) is never NULL; a primary sort
+    // column that is partly or even entirely NULL still zones — NULLs
+    // map to the sentinel mn1 − 1 below, which sorts exactly where
+    // ascending NULLS FIRST puts the rows, so grid cells stay valid
+    // intervals of the sort order.
+    require(!bounds.isNullAt(4),
+      "zoned write: doc_id must be non-null (it is the store key and the " +
+        "total-order tiebreaker every file boundary derives from)")
+    val (mn1, mx1) =
+      if (bounds.isNullAt(1)) (0L, 0L)
+      else (bounds.getLong(1), bounds.getLong(2))
+    val hasNull1 = bounds.getLong(3) != bounds.getLong(0)
+    val (mnD, mxD) = (bounds.getLong(4), bounds.getLong(5))
     val w1 = math.max(1L, (mx1 - mn1) / zoneGridCells + 1L)
     // doc_id sub-cells are lexicographically valid intervals of the
-    // sort order only when a primary cell holds ONE value (w1 == 1);
-    // they bound the window skew when the primary column is coarse
-    // (n_chars, zbucket) and are redundant when it is doc_id itself
-    val useSub = w1 == 1L && v1 != "doc_id"
+    // sort order only when a primary cell holds ONE value (w1 == 1 and
+    // no NULL sentinel sharing cells with real values); they bound the
+    // window skew when the primary column is coarse (n_chars, zbucket)
+    // and are redundant when it is doc_id itself
+    val useSub = w1 == 1L && v1 != "doc_id" && !hasNull1
     val wD = math.max(1L, (mxD - mnD) / zoneSubCells + 1L)
     val splitRows = zoneRows.toLong * zoneSplitFiles
-    val cells = df
-      .withColumn("__c1",
-        expr(s"(coalesce(cast($v1 as bigint), ${mn1}L) - ${mn1}L) div ${w1}L"))
+    // r16 verdict #2: hot-value refinement threshold. A dominant primary
+    // value inside a multi-value grid cell used to serialize its whole
+    // row_number window through one task — the straggler the range split
+    // was built to kill, back in a narrower doorway. Any cell whose count
+    // exceeds this re-cells (below), bounding the worst window regardless
+    // of how Zipf-ish the primary column is.
+    val hotCellRows = 4L * splitRows
+    /** One refinement level: find HEAVY (keys) groups from a
+      * metadata-sized agg of the cells frame, and sub-cell their rows —
+      * a single-valued heavy cell splits on doc_id intervals (the value
+      * is constant, so doc intervals ARE intervals of the sort order); a
+      * multi-valued one splits on primary-value intervals within its own
+      * [min, max]. Both rules are pure functions of STATE (no sampling),
+      * so file boundaries stay oracle-replayable; non-heavy rows keep
+      * sub-cell 0. Two stacked levels bound the worst window at
+      * ~hotCellRows whenever the primary range per cell is ≤
+      * zoneSubCells² (any realistic stat column); a hotter pathological
+      * residual degrades to the pre-r17 one-window behavior, never to
+      * wrong boundaries.
+      */
+    def refineHot(d: DataFrame, keys: Seq[String], outCol: String): DataFrame = {
+      val hot = d.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__hn"),
+          min(col("__v")).as("__hv0"), max(col("__v")).as("__hv1"),
+          min(col("doc_id")).as("__hd0"), max(col("doc_id")).as("__hd1"))
+        .filter(col("__hn") > hotCellRows)
+        .drop("__hn")
+      d.join(hot, keys, "left")
+        .withColumn(outCol,
+          when(col("__hv0").isNull, lit(0L)) // not a heavy cell
+            .when(col("__hv0") === col("__hv1"), expr(
+              s"(doc_id - __hd0) div " +
+                s"greatest(1L, (__hd1 - __hd0) div ${zoneSubCells}L + 1L)"))
+            .otherwise(expr(
+              s"(__v - __hv0) div " +
+                s"greatest(1L, (__hv1 - __hv0) div ${zoneSubCells}L + 1L)")))
+        .drop("__hv0", "__hv1", "__hd0", "__hd1")
+    }
+    // NULL primary values take the sentinel mn1 − 1: strictly below every
+    // real value, so __v-ordering ≡ the writer's ascending NULLS FIRST
+    // and NULL rows can share a grid cell with mn1 rows without breaking
+    // the interval property (they are its contiguous prefix).
+    val base = df
+      .withColumn("__v",
+        expr(s"coalesce(cast($v1 as bigint), ${mn1}L - 1L)"))
+      .withColumn("__c1", expr(s"(__v - ${mn1}L) div ${w1}L"))
       .withColumn("__c2",
         if (useSub) expr(s"(doc_id - ${mnD}L) div ${wD}L") else lit(0L))
-    val starts = cells.groupBy(col("lang"), col("__c1"), col("__c2"))
+    val cells = refineHot(
+      refineHot(base, Seq("lang", "__c1", "__c2"), "__r1"),
+      Seq("lang", "__c1", "__c2", "__r1"), "__r2")
+    val gridKeys = zoneGridKeys
+    val starts = cells.groupBy((("lang" +: gridKeys)).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__start", coalesce(sum(col("__cnt")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-          .orderBy(col("__c1"), col("__c2"))
+          .orderBy(gridKeys.map(col): _*)
           .rowsBetween(Long.MinValue, -1)), lit(0L)))
       .drop("__cnt")
     val rest = sortCols.drop(1)
-    cells.join(starts, Seq("lang", "__c1", "__c2"))
+    Some(cells.join(starts, "lang" +: gridKeys)
       .withColumn("__grp", expr(s"(__start - 1 + row_number() over (" +
-        s"partition by lang, __c1, __c2 order by " +
-        s"${rest.mkString(", ")})) div ${splitRows}L"))
-      .repartition(col("lang"), col("__grp"))
-      .sortWithinPartitions(sortCols.map(col): _*)
-      // narrow projection preserves intra-partition order; helper
-      // columns (and any clustering key) are never stored
-      .select(out.map(col): _*)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", zoneRows.toString)
-      .partitionBy("lang").parquet(dataDir)
+        s"partition by lang, ${gridKeys.mkString(", ")} order by " +
+        s"${rest.mkString(", ")})) div ${splitRows}L")))
   }
 
   /** Write version 0 of the versioned store: data files under `d0/`,
@@ -544,8 +651,7 @@ object Cdc {
   def versionedInit(
       spark: SparkSession, docs: DataFrame, root: String,
       zoneRows: Int = 0): Unit = {
-    writeData(docs.select("doc_id", "text", "source", "n_chars", "lang"),
-      s"$root/d0", zoneRows)
+    writeData(docs.select(storeCols.map(col): _*), s"$root/d0", zoneRows)
     val langs = docs.select("lang").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     writeManifest(manifestEntries(spark, s"$root/d0", langs), s"$root/m/v=0")
@@ -610,18 +716,7 @@ object Cdc {
       // the store (every commit writes exactly these columns), so the
       // zero case costs no filesystem round trip.
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("source",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_chars",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType))))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
     manifest.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, rows) =>
       spark.read.parquet(rows.map(_._2).sorted: _*)
         .withColumn("lang", lit(lang))
@@ -1744,7 +1839,7 @@ object Cdc {
     // and drops the clustering key at the write boundary
     writeData(StorageLayout.zorderKeyed(cur, "doc_id", "n_chars", zorderBits),
       s"$root/d$toV", targetRows, Seq("lang", "zbucket", "doc_id"),
-      outCols = Seq("doc_id", "text", "source", "n_chars", "lang"))
+      outCols = storeCols)
     writeManifest(manifestEntries(spark, s"$root/d$toV", langs),
       s"$root/m/v=$toV")
   }
@@ -1860,8 +1955,9 @@ object Cdc {
   private def zorderEquiDepthKeyed(df: DataFrame, bucketBits: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val bounds = df.agg(min(col("doc_id")), max(col("doc_id")),
-      count(lit(1))).head
+      count(lit(1)), min(col("n_chars")), max(col("n_chars"))).head
     val (mn, mx, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val (mnC, mxC) = (bounds.getLong(3), bounds.getLong(4))
     val wd = math.max(1L, (mx - mn) / 4096L + 1L)
     val cells = df.withColumn("__c", expr(s"(doc_id - ${mn}L) div ${wd}L"))
     val starts = cells.groupBy(col("__c")).agg(count(lit(1)).as("__cnt"))
@@ -1871,10 +1967,25 @@ object Cdc {
     val ra = cells.join(starts, Seq("__c"))
       .withColumn("__ra", col("__start") +
         row_number().over(w.partitionBy(col("__c")).orderBy(col("doc_id"))))
-    val vrank = df.groupBy(col("n_chars")).agg(count(lit(1)).as("__vc"))
-      .withColumn("__rb", coalesce(sum(col("__vc")).over(
-        w.orderBy(col("n_chars")).rowsBetween(Long.MinValue, -1)), lit(0L)) + 1L)
-      .drop("__vc")
+    // the value rank ALSO goes through the interval grid: per-value
+    // counts bucket into ≤4096 value cells, the cell prefix sum runs
+    // over that metadata-sized frame, and the within-cell running sum
+    // partitions BY CELL — so a high-cardinality stat column costs a
+    // |distinct|/4096-row window, never one global single-task window
+    // (rank() semantics preserved exactly: __rb = rows with value < v,
+    // plus 1)
+    val wc = math.max(1L, (mxC - mnC) / 4096L + 1L)
+    val vcnt = df.groupBy(col("n_chars")).agg(count(lit(1)).as("__vc"))
+      .withColumn("__vcell", expr(s"(n_chars - ${mnC}L) div ${wc}L"))
+    val vstarts = vcnt.groupBy(col("__vcell")).agg(sum(col("__vc")).as("__cc"))
+      .withColumn("__cstart", coalesce(sum(col("__cc")).over(
+        w.orderBy(col("__vcell")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .drop("__cc")
+    val vrank = vcnt.join(vstarts, Seq("__vcell"))
+      .withColumn("__rb", col("__cstart") + coalesce(sum(col("__vc")).over(
+        w.partitionBy(col("__vcell")).orderBy(col("n_chars"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)) + 1L)
+      .select(col("n_chars"), col("__rb"))
     ra.join(vrank, Seq("n_chars"))
       .withColumn("qa", expr(s"((__ra - 1) * 65536) div ${n}L"))
       .withColumn("qb", expr(s"((__rb - 1) * 65536) div ${n}L"))
@@ -1900,7 +2011,7 @@ object Cdc {
       .collect().map(_.getString(0)).sorted.toSeq
     writeData(zorderEquiDepthKeyed(cur, zorderBits),
       s"$root/d$toV", targetRows, Seq("lang", "zbucket", "doc_id"),
-      outCols = Seq("doc_id", "text", "source", "n_chars", "lang"))
+      outCols = storeCols)
     writeManifest(manifestEntries(spark, s"$root/d$toV", langs),
       s"$root/m/v=$toV")
   }
@@ -1977,7 +2088,7 @@ object Cdc {
     */
   def writePositionedSnapshot(docs: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.expressions.Window
-    docs.select("doc_id", "text", "source", "n_chars", "lang")
+    docs.select(storeCols.map(col): _*)
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("doc_id"))).cast("long"))
       .write.mode("overwrite").partitionBy("lang").parquet(path)

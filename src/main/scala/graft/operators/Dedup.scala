@@ -434,7 +434,17 @@ object Dedup {
     * the swap (base deleted, staging not yet renamed) self-heals on the
     * next call — the staging dir holds the complete merged set (its
     * write finished before the delete began), so it is promoted to base
-    * before the re-fold re-merges the still-present window.
+    * before the re-fold re-merges the still-present window. Promotion
+    * is gated on the staging write's `_SUCCESS` marker: only a staging
+    * dir whose write COMMITTED may become base, so a crash mid-staging-
+    * write can never promote a partial set.
+    *
+    * Atomicity assumption: directory delete and rename are atomic (HDFS
+    * and local filesystems). On an object store (S3A), "rename" is a
+    * non-atomic copy-then-delete and a crash mid-delete can leave a
+    * PARTIAL base beside staging — this swap protocol is not safe
+    * there; use a manifest-pointer commit (the [[graft.operators.Cdc]]
+    * discipline, where the pointer write is the atomic step) instead.
     */
   def foldStreamIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -449,9 +459,16 @@ object Dedup {
     // fs.delete(base) and fs.rename(staging, base). A base that still
     // exists beside a stale staging dir (crash mid-staging-write) takes
     // the normal path — mode=overwrite rewrites the staging dir.
-    if (!fs.exists(baseP) && fs.exists(stagingP))
+    if (!fs.exists(baseP) && fs.exists(stagingP)) {
+      // base gone + staging UNCOMMITTED cannot arise from this protocol's
+      // crash windows (the delete only runs after the staging write
+      // committed) — refuse loudly rather than promote a partial set
+      require(fs.exists(new org.apache.hadoop.fs.Path(stagingP, "_SUCCESS")),
+        s"fold self-heal refused: $stagingP exists without _SUCCESS while " +
+          s"$baseIndex is missing — not a known crash window, investigate")
       require(fs.rename(stagingP, baseP),
         s"fold self-heal failed: could not promote $stagingP to $baseIndex")
+    }
     if (!fs.exists(streamP)) return
     val cols = Seq("doc_id", "bucket_key", "band")
     val merged = spark.read.parquet(baseIndex).select(cols.map(col): _*)

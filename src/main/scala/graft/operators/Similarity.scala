@@ -1415,10 +1415,31 @@ object Similarity {
       m: Int = 8, nCents: Int = 16, pqIters: Int = 1): DataFrame = {
     val ivfCents = ivfCentroidsTrained(emb, nCells, ivfIters)
     val pqCents = pqCodebookTrained(emb, m, nCents, pqIters)
-    val allowed = docs.filter(col("lang") === lang)
-      .select(col("doc_id").as("vec_id"))
     val allowedPostings = ivfPqPostings(emb, ivfCents, pqCents, m)
-      .join(allowed, Seq("vec_id"), "left_semi")
+      .join(allowedIds(docs, lang), Seq("vec_id"), "left_semi")
+    adaptiveFilteredSearch(emb, allowedPostings, ivfCents, pqCents,
+      nQueries, k, shortlist, nProbe, m)
+  }
+
+  /** The allowed-id set of a metadata predicate, keyed like the posting
+    * table — the semi-join side every filtered search variant shares.
+    */
+  private def allowedIds(docs: DataFrame, lang: String): DataFrame =
+    docs.filter(col("lang") === lang).select(col("doc_id").as("vec_id"))
+
+  /** The shared funnel of the ADAPTIVE filtered search, over a GIVEN
+    * allowed posting table (in-plan-assigned or loaded from the persisted
+    * index — the two callers): per-cell allowed counts (one
+    * metadata-sized aggregate), the deterministic probe-widening rule,
+    * the ADC shortlist over allowed candidates only, then the exact
+    * re-rank.
+    */
+  private def adaptiveFilteredSearch(
+      emb: DataFrame, allowedPostings: DataFrame,
+      ivfCents: Seq[(Int, Seq[Double])], pqCents: Map[Long, Array[Long]],
+      nQueries: Int, k: Int, shortlist: Int, nProbe: Int, m: Int)
+      : DataFrame = {
+    val nCells = ivfCents.length
     val cellCnt = allowedPostings.groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"))
     // prior = allowed members in STRICTLY closer-ranked cells; probe
@@ -1438,6 +1459,36 @@ object Similarity {
       ivfPqSearchWith(allowedPostings, emb, probes, pqCents,
         nQueries, shortlist, m).select(col("qid"), col("vec_id")),
       nQueries, k)
+  }
+
+  /** [[annIvfPqFilteredAdaptive]] served from the PERSISTED full index —
+    * the production filtered-search shape (train + assign once via
+    * [[ensureIvfPqIndex]], search many): stage 1's candidates AND the
+    * per-cell allowed counts both derive from the cell-partitioned
+    * posting artifact semi-joined to the predicate — the corpus is never
+    * re-encoded, let alone re-trained, per search. The widening rule and
+    * the exact re-rank are unchanged, and assignment is a pure function
+    * of the frozen codebooks, so this hash-matches the SAME oracle as
+    * the in-plan-trained variant (SimilaritySpec pins result identity).
+    * At 100 TB the difference is the whole game: the in-plan variant
+    * pays several corpus passes (Lloyd + PQ training + assignment) per
+    * query; this one pays the funnel — counts aggregate, probed
+    * postings, shortlist floats.
+    */
+  def annIvfPqFilteredAdaptivePersisted(
+      emb: DataFrame, docs: DataFrame, indexDir: String, lang: String = "de",
+      nQueries: Int = 8, k: Int = 10, shortlist: Int = 40,
+      nProbe: Int = 3, m: Int = 8): DataFrame = {
+    ensureIvfPqIndex(emb, indexDir)
+    val spark = emb.sparkSession
+    val (ivfCents, pqCents) = loadIvfPqCodebooks(spark, indexDir)
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .select(col("vec_id") +: col("cell").cast("int").as("cell") +:
+        (0 until m).map(s => col(s"code_$s")): _*)
+    val allowedPostings = postings
+      .join(allowedIds(docs, lang), Seq("vec_id"), "left_semi")
+    adaptiveFilteredSearch(emb, allowedPostings, ivfCents, pqCents,
+      nQueries, k, shortlist, nProbe, m)
   }
 
   /** Recall of the ADAPTIVE filtered search vs the exact FILTERED L2

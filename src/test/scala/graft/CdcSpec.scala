@@ -845,4 +845,51 @@ class CdcSpec extends GraftSpec {
       case None => spark.conf.unset(coalesceKey)
     }
   }
+
+  test("hot primary value in the rank grid re-cells instead of serializing " +
+    "one row_number window; group boundaries stay the global-sorted roll") {
+    import org.apache.spark.sql.functions._
+    // one lang, 4000 rows: n_chars 100 dominates (3500 rows) inside a
+    // multi-value grid cell (101 sits beside it; the spread tail forces
+    // cell width w1 > 1) — the r16 verdict's residual straggler shape.
+    // Refinement level 1 value-splits the heavy multi-value cell, level 2
+    // doc-splits the then-isolated heavy single value.
+    val docs = spark.range(1L, 4001L).select(
+      col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"),
+      lit("en").as("lang"),
+      lit("s1").as("source"),
+      when(col("id") <= 3500L, 100L)
+        .when(col("id") <= 3600L, 101L)
+        .otherwise((col("id") % 400L) * 27L + 200L).as("n_chars"))
+    val zoneRows = 16
+    val sortCols = Seq("lang", "n_chars", "doc_id")
+    val g = Cdc.zoneGrid(docs, zoneRows, sortCols).get
+      .select((Seq("lang", "n_chars", "doc_id", "__grp") ++
+        Cdc.zoneGridKeys).map(col): _*).collect()
+    // (a) no window partition exceeds the hot-cell bound — the hot value's
+    // 3500 rows must spread over many (lang, grid-key) cells
+    val hotBound = 4L * zoneRows * Cdc.zoneSplitFiles
+    val cellSizes = g.groupBy(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("__c1"), r.getAs[Long]("__c2"),
+        r.getAs[Long]("__r1"), r.getAs[Long]("__r2"))).view.mapValues(_.length)
+    val worst = cellSizes.values.max
+    assert(worst <= hotBound,
+      s"largest rank window holds $worst rows (> bound $hotBound) — the " +
+        "hot value serialized through one window partition again")
+    assert(cellSizes.size > 200,
+      "the hot value's rows did not spread across sub-cells")
+    // (b) exactness: every row's rank group equals its global-sorted rank
+    // div splitRows — the bit-identical-boundary contract, per row
+    val splitRows = zoneRows.toLong * Cdc.zoneSplitFiles
+    val expected = g.map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      .sortBy(identity).zipWithIndex
+      .map { case (k, i) => k -> (i.toLong / splitRows) }.toMap
+    g.foreach { r =>
+      val k = (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("__grp") === expected(k),
+        s"row $k landed in group ${r.getAs[Long]("__grp")}, global sort " +
+          s"says ${expected(k)}")
+    }
+  }
 }

@@ -569,4 +569,19 @@ class SimilaritySpec extends GraftSpec {
     assert(adaptive >= fixed,
       s"widening + re-rank must not lose to the fixed probe: $adaptive vs $fixed")
   }
+
+  test("adaptive filtered search: persisted-index serving is result-identical " +
+    "to the in-plan-trained chain") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_adp").toString + "/index"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val inPlan = rows(Similarity.annIvfPqFilteredAdaptive(emb, docs))
+    val persisted = rows(
+      Similarity.annIvfPqFilteredAdaptivePersisted(emb, docs, dir))
+    assert(persisted === inPlan && persisted.nonEmpty,
+      "frozen-codebook serving must reproduce the in-plan-trained search")
+  }
 }
