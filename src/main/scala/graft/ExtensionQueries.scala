@@ -140,6 +140,54 @@ object ExtensionQueries {
     nband AS (SELECT (max(n_chars) * 25) // 100 AS nlo,
                      (max(n_chars) * 40) // 100 AS nhi FROM documents)"""
 
+  /** All four layouts' per-file zone maps derived from STATE + the
+    * 128-row roll rule — the shared chunk table of the 4-layout gauge,
+    * the layout advisor, and the auto-OPTIMIZE oracles. Ends with
+    * `g (layout, lang, chunk, mnd, mxd, mnc, mxc, n)`; needs
+    * `cdc_final2`, `zk` ([[zcdcCtes]]) and `zke` ([[zcdcEdCtes]])
+    * upstream.
+    */
+  private val zcdcLayoutChunksCtes = """
+        r2 AS (SELECT lang, doc_id, n_chars,
+                      (row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                       - 1) // 128 AS chunk
+               FROM cdc_final2),
+        r4 AS (SELECT lang, doc_id, n_chars,
+                      (row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id)
+                       - 1) // 128 AS chunk
+               FROM cdc_final2),
+        r5 AS (SELECT lang, doc_id, n_chars,
+                      (row_number() OVER (PARTITION BY lang
+                                          ORDER BY zbucket, doc_id)
+                       - 1) // 128 AS chunk
+               FROM zk),
+        r6 AS (SELECT lang, doc_id, n_chars,
+                      (row_number() OVER (PARTITION BY lang
+                                          ORDER BY zbucket, doc_id)
+                       - 1) // 128 AS chunk
+               FROM zke),
+        g AS (
+          SELECT 'by_doc_id' AS layout, lang, chunk,
+                 min(doc_id) AS mnd, max(doc_id) AS mxd,
+                 min(n_chars) AS mnc, max(n_chars) AS mxc, COUNT(*) AS n
+          FROM r2 GROUP BY 2, 3
+          UNION ALL
+          SELECT 'by_n_chars' AS layout, lang, chunk,
+                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
+                 COUNT(*)
+          FROM r4 GROUP BY 2, 3
+          UNION ALL
+          SELECT 'zorder' AS layout, lang, chunk,
+                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
+                 COUNT(*)
+          FROM r5 GROUP BY 2, 3
+          UNION ALL
+          SELECT 'zorder_ed' AS layout, lang, chunk,
+                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
+                 COUNT(*)
+          FROM r6 GROUP BY 2, 3)"""
+
   /** Oracle twin of the full-width orders row fingerprint
     * ([[graft.operators.StorageLayout]]'s format round trips): the same
     * canonical rendering — integers verbatim, price through the exact
@@ -4964,6 +5012,30 @@ object ExtensionQueries {
           s"SELECT CAST($i AS BIGINT) AS merge_round, a AS lhs, b AS rhs, n FROM b$i")
           .mkString("\nUNION ALL\n")}""")),
 
+    // REALISTIC-VOCAB trainer gauge (r17): k=64 merges in batches of 8
+    // with the incremental pair-count algebra — the measurement the r16
+    // verdict asked for instead of extrapolating from k=8/batch=4. The
+    // oracle unrolls the SAME 64 sequential rounds (materialized CTEs)
+    // and carries the deterministic pass count (k/batchSize — batches
+    // fill on this corpus), so ONE hash pins batched-selection ≡
+    // sequential at 64 rounds, the artifact round trip, AND passes == 8.
+    QuerySpec(
+      "vocab_bpe_train_k64",
+      (s, dir) => TextAnalysis.bpeTrainK64(
+        s, docs(s, dir), scratchPath("bpek64", dir)),
+      benchmark = false, // driver-looped trainer (wall time = pass count);
+      // the delta-vs-recount wall-time A/B is recorded in SURVEY §8.20
+      oracle = Some(s"""
+        WITH $toksCte,
+        t1 AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+                      unnest(t) AS tok
+               FROM toks),
+        ${(1 to 64).map(bpeRoundCteM).mkString(",\n")}
+        ${(1 to 64).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS merge_round, a AS lhs, b AS rhs, n, " +
+            s"CAST(8 AS BIGINT) AS passes FROM b$i")
+          .mkString("\nUNION ALL\n")}""")),
+
     // Context-window chunking: 64-token chunks at stride 48 (overlap 16),
     // scan-side transform + posexplode, zero shuffle.
     QuerySpec(
@@ -6150,46 +6222,7 @@ object ExtensionQueries {
       setup = Some((s, dir) =>
         Cdc.zorderEdStore(s, docs(s, dir), scratchPath("zone", dir))),
       oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + "," +
-        zcdcCtes + "," + zcdcEdCtes + """,
-        r2 AS (SELECT lang, doc_id, n_chars,
-                      (row_number() OVER (PARTITION BY lang ORDER BY doc_id)
-                       - 1) // 128 AS chunk
-               FROM cdc_final2),
-        r4 AS (SELECT lang, doc_id, n_chars,
-                      (row_number() OVER (PARTITION BY lang
-                                          ORDER BY n_chars, doc_id)
-                       - 1) // 128 AS chunk
-               FROM cdc_final2),
-        r5 AS (SELECT lang, doc_id, n_chars,
-                      (row_number() OVER (PARTITION BY lang
-                                          ORDER BY zbucket, doc_id)
-                       - 1) // 128 AS chunk
-               FROM zk),
-        r6 AS (SELECT lang, doc_id, n_chars,
-                      (row_number() OVER (PARTITION BY lang
-                                          ORDER BY zbucket, doc_id)
-                       - 1) // 128 AS chunk
-               FROM zke),
-        g AS (
-          SELECT 'by_doc_id' AS layout, lang, chunk,
-                 min(doc_id) AS mnd, max(doc_id) AS mxd,
-                 min(n_chars) AS mnc, max(n_chars) AS mxc, COUNT(*) AS n
-          FROM r2 GROUP BY 2, 3
-          UNION ALL
-          SELECT 'by_n_chars' AS layout, lang, chunk,
-                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
-                 COUNT(*)
-          FROM r4 GROUP BY 2, 3
-          UNION ALL
-          SELECT 'zorder' AS layout, lang, chunk,
-                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
-                 COUNT(*)
-          FROM r5 GROUP BY 2, 3
-          UNION ALL
-          SELECT 'zorder_ed' AS layout, lang, chunk,
-                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
-                 COUNT(*)
-          FROM r6 GROUP BY 2, 3)
+        zcdcCtes + "," + zcdcEdCtes + "," + zcdcLayoutChunksCtes + """
         SELECT layout, lang, COUNT(*) AS files_total,
                CAST(SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
                               AND mxc >= nlo AND mnc <= nhi
@@ -6204,6 +6237,72 @@ object ExtensionQueries {
                     // SUM(n) AS BIGINT) AS skip_bp
         FROM g, dband, nband GROUP BY layout, lang"""),
       benchmark = false), // metadata-only arithmetic, not engine throughput
+
+    // LAYOUT ADVISOR (r17): the 4-layout gauge turned into a DECISION —
+    // rank the layouts by the rows the workload's band predicates force
+    // each one's zone maps to scan, derived from MANIFESTS ALONE (the
+    // corpus is never read; at 10⁷ files this is a metadata aggregate).
+    // The oracle recomputes every layout's chunk table from state + the
+    // roll rule and replays the ranking, so the hash pins the DECISION
+    // itself: on this store's skewed id space the 1-D doc_id sort must
+    // rank first (the measured r16 lesson), with equi-depth Z ahead of
+    // min-max Z.
+    QuerySpec(
+      "io_cdc_layout_advise",
+      (s, dir) => Cdc.layoutAdvice(s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.zorderEdStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + "," +
+        zcdcCtes + "," + zcdcEdCtes + "," + zcdcLayoutChunksCtes + """,
+        adv AS (
+          SELECT layout,
+                 CAST(COUNT(*) AS BIGINT) AS files_total,
+                 CAST(SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
+                                AND mxc >= nlo AND mnc <= nhi
+                               THEN 1 ELSE 0 END) AS BIGINT) AS files_admitted,
+                 CAST(SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
+                                AND mxc >= nlo AND mnc <= nhi
+                               THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+                 CAST(SUM(n) AS BIGINT) AS rows_total
+          FROM g, dband, nband GROUP BY layout)
+        SELECT layout, files_total, files_admitted, rows_scanned, rows_total,
+               CAST(row_number() OVER (ORDER BY rows_scanned, layout)
+                 AS BIGINT) AS rank
+        FROM adv"""),
+      benchmark = false), // metadata-only arithmetic, not engine throughput
+
+    // AUTO-OPTIMIZE (r17): apply the advisor's winner as a rewrite-only
+    // v7 commit (the choice itself costs manifest metadata; the rewrite
+    // is the same one-time commit OPTIMIZE already prices). Output = the
+    // per-lang state checksum of v7 plus the chosen layout label; the
+    // oracle recomputes the state (version-invariant) AND replays the
+    // argmin over the four recomputed chunk tables — one hash proves the
+    // advisor picked the predicted winner, the commit applied exactly
+    // that layout, and no row moved.
+    QuerySpec(
+      "io_cdc_optimize_auto",
+      (s, dir) => Cdc.optimizeAutoRead(s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.optimizeAutoStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + "," +
+        zcdcCtes + "," + zcdcEdCtes + "," + zcdcLayoutChunksCtes + """,
+        adv AS (
+          SELECT layout,
+                 CAST(SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
+                                AND mxc >= nlo AND mnc <= nhi
+                               THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+          FROM g, dband, nband GROUP BY layout),
+        win AS (SELECT layout FROM adv ORDER BY rows_scanned, layout LIMIT 1),
+        st AS (
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                 bit_xor(('0x' || substring(
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                   1, 15))::BIGINT) AS fp_xor
+          FROM cdc_final2 GROUP BY lang)
+        SELECT st.lang, st.n_docs, st.sum_chars, st.fp_xor, win.layout
+        FROM st, win"""),
+      benchmark = true),
 
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion

@@ -2075,6 +2075,113 @@ object Cdc {
         "rows_scanned", "rows_total", "skip_bp")
   }
 
+  // ---- layout advisor (r17) ---------------------------------------------
+
+  /** The candidate layouts of the zoned-store chain, as (label, version)
+    * — the versions [[zorderEdStore]] leaves behind, all holding the SAME
+    * state under different clusterings at the same 128-row roll.
+    */
+  val zedLayouts: Seq[(String, Int)] =
+    Seq(("by_doc_id", 2), ("by_n_chars", 4), ("zorder", 5), ("zorder_ed", 6))
+
+  /** LAYOUT ADVISOR — turn the gauge into a decision: rank candidate
+    * layouts by the total rows a WORKLOAD of band predicates forces each
+    * layout's zone maps to scan, derived from the layouts' MANIFESTS
+    * alone (the corpus is never read — at 10⁷ files per version this is
+    * a metadata aggregate per layout). `workload` is a bag of queries,
+    * each a conjunction of (column, lo, hi) bands over zone-mapped
+    * columns; a file admitted by two queries costs its rows twice, which
+    * is exactly the workload's scan bill. Ranking is deterministic
+    * (rows_scanned asc, layout asc), so the DuckDB oracle replays the
+    * decision from recomputed chunk tables — the registered query
+    * hash-pins WHICH layout wins, not just the numbers.
+    */
+  def adviseLayout(
+      spark: SparkSession, root: String,
+      layouts: Seq[(String, Int)],
+      workload: Seq[Seq[(String, Long, Long)]]): DataFrame = {
+    val ranked = layouts.map { case (label, v) =>
+      val m = manifestFrame(spark, s"$root/m/v=$v")
+      val admits = workload.map(_.map { case (c, lo, hi) =>
+        col(s"max_$c") >= lo && col(s"min_$c") <= hi
+      }.reduce(_ && _))
+      m.agg(
+        count(lit(1)).as("files_total"),
+        admits.map(p => sum(when(p, 1L).otherwise(0L))).reduce(_ + _)
+          .as("files_admitted"),
+        admits.map(p => sum(when(p, col("n_rows")).otherwise(0L)))
+          .reduce(_ + _).as("rows_scanned"),
+        sum(col("n_rows")).as("rows_total"))
+        .withColumn("layout", lit(label))
+    }.reduce(_ unionByName _)
+    // the window runs over exactly |layouts| rows — driver-bounded
+    ranked.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("rows_scanned"), col("layout"))).cast("long"))
+      .select("layout", "files_total", "files_admitted", "rows_scanned",
+        "rows_total", "rank")
+  }
+
+  /** The registered advisor query: the zoned-store chain's four layouts
+    * ranked for the standard 2-D box workload (the same box every zorder
+    * read leg uses, so the decision is comparable with the gauges).
+    */
+  def layoutAdvice(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    zorderEdStore(spark, docs, scratch)
+    val (dlo, dhi) = zoneBand(docs)
+    val (nlo, nhi) = nCharsBand(docs)
+    adviseLayout(spark, scratch, zedLayouts,
+      Seq(Seq(("doc_id", dlo, dhi), ("n_chars", nlo, nhi))))
+  }
+
+  /** Apply an advice frame's winner as a rewrite-only commit — the
+    * auto-OPTIMIZE decision step. The winner read is ONE metadata row;
+    * the commit is the same one-time rewrite the manual OPTIMIZE /
+    * resort / zorder commits already price. Returns the chosen label.
+    */
+  def optimizeAutoCommit(
+      spark: SparkSession, root: String, fromV: Int, toV: Int,
+      targetRows: Int, advice: DataFrame): String = {
+    val winner = advice.orderBy(col("rank")).select("layout").head.getString(0)
+    winner match {
+      case "by_doc_id" => optimizeCommit(spark, root, fromV, toV, targetRows)
+      case "by_n_chars" => resortCommit(spark, root, fromV, toV, targetRows)
+      case "zorder" => zorderCommit(spark, root, fromV, toV, targetRows)
+      case "zorder_ed" =>
+        zorderEquiDepthCommit(spark, root, fromV, toV, targetRows)
+      case other => throw new IllegalArgumentException(
+        s"adviseLayout returned an unknown layout label: $other")
+    }
+    winner
+  }
+
+  /** One-time build: the 4-layout chain, the advisor decision, and the
+    * winner applied as the v7 commit.
+    */
+  def optimizeAutoStore(
+      spark: SparkSession, docs: DataFrame, scratch: String): Unit =
+    buildOnce(spark, s"$scratch#auto", s"$scratch/m/v=7") {
+      zorderEdStore(spark, docs, scratch)
+      optimizeAutoCommit(spark, scratch, 6, 7, defaultZoneRows,
+        layoutAdvice(spark, docs, scratch))
+    }
+
+  /** The auto-OPTIMIZE read leg: v7's per-lang state checksum with the
+    * chosen layout label beside it. The oracle recomputes the state
+    * (version-invariant) and replays the argmin over the recomputed
+    * chunk tables, so one hash proves the advisor picked the predicted
+    * winner AND the commit moved no row.
+    */
+  def optimizeAutoRead(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    optimizeAutoStore(spark, docs, scratch)
+    val winner = layoutAdvice(spark, docs, scratch)
+      .orderBy(col("rank")).limit(1).select(col("layout"))
+    Governance.releaseManifestBy(readVersion(spark, scratch, 7), "lang")
+      .crossJoin(broadcast(winner))
+  }
+
   // ---- deletion vectors (position deletes) -----------------------------
 
   /** Write the snapshot with explicit (partition, pos) row addressing:

@@ -638,8 +638,14 @@ object TextAnalysis {
       .unionByName(oldNeg)
   }
 
+  /** @param recount true = re-aggregate the full pair-count table every
+    *   pass instead of maintaining it by [[bpeCountDelta]] — the A/B arm
+    *   that prices what the incremental algebra saves (selection is
+    *   identical either way; PackingSpec pins the equivalence).
+    */
   private[graft] def bpeLearnBatched(
-      docs: DataFrame, k: Int, batchSize: Int = 4)
+      docs: DataFrame, k: Int, batchSize: Int = 4,
+      recount: Boolean = false)
       : (Seq[(Long, String, String, Long)], Int) = {
     var toks = docs.select(col("doc_id"),
       posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
@@ -656,7 +662,7 @@ object TextAnalysis {
       // checkpointed once per pass: selection support, the batch
       // rewrite, and the count delta all read the same pair frame
       val pairs = bpePairs(toks).localCheckpoint()
-      if (cnts == null) cnts = bpeCounts(pairs).localCheckpoint()
+      if (cnts == null || recount) cnts = bpeCounts(pairs).localCheckpoint()
       // candidate list deep enough that deferrals can still fill the
       // batch (each kept pair blocks at most two tokens); only these
       // O(batch) metadata rows ever reach the driver
@@ -710,6 +716,31 @@ object TextAnalysis {
     val (merges, _) = bpeLearnBatched(docs, k, batchSize)
     merges
       .toDF("merge_round", "lhs", "rhs", "n")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(artifact)
+    spark.read.parquet(artifact)
+  }
+
+  /** The realistic-vocab trainer GAUGE (r17): k=64 merges in batches of
+    * 8 with the incremental pair-count algebra — the scale shape the
+    * k=8/batch=4 demo only extrapolated to. Returns the merge table with
+    * the PASS COUNT as a column, so the oracle (the sequential 64-round
+    * unroll) pins all three claims in one hash: batched selection ≡
+    * 1-merge-per-pass on this corpus, the artifact round trip is
+    * lossless, and passes == k/batchSize (batches fill — deferrals never
+    * cost an extra pass here). `recount=true` is the A/B arm that
+    * re-aggregates the full pair table every pass; it must produce the
+    * IDENTICAL frame (selection never changes — PackingSpec pins it),
+    * pricing what the delta algebra saves.
+    */
+  def bpeTrainK64(spark: SparkSession, docs: DataFrame, scratch: String,
+      k: Int = 64, batchSize: Int = 8, recount: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val artifact =
+      s"$scratch/bpe_merges_k$k" + (if (recount) "_recount" else "")
+    val (merges, passes) = bpeLearnBatched(docs, k, batchSize, recount)
+    merges.toDF("merge_round", "lhs", "rhs", "n")
+      .withColumn("passes", lit(passes.toLong))
       .coalesce(1)
       .write.mode("overwrite").parquet(artifact)
     spark.read.parquet(artifact)

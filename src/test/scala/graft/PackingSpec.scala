@@ -413,4 +413,17 @@ class PackingSpec extends GraftSpec {
       checkOnePass(docs, 3)
     }
   }
+
+  test("multi-pass trainer: delta-maintained and recounting arms select " +
+    "identical merge tables in identical passes (the k64 gauge's A/B)") {
+    import graft.operators.TextAnalysis.bpeLearnBatched
+    val docs = Tables.load(spark, sf, "documents")
+    val (delta, pd) = bpeLearnBatched(docs, 16, 8)
+    val (rec, pr) = bpeLearnBatched(docs, 16, 8, recount = true)
+    assert(delta === rec,
+      "the recounting arm must reproduce the delta-maintained selection")
+    assert(pd === pr && pd === 2,
+      s"batches fill on this corpus: expected k/batchSize = 2 passes, " +
+        s"got delta=$pd recount=$pr")
+  }
 }

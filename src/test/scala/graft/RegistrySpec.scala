@@ -122,8 +122,11 @@ class RegistrySpec extends GraftSpec {
       // r17: the in-plan-trained adaptive search became a contract query
       // when the persisted variant took over the benched leg (production
       // searches a built index; re-training per rep was the r16 verdict's
-      // one perf_weak item)
-      "sim_ann_ivfpq_filtered_adaptive")
+      // one perf_weak item); the layout advisor is manifest-only
+      // arithmetic like the gauges it ranks; the k=64 trainer gauge is
+      // the same driver-looped pipeline as the other vocab_bpe trainers
+      "sim_ann_ivfpq_filtered_adaptive", "io_cdc_layout_advise",
+      "vocab_bpe_train_k64")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
