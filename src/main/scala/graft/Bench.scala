@@ -28,11 +28,20 @@ object Bench {
     * the ratio of two rounds' `calibration_s` IS the host-speed ratio:
     * it separates "the machine got slower" from "the engine got slower"
     * inside one artifact read (the r10 ~1.9× total shift was
-    * environmental, and no committed artifact could show it). min-of-3
-    * like the batch rep discipline; the bench runs it at start AND end
-    * of the batch phase so a mid-run load shift is visible too.
+    * environmental, and no committed artifact could show it). Three reps
+    * per control point; the bench runs the control at START (before the
+    * cold passes), MIDDLE (between the cold and warm phases), and END
+    * (after the warm phase) so a load shift in ANY phase is visible.
+    * Flagging: the headline `calibration_s` is the min over all reps of
+    * all three points (a spike should not mislabel the round slow);
+    * `calibration_spread` = max/min of the three per-point mins, and
+    * `calibration_flagged` fires above 1.5 — above that the host moved
+    * mid-run and per-phase numbers under-normalize whatever ran during
+    * the spike. All nine raw reps are emitted (`calibration_reps`), so a
+    * cross-round comparison can normalize per phase without a manual
+    * interleaved A/B.
     */
-  private def calibration(spark: SparkSession): Double = {
+  private def calibration(spark: SparkSession): Vector[Double] = {
     import org.apache.spark.sql.functions._
     def exec(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -48,7 +57,7 @@ object Bench {
           "(a, x) -> a + length(x) * 31 + ascii(x)) AS f"))
       (System.nanoTime() - t0) / 1e9
     }
-    (1 to 3).map(_ => once()).min
+    (1 to 3).map(_ => once()).toVector
   }
 
   def main(args: Array[String]): Unit = {
@@ -130,7 +139,8 @@ object Bench {
     // in the JSON instead of a bogus latency.
     val warmReps =
       math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_REPS", "2").toInt)
-    val calStart = calibration(spark)
+    val calStartReps = calibration(spark)
+    val calStart = calStartReps.min
     val qseq = Registry.benchQueries.toSeq.sortBy(_._1)
     // Deterministic checkpoint reclaim between reps: the split/checkpoint
     // operators (quality gates, decontamination, LM scoring, gap-fill,
@@ -184,6 +194,10 @@ object Bench {
       qseq.map { case (name, _) => name -> Vector.empty[Double] }: _*)
     for (_ <- 1 to reps; (name, fn) <- qseq if !setupFailed(name))
       timed(fn).foreach(t => acc(name) = acc(name) :+ t)
+    // middle control: between the cold passes and the warm phase, so a
+    // load shift inside either phase is attributable from the JSON alone
+    val calMidReps = calibration(spark)
+    val calMid = calMidReps.min
     val accWarm = scala.collection.mutable.LinkedHashMap(
       qseq.map { case (name, _) => name -> Vector.empty[Double] }: _*)
     for ((name, fn) <- qseq if !setupFailed(name); _ <- 1 to warmReps)
@@ -220,11 +234,13 @@ object Bench {
         s"\"" + f + "\":" + qs.map(_._2).filter(_ >= 0).sum
       }.mkString("{", ",", "}")
     }
-    val calEnd = calibration(spark)
-    // The calibration headline is the faster of the two runs (a start- or
-    // end-of-phase load spike shouldn't mislabel the whole round slow);
-    // both raw numbers are emitted so mid-run drift stays visible.
-    val cal = math.min(calStart, calEnd)
+    val calEndReps = calibration(spark)
+    val calEnd = calEndReps.min
+    // The calibration headline is the fastest of the three control points
+    // (a load spike at any phase boundary shouldn't mislabel the whole
+    // round slow); every raw rep is emitted so mid-run drift stays
+    // visible and per-phase normalization needs no manual A/B.
+    val cal = Seq(calStart, calMid, calEnd).min
     // Host-normalized headline: wall seconds divided by the calibration
     // seconds — a dimensionless "engine work in units of this host's
     // fixed-workload time" that survives a host swap. Compare
@@ -236,13 +252,15 @@ object Bench {
     // the min) under-normalizes whatever ran during the spike — the
     // artifact self-flags instead of a judge having to diff load fields.
     val calSpread =
-      if (math.min(calStart, calEnd) > 0)
-        math.max(calStart, calEnd) / math.min(calStart, calEnd)
-      else -1.0
+      if (cal > 0) Seq(calStart, calMid, calEnd).max / cal else -1.0
     def calJson =
       s""""calibration_s":$cal,"calibration_start_s":$calStart,""" +
+        s""""calibration_mid_s":$calMid,""" +
         s""""calibration_end_s":$calEnd,"calibration_spread":$calSpread,""" +
         s""""calibration_flagged":${calSpread > 1.5},""" +
+        s""""calibration_reps":{"start":${calStartReps.mkString("[", ",", "]")},""" +
+        s""""mid":${calMidReps.mkString("[", ",", "]")},""" +
+        s""""end":${calEndReps.mkString("[", ",", "]")}},""" +
         s""""total_per_cal":${perCal(total)},""" +
         s""""total_warm_per_cal":${perCal(totalWarm)}"""
     val loadMid = loadAvg
