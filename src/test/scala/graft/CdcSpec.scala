@@ -775,6 +775,19 @@ class CdcSpec extends GraftSpec {
     val (sMinMax, sEd) = (scanned(1), scanned(2))
     assert(sEd < sMinMax,
       s"equi-depth must recover the squashed dimension: ed=$sEd minmax=$sMinMax")
+    // the ADVISOR must make the same call from the manifests alone: on
+    // this dense-id fixture equi-depth Z ranks first for the 2-D box
+    // workload (the crossover regime the CDC store's 41-file floor
+    // hides — there the oracle-pinned io_cdc_layout_advise picks the
+    // 1-D doc_id sort)
+    val advice = Cdc.adviseLayout(spark, root,
+      Seq(("by_doc_id", 0), ("zorder", 1), ("zorder_ed", 2)),
+      Seq(Seq(("doc_id", dlo, dhi), ("n_chars", nlo, nhi))))
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[Long]("rows_scanned")))
+    assert(advice.head._1 === "zorder_ed",
+      s"advisor must pick equi-depth Z on the dense-id fixture: " +
+        advice.mkString(", "))
   }
 
   test("zoned write range-splits each lang across tasks; file boundaries " +

@@ -76,8 +76,10 @@ class RegistrySpec extends GraftSpec {
     // interchange + malformed-record quarantine; layout evolution +
     // exactly-once streamed ingestion) + 1 from r16 (stats-ON posture,
     // range-split zoned writes, adaptive filtered ANN, equi-depth
-    // Z-order, incremental BPE counts); bump when a round adds a family
-    assert(rows === 42, s"SURVEY §2-B table has $rows rows — a new " +
+    // Z-order, incremental BPE counts) + 1 from r17 (persisted-index
+    // filtered-ANN serving, layout advisor/auto-OPTIMIZE, hot-value-safe
+    // rank grids, k=64 trainer gauge); bump when a round adds a family
+    assert(rows === 43, s"SURVEY §2-B table has $rows rows — a new " +
       "operator family must land as a contract row, not only in §8 notes")
   }
 
