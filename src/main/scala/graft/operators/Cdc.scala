@@ -596,14 +596,26 @@ object Cdc {
       * residual degrades to the pre-r17 one-window behavior, never to
       * wrong boundaries.
       */
-    def refineHot(d: DataFrame, keys: Seq[String], outCol: String): DataFrame = {
+    // Returns None when NO cell exceeds the threshold — the caller then
+    // skips the refinement joins entirely (and level 2 outright: sub-
+    // celling a grid with no heavy cells cannot create one, since the
+    // level-2 groups are sub-partitions of the same counts). Detection
+    // itself — one map-side-combinable agg to a cells-sized frame — is
+    // the unavoidable price of the guarantee; the common no-skew commit
+    // pays only that, never the join fan-out (the r17 bench measured the
+    // always-join version doubling zoned-write setup cost).
+    def refineHot(
+        d: DataFrame, keys: Seq[String], outCol: String): Option[DataFrame] = {
       val hot = d.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__hn"),
           min(col("__v")).as("__hv0"), max(col("__v")).as("__hv1"),
           min(col("doc_id")).as("__hd0"), max(col("doc_id")).as("__hd1"))
         .filter(col("__hn") > hotCellRows)
         .drop("__hn")
-      d.join(hot, keys, "left")
+        .localCheckpoint() // materialized once: the emptiness probe and
+      // the refinement join must not re-run the corpus agg
+      if (hot.head(1).isEmpty) None
+      else Some(d.join(hot, keys, "left")
         .withColumn(outCol,
           when(col("__hv0").isNull, lit(0L)) // not a heavy cell
             .when(col("__hv0") === col("__hv1"), expr(
@@ -612,7 +624,7 @@ object Cdc {
             .otherwise(expr(
               s"(__v - __hv0) div " +
                 s"greatest(1L, (__hv1 - __hv0) div ${zoneSubCells}L + 1L)")))
-        .drop("__hv0", "__hv1", "__hd0", "__hd1")
+        .drop("__hv0", "__hv1", "__hd0", "__hd1"))
     }
     // NULL primary values take the sentinel mn1 − 1: strictly below every
     // real value, so __v-ordering ≡ the writer's ascending NULLS FIRST
@@ -624,9 +636,13 @@ object Cdc {
       .withColumn("__c1", expr(s"(__v - ${mn1}L) div ${w1}L"))
       .withColumn("__c2",
         if (useSub) expr(s"(doc_id - ${mnD}L) div ${wD}L") else lit(0L))
-    val cells = refineHot(
-      refineHot(base, Seq("lang", "__c1", "__c2"), "__r1"),
-      Seq("lang", "__c1", "__c2", "__r1"), "__r2")
+    val cells = refineHot(base, Seq("lang", "__c1", "__c2"), "__r1") match {
+      case None =>
+        base.withColumn("__r1", lit(0L)).withColumn("__r2", lit(0L))
+      case Some(d1) =>
+        refineHot(d1, Seq("lang", "__c1", "__c2", "__r1"), "__r2")
+          .getOrElse(d1.withColumn("__r2", lit(0L)))
+    }
     val gridKeys = zoneGridKeys
     val starts = cells.groupBy((("lang" +: gridKeys)).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
