@@ -6271,6 +6271,42 @@ object ExtensionQueries {
         FROM adv"""),
       benchmark = false), // metadata-only arithmetic, not engine throughput
 
+    // The advisor under a MIXED workload (r17): one band query per
+    // dimension — the textbook Z-order case, where a 1-D sort serves its
+    // own dimension and scans ~everything for the other. Whether the
+    // curve wins HERE is a property of this store's file-count
+    // resolution; the oracle replays the two-query bill and the argmin,
+    // so the hash pins the true per-workload decision (and that it
+    // DIFFERS from the single-box workload's when the store says so).
+    QuerySpec(
+      "io_cdc_layout_advise_mixed",
+      (s, dir) => Cdc.layoutAdviceMixed(
+        s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.zorderEdStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + "," +
+        zcdcCtes + "," + zcdcEdCtes + "," + zcdcLayoutChunksCtes + """,
+        adv AS (
+          SELECT layout,
+                 CAST(COUNT(*) AS BIGINT) AS files_total,
+                 CAST(SUM((CASE WHEN mxd >= dlo AND mnd <= dhi
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN mxc >= nlo AND mnc <= nhi
+                                THEN 1 ELSE 0 END)) AS BIGINT)
+                   AS files_admitted,
+                 CAST(SUM((CASE WHEN mxd >= dlo AND mnd <= dhi
+                                THEN n ELSE 0 END)
+                        + (CASE WHEN mxc >= nlo AND mnc <= nhi
+                                THEN n ELSE 0 END)) AS BIGINT)
+                   AS rows_scanned,
+                 CAST(SUM(n) AS BIGINT) AS rows_total
+          FROM g, dband, nband GROUP BY layout)
+        SELECT layout, files_total, files_admitted, rows_scanned, rows_total,
+               CAST(row_number() OVER (ORDER BY rows_scanned, layout)
+                 AS BIGINT) AS rank
+        FROM adv"""),
+      benchmark = false), // metadata-only arithmetic, not engine throughput
+
     // AUTO-OPTIMIZE (r17): apply the advisor's winner as a rewrite-only
     // v7 commit (the choice itself costs manifest metadata; the rewrite
     // is the same one-time commit OPTIMIZE already prices). Output = the

@@ -2151,6 +2151,24 @@ object Cdc {
       Seq(Seq(("doc_id", dlo, dhi), ("n_chars", nlo, nhi))))
   }
 
+  /** The advisor under a MIXED workload — one band query per dimension,
+    * the textbook multi-dimensional case: a 1-D sort serves its own
+    * dimension's query class and scans ~everything for the other, while
+    * a space-filling curve trades both. Whether the curve actually wins
+    * HERE is a property of this store's file-count resolution — which is
+    * exactly what the advisor exists to decide from the manifests
+    * instead of folklore; the oracle replays the argmin so the hash pins
+    * the true answer.
+    */
+  def layoutAdviceMixed(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    zorderEdStore(spark, docs, scratch)
+    val (dlo, dhi) = zoneBand(docs)
+    val (nlo, nhi) = nCharsBand(docs)
+    adviseLayout(spark, scratch, zedLayouts,
+      Seq(Seq(("doc_id", dlo, dhi)), Seq(("n_chars", nlo, nhi))))
+  }
+
   /** Apply an advice frame's winner as a rewrite-only commit — the
     * auto-OPTIMIZE decision step. The winner read is ONE metadata row;
     * the commit is the same one-time rewrite the manual OPTIMIZE /

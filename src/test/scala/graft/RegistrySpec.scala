@@ -128,7 +128,7 @@ class RegistrySpec extends GraftSpec {
       // arithmetic like the gauges it ranks; the k=64 trainer gauge is
       // the same driver-looped pipeline as the other vocab_bpe trainers
       "sim_ann_ivfpq_filtered_adaptive", "io_cdc_layout_advise",
-      "vocab_bpe_train_k64")
+      "io_cdc_layout_advise_mixed", "vocab_bpe_train_k64")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
