@@ -1856,6 +1856,55 @@ object ExtensionQueries {
       // the persisted/appended/compacted ANN twins
       oracle = incrementalDedupOracle),
 
+    // RTBF PURGE of the standing bucket index (r18): write the base
+    // index (coin >= 10), purge every doc_id ≡ 3 (mod 7) — the staged
+    // index rewrite — then verdict the delta (coin < 10) against what
+    // remains, without appending. The oracle rebuilds the index over
+    // base-minus-purged, so the hash proves a forgotten doc's buckets no
+    // longer collide: a delta doc whose ONLY near-dup was purged now
+    // verdicts clean, everything else is untouched.
+    QuerySpec(
+      "dedup_incremental_purged",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val coin = TextAnalysis.sampleCoin("inc")
+        val path = scratchPath("inc_purged", dir)
+        Dedup.writeBucketIndex(d.filter(coin >= 10), path)
+        Dedup.purgeBucketIndex(s, path,
+          d.select(col("doc_id")).where(col("doc_id") % 7 === 3))
+        Dedup.incrementalDedupPersisted(d.filter(coin < 10), path,
+          append = false)
+      },
+      benchmark = false, // full write → purge → check loop re-run each
+      // time, like the other index-lifecycle twins
+      oracle = Some(s"""
+        WITH $minhashCte,
+        bk AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash)
+                   AS bucket_key
+          FROM mh GROUP BY doc_id, j // 2),
+        coin AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS c
+          FROM documents),
+        idx AS (
+          SELECT DISTINCT band, bucket_key
+          FROM bk JOIN coin USING (doc_id)
+          WHERE c >= 10 AND doc_id % 7 <> 3),
+        hits AS (
+          SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bucket_hits
+          FROM bk JOIN coin USING (doc_id)
+          JOIN idx ON bk.band = idx.band AND bk.bucket_key = idx.bucket_key
+          WHERE coin.c < 10 GROUP BY bk.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_bucket_hits, 0) AS BIGINT) AS n_bucket_hits,
+               (COALESCE(h.n_bucket_hits, 0) > 0) AS is_dup
+        FROM documents d
+        JOIN coin c ON d.doc_id = c.doc_id AND c.c < 10
+        LEFT JOIN hits h ON d.doc_id = h.doc_id""")),
+
     // Exact n-gram-collision decontamination: the third triad member next
     // to MinHash (near-dup) and embedding (semantic) — train docs sharing
     // a VERBATIM 13-token window with an eval doc, the copied-sentence
@@ -2717,6 +2766,59 @@ object ExtensionQueries {
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY dist, vec_id) AS rn
           FROM ad) WHERE rn <= 10""")),
+
+    // RTBF PURGE of the persisted index (r18): train + persist the full
+    // index, purge every vec_id ≡ 3 (mod 10) — the tombstone append —
+    // then search the artifact. The oracle is the full-corpus IVFADC
+    // chain with the purged ids dropped from the candidate table, so the
+    // hash proves a purged id is never returned AND the survivors'
+    // ranks re-close over the hole (codebooks are untouched — RTBF
+    // removes rows, never retrains).
+    QuerySpec(
+      "sim_ann_ivfpq_purged",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val path = scratchPath("ivfpq_purged", dir)
+        Similarity.writeIvfPqIndexFull(e, path)
+        Similarity.purgeIvfPqPostings(s, path,
+          e.select(col("vec_id")).where(col("vec_id") % 10 === 3))
+        Similarity.annIvfPqAppended(e, path)
+      },
+      benchmark = false, // re-trains + rewrites + re-purges each run so
+      // the full purge protocol is always exercised fresh
+      oracle = Some(s"""
+        ${ivfPqCtes()}
+        SELECT qid, vec_id, dist, rn FROM (
+          SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, vec_id) AS rn
+          FROM ad WHERE vec_id % 10 <> 3) WHERE rn <= 10""")),
+
+    // The purge made PHYSICAL: same chain plus the compact that rewrites
+    // the postings without the tombstoned rows and retires the tombstone
+    // set. SAME oracle as sim_ann_ivfpq_purged — the hash-match is the
+    // proof that tombstone-then-compact ≡ logical purge (SimilaritySpec
+    // additionally pins the artifact content against a
+    // rebuild-from-surviving-rows index).
+    QuerySpec(
+      "sim_ann_ivfpq_purged_compacted",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val path = scratchPath("ivfpq_purged_c", dir)
+        Similarity.writeIvfPqIndexFull(e, path)
+        Similarity.purgeIvfPqPostings(s, path,
+          e.select(col("vec_id")).where(col("vec_id") % 10 === 3))
+        Similarity.compactIvfPqPostings(s, path)
+        Similarity.annIvfPqAppended(e, path)
+      },
+      benchmark = false, // re-trains + rewrites + re-purges + compacts
+      oracle = Some(s"""
+        ${ivfPqCtes()}
+        SELECT qid, vec_id, dist, rn FROM (
+          SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, vec_id) AS rn
+          FROM ad WHERE vec_id % 10 <> 3) WHERE rn <= 10""")),
 
     // The IVFADC recall contract vs exact L2: the composed index's
     // approximation cost (coarse pruning on top of PQ codes) as a
@@ -6307,6 +6409,42 @@ object ExtensionQueries {
         FROM adv"""),
       benchmark = false), // metadata-only arithmetic, not engine throughput
 
+    // LOGGED-WORKLOAD ADVISOR (r18): the same mixed two-query workload,
+    // but the advisor never sees a hand-authored band list — the two
+    // reads are issued against v6 with the workload-log sink attached,
+    // and the advisor is fed from the captured log alone. SAME oracle as
+    // io_cdc_layout_advise_mixed: the hash-match proves capture → replay
+    // reconstructs the exact workload (bands, grouping into
+    // conjunctions, and the decision).
+    QuerySpec(
+      "io_cdc_layout_advise_logged",
+      (s, dir) => Cdc.layoutAdviceLogged(
+        s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.zorderEdStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + "," +
+        zcdcCtes + "," + zcdcEdCtes + "," + zcdcLayoutChunksCtes + """,
+        adv AS (
+          SELECT layout,
+                 CAST(COUNT(*) AS BIGINT) AS files_total,
+                 CAST(SUM((CASE WHEN mxd >= dlo AND mnd <= dhi
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN mxc >= nlo AND mnc <= nhi
+                                THEN 1 ELSE 0 END)) AS BIGINT)
+                   AS files_admitted,
+                 CAST(SUM((CASE WHEN mxd >= dlo AND mnd <= dhi
+                                THEN n ELSE 0 END)
+                        + (CASE WHEN mxc >= nlo AND mnc <= nhi
+                                THEN n ELSE 0 END)) AS BIGINT)
+                   AS rows_scanned,
+                 CAST(SUM(n) AS BIGINT) AS rows_total
+          FROM g, dband, nband GROUP BY layout)
+        SELECT layout, files_total, files_admitted, rows_scanned, rows_total,
+               CAST(row_number() OVER (ORDER BY rows_scanned, layout)
+                 AS BIGINT) AS rank
+        FROM adv"""),
+      benchmark = false), // metadata-only arithmetic, not engine throughput
+
     // AUTO-OPTIMIZE (r17): apply the advisor's winner as a rewrite-only
     // v7 commit (the choice itself costs manifest metadata; the rewrite
     // is the same one-time commit OPTIMIZE already prices). Output = the
@@ -6339,6 +6477,50 @@ object ExtensionQueries {
         SELECT st.lang, st.n_docs, st.sum_chars, st.fp_xor, win.layout
         FROM st, win"""),
       benchmark = true),
+
+    // COST-GATED auto-OPTIMIZE, the "keep" branch (r18): with the
+    // single-box workload and ONE expected replay, a rewrite can never
+    // pay — the per-replay saving is strictly bounded by the current
+    // layout's scan bill, itself at most the store's row count, which is
+    // exactly the rewrite's cost — so the gate must answer "keep" from
+    // the manifests alone and write NOTHING. The oracle replays the
+    // whole decision (winner argmin, saving, rewrite cost, the gate
+    // inequality), so the hash pins the decision row itself; CdcSpec
+    // pins the other branch (a replay count that amortizes → the commit
+    // lands, content identical to the ungated auto-OPTIMIZE) and that
+    // "keep" leaves no new version behind.
+    QuerySpec(
+      "io_cdc_optimize_auto_keep",
+      (s, dir) => Cdc.optimizeGateDecision(
+        Cdc.layoutAdvice(s, docs(s, dir), scratchPath("zone", dir)),
+        current = "zorder_ed", nReplays = 1L),
+      setup = Some((s, dir) =>
+        Cdc.zorderEdStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + "," +
+        zcdcCtes + "," + zcdcEdCtes + "," + zcdcLayoutChunksCtes + """,
+        adv AS (
+          SELECT layout,
+                 CAST(SUM(CASE WHEN mxd >= dlo AND mnd <= dhi
+                                AND mxc >= nlo AND mnc <= nhi
+                               THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+                 CAST(SUM(n) AS BIGINT) AS rows_total
+          FROM g, dband, nband GROUP BY layout),
+        win AS (
+          SELECT layout AS winner, rows_scanned AS win_rows, rows_total
+          FROM adv ORDER BY rows_scanned, layout LIMIT 1),
+        cur AS (
+          SELECT rows_scanned AS cur_rows FROM adv
+          WHERE layout = 'zorder_ed')
+        SELECT win.winner,
+               CAST(cur.cur_rows - win.win_rows AS BIGINT) AS saving_rows,
+               CAST(win.rows_total AS BIGINT) AS rewrite_rows,
+               CASE WHEN win.winner = 'zorder_ed' THEN 'keep'
+                    WHEN (cur.cur_rows - win.win_rows) * 1 > win.rows_total
+                      THEN 'rewrite'
+                    ELSE 'keep' END AS action,
+               CAST(1 AS BIGINT) AS n_replays
+        FROM win, cur"""),
+      benchmark = false), // metadata-only arithmetic, not engine throughput
 
     // ---- fuzzy entity resolution (r12) -------------------------------
     // Engine side blocks candidate pairs with SymSpell ≤2-deletion

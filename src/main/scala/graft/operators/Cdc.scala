@@ -552,16 +552,23 @@ object Cdc {
     val bounds = df.agg(count(lit(1)),
       min(col(v1).cast("long")), max(col(v1).cast("long")),
       count(col(v1)),
-      min(col("doc_id")), max(col("doc_id"))).head
+      min(col("doc_id")), max(col("doc_id")),
+      count(col("doc_id"))).head
     if (bounds.getLong(0) == 0L) return None
     // rows exist: doc_id (the store key) is never NULL; a primary sort
     // column that is partly or even entirely NULL still zones — NULLs
     // map to the sentinel mn1 − 1 below, which sorts exactly where
     // ascending NULLS FIRST puts the rows, so grid cells stay valid
-    // intervals of the sort order.
-    require(!bounds.isNullAt(4),
-      "zoned write: doc_id must be non-null (it is the store key and the " +
-        "total-order tiebreaker every file boundary derives from)")
+    // intervals of the sort order. The guard compares COUNTS (not just
+    // min IS NULL, which fires only when EVERY doc_id is null): any null
+    // doc_id would flow into the sub-cell / heavy-single-valued-cell
+    // interval arithmetic as a null grid key and silently misplace rank
+    // groups, so it must fail loudly here.
+    require(bounds.getLong(6) == bounds.getLong(0),
+      "zoned write: doc_id must be non-null on every row (it is the " +
+        "store key and the total-order tiebreaker every file boundary " +
+        s"derives from); ${bounds.getLong(0) - bounds.getLong(6)} null " +
+        "doc_id rows found")
     val (mn1, mx1) =
       if (bounds.isNullAt(1)) (0L, 0L)
       else (bounds.getLong(1), bounds.getLong(2))
@@ -687,8 +694,10 @@ object Cdc {
       spark: SparkSession, root: String, v: Int,
       langs: Seq[String] = Nil,
       idRange: Option[(Long, Long)] = None,
-      statRange: Option[(String, Long, Long)] = None): DataFrame =
-    readManifest(spark, s"$root/m/v=$v", langs, idRange, statRange)
+      statRange: Option[(String, Long, Long)] = None,
+      workloadLog: Option[(String, Long)] = None): DataFrame =
+    readManifest(spark, s"$root/m/v=$v", langs, idRange, statRange,
+      workloadLog)
 
   /** The manifest TABLE of a version/branch, optionally pruned to a
     * lang subset — the partition predicate reaches the manifest's own
@@ -712,13 +721,31 @@ object Cdc {
       spark: SparkSession, manifestPath: String,
       langs: Seq[String] = Nil,
       idRange: Option[(Long, Long)] = None,
-      statRange: Option[(String, Long, Long)] = None): DataFrame = {
+      statRange: Option[(String, Long, Long)] = None,
+      workloadLog: Option[(String, Long)] = None): DataFrame = {
     // every stat predicate admits only files whose recorded [min, max]
     // overlaps the band — no false negatives by construction, so any
     // zone-mapped column can prune (doc_id via idRange; n_chars once a
     // resort commit makes its ranges tight, see [[resortCommit]])
     val bands = idRange.map { case (lo, hi) => ("doc_id", lo, hi) }.toSeq ++
       statRange.toSeq
+    // WORKLOAD CAPTURE (r18): when a log sink is given, record the band
+    // predicates this read actually issues — (query id, column, lo, hi),
+    // a few rows per read, appended before any data is touched — so the
+    // layout advisor can consume OBSERVED reads ([[adviseLayoutLogged]])
+    // instead of a hand-authored workload. The append is metadata-sized
+    // by construction (|bands| rows); a production deployment batches
+    // these through the streaming commit discipline rather than one
+    // parquet file per read, which is fine at advisor cadence.
+    workloadLog.foreach { case (logDir, qid) =>
+      if (bands.nonEmpty) {
+        import spark.implicits._
+        bands.map { case (c, lo, hi) => (qid, c, lo, hi) }
+          .toDF("qid", "col_name", "lo", "hi")
+          .coalesce(1)
+          .write.mode("append").parquet(logDir)
+      }
+    }
     val pruned = bands.foldLeft(manifestFrame(spark, manifestPath, langs)) {
       case (m, (c, lo, hi)) =>
         m.where(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
@@ -1462,6 +1489,37 @@ object Cdc {
     * version and disturbed nothing else — including the untouched
     * clean-partition files all three manifests still share.
     */
+  /** One RTBF call that hits the store AND every derived artifact — the
+    * consistency contract a 100 TB pipeline actually needs: purging the
+    * versioned store ([[rtbfPurge]]) while a doc's vectors stay
+    * searchable in the ANN posting artifact and its shingles keep
+    * colliding in the dedup bucket index is the compliance gap, not a
+    * smaller purge. The id set each sweep removes is read FROM the
+    * artifact itself (filter on the same `id % mod == res` predicate the
+    * store purge used), so the call needs no external id list and never
+    * rescans the corpus: the ANN sweep is an O(|purged|) tombstone
+    * append ([[graft.operators.Similarity.purgeIvfPqPostings]] — physical
+    * removal lands at the next compact), the dedup sweep is the standing
+    * index-rewrite cadence ([[graft.operators.Dedup.purgeBucketIndex]]).
+    */
+  def rtbfPurgeAll(
+      spark: SparkSession, root: String, versions: Seq[Int],
+      purgeMod: Long, purgeRes: Long,
+      annIndexDir: Option[String] = None,
+      dedupIndexDir: Option[String] = None): Unit = {
+    rtbfPurge(spark, root, versions, purgeMod, purgeRes)
+    annIndexDir.foreach { d =>
+      Similarity.purgeIvfPqPostings(spark, d,
+        spark.read.parquet(s"$d/postings").select(col("vec_id"))
+          .where(col("vec_id") % purgeMod === purgeRes))
+    }
+    dedupIndexDir.foreach { d =>
+      Dedup.purgeBucketIndex(spark, d,
+        spark.read.parquet(d).select(col("doc_id"))
+          .where(col("doc_id") % purgeMod === purgeRes))
+    }
+  }
+
   def rtbfStore(
       spark: SparkSession, docs: DataFrame, scratch: String): Unit =
     buildOnce(spark, scratch, s"$scratch/m/v=2") {
@@ -1968,21 +2026,57 @@ object Cdc {
     * quantized value is a pure function of the value and the oracle's
     * `rank() OVER (ORDER BY n_chars)` reproduces it exactly).
     */
-  private def zorderEquiDepthKeyed(df: DataFrame, bucketBits: Int): DataFrame = {
+  private[graft] def zorderEquiDepthKeyed(
+      df: DataFrame, bucketBits: Int, keepKeys: Boolean = false): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val bounds = df.agg(min(col("doc_id")), max(col("doc_id")),
       count(lit(1)), min(col("n_chars")), max(col("n_chars"))).head
+    // empty input: no ranks to compute and every min/max agg cell is
+    // NULL — return the (empty) frame with the key column attached
+    // rather than letting an unconditional getLong surface as an NPE
+    if (bounds.getLong(2) == 0L) return df.withColumn("zbucket", lit(0L))
     val (mn, mx, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
     val (mnC, mxC) = (bounds.getLong(3), bounds.getLong(4))
     val wd = math.max(1L, (mx - mn) / 4096L + 1L)
     val cells = df.withColumn("__c", expr(s"(doc_id - ${mn}L) div ${wd}L"))
-    val starts = cells.groupBy(col("__c")).agg(count(lit(1)).as("__cnt"))
+    // CLUSTERED-id refinement (the zoneGrid refineHot discipline, r17
+    // verdict #4): RTBF holes or id-space migrations can pile one fixed-
+    // width __c cell with rows (ids dense in a narrow band of a wide
+    // [mn, mx]), serializing that cell's row_number window through one
+    // task. Any cell whose count exceeds the uniform-fill expectation by
+    // 4× re-cells on doc_id intervals WITHIN its own [min, max] — ids
+    // are unique, so a sub-cell of width ceil(range/256) holds at most
+    // that many rows, cutting the worst window 256× in one level. The
+    // split is a pure function of STATE (counts + per-cell id bounds, no
+    // sampling), and ranks are unchanged — sub-cells are intervals of
+    // the id order — so the oracle's rank() replay is untouched.
+    // Skew-free inputs detect (one map-side-combinable agg) and skip the
+    // refinement join entirely.
+    val hotCellRows = math.max(1024L, 4L * (n / 4096L + 1L))
+    val hot = cells.groupBy(col("__c"))
+      .agg(count(lit(1)).as("__hn"),
+        min(col("doc_id")).as("__hd0"), max(col("doc_id")).as("__hd1"))
+      .filter(col("__hn") > hotCellRows)
+      .drop("__hn")
+      .localCheckpoint() // materialized once: emptiness probe + join
+    val celled =
+      if (hot.head(1).isEmpty) cells.withColumn("__r", lit(0L))
+      else cells.join(hot, Seq("__c"), "left")
+        .withColumn("__r",
+          when(col("__hd0").isNull, lit(0L)).otherwise(expr(
+            "(doc_id - __hd0) div " +
+              "greatest(1L, (__hd1 - __hd0) div 256L + 1L)")))
+        .drop("__hd0", "__hd1")
+    val starts = celled.groupBy(col("__c"), col("__r"))
+      .agg(count(lit(1)).as("__cnt"))
       .withColumn("__start", coalesce(sum(col("__cnt")).over(
-        w.orderBy(col("__c")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+        w.orderBy(col("__c"), col("__r")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
       .drop("__cnt")
-    val ra = cells.join(starts, Seq("__c"))
+    val ra = celled.join(starts, Seq("__c", "__r"))
       .withColumn("__ra", col("__start") +
-        row_number().over(w.partitionBy(col("__c")).orderBy(col("doc_id"))))
+        row_number().over(
+          w.partitionBy(col("__c"), col("__r")).orderBy(col("doc_id"))))
     // the value rank ALSO goes through the interval grid: per-value
     // counts bucket into ≤4096 value cells, the cell prefix sum runs
     // over that metadata-sized frame, and the within-cell running sum
@@ -2002,12 +2096,13 @@ object Cdc {
         w.partitionBy(col("__vcell")).orderBy(col("n_chars"))
           .rowsBetween(Long.MinValue, -1)), lit(0L)) + 1L)
       .select(col("n_chars"), col("__rb"))
-    ra.join(vrank, Seq("n_chars"))
+    val keyed = ra.join(vrank, Seq("n_chars"))
       .withColumn("qa", expr(s"((__ra - 1) * 65536) div ${n}L"))
       .withColumn("qb", expr(s"((__rb - 1) * 65536) div ${n}L"))
       .withColumn("zbucket",
         shiftright(StorageLayout.morton(col("qa"), col("qb")), 32 - bucketBits))
-      .drop("__c", "__start", "__ra", "__rb", "qa", "qb")
+    if (keepKeys) keyed.drop("__start", "__rb", "qa", "qb")
+    else keyed.drop("__c", "__r", "__start", "__ra", "__rb", "qa", "qb")
   }
 
   /** OPTIMIZE ZORDER with EQUI-DEPTH quantization as a commit: same
@@ -2116,6 +2211,13 @@ object Cdc {
       spark: SparkSession, root: String,
       layouts: Seq[(String, Int)],
       workload: Seq[Seq[(String, Long, Long)]]): DataFrame = {
+    // advisor contract: a workload is a non-empty bag of queries, each a
+    // non-empty conjunction of bands — anything else has no scan bill to
+    // rank by, so fail with the contract named instead of the opaque
+    // empty.reduce error the Seq#reduce calls below would raise
+    require(layouts.nonEmpty && workload.nonEmpty && workload.forall(_.nonEmpty),
+      "adviseLayout contract: layouts and workload must be non-empty, and " +
+        "every workload query must carry at least one (column, lo, hi) band")
     val ranked = layouts.map { case (label, v) =>
       val m = manifestFrame(spark, s"$root/m/v=$v")
       val admits = workload.map(_.map { case (c, lo, hi) =>
@@ -2169,6 +2271,61 @@ object Cdc {
       Seq(Seq(("doc_id", dlo, dhi)), Seq(("n_chars", nlo, nhi))))
   }
 
+  /** The advisor fed from a CAPTURED workload log ([[readManifest]]'s
+    * `workloadLog` sink) instead of a hand-authored band list — the
+    * advisor's real-world form: nothing about the workload is written
+    * down by a human; the reads themselves left the record. Each logged
+    * qid's bands re-assemble into one conjunction (grouped engine-side,
+    * collected at |log| rows — the log is metadata-sized by
+    * construction), ordered by qid for determinism, then ranked by the
+    * same [[adviseLayout]] arithmetic. CdcSpec pins log-fed ≡ hand-fed
+    * on identical bands.
+    */
+  def adviseLayoutLogged(
+      spark: SparkSession, root: String,
+      layouts: Seq[(String, Int)], logDir: String): DataFrame = {
+    val logged = spark.read.parquet(logDir)
+      .select("qid", "col_name", "lo", "hi")
+      .distinct() // replayed reads log identical rows; the workload is a
+      // SET of query shapes, not a traffic count — weighting by
+      // frequency would also be legitimate, but the registered contract
+      // pins the set semantics
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+    val workload = logged.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(_._2).sortBy(_._1).toSeq }
+    adviseLayout(spark, root, layouts, workload)
+  }
+
+  /** Registered logged-advisor chain: the two mixed-workload reads are
+    * ISSUED against v6 with the workload log attached (each read prunes
+    * through its band and leaves its record; the frames themselves are
+    * discarded — manifest pruning happens eagerly, so logging costs no
+    * data scan), then the advisor is fed from the log alone. Same bands
+    * as [[layoutAdviceMixed]], so the oracle — and the decision — must
+    * match the hand-fed mixed advisor exactly.
+    */
+  def layoutAdviceLogged(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    zorderEdStore(spark, docs, scratch)
+    val logDir = s"$scratch/wlog"
+    val (dlo, dhi) = zoneBand(docs)
+    val (nlo, nhi) = nCharsBand(docs)
+    buildOnce(spark, s"$scratch#wlog", s"$logDir/_logged") {
+      val fs = new org.apache.hadoop.fs.Path(logDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(logDir), true)
+      readVersion(spark, scratch, 6, idRange = Some((dlo, dhi)),
+        workloadLog = Some((logDir, 0L)))
+      readVersion(spark, scratch, 6,
+        statRange = Some(("n_chars", nlo, nhi)),
+        workloadLog = Some((logDir, 1L)))
+      fs.create(new org.apache.hadoop.fs.Path(s"$logDir/_logged"), true)
+        .close()
+    }
+    adviseLayoutLogged(spark, scratch, zedLayouts, logDir)
+  }
+
   /** Apply an advice frame's winner as a rewrite-only commit — the
     * auto-OPTIMIZE decision step. The winner read is ONE metadata row;
     * the commit is the same one-time rewrite the manual OPTIMIZE /
@@ -2188,6 +2345,54 @@ object Cdc {
         s"adviseLayout returned an unknown layout label: $other")
     }
     winner
+  }
+
+  /** COST GATE for auto-OPTIMIZE (r18): the decision row that says
+    * whether applying the advisor's winner pays for itself — projected
+    * saving vs rewrite cost, BOTH from manifests alone. Saving per
+    * workload replay = current layout's scan bill − winner's (the
+    * advice frame already carries both); rewrite cost = the store's row
+    * count (a layout commit rewrites every row once). The rule: rewrite
+    * iff saving × `nReplays` (how many times the workload is expected
+    * to run before the next layout decision) exceeds the rewrite, and
+    * never when the winner IS the current layout. All integer
+    * arithmetic over ≤|layouts| metadata rows, so the DuckDB oracle
+    * replays the decision itself — not just the numbers.
+    */
+  def optimizeGateDecision(
+      advice: DataFrame, current: String, nReplays: Long): DataFrame = {
+    val w = advice.filter(col("rank") === 1L)
+      .select(col("layout").as("winner"),
+        col("rows_scanned").as("win_rows"), col("rows_total"))
+    val c = advice.filter(col("layout") === current)
+      .select(col("rows_scanned").as("cur_rows"))
+    w.crossJoin(c)
+      .select(col("winner"),
+        (col("cur_rows") - col("win_rows")).as("saving_rows"),
+        col("rows_total").as("rewrite_rows"),
+        when(col("winner") === current, lit("keep"))
+          .when((col("cur_rows") - col("win_rows")) * nReplays >
+            col("rows_total"), lit("rewrite"))
+          .otherwise(lit("keep")).as("action"),
+        lit(nReplays).as("n_replays"))
+  }
+
+  /** [[optimizeAutoCommit]] behind the cost gate: the rewrite-only
+    * commit happens ONLY when [[optimizeGateDecision]] says it pays; a
+    * "keep" decision writes NOTHING (no new version, no data files) —
+    * the branch the ungated r17 auto-OPTIMIZE lacked. Returns the
+    * decision row's (winner, action).
+    */
+  def optimizeAutoGatedCommit(
+      spark: SparkSession, root: String, fromV: Int, toV: Int,
+      targetRows: Int, advice: DataFrame, current: String,
+      nReplays: Long): (String, String) = {
+    val d = optimizeGateDecision(advice, current, nReplays)
+      .select("winner", "action").head
+    val (winner, action) = (d.getString(0), d.getString(1))
+    if (action == "rewrite")
+      optimizeAutoCommit(spark, root, fromV, toV, targetRows, advice)
+    (winner, action)
   }
 
   /** One-time build: the 4-layout chain, the advisor decision, and the

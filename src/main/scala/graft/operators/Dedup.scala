@@ -72,7 +72,7 @@ object Dedup {
     * Cross-engine evidence lives in the `text_tokenize_multiscript`
     * fixture oracle; DedupSpec pins the ASCII no-op bit-identity.
     */
-  private[operators] def tokens(text: Column): Column =
+  private[graft] def tokens(text: Column): Column =
     split(lower(trim(regexp_replace(text, UnsegmentedScript, " $1 "))), "\\s+")
 
   /** Word 3-gram shingles of a document as ONE array column per doc —
@@ -449,40 +449,9 @@ object Dedup {
   def foldStreamIndex(
       spark: org.apache.spark.sql.SparkSession,
       baseIndex: String, streamRoot: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val streamP = new org.apache.hadoop.fs.Path(streamRoot)
-    val fs = streamP.getFileSystem(conf)
-    val baseP = new org.apache.hadoop.fs.Path(baseIndex)
-    val stagingP = new org.apache.hadoop.fs.Path(s"${baseIndex}_folding")
-    // Self-heal the delete-then-rename crash window: base missing with a
-    // staging dir present can only mean a prior fold died between
-    // fs.delete(base) and fs.rename(staging, base). A base that still
-    // exists beside a stale staging dir (crash mid-staging-write) takes
-    // the normal path — mode=overwrite rewrites the staging dir.
-    if (!fs.exists(baseP) && fs.exists(stagingP)) {
-      // base gone + staging UNCOMMITTED cannot arise from this protocol's
-      // crash windows (the delete only runs after the staging write
-      // committed) — refuse loudly rather than promote a partial set
-      require(fs.exists(new org.apache.hadoop.fs.Path(stagingP, "_SUCCESS")),
-        s"fold self-heal refused: $stagingP exists without _SUCCESS while " +
-          s"$baseIndex is missing — not a known crash window, investigate")
-      require(fs.rename(stagingP, baseP),
-        s"fold self-heal failed: could not promote $stagingP to $baseIndex")
-    }
-    if (!fs.exists(streamP)) return
     val cols = Seq("doc_id", "bucket_key", "band")
-    val merged = spark.read.parquet(baseIndex).select(cols.map(col): _*)
-      .unionByName(
-        spark.read.option("basePath", streamRoot).parquet(streamRoot)
-          .select(cols.map(col): _*))
-      .distinct()
-    merged.repartition(col("band"))
-      .sortWithinPartitions(col("band"), col("bucket_key"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("band").parquet(stagingP.toString)
-    fs.delete(baseP, true)
-    require(fs.rename(stagingP, baseP),
-      s"fold swap failed: could not rename $stagingP to $baseIndex")
-    fs.delete(streamP, true)
+    StorageLayout.foldPartitionedIndex(spark, baseIndex, streamRoot,
+      cols.map(col), cols, "band", Seq("bucket_key", "doc_id"))
   }
 
   /** [[incrementalDedup]] as the daily-crawl READ-CHECK-UPDATE loop it
@@ -576,6 +545,41 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
     StorageLayout.compactPartitioned(
       spark, indexPath, "band", Seq("bucket_key", "doc_id"))
+
+  /** RTBF PURGE of the standing bucket index — the dedup half of the
+    * derived-artifact sweep beside [[graft.operators.Similarity
+    * .purgeIvfPqPostings]]: a doc purged from the store must also stop
+    * colliding through its persisted shingle buckets, or future deltas
+    * keep getting flagged against (and attributed to) a forgotten doc.
+    * Physical staged rewrite, not a tombstone set: every doc holds a row
+    * in EVERY band partition (no pruning to exploit), and the index is
+    * rewritten whole by [[foldStreamIndex]] / [[compactBucketIndex]]
+    * anyway, so the purge reuses exactly that swap discipline —
+    * anti-join the purged ids, one sorted file per band, staged
+    * write-then-rename. A purge set that touches nothing still pays one
+    * index rewrite; batch RTBF requests to the fold cadence when that
+    * matters.
+    */
+  def purgeBucketIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      purgedIds: DataFrame): Unit = {
+    val ids = purgedIds
+      .select(col(purgedIds.columns.head).cast("long").as("doc_id"))
+      .distinct()
+    val staging = s"${indexPath}_purging"
+    spark.read.parquet(indexPath)
+      .select(col("doc_id"), col("bucket_key"), col("band"))
+      .join(ids, Seq("doc_id"), "left_anti")
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("bucket_key"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("band").parquet(staging)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
+      s"purge swap failed: could not rename $staging to $indexPath")
+  }
 
   /** [[minhashBuckets]] in WIDE form: the input columns plus one STRING
     * band-key column `bk0..bk{nBands-1}` per LSH band — no row expansion,

@@ -1174,11 +1174,48 @@ object Similarity {
     * prevented, here ([[annRecallIvfPq]] is the drift gauge).
     */
   def appendIvfPqPostings(
-      embDelta: DataFrame, indexDir: String, m: Int = 8): Unit = {
-    val (ivfCents, pqCents) = loadIvfPqCodebooks(embDelta.sparkSession, indexDir)
-    ivfPqPostings(embDelta, ivfCents, pqCents, m)
+      embDelta: DataFrame, indexDir: String, m: Int = 8): Unit =
+    assignPostings(embDelta, indexDir, m)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/postings")
+
+  /** Scan-side posting assignment of a delta against the FROZEN
+    * persisted codebooks — the shared body of [[appendIvfPqPostings]]
+    * and the streaming maintenance slot ([[graft.streaming
+    * .StreamingQueries.maintainAnnBatch]]): O(nCents·dim) metadata
+    * loaded, then one pure per-row projection. Because it never looks
+    * at other rows, the SAME batch always assigns the SAME postings —
+    * the property the exactly-once replay slot and the fold's
+    * set-merge both lean on.
+    */
+  def assignPostings(
+      embDelta: DataFrame, indexDir: String, m: Int = 8): DataFrame = {
+    val (ivfCents, pqCents) =
+      loadIvfPqCodebooks(embDelta.sparkSession, indexDir)
+    ivfPqPostings(embDelta, ivfCents, pqCents, m)
+  }
+
+  /** Fold a maintenance stream's batch-keyed posting window back into
+    * the standing posting artifact — the dedup-index flush cadence
+    * ([[graft.operators.Dedup.foldStreamIndex]]) applied to ANN: the
+    * stream externalized each micro-batch's frozen-codebook postings as
+    * `batch=N` partitions; the fold set-merges that window into the
+    * base artifact every persisted search reads, one sorted file per
+    * cell, staged swap, then truncates the window. Assignment is a pure
+    * function of the frozen codebooks, so the folded index is
+    * row-identical to one-shot indexing of base ∪ streamed — the spec
+    * pins search equality — and the DISTINCT absorbs the crash-replay
+    * overlap (a batch folded twice, or re-emitted into the window after
+    * a fold, merges to the same set).
+    */
+  def foldStreamPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, streamRoot: String, m: Int = 8): Unit = {
+    val colNames = "vec_id" +: "cell" +: (0 until m).map(s => s"code_$s")
+    val cs = col("vec_id") +: col("cell").cast("int").as("cell") +:
+      (0 until m).map(s => col(s"code_$s"))
+    StorageLayout.foldPartitionedIndex(spark, s"$indexDir/postings",
+      streamRoot, cs, colNames, "cell", Seq("vec_id"))
   }
 
   /** Search the appended index: postings (base ∪ every appended delta)
@@ -1194,10 +1231,30 @@ object Similarity {
       nQueries: Int = 8, k: Int = 10, nProbe: Int = 3, m: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     val (ivfCents, pqCents) = loadIvfPqCodebooks(spark, indexDir)
+    ivfPqSearch(loadPostings(spark, indexDir, m), emb,
+      ivfCents, pqCents, nQueries, k, nProbe, m)
+  }
+
+  /** The SERVING read of the posting artifact, shared by every persisted
+    * search path: postings from the cell-partitioned files, minus any
+    * standing TOMBSTONES ([[purgeIvfPqPostings]]) — the anti-join is the
+    * read-side half of the tombstone-then-compact purge protocol, and it
+    * is attached only when a tombstone set exists, so an index that was
+    * never purged serves with exactly the pre-purge plan (the benched
+    * exec-audit pins stay byte-identical).
+    */
+  private def loadPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, m: Int): DataFrame = {
     val postings = spark.read.parquet(s"$indexDir/postings")
       .select(col("vec_id") +: col("cell").cast("int").as("cell") +:
         (0 until m).map(s => col(s"code_$s")): _*)
-    ivfPqSearch(postings, emb, ivfCents, pqCents, nQueries, k, nProbe, m)
+    val tp = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tp)) postings
+    else postings.join(
+      spark.read.parquet(tp.toString).select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
   }
 
   /** Compact the appended posting table: every append batch adds one
@@ -1220,9 +1277,75 @@ object Similarity {
     * write before the old directory is deleted.
     */
   def compactIvfPqPostings(
-      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit =
-    StorageLayout.compactPartitioned(
-      spark, s"$indexDir/postings", "cell", Seq("vec_id"))
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tp)) {
+      StorageLayout.compactPartitioned(
+        spark, s"$indexDir/postings", "cell", Seq("vec_id"))
+      return
+    }
+    // tombstones standing: the compact is also the purge's PHYSICAL half
+    // — rewrite with the tombstoned rows dropped, then retire the
+    // tombstone set. Order matters for crash safety: the tombstone dir is
+    // deleted only AFTER the swapped-in postings no longer contain the
+    // purged rows, so a crash anywhere in between leaves tombstones
+    // standing over already-purged postings — the anti-join then removes
+    // nothing, and the next compact retires them.
+    val path = s"$indexDir/postings"
+    val staging = s"${path}_compacting"
+    loadPostingsRaw(spark, indexDir)
+      .join(spark.read.parquet(tp.toString).select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
+      s"compaction swap failed: could not rename $staging to $path")
+    fs.delete(tp, true)
+  }
+
+  /** The posting artifact WITHOUT the tombstone anti-join — the
+    * compaction read (the rewrite applies tombstones itself) and the
+    * spec's physical-content probe.
+    */
+  private[graft] def loadPostingsRaw(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/postings")
+
+  /** RTBF PURGE of the persisted ANN index — the derived-artifact half of
+    * [[graft.operators.Cdc.rtbfPurge]]: a doc purged from the store must
+    * also stop being SEARCHABLE through the standing posting artifact,
+    * or the forgotten doc survives via `annIvfPqRerankPersisted` /
+    * `annIvfPqFilteredAdaptivePersisted` until a full index rebuild.
+    *
+    * Protocol = tombstone now, rewrite at compaction (the
+    * deletion-vector discipline of [[graft.operators.Cdc
+    * .buildDeletionVectors]] applied to the index): the purge call
+    * appends the purged ids to `$indexDir/tombstones` — O(|purged|)
+    * metadata, no corpus- or index-sized work — and every persisted
+    * search anti-joins the set ([[loadPostings]]), so the ids are
+    * unsearchable the moment the append lands. The next
+    * [[compactIvfPqPostings]] makes the removal PHYSICAL (the purged
+    * rows drop from the rewritten postings, the tombstone set retires) —
+    * at 100 TB that schedule is exactly how a compliance deadline is
+    * met without paying a full index rewrite per request. A tombstoned
+    * id stays dead across later appends (the anti-join outranks any
+    * append — re-adding a purged doc requires compacting first, which
+    * retires the tombstone): resurrection-by-append is the RTBF bug this
+    * exists to prevent. SimilaritySpec pins never-returned,
+    * no-resurrect-after-append, and purge+compact ≡
+    * rebuild-from-surviving-rows by posting-content hash.
+    */
+  def purgeIvfPqPostings(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      purgedIds: DataFrame): Unit =
+    purgedIds
+      .select(col(purgedIds.columns.head).cast("long").as("vec_id"))
+      .distinct()
+      .write.mode("append").parquet(s"$indexDir/tombstones")
 
   /** The IVFADC recall contract vs exact L2 (the metric PQ quantizes) —
     * the gate-checked number for the composed index: coarse pruning to
@@ -1482,10 +1605,7 @@ object Similarity {
     ensureIvfPqIndex(emb, indexDir)
     val spark = emb.sparkSession
     val (ivfCents, pqCents) = loadIvfPqCodebooks(spark, indexDir)
-    val postings = spark.read.parquet(s"$indexDir/postings")
-      .select(col("vec_id") +: col("cell").cast("int").as("cell") +:
-        (0 until m).map(s => col(s"code_$s")): _*)
-    val allowedPostings = postings
+    val allowedPostings = loadPostings(spark, indexDir, m)
       .join(allowedIds(docs, lang), Seq("vec_id"), "left_semi")
     adaptiveFilteredSearch(emb, allowedPostings, ivfCents, pqCents,
       nQueries, k, shortlist, nProbe, m)

@@ -297,6 +297,64 @@ object StorageLayout {
       s"compaction swap failed: could not rename $staging to $path")
   }
 
+  /** Fold a maintenance stream's batch-keyed window back into a
+    * partitioned base index — the generalized core of
+    * [[graft.operators.Dedup.foldStreamIndex]], shared with the ANN
+    * posting fold ([[graft.operators.Similarity.foldStreamPostings]]):
+    * set-merge (DISTINCT over `cols`) of base ∪ stream window, one
+    * sorted file per partition, staged write-then-rename swap, then
+    * stream-window truncate. Idempotent across every crash window of the
+    * delete-then-rename protocol: re-folding after a crash between swap
+    * and truncate re-merges an already-folded window into the same set;
+    * a fold with no stream window is a no-op; a crash INSIDE the swap
+    * (base deleted, staging not yet renamed) self-heals on the next call
+    * by promoting the staging dir — gated on its `_SUCCESS` marker, so a
+    * partial staging write can never become base (see the atomicity
+    * assumption note on [[Dedup.foldStreamIndex]]: HDFS/local rename
+    * semantics; use a manifest-pointer commit on object stores).
+    */
+  def foldPartitionedIndex(
+      spark: SparkSession, baseIndex: String, streamRoot: String,
+      cols: Seq[org.apache.spark.sql.Column], colNames: Seq[String],
+      partCol: String, sortCols: Seq[String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val streamP = new org.apache.hadoop.fs.Path(streamRoot)
+    val fs = streamP.getFileSystem(conf)
+    val baseP = new org.apache.hadoop.fs.Path(baseIndex)
+    val stagingP = new org.apache.hadoop.fs.Path(s"${baseIndex}_folding")
+    if (!fs.exists(baseP) && fs.exists(stagingP)) {
+      val marks = conf.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+      require(fs.exists(new org.apache.hadoop.fs.Path(stagingP, "_SUCCESS")),
+        if (marks)
+          s"fold self-heal refused: $stagingP exists without _SUCCESS " +
+            s"while $baseIndex is missing — not a known crash window, " +
+            "investigate"
+        else
+          s"fold self-heal refused: $stagingP has no _SUCCESS marker and " +
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=false — this " +
+            "protocol needs success markers to tell a committed staging " +
+            "dir from a partial one; re-enable markers or promote " +
+            s"$stagingP to $baseIndex manually after verifying it")
+      require(fs.rename(stagingP, baseP),
+        s"fold self-heal failed: could not promote $stagingP to $baseIndex")
+    }
+    if (!fs.exists(streamP)) return
+    val merged = spark.read.parquet(baseIndex).select(cols: _*)
+      .toDF(colNames: _*)
+      .unionByName(
+        spark.read.option("basePath", streamRoot).parquet(streamRoot)
+          .select(cols: _*).toDF(colNames: _*))
+      .distinct()
+    merged.repartition(col(partCol))
+      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(partCol).parquet(stagingP.toString)
+    fs.delete(baseP, true)
+    require(fs.rename(stagingP, baseP),
+      s"fold swap failed: could not rename $stagingP to $baseIndex")
+    fs.delete(streamP, true)
+  }
+
   /** Needle-in-the-corpus point lookup through a per-partition bloom
     * index: write the corpus lang-partitioned, build ONE bloom filter
     * per partition over `doc_id` (each a KB-scale driver-held artifact,

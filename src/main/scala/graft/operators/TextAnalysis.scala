@@ -721,6 +721,23 @@ object TextAnalysis {
     spark.read.parquet(artifact)
   }
 
+  /** Corpus-size threshold (total text chars) where the delta-maintained
+    * pair-count arm starts beating full recounting, measured on the
+    * replicated-sf0.1 ladder (tools/BpeProbe `rep` arg, r18 — SURVEY
+    * §8.21 records the runs): recounting's per-pass cost grows with the
+    * corpus while the delta's is O(|merged positions|) + flat overhead,
+    * so below the crossover the simple recount wins in absolute wall
+    * time and above it the algebra does. The EXCLUSIVE (sbt-idle) rungs
+    * bracket the crossover between ×16 (23.8 M chars: recount 102.8 s
+    * vs delta 122.2 s) and ×32 (47.5 M chars: delta 180.9 s vs recount
+    * 212.1 s); 35 M is the bracket's midpoint. The k64 trainer picks
+    * its arm by ONE cheap column-pruned `sum(length(text))` against
+    * this constant — both arms select identical merge tables
+    * (PackingSpec pins it), so the choice can never flip a result,
+    * only the bill.
+    */
+  val bpeDeltaMinChars: Long = 35000000L
+
   /** The realistic-vocab trainer GAUGE (r17): k=64 merges in batches of
     * 8 with the incremental pair-count algebra — the scale shape the
     * k=8/batch=4 demo only extrapolated to. Returns the merge table with
@@ -728,14 +745,27 @@ object TextAnalysis {
     * unroll) pins all three claims in one hash: batched selection ≡
     * 1-merge-per-pass on this corpus, the artifact round trip is
     * lossless, and passes == k/batchSize (batches fill — deferrals never
-    * cost an extra pass here). `recount=true` is the A/B arm that
-    * re-aggregates the full pair table every pass; it must produce the
-    * IDENTICAL frame (selection never changes — PackingSpec pins it),
-    * pricing what the delta algebra saves.
+    * cost an extra pass here). `arm` picks the pair-count maintenance
+    * strategy: "recount" re-aggregates the full pair table every pass,
+    * "delta" maintains it by [[bpeCountDelta]], and the default "auto"
+    * chooses by MEASURED corpus size against [[bpeDeltaMinChars]] (the
+    * r17 verdict's lesson: the delta arm's asymptotic is real but it
+    * LOSES in absolute below the crossover, so defaulting to it at
+    * harness SFs shipped the slower arm). Identical merge tables either
+    * way — PackingSpec pins arm-equivalence — so the hash is
+    * arm-invariant.
     */
   def bpeTrainK64(spark: SparkSession, docs: DataFrame, scratch: String,
-      k: Int = 64, batchSize: Int = 8, recount: Boolean = false): DataFrame = {
+      k: Int = 64, batchSize: Int = 8, arm: String = "auto"): DataFrame = {
     import spark.implicits._
+    val recount = arm match {
+      case "recount" => true
+      case "delta" => false
+      case "auto" =>
+        docs.agg(sum(length(col("text")))).head.getLong(0) < bpeDeltaMinChars
+      case other => throw new IllegalArgumentException(
+        s"bpeTrainK64 arm must be auto|delta|recount, got $other")
+    }
     val artifact =
       s"$scratch/bpe_merges_k$k" + (if (recount) "_recount" else "")
     val (merges, passes) = bpeLearnBatched(docs, k, batchSize, recount)

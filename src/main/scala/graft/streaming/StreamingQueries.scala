@@ -537,6 +537,39 @@ object StreamingQueries {
       .write.mode("overwrite").parquet(s"$streamRoot/batch=$batchId")
   }
 
+  final case class AnnVec(vec_id: Long, embedding: Seq[Float])
+
+  /** STREAM-MAINTAINED ANN index (r18) — the dedup-index maintenance
+    * cadence ([[dedupIndexMaintained]]) applied to the IVFADC posting
+    * artifact: each arriving micro-batch of vectors assigns cells + PQ
+    * codes against the FROZEN persisted codebooks (a pure per-row
+    * projection — nothing retrains) and externalizes them as a
+    * batch-id-keyed partition under `streamRoot`; the periodic
+    * [[graft.operators.Similarity.foldStreamPostings]] folds the window
+    * into the artifact every persisted search serves from. Exactly-once
+    * by the replay-slot discipline: `batch=N` is mode=overwrite and
+    * assignment is deterministic, so a crash-replayed batch rewrites
+    * the identical rows, and the fold's set-merge absorbs any
+    * window/fold overlap.
+    */
+  def annIndexMaintained(
+      spark: SparkSession, vecs: Dataset[AnnVec],
+      indexDir: String, streamRoot: String, m: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[AnnVec] =
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[AnnVec], batchId: Long) =>
+        maintainAnnBatch(batch.toDF(), batchId, indexDir, streamRoot, m)
+      }
+
+  /** One maintenance slot of [[annIndexMaintained]]: assign against the
+    * frozen codebooks, publish into the batch-id-keyed replay slot.
+    */
+  def maintainAnnBatch(
+      batch: DataFrame, batchId: Long,
+      indexDir: String, streamRoot: String, m: Int = 8): Unit =
+    graft.operators.Similarity.assignPostings(batch, indexDir, m)
+      .write.mode("overwrite").parquet(s"$streamRoot/batch=$batchId")
+
   // ---- custom stateful operator: streaming SCD2 dimension maintenance ------
 
   final case class Scd2Event(

@@ -905,4 +905,146 @@ class CdcSpec extends GraftSpec {
           s"says ${expected(k)}")
     }
   }
+
+  test("clustered doc ids in the equi-depth rank grid re-cell instead of " +
+    "serializing one window; ranks stay the exact global ranks") {
+    import org.apache.spark.sql.functions._
+    // two id clusters far apart (RTBF holes / id-space migration): the
+    // fixed-width 4096-cell grid over [mn, mx] pushes each cluster into
+    // ONE cell (~5000 rows), the r17 residual straggler shape for the
+    // doc_id rank. Refinement must doc-interval-split the heavy cells.
+    val docs = spark.range(0L, 10000L).select(
+      when(col("id") < 5000L, col("id") + 1L)
+        .otherwise(col("id") - 5000L + 1000000000L).as("doc_id"),
+      lit("en").as("lang"),
+      ((col("id") * 37L) % 997L + 10L).as("n_chars"))
+    val g = Cdc.zorderEquiDepthKeyed(docs, 8, keepKeys = true)
+      .select("doc_id", "n_chars", "__c", "__r", "__ra").collect()
+    // (a) bounded windows: unique ids mean a doc-interval sub-cell of
+    // width ceil(range/256) holds at most that many rows
+    val worst = g.groupBy(r =>
+      (r.getAs[Long]("__c"), r.getAs[Long]("__r"))).view.mapValues(_.length)
+    assert(worst.values.max <= 5000 / 256 + 2,
+      s"largest rank window holds ${worst.values.max} rows — a clustered " +
+        "id cell serialized through one window partition")
+    // (b) exactness: __ra is the exact global doc_id rank, per row
+    val rank = g.map(_.getAs[Long]("doc_id")).sorted.zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    g.foreach(r => assert(r.getAs[Long]("__ra") === rank(r.getAs[Long]("doc_id"))))
+    // (c) the skew-free path is unchanged: dense ids produce no heavy
+    // cell, and the keyed output matches a driver-side recompute of the
+    // full equi-depth Morton key
+    val dense = spark.range(1L, 2001L).select(col("id").as("doc_id"),
+      lit("en").as("lang"), ((col("id") * 13L) % 211L + 5L).as("n_chars"))
+    val keyed = Cdc.zorderEquiDepthKeyed(dense, 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("zbucket")).toMap
+    val rows = dense.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    val n = rows.length.toLong
+    val raM = rows.map(_._1).sorted.zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val sortedV = rows.map(_._2).sorted
+    val rbM = rows.map(_._2).distinct
+      .map(v => v -> (sortedV.indexWhere(_ == v) + 1L)).toMap
+    def morton16(a: Long, b: Long): Long = {
+      // mirror StorageLayout.morton: dim A at even bits, B shifted to odd
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    rows.foreach { case (id, v) =>
+      val qa = (raM(id) - 1L) * 65536L / n
+      val qb = (rbM(v) - 1L) * 65536L / n
+      assert(keyed(id) === (morton16(qa, qb) >> (32 - 8)),
+        s"zbucket mismatch for doc $id")
+    }
+  }
+
+  test("cost-gated auto-OPTIMIZE: keep writes nothing, an amortizing " +
+    "workload commits, and the gate arithmetic is exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // pure gate logic on hand-built advice frames (the decision is a
+    // deterministic function of 4 metadata rows)
+    def advice(rows: Seq[(String, Long, Long, Long)]) =
+      rows.toDF("layout", "rows_scanned", "rows_total", "rank")
+        .select(col("layout"), lit(0L).as("files_total"),
+          lit(0L).as("files_admitted"), col("rows_scanned"),
+          col("rows_total"), col("rank"))
+    val adv = advice(Seq(
+      ("by_doc_id", 100L, 10000L, 1L), ("zorder_ed", 600L, 10000L, 2L),
+      ("zorder", 700L, 10000L, 3L), ("by_n_chars", 900L, 10000L, 4L)))
+    def decide(a: org.apache.spark.sql.DataFrame, cur: String, reps: Long) = {
+      val r = Cdc.optimizeGateDecision(a, cur, reps).head
+      (r.getAs[String]("winner"), r.getAs[Long]("saving_rows"),
+        r.getAs[Long]("rewrite_rows"), r.getAs[String]("action"))
+    }
+    // saving 500/replay: 1 replay never pays 10000; 21 replays do
+    assert(decide(adv, "zorder_ed", 1L) === ("by_doc_id", 500L, 10000L, "keep"))
+    assert(decide(adv, "zorder_ed", 21L) ===
+      ("by_doc_id", 500L, 10000L, "rewrite"))
+    // winner == current keeps regardless of the replay count
+    assert(decide(adv, "by_doc_id", 1000000L)._4 === "keep")
+    // against the real store: keep writes NOTHING; a forced-amortizing
+    // replay count applies the winner as the v7 commit with no row moved
+    val docs2 = Tables.load(spark, sf, "documents")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gate").toString
+    Cdc.zorderEdStore(spark, docs2, root)
+    val realAdvice = Cdc.layoutAdvice(spark, docs2, root)
+    val (_, kept) = Cdc.optimizeAutoGatedCommit(
+      spark, root, 6, 7, Cdc.defaultZoneRows, realAdvice,
+      current = "zorder_ed", nReplays = 1L)
+    assert(kept === "keep", "a single replay can never amortize a full " +
+      "rewrite — the gate must keep")
+    assert(!new java.io.File(s"$root/m/v=7").exists(),
+      "keep must leave no new version behind")
+    // at the spec SF every layout ties at the file-resolution floor
+    // (saving = 0), so even an enormous replay count must keep — the
+    // honest decision, pinned
+    val (_, keptHuge) = Cdc.optimizeAutoGatedCommit(
+      spark, root, 6, 7, Cdc.defaultZoneRows, realAdvice,
+      current = "zorder_ed", nReplays = 1000000000L)
+    val saving = Cdc.optimizeGateDecision(realAdvice, "zorder_ed", 1L)
+      .head.getAs[Long]("saving_rows")
+    assert(saving === 0L && keptHuge === "keep",
+      s"saving $saving at the resolution floor should gate to keep")
+    assert(!new java.io.File(s"$root/m/v=7").exists())
+    // the rewrite branch, forced by an advice frame where the winner's
+    // saving amortizes: the commit lands as v7 — the same rewrite-only
+    // discipline as the ungated auto-OPTIMIZE — and moves no row
+    val (winner2, action2) = Cdc.optimizeAutoGatedCommit(
+      spark, root, 6, 7, Cdc.defaultZoneRows, adv,
+      current = "zorder_ed", nReplays = 21L)
+    assert(winner2 === "by_doc_id" && action2 === "rewrite")
+    assert(new java.io.File(s"$root/m/v=7").exists(),
+      "rewrite decision must land the commit")
+    val before = Cdc.readVersion(spark, root, 6)
+      .collect().map(_.toSeq).toSet
+    val after = Cdc.readVersion(spark, root, 7)
+      .collect().map(_.toSeq).toSet
+    assert(after === before, "the gated commit moved a row")
+  }
+
+  test("logged-workload advisor equals the hand-fed advisor on the same bands") {
+    val docs = Tables.load(spark, sf, "documents")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wlog").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[Long]("files_total"),
+        r.getAs[Long]("files_admitted"), r.getAs[Long]("rows_scanned"),
+        r.getAs[Long]("rows_total"), r.getAs[Long]("rank"))).toSet
+    val logged = rows(Cdc.layoutAdviceLogged(spark, docs, root))
+    val handFed = rows(Cdc.layoutAdviceMixed(spark, docs, root))
+    assert(logged === handFed && logged.nonEmpty,
+      "capture -> replay must reconstruct the hand-authored workload")
+    // the log itself is metadata-sized: exactly the two issued bands
+    val log = spark.read.parquet(s"$root/wlog")
+      .select("qid", "col_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(log === Set((0L, "doc_id"), (1L, "n_chars")))
+  }
 }

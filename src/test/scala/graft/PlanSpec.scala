@@ -1122,4 +1122,56 @@ class PlanSpec extends GraftSpec {
           "a shuffle multiplied somewhere")
     }
   }
+
+  test("metadata-sized-window pins: every remaining unpartitioned window's " +
+    "input frame is bounded by its documented metadata size") {
+    // r17 verdict #5: the single-partition windows that survive in the
+    // registry are each bounded BY CONSTRUCTION (distinct-key frames,
+    // ≤65536-cell grid histograms, per-day carries) — but the bound lived
+    // in comments, so a refactor that re-points one at a corpus-sized
+    // frame would ship a single-task window silently. This pin executes
+    // each unpartitioned logical Window's CHILD and asserts the actual
+    // row count against the documented bound; it also pins HOW MANY such
+    // windows each query carries, so a new one can't slip in unnoticed.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def windowInputs(df: DataFrame): Seq[Long] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          spark.sessionState.executePlan(w.child)
+            .executedPlan.execute().count()
+      }
+    // (query, expected unpartitioned-window count, bound, bound meaning)
+    val distinctKeys = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    val distinctToks = {
+      import org.apache.spark.sql.functions._
+      Tables.load(spark, sf, "documents")
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
+        .distinct().count()
+    }
+    val distinctDays = {
+      import org.apache.spark.sql.functions._
+      Tables.load(spark, sf, "events")
+        .select(to_date(col("ts"))).distinct().count()
+    }
+    val pins: Seq[(String, Int, Long, String)] = Seq(
+      ("gov_key_skew", 1, distinctKeys, "distinct join keys"),
+      // grid-histogram running sum (≤ 65536 quantized cells) + bucket
+      // table lag (≤ 21 rows); the bucket-table subtree appears TWICE in
+      // the logical plan (matched join + outer left join re-derive it),
+      // so both windows count double — all four inputs stay grid-bounded
+      ("gov_histogram", 4, 65537L, "grid histogram cells"),
+      ("text_vocab_coverage", 1, distinctToks, "distinct token types"),
+      ("ts_max_concurrent", 1, distinctDays, "distinct active days"))
+    pins.foreach { case (name, expected, bound, meaning) =>
+      val sizes = windowInputs(Registry.queries(name)(spark, sf))
+      assert(sizes.length === expected,
+        s"$name: ${sizes.length} unpartitioned windows (pinned $expected)" +
+          " — a window was added or removed; re-audit its input bound")
+      sizes.foreach(n => assert(n <= bound,
+        s"$name: an unpartitioned window reads $n rows — beyond its " +
+          s"documented bound of $bound ($meaning); this window is no " +
+          "longer metadata-sized"))
+    }
+  }
 }

@@ -78,8 +78,11 @@ class RegistrySpec extends GraftSpec {
     // range-split zoned writes, adaptive filtered ANN, equi-depth
     // Z-order, incremental BPE counts) + 1 from r17 (persisted-index
     // filtered-ANN serving, layout advisor/auto-OPTIMIZE, hot-value-safe
-    // rank grids, k=64 trainer gauge); bump when a round adds a family
-    assert(rows === 43, s"SURVEY §2-B table has $rows rows — a new " +
+    // rank grids, k=64 trainer gauge) + 1 from r18 (RTBF purge
+    // propagation to derived index artifacts, stream-maintained ANN
+    // postings, logged-workload advisor, cost-gated auto-OPTIMIZE);
+    // bump when a round adds a family
+    assert(rows === 44, s"SURVEY §2-B table has $rows rows — a new " +
       "operator family must land as a contract row, not only in §8 notes")
   }
 
@@ -128,7 +131,14 @@ class RegistrySpec extends GraftSpec {
       // arithmetic like the gauges it ranks; the k=64 trainer gauge is
       // the same driver-looped pipeline as the other vocab_bpe trainers
       "sim_ann_ivfpq_filtered_adaptive", "io_cdc_layout_advise",
-      "io_cdc_layout_advise_mixed", "vocab_bpe_train_k64")
+      "io_cdc_layout_advise_mixed", "vocab_bpe_train_k64",
+      // r18: the purge/lifecycle queries re-train + rewrite + re-purge
+      // their artifacts each run (the appended/compacted precedent); the
+      // logged advisor and the gate decision are manifest-metadata
+      // arithmetic like the advisor they feed
+      "sim_ann_ivfpq_purged", "sim_ann_ivfpq_purged_compacted",
+      "dedup_incremental_purged", "io_cdc_layout_advise_logged",
+      "io_cdc_optimize_auto_keep")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }

@@ -584,4 +584,110 @@ class SimilaritySpec extends GraftSpec {
     assert(persisted === inPlan && persisted.nonEmpty,
       "frozen-codebook serving must reproduce the in-plan-trained search")
   }
+
+  test("rtbf purge: tombstoned ids never returned, appends cannot resurrect, " +
+    "compact makes it physical and equals a rebuild from survivors") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sf, "embeddings")
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_purge").toString + "/index"
+    Similarity.writeIvfPqIndexFull(emb, dir)
+    val purged = emb.select(col("vec_id")).where(col("vec_id") % 10 === 3)
+    val purgedIds = purged.collect().map(_.getLong(0)).toSet
+    assert(purgedIds.nonEmpty)
+    def searchIds(d: String) = Similarity.annIvfPqAppended(emb, d).collect()
+      .map(_.getLong(1)).toSet
+    // fixture sanity: purged ids ARE returned before the purge — top-1 is
+    // self for every query, and qid 3 is purged, so the pin has teeth
+    assert(searchIds(dir).exists(purgedIds), "fixture: no purged id in " +
+      "pre-purge results — the never-returned pin would be vacuous")
+    // (a) logically purged the moment the tombstone lands
+    Similarity.purgeIvfPqPostings(spark, dir, purged)
+    val afterPurge = Similarity.annIvfPqAppended(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(afterPurge.nonEmpty &&
+      !afterPurge.exists(t => purgedIds(t._2)))
+    // every persisted serving path honors the tombstones
+    assert(!Similarity.annIvfPqRerankPersisted(emb, dir).collect()
+      .map(_.getLong(1)).exists(purgedIds))
+    assert(!Similarity.annIvfPqFilteredAdaptivePersisted(emb, docs, dir)
+      .collect().map(_.getLong(1)).exists(purgedIds))
+    // (b) an append cannot resurrect a tombstoned id — even one that
+    // re-ingests the purged vectors themselves
+    Similarity.appendIvfPqPostings(
+      emb.filter(col("vec_id") % 10 === 3), dir)
+    assert(!searchIds(dir).exists(purgedIds),
+      "append-after-purge resurrected a tombstoned id")
+    // (c) compact = the physical half: postings lose the purged rows,
+    // the tombstone set retires, and the artifact content equals a
+    // rebuild that never saw the purged vectors (same frozen codebooks,
+    // so assignment is identical row-for-row)
+    val searchBefore = Similarity.annIvfPqAppended(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    Similarity.compactIvfPqPostings(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "compact must retire the folded tombstone set")
+    // normalize column order: the artifact read appends the partition
+    // column last, the in-plan assignment carries it second
+    def normalized(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id") +: col("cell").cast("int") +:
+        (0 until 8).map(s => col(s"code_$s")): _*)
+      .collect().map(_.toSeq).toSet
+    val physical = normalized(Similarity.loadPostingsRaw(spark, dir))
+    assert(!physical.exists(r => purgedIds(r.head.asInstanceOf[Long])),
+      "purged rows survived the compact physically")
+    val rebuilt = normalized(Similarity.assignPostings(
+      emb.filter(col("vec_id") % 10 =!= 3), dir))
+    assert(physical === rebuilt,
+      "purge+compact must equal a rebuild from the surviving rows")
+    assert(Similarity.annIvfPqAppended(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet === searchBefore,
+      "physical purge changed what the logical purge already served")
+  }
+
+  test("stream-maintained postings: folded window equals one-shot indexing, " +
+    "replay and re-fold are no-ops") {
+    import org.apache.spark.sql.functions.{col, max}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val top = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val (cut, mid) = (top * 8L / 10L, top * 9L / 10L)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_stream").toString
+    val (dir, streamRoot) = (s"$root/index", s"$root/window")
+    Similarity.writeIvfPqIndexFull(emb.filter(col("vec_id") < cut), dir)
+    // two micro-batch maintenance slots, the second replayed (crash
+    // semantics): the slot is mode=overwrite and assignment is a pure
+    // function of the frozen codebooks, so the replay rewrites the
+    // identical rows
+    val b1 = emb.filter(col("vec_id") >= cut && col("vec_id") < mid)
+    val b2 = emb.filter(col("vec_id") >= mid)
+    graft.streaming.StreamingQueries.maintainAnnBatch(
+      b1.toDF(), 0L, dir, streamRoot)
+    graft.streaming.StreamingQueries.maintainAnnBatch(
+      b2.toDF(), 1L, dir, streamRoot)
+    val slot1 = spark.read.parquet(s"$streamRoot/batch=1").collect()
+      .map(_.toSeq).toSet
+    graft.streaming.StreamingQueries.maintainAnnBatch(
+      b2.toDF(), 1L, dir, streamRoot) // replay
+    assert(spark.read.parquet(s"$streamRoot/batch=1").collect()
+      .map(_.toSeq).toSet === slot1, "replayed slot must be content-stable")
+    // fold the window: the served artifact now covers base ∪ streamed,
+    // row-identical to one-shot indexing under the same frozen codebooks
+    Similarity.foldStreamPostings(spark, dir, streamRoot)
+    assert(!new java.io.File(streamRoot).exists(),
+      "fold must truncate the stream window")
+    val folded = Similarity.annIvfPqAppended(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val oneShot = Similarity.annIvfPqPersisted(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(folded === oneShot && folded.nonEmpty)
+    // a fold with no window is a no-op
+    val before = Similarity.loadPostingsRaw(spark, dir).collect()
+      .map(_.toSeq).toSet
+    Similarity.foldStreamPostings(spark, dir, streamRoot)
+    assert(Similarity.loadPostingsRaw(spark, dir).collect()
+      .map(_.toSeq).toSet === before)
+  }
 }
