@@ -6445,6 +6445,45 @@ object ExtensionQueries {
         FROM adv"""),
       benchmark = false), // metadata-only arithmetic, not engine throughput
 
+    // FREQUENCY-WEIGHTED logged advisor (r18): the same two band shapes,
+    // but the doc_id band is ISSUED three times for every n_chars band
+    // and the advisor prices each logged qid at its observed replay
+    // count (the duplicate log rows a set-semantics advisor collapses
+    // ARE the traffic). The pin is the DECISION FLIPPING with the
+    // frequency alone — at sf0.1 the 1:1 mix picks the equi-depth Z
+    // layout while 3:1 drags the bill to the 1-D doc_id sort (bands and
+    // store identical in both queries); at sf0.01 the 6-file resolution
+    // floor ties all four either way, same as the mixed pin — honest
+    // and hashed. The oracle inlines the 3× multiplier into the replay.
+    QuerySpec(
+      "io_cdc_layout_advise_weighted",
+      (s, dir) => Cdc.layoutAdviceWeighted(
+        s, docs(s, dir), scratchPath("zone", dir)),
+      setup = Some((s, dir) =>
+        Cdc.zorderEdStore(s, docs(s, dir), scratchPath("zone", dir))),
+      oracle = Some("WITH " + cdcFinal2Cte + "," + zcdcBands + "," +
+        zcdcCtes + "," + zcdcEdCtes + "," + zcdcLayoutChunksCtes + """,
+        adv AS (
+          SELECT layout,
+                 CAST(COUNT(*) AS BIGINT) AS files_total,
+                 CAST(SUM(3 * (CASE WHEN mxd >= dlo AND mnd <= dhi
+                                THEN 1 ELSE 0 END)
+                        + (CASE WHEN mxc >= nlo AND mnc <= nhi
+                                THEN 1 ELSE 0 END)) AS BIGINT)
+                   AS files_admitted,
+                 CAST(SUM(3 * (CASE WHEN mxd >= dlo AND mnd <= dhi
+                                THEN n ELSE 0 END)
+                        + (CASE WHEN mxc >= nlo AND mnc <= nhi
+                                THEN n ELSE 0 END)) AS BIGINT)
+                   AS rows_scanned,
+                 CAST(SUM(n) AS BIGINT) AS rows_total
+          FROM g, dband, nband GROUP BY layout)
+        SELECT layout, files_total, files_admitted, rows_scanned, rows_total,
+               CAST(row_number() OVER (ORDER BY rows_scanned, layout)
+                 AS BIGINT) AS rank
+        FROM adv"""),
+      benchmark = false), // metadata-only arithmetic, not engine throughput
+
     // AUTO-OPTIMIZE (r17): apply the advisor's winner as a rewrite-only
     // v7 commit (the choice itself costs manifest metadata; the rewrite
     // is the same one-time commit OPTIMIZE already prices). Output = the

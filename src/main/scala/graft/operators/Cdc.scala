@@ -2210,25 +2210,45 @@ object Cdc {
   def adviseLayout(
       spark: SparkSession, root: String,
       layouts: Seq[(String, Int)],
-      workload: Seq[Seq[(String, Long, Long)]]): DataFrame = {
+      workload: Seq[Seq[(String, Long, Long)]]): DataFrame =
+    adviseLayoutWeighted(spark, root, layouts, workload.map((_, 1L)))
+
+  /** [[adviseLayout]] with per-query REPLAY WEIGHTS — the bill of a
+    * workload where queries repeat at different rates: a query of weight
+    * w contributes w × its admitted files/rows per traffic replay, so a
+    * layout that slightly loses the 1:1 ranking can win once the hot
+    * query is priced at its observed frequency (the registered weighted
+    * query pins exactly that flip). Weight 1 everywhere degenerates to
+    * [[adviseLayout]] — same arithmetic, same frame.
+    */
+  def adviseLayoutWeighted(
+      spark: SparkSession, root: String,
+      layouts: Seq[(String, Int)],
+      workload: Seq[(Seq[(String, Long, Long)], Long)]): DataFrame = {
     // advisor contract: a workload is a non-empty bag of queries, each a
-    // non-empty conjunction of bands — anything else has no scan bill to
-    // rank by, so fail with the contract named instead of the opaque
-    // empty.reduce error the Seq#reduce calls below would raise
-    require(layouts.nonEmpty && workload.nonEmpty && workload.forall(_.nonEmpty),
-      "adviseLayout contract: layouts and workload must be non-empty, and " +
-        "every workload query must carry at least one (column, lo, hi) band")
+    // non-empty conjunction of bands at a positive replay weight —
+    // anything else has no scan bill to rank by, so fail with the
+    // contract named instead of the opaque empty.reduce error the
+    // Seq#reduce calls below would raise
+    require(layouts.nonEmpty && workload.nonEmpty &&
+        workload.forall { case (q, w) => q.nonEmpty && w > 0L },
+      "adviseLayout contract: layouts and workload must be non-empty, " +
+        "every workload query must carry at least one (column, lo, hi) " +
+        "band, and every replay weight must be positive")
     val ranked = layouts.map { case (label, v) =>
       val m = manifestFrame(spark, s"$root/m/v=$v")
-      val admits = workload.map(_.map { case (c, lo, hi) =>
-        col(s"max_$c") >= lo && col(s"min_$c") <= hi
-      }.reduce(_ && _))
+      val admits = workload.map { case (q, wt) =>
+        (q.map { case (c, lo, hi) =>
+          col(s"max_$c") >= lo && col(s"min_$c") <= hi
+        }.reduce(_ && _), wt)
+      }
       m.agg(
         count(lit(1)).as("files_total"),
-        admits.map(p => sum(when(p, 1L).otherwise(0L))).reduce(_ + _)
-          .as("files_admitted"),
-        admits.map(p => sum(when(p, col("n_rows")).otherwise(0L)))
-          .reduce(_ + _).as("rows_scanned"),
+        admits.map { case (p, wt) => sum(when(p, lit(wt)).otherwise(0L)) }
+          .reduce(_ + _).as("files_admitted"),
+        admits.map { case (p, wt) =>
+          sum(when(p, lit(wt) * col("n_rows")).otherwise(0L))
+        }.reduce(_ + _).as("rows_scanned"),
         sum(col("n_rows")).as("rows_total"))
         .withColumn("layout", lit(label))
     }.reduce(_ unionByName _)
@@ -2283,18 +2303,35 @@ object Cdc {
     */
   def adviseLayoutLogged(
       spark: SparkSession, root: String,
-      layouts: Seq[(String, Int)], logDir: String): DataFrame = {
+      layouts: Seq[(String, Int)], logDir: String,
+      weighted: Boolean = false): DataFrame = {
+    // each read logs one row PER BAND per issue, so duplicate counts on
+    // a (qid, band) row ARE the observed replay counts. weighted=false
+    // collapses them (the workload as a SET of query shapes — the
+    // io_cdc_layout_advise_logged contract); weighted=true prices each
+    // qid at its logged frequency. The grouped count runs engine-side;
+    // the collect is |distinct log rows| — metadata-sized by
+    // construction.
     val logged = spark.read.parquet(logDir)
-      .select("qid", "col_name", "lo", "hi")
-      .distinct() // replayed reads log identical rows; the workload is a
-      // SET of query shapes, not a traffic count — weighting by
-      // frequency would also be legitimate, but the registered contract
-      // pins the set semantics
+      .groupBy("qid", "col_name", "lo", "hi")
+      .agg(count(lit(1)).as("w"))
       .collect()
-      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+      .map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3)), r.getLong(4)))
     val workload = logged.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.map(_._2).sortBy(_._1).toSeq }
-    adviseLayout(spark, root, layouts, workload)
+      .map { case (qid, rows) =>
+        val wts = rows.map(_._3).distinct
+        // bands of one read are logged atomically (one append per read,
+        // all bands in it), so unequal counts within a qid mean the log
+        // mixes different query shapes under one id — refuse loudly
+        // rather than guess a weight
+        require(wts.size == 1,
+          s"workload log $logDir: qid $qid has bands with differing " +
+            s"replay counts ${rows.map(r => (r._2, r._3)).mkString(", ")} " +
+            "— one qid must mean one query shape issued atomically")
+        (rows.map(_._2).sortBy(_._1).toSeq, if (weighted) wts.head else 1L)
+      }
+    adviseLayoutWeighted(spark, root, layouts, workload)
   }
 
   /** Registered logged-advisor chain: the two mixed-workload reads are
@@ -2324,6 +2361,41 @@ object Cdc {
         .close()
     }
     adviseLayoutLogged(spark, scratch, zedLayouts, logDir)
+  }
+
+  /** Registered weighted-advisor chain: the SAME two mixed-workload
+    * band shapes, but the doc_id box is issued three times for every
+    * n_chars band (each read logging through the `workloadLog` sink),
+    * and the advisor prices qids at their logged frequency
+    * (`weighted = true`). The point is the DECISION, not the numbers:
+    * at 1:1 the per-dimension mix favors the equi-depth Z layout
+    * (io_cdc_layout_advise_mixed); at 3:1 the hot doc_id band drags
+    * the bill toward the 1-D doc_id sort — the flip a set-semantics
+    * advisor can never see. The oracle replays the weighted ranking
+    * with the 3× multiplier inlined, so the hash pins capture →
+    * frequency → flipped winner in one artifact.
+    */
+  def layoutAdviceWeighted(
+      spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
+    zorderEdStore(spark, docs, scratch)
+    val logDir = s"$scratch/wlog3"
+    val (dlo, dhi) = zoneBand(docs)
+    val (nlo, nhi) = nCharsBand(docs)
+    buildOnce(spark, s"$scratch#wlog3", s"$logDir/_logged") {
+      val fs = new org.apache.hadoop.fs.Path(logDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(logDir), true)
+      (1 to 3).foreach { _ =>
+        readVersion(spark, scratch, 6, idRange = Some((dlo, dhi)),
+          workloadLog = Some((logDir, 0L)))
+      }
+      readVersion(spark, scratch, 6,
+        statRange = Some(("n_chars", nlo, nhi)),
+        workloadLog = Some((logDir, 1L)))
+      fs.create(new org.apache.hadoop.fs.Path(s"$logDir/_logged"), true)
+        .close()
+    }
+    adviseLayoutLogged(spark, scratch, zedLayouts, logDir, weighted = true)
   }
 
   /** Apply an advice frame's winner as a rewrite-only commit — the

@@ -1047,4 +1047,43 @@ class CdcSpec extends GraftSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(log === Set((0L, "doc_id"), (1L, "n_chars")))
   }
+
+  test("weighted logged advisor prices observed frequency and equals the " +
+      "hand-fed weighted advisor; unweighted read of the same log still " +
+      "matches set semantics") {
+    val docs = Tables.load(spark, sf, "documents")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wlog3").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[Long]("files_total"),
+        r.getAs[Long]("files_admitted"), r.getAs[Long]("rows_scanned"),
+        r.getAs[Long]("rows_total"), r.getAs[Long]("rank"))).toSet
+    val weighted = rows(Cdc.layoutAdviceWeighted(spark, docs, root))
+    val (dlo, dhi) = Cdc.zoneBand(docs)
+    val (nlo, nhi) = Cdc.nCharsBand(docs)
+    val handFed = rows(Cdc.adviseLayoutWeighted(spark, root, Cdc.zedLayouts,
+      Seq((Seq(("doc_id", dlo, dhi)), 3L), (Seq(("n_chars", nlo, nhi)), 1L))))
+    assert(weighted === handFed && weighted.nonEmpty,
+      "log-fed weighted advice must equal the hand-fed 3:1 workload")
+    // the same 3:1 log read UNWEIGHTED collapses to the 1:1 mixed advice
+    // — duplicate rows carry frequency only when asked for
+    val unweighted =
+      rows(Cdc.adviseLayoutLogged(spark, root, Cdc.zedLayouts,
+        s"$root/wlog3"))
+    assert(unweighted === rows(Cdc.layoutAdviceMixed(spark, docs, root)),
+      "set semantics must be frequency-blind over the weighted log")
+    // a qid whose band rows disagree on replay count is a contract
+    // violation the weighted read refuses loudly
+    import spark.implicits._
+    val bad = java.nio.file.Files
+      .createTempDirectory("graft_wlog_bad").toString
+    Seq((0L, "doc_id", 1L, 9L), (0L, "doc_id", 1L, 9L),
+      (0L, "n_chars", 2L, 8L))
+      .toDF("qid", "col_name", "lo", "hi").write.mode("append").parquet(bad)
+    val e = intercept[IllegalArgumentException] {
+      Cdc.adviseLayoutLogged(spark, root, Cdc.zedLayouts, bad,
+        weighted = true)
+    }
+    assert(e.getMessage.contains("differing"))
+  }
 }

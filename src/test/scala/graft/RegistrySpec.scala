@@ -138,7 +138,7 @@ class RegistrySpec extends GraftSpec {
       // arithmetic like the advisor they feed
       "sim_ann_ivfpq_purged", "sim_ann_ivfpq_purged_compacted",
       "dedup_incremental_purged", "io_cdc_layout_advise_logged",
-      "io_cdc_optimize_auto_keep")
+      "io_cdc_layout_advise_weighted", "io_cdc_optimize_auto_keep")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }
