@@ -1236,7 +1236,7 @@ object ExtensionQueries {
     * always corpus-wide — recall is judged against ALL vectors even when
     * training saw only the base).
     */
-  private def ivfPqRecallTailFrom(src: String, exactJoin: String = "") = s"""
+  private def ivfPqRecallCtesFrom(src: String, exactJoin: String = "") = s"""
         approx AS (
           SELECT qid, vec_id FROM (
             SELECT qid, vec_id,
@@ -1254,7 +1254,10 @@ object ExtensionQueries {
             SELECT qid, vec_id,
                    row_number() OVER (PARTITION BY qid
                                       ORDER BY dist, vec_id) AS rn
-            FROM l2) WHERE rn <= 10)
+            FROM l2) WHERE rn <= 10)"""
+
+  private def ivfPqRecallTailFrom(src: String, exactJoin: String = "") =
+    ivfPqRecallCtesFrom(src, exactJoin) + """
         SELECT e.qid,
                CAST(COUNT(*) AS BIGINT) AS n_exact,
                CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -2849,6 +2852,91 @@ object ExtensionQueries {
       oracle = Some(s"""
         ${ivfPqCtes(trainOnBase = true)},
         $ivfPqRecallTail""")),
+
+    // DRIFT-GATED REBUILD (r18) — the gauge turned into a DECISION, the
+    // ANN twin of io_cdc_optimize_auto's cost gate: one row with the
+    // appended index's overall recall in basis points (integer
+    // arithmetic, so DuckDB replays the decision itself, not just the
+    // gauge) and the action vs a 0.90 SLA floor. Quantized recall on
+    // this corpus sits far below 9000 bp at every harness SF, so the
+    // pinned action here is `rebuild`; the keep branch is pinned by
+    // sim_ann_rebuild_kept's 2000 bp floor below.
+    QuerySpec(
+      "sim_ann_rebuild_decision",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) * 8L / 10L
+        val path = scratchPath("ivfpq_rbd", dir)
+        Similarity.writeIvfPqIndexFull(e.filter(col("vec_id") < cut), path)
+        Similarity.appendIvfPqPostings(e.filter(col("vec_id") >= cut), path)
+        Similarity.annRebuildGateDecision(e, path, floorBp = 9000L)
+      },
+      benchmark = false, // re-trains + re-appends the fixture each run
+      oracle = Some(s"""
+        ${ivfPqCtes(trainOnBase = true)},
+        ${ivfPqRecallCtesFrom("ad")},
+        per AS (
+          SELECT e.qid,
+                 CAST(COUNT(*) AS BIGINT) AS n_exact,
+                 CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hit
+          FROM exact e LEFT JOIN approx a
+            ON e.qid = a.qid AND e.vec_id = a.vec_id
+          GROUP BY e.qid)
+        SELECT CAST(SUM(n_exact) AS BIGINT) AS n_exact,
+               CAST(SUM(n_hit) AS BIGINT) AS n_hit,
+               CAST((SUM(n_hit) * 10000) // SUM(n_exact) AS BIGINT)
+                 AS recall_bp,
+               CAST(9000 AS BIGINT) AS floor_bp,
+               CASE WHEN (SUM(n_hit) * 10000) // SUM(n_exact) < 9000
+                    THEN 'rebuild' ELSE 'keep' END AS action
+        FROM per""")),
+
+    // The rebuild branch APPLIED: gauge says the appended index is below
+    // the floor, so the gated call retrains BOTH codebooks on the
+    // current corpus, re-encodes every vector, and swaps the staged
+    // index in — after which the SAME serving read must be
+    // indistinguishable from an index trained on the full corpus
+    // in-plan. Oracle = the full-retrain IVFADC chain (ivfPqOracle),
+    // NOT the base-trained one — the hash proves the gate fired AND the
+    // swap actually replaced the drifted index (a keep, or a botched
+    // swap, would still hash like the appended chain and fail here).
+    QuerySpec(
+      "sim_ann_rebuild_applied",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) * 8L / 10L
+        val path = scratchPath("ivfpq_rba", dir)
+        Similarity.writeIvfPqIndexFull(e.filter(col("vec_id") < cut), path)
+        Similarity.appendIvfPqPostings(e.filter(col("vec_id") >= cut), path)
+        Similarity.annRebuildGated(e, path, floorBp = 9000L)
+      },
+      benchmark = false, // re-trains twice (fixture + gated rebuild)
+      oracle = ivfPqOracle),
+
+    // The keep branch APPLIED: a 0.20 floor sits below the measured
+    // recall at every harness SF, so the gate must touch NOTHING — the
+    // search hashes exactly like the frozen-codebook appended index
+    // (same oracle as sim_ann_ivfpq_appended). A rebuild fired by
+    // mistake would hash like the retrained chain and fail this pin.
+    QuerySpec(
+      "sim_ann_rebuild_kept",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) * 8L / 10L
+        val path = scratchPath("ivfpq_rbk", dir)
+        Similarity.writeIvfPqIndexFull(e.filter(col("vec_id") < cut), path)
+        Similarity.appendIvfPqPostings(e.filter(col("vec_id") >= cut), path)
+        Similarity.annRebuildGated(e, path, floorBp = 2000L)
+      },
+      benchmark = false, // re-trains + re-appends the fixture each run
+      oracle = Some(s"""
+        ${ivfPqCtes(trainOnBase = true)}
+        SELECT qid, vec_id, dist, rn FROM (
+          SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, vec_id) AS rn
+          FROM ad) WHERE rn <= 10""")),
 
     // Two-stage search (r15): ADC top-40 shortlist -> exact L2 re-rank
     // to top-10 — the standard recall fix for a quantized index.

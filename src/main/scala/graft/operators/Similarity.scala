@@ -1347,6 +1347,78 @@ object Similarity {
       .distinct()
       .write.mode("append").parquet(s"$indexDir/tombstones")
 
+  /** DRIFT-GATED REBUILD decision (r18) — the ANN-lifecycle twin of
+    * [[graft.operators.Cdc.optimizeGateDecision]]: appends quantize
+    * against codebooks trained before the delta existed, so recall
+    * decays monotonically-ish with drift ([[annRecallIvfPqAppended]] is
+    * the gauge this reads); the full retrain+re-encode that restores it
+    * is the one corpus-sized job the frozen-codebook discipline exists
+    * to avoid paying per batch. The gate makes "when" a decided,
+    * replayable fact instead of an operator's hunch: ONE row with the
+    * overall measured recall in basis points (integer arithmetic —
+    * hits × 10000 div exact — so the DuckDB oracle replays the decision
+    * itself) and the action `rebuild` iff recall_bp < floorBp (the SLA
+    * floor the serving contract promises). The gauge's cost is
+    * nQueries × corpus exact-L2 — the price every sim_recall gauge
+    * already pays, nothing corpus-quadratic.
+    */
+  def annRebuildGateDecision(
+      emb: DataFrame, indexDir: String, floorBp: Long,
+      k: Int = 10): DataFrame =
+    annRecallIvfPqAppended(emb, indexDir, k)
+      .agg(sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        expr("n_hit * 10000 div n_exact").as("recall_bp"),
+        lit(floorBp).as("floor_bp"),
+        when(expr("n_hit * 10000 div n_exact") < floorBp, lit("rebuild"))
+          .otherwise(lit("keep")).as("action"))
+
+  /** Full retrain + re-encode as a STAGED SWAP — the "pay the rebuild"
+    * arm of the drift gate: both codebooks retrain on the CURRENT
+    * corpus and every vector re-encodes, written whole into a staging
+    * dir and renamed over the old index (the delete-then-rename
+    * discipline every artifact rewrite here uses; searches race the
+    * swap, never read half an index on rename-atomic filesystems).
+    * Everything inside the old dir retires with it — including any
+    * standing tombstone set: the rebuild is FROM the current corpus, so
+    * purged rows (absent from `emb`) stay gone physically, which makes
+    * rebuild the third way a tombstone set resolves (read-side
+    * anti-join, compact, rebuild).
+    */
+  def rebuildIvfPqIndex(
+      emb: DataFrame, indexDir: String,
+      nCells: Int = 16, ivfIters: Int = 1,
+      m: Int = 8, nCents: Int = 16, pqIters: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = s"${indexDir}_rebuilding"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    writeIvfPqIndexFull(emb, staging, nCells, ivfIters, m, nCents, pqIters)
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(indexDir)),
+      s"rebuild swap failed: could not rename $staging to $indexDir")
+    indexBuilt.put(indexDir, true)
+  }
+
+  /** The gated rebuild APPLIED, returning the post-action search: gauge
+    * → decide → (maybe) rebuild → serve. A `keep` decision touches
+    * nothing — the search is the appended frozen-codebook index
+    * verbatim; a `rebuild` decision leaves an index whose search is
+    * indistinguishable from one trained on the full corpus in-plan
+    * (the persisted-round-trip pin), which is exactly what the
+    * registered queries' two oracles check branch by branch.
+    */
+  def annRebuildGated(
+      emb: DataFrame, indexDir: String, floorBp: Long,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val action = annRebuildGateDecision(emb, indexDir, floorBp, k)
+      .head.getAs[String]("action")
+    if (action == "rebuild") rebuildIvfPqIndex(emb, indexDir)
+    annIvfPqAppended(emb, indexDir, nQueries, k)
+  }
+
   /** The IVFADC recall contract vs exact L2 (the metric PQ quantizes) —
     * the gate-checked number for the composed index: coarse pruning to
     * nProbe/nCells of the corpus costs recall on top of PQ's code

@@ -138,7 +138,12 @@ class RegistrySpec extends GraftSpec {
       // arithmetic like the advisor they feed
       "sim_ann_ivfpq_purged", "sim_ann_ivfpq_purged_compacted",
       "dedup_incremental_purged", "io_cdc_layout_advise_logged",
-      "io_cdc_layout_advise_weighted", "io_cdc_optimize_auto_keep")
+      "io_cdc_layout_advise_weighted", "io_cdc_optimize_auto_keep",
+      // r18 drift-gated rebuild: each run re-trains the fixture (and the
+      // applied branch retrains AGAIN inside the gate) — lifecycle
+      // correctness queries, not engine throughput
+      "sim_ann_rebuild_decision", "sim_ann_rebuild_applied",
+      "sim_ann_rebuild_kept")
     assert(excluded === ledger,
       s"unledgered exclusions: ${(excluded -- ledger) ++ (ledger -- excluded)}")
   }

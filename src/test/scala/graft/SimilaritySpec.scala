@@ -690,4 +690,63 @@ class SimilaritySpec extends GraftSpec {
     assert(Similarity.loadPostingsRaw(spark, dir).collect()
       .map(_.toSeq).toSet === before)
   }
+
+  test("drift-gated rebuild: keep touches nothing, rebuild equals in-plan " +
+    "full retrain and retires tombstones") {
+    import org.apache.spark.sql.functions.{col, max}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val top = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val cut = top * 8L / 10L
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rebuild").toString + "/index"
+    Similarity.writeIvfPqIndexFull(emb.filter(col("vec_id") < cut), dir)
+    Similarity.appendIvfPqPostings(emb.filter(col("vec_id") >= cut), dir)
+    // the decision row is the gauge's integer roll-up, and the action is
+    // a pure function of (recall_bp, floor): the same gauge must flip
+    // keep -> rebuild as the floor crosses the measured recall
+    val d = Similarity.annRebuildGateDecision(emb, dir, floorBp = 10001L)
+      .head
+    val recallBp = d.getAs[Long]("recall_bp")
+    assert(recallBp === d.getAs[Long]("n_hit") * 10000L /
+      d.getAs[Long]("n_exact"))
+    assert(d.getAs[String]("action") === "rebuild") // any index < 10001
+    assert(Similarity.annRebuildGateDecision(emb, dir, floorBp = recallBp)
+      .head.getAs[String]("action") === "keep") // floor at recall: serves
+    def postings() = Similarity.loadPostingsRaw(spark, dir).collect()
+      .map(_.toSeq).toSet
+    def search() = Similarity.annIvfPqAppended(emb, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // keep branch: the gated call returns the appended search and the
+    // artifact is bit-identical — nothing retrained, nothing swapped
+    val (p0, s0) = (postings(), search())
+    val kept = Similarity.annRebuildGated(emb, dir, floorBp = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(kept === s0 && postings() === p0,
+      "a keep decision must leave the index untouched")
+    // rebuild branch: retrain + re-encode + swap; the served search now
+    // equals the in-plan full-corpus training chain
+    val rebuilt =
+      Similarity.annRebuildGated(emb, dir, floorBp = 10001L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    val inPlan = Similarity.annIvfPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(rebuilt === inPlan && rebuilt.nonEmpty,
+      "post-rebuild serving must equal full-corpus in-plan training")
+    assert(!new java.io.File(s"${dir}_rebuilding").exists(),
+      "rebuild must not leave its staging dir behind")
+    // rebuild is the third tombstone resolution: purge, then rebuild
+    // from the surviving corpus — tombstones retire with the old dir
+    // and the purged rows are gone physically
+    val purged = emb.select(col("vec_id")).where(col("vec_id") % 10 === 3)
+    Similarity.purgeIvfPqPostings(spark, dir, purged)
+    assert(new java.io.File(s"$dir/tombstones").exists())
+    Similarity.rebuildIvfPqIndex(
+      emb.filter(col("vec_id") % 10 =!= 3), dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "rebuild from the surviving corpus must retire the tombstone set")
+    val purgedIds = purged.collect().map(_.getLong(0)).toSet
+    assert(!postings().exists(r => purgedIds(r.head.asInstanceOf[Long])),
+      "purged rows survived the rebuild physically")
+  }
 }
