@@ -1048,6 +1048,42 @@ class CdcSpec extends GraftSpec {
     assert(log === Set((0L, "doc_id"), (1L, "n_chars")))
   }
 
+  test("rtbfPurgeAll: one call purges the store AND both derived index " +
+    "artifacts, with the purge set read from each artifact itself") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rtbf_all").toString
+    val store = s"$root/store"
+    Cdc.versionedInit(spark, fixture2, store)
+    Cdc.versionedMerge(spark, store, 0, 1, Cdc.day1Rules)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val annDir = s"$root/ann"
+    graft.operators.Similarity.writeIvfPqIndexFull(emb, annDir)
+    val docs = Tables.load(spark, sf, "documents")
+    val dedupIdx = s"$root/dedup_idx"
+    graft.operators.Dedup.writeBucketIndex(
+      docs.select(col("doc_id"), col("text")), dedupIdx)
+    // fixture sanity: all three artifacts hold ids ≡ 0 (mod 7) before
+    def storeIds(v: Int) = Cdc.readVersion(spark, store, v)
+      .select("doc_id").collect().map(_.getLong(0))
+    def annServed = graft.operators.Similarity.annIvfPqAppended(emb, annDir)
+      .collect().map(_.getLong(1))
+    def dedupIds = spark.read.parquet(dedupIdx)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(storeIds(1).exists(_ % 7 == 0) && annServed.exists(_ % 7 == 0) &&
+      dedupIds.exists(_ % 7 == 0), "vacuous fixture")
+    Cdc.rtbfPurgeAll(spark, store, Seq(0, 1), 7L, 0L,
+      annIndexDir = Some(annDir), dedupIndexDir = Some(dedupIdx))
+    // store: gone from every version's read
+    (0 to 1).foreach(v => assert(!storeIds(v).exists(_ % 7 == 0)))
+    // ann: tombstoned — unsearchable through every persisted path now,
+    // physical removal deferred to the compact cadence
+    assert(new java.io.File(s"$annDir/tombstones").exists())
+    assert(!annServed.exists(_ % 7 == 0))
+    // dedup bucket index: swept physically (staged rewrite)
+    assert(!dedupIds.exists(_ % 7 == 0) && dedupIds.nonEmpty)
+  }
+
   test("weighted logged advisor prices observed frequency and equals the " +
       "hand-fed weighted advisor; unweighted read of the same log still " +
       "matches set semantics") {

@@ -2051,6 +2051,45 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("ann-index maintenance: streamed micro-batches land in replay slots, " +
+    "the fold serves base ∪ streamed exactly") {
+    import StreamingQueries.AnnVec
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val top = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val (cut, mid) = (top * 8L / 10L, top * 9L / 10L)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ann_stream").toString
+    val (dir, streamRoot) = (s"$root/index", s"$root/window")
+    Similarity.writeIvfPqIndexFull(emb.filter(col("vec_id") < cut), dir)
+    def vecsOf(df: DataFrame): Seq[AnnVec] = df
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => AnnVec(r.getLong(0), r.getSeq[Float](1))).toSeq
+    val b1 = vecsOf(emb.filter(col("vec_id") >= cut && col("vec_id") < mid))
+    val b2 = vecsOf(emb.filter(col("vec_id") >= mid))
+    val input = MemoryStream[AnnVec]
+    val q = StreamingQueries.annIndexMaintained(
+      spark, input.toDS(), dir, streamRoot).start()
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // each micro-batch externalized one batch-keyed replay slot
+    val parts = new java.io.File(streamRoot).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts === Set("batch=0", "batch=1"))
+    // the fold set-merges the window into the served artifact; frozen
+    // codebooks make the result row-identical to one-shot indexing of
+    // the full corpus, so the SEARCH is too
+    Similarity.foldStreamPostings(spark, dir, streamRoot)
+    assert(!new java.io.File(streamRoot).exists())
+    def ranked(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val served = ranked(Similarity.annIvfPqAppended(emb, dir))
+    assert(served === ranked(Similarity.annIvfPqPersisted(emb, dir)) &&
+      served.nonEmpty,
+      "stream-maintained index must serve exactly the one-shot search")
+  }
+
   test("synthetic generators match the producer record shape") {
     assert(TickSource.rateSynthetic(spark).schema.fieldNames.toSeq ===
       Seq("ticker", "price", "utc"))
