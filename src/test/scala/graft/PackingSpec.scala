@@ -426,4 +426,28 @@ class PackingSpec extends GraftSpec {
       s"batches fill on this corpus: expected k/batchSize = 2 passes, " +
         s"got delta=$pd recount=$pr")
   }
+
+  test("k64 trainer arm=auto picks the measured winner by corpus size; " +
+    "an unknown arm is refused") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sf, "documents")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_bpe_arm").toString
+    // the spec corpus sits far below bpeDeltaMinChars (the measured
+    // crossover bracket is 24-48M chars), so auto must take the recount
+    // arm — visible in the artifact suffix the recount path writes
+    assert(docs.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))).head.getLong(0) <
+      TextAnalysis.bpeDeltaMinChars)
+    TextAnalysis.bpeTrainK64(spark, docs, scratch, k = 8, batchSize = 4)
+    assert(new java.io.File(s"$scratch/bpe_merges_k8_recount").exists(),
+      "auto below the crossover must select the recount arm")
+    assert(!new java.io.File(s"$scratch/bpe_merges_k8").exists())
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrainK64(spark, docs, scratch, k = 8, batchSize = 4,
+        arm = "bogus")
+    }
+    assert(e.getMessage.contains("auto|delta|recount"))
+  }
 }
