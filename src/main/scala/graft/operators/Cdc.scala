@@ -383,6 +383,21 @@ object Cdc {
       .filter(_.split('/').last.startsWith("part-")).sorted.toSeq
   }
 
+  /** Lang discovery from the directories a write just created — a
+    * metadata listing, not a corpus scan (the dynamic-partition writer
+    * emits exactly one `lang=<l>` dir per distinct lang present). The
+    * pre-r18 commits each ran a `select(lang).distinct().collect()` job
+    * over the committed frame for the same answer.
+    */
+  private def dataLangs(spark: SparkSession, dataDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case s if s.startsWith("lang=") => s.stripPrefix("lang=") }
+      .sorted.toSeq
+  }
+
   /** Per-file zone-map columns every manifest row carries beside `path`
     * (lang is the manifest's PARTITION column): min/max of the store's
     * natural key and of its size column, plus the file's row count —
@@ -411,23 +426,70 @@ object Cdc {
     if (files.isEmpty)
       return Seq.empty[(String, String, Long, Long, Long, Long, Long)]
         .toDF("lang" +: "path" +: manifestStatCols: _*)
-    def tail2(p: String): String = p.split('/').takeRight(2).mkString("/")
-    val stats: Map[String, (Long, Long, Long, Long, Long)] =
-      spark.read.parquet(files.map(_._2): _*)
-        .groupBy(regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1)
-          .as("fkey"))
-        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
-          min(col("n_chars")).as("mnc"), max(col("n_chars")).as("mxc"),
-          count(lit(1)).as("n"))
-        .collect()
-        .map(r => r.getString(0) ->
-          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-            r.getLong(5))))
-        .toMap
-    files.map { case (l, p) =>
-      val (mn, mx, mnc, mxc, n) = stats(tail2(p))
-      (l, p, mn, mx, mnc, mxc, n)
-    }.toDF("lang" +: "path" +: manifestStatCols: _*)
+    // Zone maps come from the parquet FOOTERS of the just-written files,
+    // not a second data-sized read: the writer already serialized exact
+    // per-row-group min/max/rowCount for the INT64 stat columns, so the
+    // commit's stats pass is |files| footer reads (KB each) instead of
+    // re-decoding every written byte through a shuffle-agg job (guide
+    // §6 — this is what a table format's committer does; the r18
+    // baseline priced the re-read form at ~0.3-0.5 s per commit across
+    // ~40 commits of setup chains). Footer reads are driver-side and
+    // parallelized over a small pool; at production file counts the
+    // stats would instead be captured from the write tasks themselves —
+    // this form already never touches data bytes. INT64 footer stats
+    // are exact (no truncation, unlike binary stats); a file missing
+    // stats for either column (foreign writer, all-null chunk) fails
+    // loudly rather than inventing a zone map — the store's writers
+    // always produce them (doc_id/n_chars are non-null by the store
+    // contract).
+    val conf = spark.sessionState.newHadoopConf()
+    def footerStats(p: String): (Long, Long, Long, Long, Long) = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        require(!blocks.isEmpty, s"manifest stats: $p has zero row groups")
+        var (mn, mx, mnc, mxc, n) =
+          (Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue, 0L)
+        blocks.forEach { b =>
+          n += b.getRowCount
+          b.getColumns.forEach { c =>
+            val name = c.getPath.toDotString
+            if (name == "doc_id" || name == "n_chars") {
+              val st = c.getStatistics
+              require(st != null && st.hasNonNullValue && st.getNumNulls == 0,
+                s"manifest stats: $p column $name lacks exact footer " +
+                  "min/max — the store writer always produces them")
+              val lo = st.genericGetMin.asInstanceOf[Number].longValue
+              val hi = st.genericGetMax.asInstanceOf[Number].longValue
+              if (name == "doc_id") {
+                mn = math.min(mn, lo); mx = math.max(mx, hi)
+              } else {
+                mnc = math.min(mnc, lo); mxc = math.max(mxc, hi)
+              }
+            }
+          }
+        }
+        (mn, mx, mnc, mxc, n)
+      } finally reader.close()
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, files.size))
+    val rows =
+      try files.map { case (l, p) =>
+        pool.submit(new java.util.concurrent.Callable[
+          (String, String, Long, Long, Long, Long, Long)] {
+          def call() = {
+            val (mn, mx, mnc, mxc, n) = footerStats(p)
+            (l, p, mn, mx, mnc, mxc, n)
+          }
+        })
+      }.map(f => try f.get() catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      })
+      finally pool.shutdown()
+    rows.toDF("lang" +: "path" +: manifestStatCols: _*)
   }
 
   /** Persist a manifest frame partitionBy(lang): each partition's file
@@ -514,9 +576,18 @@ object Cdc {
         .write.mode("overwrite").partitionBy("lang").parquet(dataDir)
       return
     }
-    zoneGrid(df, zoneRows, sortCols) match {
+    // Materialize the input ONCE for the zoned path: zoneGrid and the
+    // final write evaluate the frame three times (bounds agg, cell-count
+    // agg, grouped write), and several callers hand in COMPUTED frames —
+    // the merge's anti-join∪union, the Z-order/equi-depth clustering
+    // keys — whose subtree would otherwise re-execute per pass (the r18
+    // baseline measured the equi-depth commit re-running its rank joins
+    // 3×). The checkpoint is corpus-sized but commit-local; it is
+    // dropped as soon as the write lands.
+    val src = df.localCheckpoint()
+    try zoneGrid(src, zoneRows, sortCols) match {
       case None => // TRULY empty commit: nothing to split
-        df.select(out.map(col): _*)
+        src.select(out.map(col): _*)
           .write.mode("overwrite").partitionBy("lang").parquet(dataDir)
       case Some(granked) =>
         granked
@@ -528,7 +599,7 @@ object Cdc {
           .write.mode("overwrite")
           .option("maxRecordsPerFile", zoneRows.toString)
           .partitionBy("lang").parquet(dataDir)
-    }
+    } finally src.unpersist(blocking = false)
   }
 
   /** Grid-key column names [[zoneGrid]] attaches (besides `__grp`) —
@@ -603,26 +674,17 @@ object Cdc {
       * residual degrades to the pre-r17 one-window behavior, never to
       * wrong boundaries.
       */
-    // Returns None when NO cell exceeds the threshold — the caller then
-    // skips the refinement joins entirely (and level 2 outright: sub-
-    // celling a grid with no heavy cells cannot create one, since the
-    // level-2 groups are sub-partitions of the same counts). Detection
-    // itself — one map-side-combinable agg to a cells-sized frame — is
-    // the unavoidable price of the guarantee; the common no-skew commit
-    // pays only that, never the join fan-out (the r17 bench measured the
-    // always-join version doubling zoned-write setup cost).
-    def refineHot(
-        d: DataFrame, keys: Seq[String], outCol: String): Option[DataFrame] = {
-      val hot = d.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__hn"),
-          min(col("__v")).as("__hv0"), max(col("__v")).as("__hv1"),
-          min(col("doc_id")).as("__hd0"), max(col("doc_id")).as("__hd1"))
-        .filter(col("__hn") > hotCellRows)
-        .drop("__hn")
-        .localCheckpoint() // materialized once: the emptiness probe and
-      // the refinement join must not re-run the corpus agg
-      if (hot.head(1).isEmpty) None
-      else Some(d.join(hot, keys, "left")
+    // The refinement sub-cell arithmetic shared by both levels: heavy
+    // single-valued cells split on doc_id intervals (the value is
+    // constant, so doc intervals ARE intervals of the sort order); heavy
+    // multi-valued ones split on primary-value intervals within their own
+    // [min, max]. Both rules are pure functions of STATE (no sampling),
+    // so file boundaries stay oracle-replayable; non-heavy rows keep
+    // sub-cell 0.
+    def refineJoin(
+        d: DataFrame, hot: DataFrame, keys: Seq[String],
+        outCol: String): DataFrame =
+      d.join(hot, keys, "left")
         .withColumn(outCol,
           when(col("__hv0").isNull, lit(0L)) // not a heavy cell
             .when(col("__hv0") === col("__hv1"), expr(
@@ -631,8 +693,7 @@ object Cdc {
             .otherwise(expr(
               s"(__v - __hv0) div " +
                 s"greatest(1L, (__hv1 - __hv0) div ${zoneSubCells}L + 1L)")))
-        .drop("__hv0", "__hv1", "__hd0", "__hd1"))
-    }
+        .drop("__hv0", "__hv1", "__hd0", "__hd1")
     // NULL primary values take the sentinel mn1 − 1: strictly below every
     // real value, so __v-ordering ≡ the writer's ascending NULLS FIRST
     // and NULL rows can share a grid cell with mn1 rows without breaking
@@ -643,21 +704,61 @@ object Cdc {
       .withColumn("__c1", expr(s"(__v - ${mn1}L) div ${w1}L"))
       .withColumn("__c2",
         if (useSub) expr(s"(doc_id - ${mnD}L) div ${wD}L") else lit(0L))
-    val cells = refineHot(base, Seq("lang", "__c1", "__c2"), "__r1") match {
-      case None =>
-        base.withColumn("__r1", lit(0L)).withColumn("__r2", lit(0L))
-      case Some(d1) =>
-        refineHot(d1, Seq("lang", "__c1", "__c2", "__r1"), "__r2")
-          .getOrElse(d1.withColumn("__r2", lit(0L)))
-    }
+    // ONE metadata-sized cell-counts agg (≤ zoneGridCells·zoneSubCells
+    // rows per lang, map-side combined) serves BOTH the hot-cell
+    // detection and — in the common skew-free case — the rank-start
+    // prefix sums: the pre-r18 shape ran detection and starts as TWO
+    // separate corpus-sized aggs of the same input, and the skew-free
+    // commit (every harness commit; any well-distributed production one)
+    // paid both. Level-2 detection (only reached when level 1 found a
+    // heavy cell) keeps its own agg — sub-partitioning the refined rows
+    // genuinely needs fresh counts there.
     val gridKeys = zoneGridKeys
-    val starts = cells.groupBy((("lang" +: gridKeys)).map(col): _*)
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__start", coalesce(sum(col("__cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-          .orderBy(gridKeys.map(col): _*)
-          .rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .drop("__cnt")
+    val cellCounts = base.groupBy(col("lang"), col("__c1"), col("__c2"))
+      .agg(count(lit(1)).as("__hn"),
+        min(col("__v")).as("__hv0"), max(col("__v")).as("__hv1"),
+        min(col("doc_id")).as("__hd0"), max(col("doc_id")).as("__hd1"))
+      .localCheckpoint() // materialized once: the emptiness probe, the
+    // refinement join, and the skew-free starts all reuse it
+    val hot1 = cellCounts.filter(col("__hn") > hotCellRows).drop("__hn")
+    val startsWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(gridKeys.map(col): _*)
+      .rowsBetween(Long.MinValue, -1)
+    val (cells, starts) =
+      if (hot1.head(1).isEmpty) {
+        // skew-free: no refinement join, and the starts table IS the
+        // cell-counts frame with the (constant-zero) refinement keys
+        // attached — zero additional corpus passes
+        (base.withColumn("__r1", lit(0L)).withColumn("__r2", lit(0L)),
+          cellCounts
+            .select(col("lang"), col("__c1"), col("__c2"),
+              lit(0L).as("__r1"), lit(0L).as("__r2"), col("__hn").as("__cnt"))
+            .withColumn("__start",
+              coalesce(sum(col("__cnt")).over(startsWindow), lit(0L)))
+            .drop("__cnt"))
+      } else {
+        val d1 = refineJoin(base, hot1, Seq("lang", "__c1", "__c2"), "__r1")
+        // level 2: fresh counts over the refined groups (rare path)
+        val hot2 = d1.groupBy(col("lang"), col("__c1"), col("__c2"),
+            col("__r1"))
+          .agg(count(lit(1)).as("__hn"),
+            min(col("__v")).as("__hv0"), max(col("__v")).as("__hv1"),
+            min(col("doc_id")).as("__hd0"), max(col("doc_id")).as("__hd1"))
+          .filter(col("__hn") > hotCellRows)
+          .drop("__hn")
+          .localCheckpoint()
+        val refined =
+          if (hot2.head(1).isEmpty) d1.withColumn("__r2", lit(0L))
+          else refineJoin(d1, hot2,
+            Seq("lang", "__c1", "__c2", "__r1"), "__r2")
+        (refined,
+          refined.groupBy((("lang" +: gridKeys)).map(col): _*)
+            .agg(count(lit(1)).as("__cnt"))
+            .withColumn("__start",
+              coalesce(sum(col("__cnt")).over(startsWindow), lit(0L)))
+            .drop("__cnt"))
+      }
     val rest = sortCols.drop(1)
     Some(cells.join(starts, "lang" +: gridKeys)
       .withColumn("__grp", expr(s"(__start - 1 + row_number() over (" +
@@ -675,9 +776,8 @@ object Cdc {
       spark: SparkSession, docs: DataFrame, root: String,
       zoneRows: Int = 0): Unit = {
     writeData(docs.select(storeCols.map(col): _*), s"$root/d0", zoneRows)
-    val langs = docs.select("lang").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    writeManifest(manifestEntries(spark, s"$root/d0", langs), s"$root/m/v=0")
+    writeManifest(manifestEntries(spark, s"$root/d0",
+      dataLangs(spark, s"$root/d0")), s"$root/m/v=0")
   }
 
   /** Read the store AS OF a version: the manifest names the files, the
@@ -1024,10 +1124,12 @@ object Cdc {
     val touched = logB.select("lang").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     // the touched-lang list prunes the parent MANIFEST partitions before
-    // any file list is collected (same discipline as mergeCommit)
+    // any file list is collected (same discipline as mergeCommit). No
+    // checkpoint: the as-of read feeds exactly one consumer (the
+    // anti-join∪union write below), so materializing it first was a
+    // pure extra pass per streamed commit.
     val cur = readVersion(spark, root, fromV, touched)
       .select("doc_id", "text", "lang", "source", "n_chars")
-      .localCheckpoint()
     cur.join(logB.where(col("op").isin("D", "U")).select("doc_id"),
         Seq("doc_id"), "left_anti")
       .unionByName(logB.where(col("op").isin("U", "I"))
@@ -1159,8 +1261,12 @@ object Cdc {
       .collect()
       .map(r => r.getAs[String]("lang") ->
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars")))).toMap
-    val parentLangs = spark.read.parquet(s"$root/m/v=$fromV")
-      .select("lang").distinct().collect().map(_.getString(0))
+    // the manifest is partitioned by lang, so the parent's lang set is a
+    // directory listing, not a scan job
+    val mp = new org.apache.hadoop.fs.Path(s"$root/m/v=$fromV")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val parentLangs = fs.listStatus(mp).map(_.getPath.getName)
+      .collect { case s if s.startsWith("lang=") => s.stripPrefix("lang=") }
     parentLangs.forall(l =>
       staged.get(l).exists { case (n, c) => n > 0 && c > 0 })
   }
@@ -1717,15 +1823,13 @@ object Cdc {
   def optimizeCommit(
       spark: SparkSession, root: String, fromV: Int, toV: Int,
       targetRows: Int): Unit = {
+    // no outer checkpoint: writeData materializes its input once for the
+    // zoned path, and lang discovery is an FS listing of the written dirs
     val cur = readVersion(spark, root, fromV)
       .select("doc_id", "text", "lang", "source", "n_chars")
-      .localCheckpoint() // read-then-overwrite barrier (d_toV is fresh,
-    // but the manifest listing must not observe the write)
-    val langs = cur.select("lang").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
     writeData(cur, s"$root/d$toV", targetRows)
-    writeManifest(manifestEntries(spark, s"$root/d$toV", langs),
-      s"$root/m/v=$toV")
+    writeManifest(manifestEntries(spark, s"$root/d$toV",
+      dataLangs(spark, s"$root/d$toV")), s"$root/m/v=$toV")
   }
 
   /** Registered OPTIMIZE query: the zoned store's v2 (128-row files)
@@ -1783,13 +1887,10 @@ object Cdc {
       targetRows: Int): Unit = {
     val cur = readVersion(spark, root, fromV)
       .select("doc_id", "text", "lang", "source", "n_chars")
-      .localCheckpoint()
-    val langs = cur.select("lang").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
     writeData(cur, s"$root/d$toV", targetRows,
       Seq("lang", "n_chars", "doc_id"))
-    writeManifest(manifestEntries(spark, s"$root/d$toV", langs),
-      s"$root/m/v=$toV")
+    writeManifest(manifestEntries(spark, s"$root/d$toV",
+      dataLangs(spark, s"$root/d$toV")), s"$root/m/v=$toV")
   }
 
   /** One-time build for the resort queries: the zoned store, its v3
@@ -1904,9 +2005,6 @@ object Cdc {
       targetRows: Int): Unit = {
     val cur = readVersion(spark, root, fromV)
       .select("doc_id", "text", "lang", "source", "n_chars")
-      .localCheckpoint()
-    val langs = cur.select("lang").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
     // quantization bounds span the whole state (not per lang) — the
     // oracle recomputes them from the same frame; the range-split zoned
     // write sorts by the Morton bucket (doc_id tiebreak keeps it total)
@@ -1914,8 +2012,8 @@ object Cdc {
     writeData(StorageLayout.zorderKeyed(cur, "doc_id", "n_chars", zorderBits),
       s"$root/d$toV", targetRows, Seq("lang", "zbucket", "doc_id"),
       outCols = storeCols)
-    writeManifest(manifestEntries(spark, s"$root/d$toV", langs),
-      s"$root/m/v=$toV")
+    writeManifest(manifestEntries(spark, s"$root/d$toV",
+      dataLangs(spark, s"$root/d$toV")), s"$root/m/v=$toV")
   }
 
   /** One-time build for the zorder queries: the resort chain plus the
@@ -2115,16 +2213,18 @@ object Cdc {
   def zorderEquiDepthCommit(
       spark: SparkSession, root: String, fromV: Int, toV: Int,
       targetRows: Int): Unit = {
+    // equi-depth keying is itself multi-pass over its input, so THIS
+    // commit keeps a checkpoint of the as-of read (the keying's rank
+    // joins re-read it several times); writeData then materializes the
+    // KEYED frame once more so the rank joins run a single time.
     val cur = readVersion(spark, root, fromV)
       .select("doc_id", "text", "lang", "source", "n_chars")
       .localCheckpoint()
-    val langs = cur.select("lang").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
     writeData(zorderEquiDepthKeyed(cur, zorderBits),
       s"$root/d$toV", targetRows, Seq("lang", "zbucket", "doc_id"),
       outCols = storeCols)
-    writeManifest(manifestEntries(spark, s"$root/d$toV", langs),
-      s"$root/m/v=$toV")
+    writeManifest(manifestEntries(spark, s"$root/d$toV",
+      dataLangs(spark, s"$root/d$toV")), s"$root/m/v=$toV")
   }
 
   /** One-time build: the zorder chain plus the v6 equi-depth commit. */
