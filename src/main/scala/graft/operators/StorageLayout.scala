@@ -35,11 +35,22 @@ object StorageLayout {
     val tag = Integer.toHexString(scratch.hashCode)
     val (ordersTbl, lineitemTbl) =
       (s"graft_orders_bucketed_$tag", s"graft_lineitem_bucketed_$tag")
-    orders.select("o_orderkey").write.mode("overwrite").format("parquet")
+    // Pre-shuffle each side into its bucket layout (repartition(n, key)
+    // uses the same hash as bucketBy): every write task then holds
+    // exactly ONE bucket and emits one sorted file, instead of every
+    // input task emitting a fragment of every bucket (guide §6 — the
+    // r18 baseline's layout was numTasks × nBuckets small files per
+    // table, and the merge join re-paid the fragmentation as per-file
+    // opens and a per-bucket sort-merge of 32 runs).
+    orders.select("o_orderkey")
+      .repartition(nBuckets, col("o_orderkey"))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$scratch/orders_bucketed")
       .saveAsTable(ordersTbl)
-    lineitem.select("l_orderkey").write.mode("overwrite").format("parquet")
+    lineitem.select("l_orderkey")
+      .repartition(nBuckets, col("l_orderkey"))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$scratch/lineitem_bucketed")
       .saveAsTable(lineitemTbl)
@@ -377,7 +388,9 @@ object StorageLayout {
   def bloomLookup(
       spark: SparkSession, docs: DataFrame, scratch: String): DataFrame = {
     val path = s"$scratch/snap"
-    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    // one file set per lang (see zorderLookup's write note)
+    docs.repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
     val snap = spark.read.parquet(path)
     // one bloom per partition directory — |langs| rows to the driver,
     // the same O(metadata) class as IVF centroids
@@ -413,7 +426,9 @@ object StorageLayout {
       spark: SparkSession, docs: DataFrame, scratch: String,
       lang: String = "en"): DataFrame = {
     val path = s"$scratch/docs_by_lang"
-    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    // one file set per lang (see zorderLookup's write note)
+    docs.repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
     spark.read.parquet(path)
       .where(col("lang") === lang)
       .groupBy(col("source"))
@@ -446,9 +461,10 @@ object StorageLayout {
     // correlate with source and starve one generation of the slice
     val coin = expr("cast(conv(substring(md5(cast(cast(doc_id as string) " +
       "as binary)), 1, 8), 16, 10) as bigint) % 2")
-    docs.where(coin === 0)
+    // one file set per partition value (see zorderLookup's write note)
+    docs.where(coin === 0).repartition(col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(g1)
-    docs.where(coin === 1)
+    docs.where(coin === 1).repartition(col("lang"), col("source"))
       .write.mode("overwrite").partitionBy("lang", "source").parquet(g2)
     def slice(path: String, gen: String) =
       spark.read.parquet(path)
@@ -574,8 +590,17 @@ object StorageLayout {
       spark: SparkSession, lineitem: DataFrame, scratch: String,
       bucketBits: Int = 6): DataFrame = {
     val path = s"$scratch/li_z"
+    // cluster the shuffle by the partition column before the dynamic-
+    // partition write: one file set per zbucket instead of every input
+    // task fragmenting every bucket (the r18 baseline wrote ~numTasks ×
+    // 2^bucketBits small files; the zone collect and the pruned read
+    // below re-paid that as footer opens). At production scale the
+    // writer pairs this with a rank split + maxRecordsPerFile exactly as
+    // Cdc.writeData does; at gauge scale one task per cell is the
+    // right shape.
     zorderKeyed(lineitem.select("l_orderkey", "l_partkey", "l_suppkey"),
       "l_partkey", "l_suppkey", bucketBits)
+      .repartition(col("zbucket"))
       .write.mode("overwrite").partitionBy("zbucket").parquet(path)
     val clustered = spark.read.parquet(path)
     val zones = clustered.groupBy(col("zbucket"))
