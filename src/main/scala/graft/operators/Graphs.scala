@@ -20,18 +20,32 @@ object Graphs {
     * lines-per-order (TPC-H ≤ 7 → ≤ 21 pairs per order), never
     * corpus-quadratic; the distinct collapses multiplicity.
     */
-  def coSupplierEdges(lineitem: DataFrame): DataFrame = {
-    val su = lineitem
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
-      .distinct()
-    // the distinct pair list feeds both union branches AND every
-    // downstream reference (degrees, orientation, closing joins) —
-    // identical subtrees under a Union get no runtime exchange reuse,
-    // so cut the lineage once (the pageRank/CC checkpoint discipline)
-    val pairs = su.as("a")
-      .join(su.as("b"),
-        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("src"), col("b.s").as("dst"))
+  def coSupplierEdges(lineitem: DataFrame): DataFrame =
+    coOccurrenceEdges(lineitem, "l_suppkey")
+
+  /** Distinct undirected co-occurrence pairs (src < dst) of `itemCol`
+    * values sharing an order, symmetrized. Pair enumeration rides the
+    * per-basket arrays of ONE groupBy (collect_set dedups within the
+    * basket; ≤ 7 lines/order bounds the C(k,2) explosion) instead of the
+    * pre-r18 distinct-project + ok-keyed self-join + distinct — that
+    * shape paid three data-sized exchanges and a sort-merge join where
+    * this one pays two exchanges (basket agg, pair distinct) and no join
+    * (guide §2.4; measured ~2 s of the 4.9 s triangle census at sf0.1
+    * was edge building). The distinct pair list is checkpointed once —
+    * it feeds both union branches and every downstream reference, and
+    * identical subtrees under a Union get no runtime exchange reuse.
+    */
+  private def coOccurrenceEdges(lineitem: DataFrame, itemCol: String): DataFrame = {
+    val pairs = lineitem
+      .select(col("l_orderkey").as("ok"), col(itemCol).as("x"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("x"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(xs) - 2), i ->
+             transform(sequence(i + 1, size(xs) - 1), j ->
+               struct(xs[i] AS src, xs[j] AS dst))))""")).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
       .localCheckpoint()
     pairs.unionByName(
@@ -57,18 +71,27 @@ object Graphs {
     */
   def pageRank(edges: DataFrame, iters: Int,
       scale: Long = 1000000L): DataFrame = {
-    val deg = edges.groupBy(col("src").as("node"))
+    // Establish the src partitioning ONCE (guide §2.4): the degree agg
+    // reuses it with no exchange, the deg attachment joins in place
+    // (deg's node-sized slice is the SHUFFLE-HASH build, so the edge
+    // stream is never sorted), and — because the checkpoint preserves
+    // the join's output partitioning — every round's rank join
+    // exchanges only the node-sized rank table, never the edges.
+    val e = edges.repartition(col("src")).localCheckpoint()
+    val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     // (src, dst, deg(src)) — constant across rounds, computed once
-    val withDeg = edges
-      .join(deg.select(col("node").as("src"), col("deg")), Seq("src"))
+    val withDeg = e
+      .join(deg.select(col("node").as("src"), col("deg"))
+        .hint("shuffle_hash"), Seq("src"))
       .localCheckpoint()
     var rank = deg.select(col("node"), lit(scale).as("pr"))
     (1 to iters).foreach { _ =>
       // both divisions are integral DIV (Spark's / on longs is float
       // division — never in the rank path)
       rank = withDeg
-        .join(rank.select(col("node").as("src"), col("pr")), Seq("src"))
+        .join(rank.select(col("node").as("src"), col("pr"))
+          .hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg((lit(15L * scale / 100L) +
           expr("(85 * sum(pr DIV deg)) DIV 100")).as("pr"))
@@ -121,10 +144,16 @@ object Graphs {
       maxInDegree: Int = 1 << 16): DataFrame = {
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-    // undirected once (src < dst), then orient by (deg, id)
+    // undirected once (src < dst), then orient by (deg, id). The degree
+    // table is node-sized; joining it SHUFFLE-HASH (build = deg's
+    // partition slice, a few bytes per node) spares the sort-merge's
+    // sort of the edge-sized stream on both keys (guide §3.1) — the
+    // edge stream is only ever hash-exchanged, never ordered.
     val und = edges.where(col("src") < col("dst"))
-      .join(deg.select(col("node").as("src"), col("deg").as("sd")), Seq("src"))
-      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), Seq("dst"))
+      .join(deg.select(col("node").as("src"), col("deg").as("sd"))
+        .hint("shuffle_hash"), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd"))
+        .hint("shuffle_hash"), Seq("dst"))
     val srcIsLo = col("sd") < col("dd") ||
       (col("sd") === col("dd") && col("src") < col("dst"))
     val oriented = und.select(
@@ -145,10 +174,16 @@ object Graphs {
               cast(node AS STRING), ' exceeds the $maxInDegree cap — ',
               'the arboricity bound no longer holds on this graph'))
             END"""))
+    // the closing joins attach each endpoint's in-neighbor array to the
+    // undirected edge stream — build side = inAdj's partition slice (the
+    // arboricity-bounded arrays the operator already assumes fit a
+    // task), so SHUFFLE-HASH again spares sorting the edge stream twice
     edges.where(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("w"))
-      .join(inAdj.select(col("node").as("u"), col("ins").as("iu")), Seq("u"))
-      .join(inAdj.select(col("node").as("w"), col("ins").as("iw")), Seq("w"))
+      .join(inAdj.select(col("node").as("u"), col("ins").as("iu"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(inAdj.select(col("node").as("w"), col("ins").as("iw"))
+        .hint("shuffle_hash"), Seq("w"))
       .select(col("u"), col("w"),
         explode(array_intersect(col("iu"), col("iw"))).as("v"))
   }
@@ -179,21 +214,8 @@ object Graphs {
     * ~0.5% of possible edges at sf0.1), which is what makes triangle
     * and neighborhood analytics on it scale-safe.
     */
-  def coPartEdges(lineitem: DataFrame): DataFrame = {
-    val su = lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
-    // same lineage cut as [[coSupplierEdges]] — the distinct pair list
-    // is the expensive subtree every downstream reference shares
-    val pairs = su.as("a")
-      .join(su.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst"))
-      .distinct()
-      .localCheckpoint()
-    pairs.unionByName(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
-  }
+  def coPartEdges(lineitem: DataFrame): DataFrame =
+    coOccurrenceEdges(lineitem, "l_partkey")
 
   /** Registered query: triangle census of the part co-occurrence graph
     * (the "frequently bought together" triad analysis).
@@ -256,12 +278,20 @@ object Graphs {
     * visited table, never the edge list. K rounds = K bounded shuffles.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    // Hash-partition the edge list by src ONCE and checkpoint: the
+    // pre-r18 loop re-shuffled (and re-sorted) the full edge list in
+    // EVERY round's frontier join; the checkpoint preserves the
+    // partitioning, so each round now exchanges only the node-sized
+    // frontier (guide §2.4 — one partitioning established once), and the
+    // frontier side is the SHUFFLE-HASH build (node-sized per
+    // partition), so the edge stream is never sorted either.
+    val e = edges.repartition(col("src")).localCheckpoint()
     var dist = seeds.select(col("node"), lit(0).as("dist"))
       .localCheckpoint()
     (1 to rounds).foreach { i =>
       val frontier = dist.where(col("dist") === i - 1)
-      val expanded = frontier
-        .join(edges, frontier("node") === edges("src"))
+      val expanded = frontier.hint("shuffle_hash")
+        .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node"), lit(i).as("dist"))
       dist = dist.unionByName(expanded)
         .groupBy("node").agg(min(col("dist")).as("dist"))

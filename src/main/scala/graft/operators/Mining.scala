@@ -68,10 +68,12 @@ object Mining {
     */
   def assocRules(baskets: DataFrame, minPairCount: Long = 2L): DataFrame = {
     val op = baskets
-    val pairs = op.as("a")
-      .join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+    // pair enumeration rides per-basket arrays (≤7 items/basket bounds
+    // C(k,2)) off ONE basket-keyed agg — the pre-r18 ok-keyed self-join
+    // paid a sort-merge join plus an extra exchange for the same
+    // explosion (the Graphs.coOccurrenceEdges move; guide §2.4)
+    val pairs = basketCombos2(op)
+      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minPairCount)
     val sup = op.groupBy(col("item")).agg(count(lit(1)).as("n"))
@@ -105,10 +107,10 @@ object Mining {
   def frequentTriples(baskets: DataFrame, minSupportBp: Long = 30L): DataFrame = {
     val op = baskets
     val nBaskets = broadcast(op.agg(count_distinct(col("ok")).as("n_baskets")))
-    val freqPairs = op.as("a")
-      .join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("pa"), col("b.item").as("pb"))
+    // level-2 counts off per-basket arrays (see assocRules) — no
+    // self-join
+    val freqPairs = basketCombos2(op)
+      .groupBy(col("p.item_a").as("pa"), col("p.item_b").as("pb"))
       .agg(count(lit(1)).as("n"))
       .crossJoin(nBaskets)
       .where(expr(s"(10000 * n) DIV n_baskets >= $minSupportBp"))
@@ -117,16 +119,40 @@ object Mining {
       .unionByName(freqPairs.select(col("pb").as("item")))
       .distinct()
     val pruned = op.join(broadcast(candidateItems), Seq("item"), "left_semi")
-    pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
-      .join(pruned.as("c"),
-        col("a.ok") === col("c.ok") && col("b.item") < col("c.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"),
-        col("c.item").as("item_c"))
+    // level-3 explosion likewise rides the (pruned) per-basket arrays:
+    // C(k,3) ≤ 35 rows per basket replaces the pre-r18 THREE-table
+    // ok-keyed self-join (two sort-merge joins over the basket stream)
+    pruned
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_list(col("item"))).as("xs"))
+      .filter(size(col("xs")) >= 3)
+      .select(explode(expr(
+        """flatten(flatten(transform(sequence(0, size(xs) - 3), i ->
+             transform(sequence(i + 1, size(xs) - 2), j ->
+               transform(sequence(j + 1, size(xs) - 1), k ->
+                 struct(xs[i] AS item_a, xs[j] AS item_b,
+                        xs[k] AS item_c))))))""")).as("t"))
+      .groupBy(col("t.item_a").as("item_a"), col("t.item_b").as("item_b"),
+        col("t.item_c").as("item_c"))
       .agg(count(lit(1)).as("n_abc"))
       .crossJoin(nBaskets)
       .withColumn("support_bp", expr("(10000 * n_abc) DIV n_baskets"))
       .where(col("support_bp") >= minSupportBp)
   }
+
+  /** Ordered item pairs within each basket, exploded from one
+    * basket-keyed agg: `p.item_a < p.item_b` by the sorted-array
+    * construction (baskets are distinct (ok, item), so collect_list has
+    * no duplicates and sort_array gives strict order). One exchange —
+    * the pre-r18 ok-keyed self-join paid a second one plus the
+    * sort-merge machinery for the identical C(k,2) explosion.
+    */
+  private def basketCombos2(op: DataFrame): DataFrame =
+    op.groupBy(col("ok"))
+      .agg(sort_array(collect_list(col("item"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(xs) - 2), i ->
+             transform(sequence(i + 1, size(xs) - 1), j ->
+               struct(xs[i] AS item_a, xs[j] AS item_b))))""")).as("p"))
 }
