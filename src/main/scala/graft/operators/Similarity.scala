@@ -691,17 +691,20 @@ object Similarity {
     val sub = dim / m
     var cents = pqCodebook(emb, nCents)
     for (_ <- 1 to iters) {
-      val melted = scaledLongs(emb, dim).select(col("vec_id"),
-        posexplode(array((0 until dim).map(i => col(s"x_$i")): _*))
-          .as(Seq("i", "sx")))
-      val codes = pqCodesWith(emb, cents, m).select(col("vec_id"),
-        posexplode(array((0 until m).map(s => col(s"code_$s")): _*))
-          .as(Seq("sub", "code")))
-      val sums = codes
-        .join(melted, codes("vec_id") === melted("vec_id") &&
-          (col("i") / sub).cast("int") === col("sub"))
-        .groupBy(col("code"), col("i"))
-        .agg(sum(col("sx")).as("s"), count(lit(1)).as("nn"))
+      // ONE assignment scan: each component rides out beside ITS
+      // subspace's argmin code as a (code, sx) struct, so the update
+      // sums need no second scan and no vec_id-keyed join of the melted
+      // components against the codes (the pre-r18 shape — two corpus
+      // scans plus a shuffle join per round for identical arithmetic)
+      val scaled = scaledLongs(emb, dim)
+      val sums = scaled
+        .select((Seq(col("vec_id")) ++ (0 until dim).map(i => col(s"x_$i"))
+          ++ pqBestStructs(cents, m, sub)): _*)
+        .select(posexplode(array((0 until dim).map(i =>
+          struct(col(s"best_${i / sub}.cent_id").as("code"),
+            col(s"x_$i").as("sx"))): _*)).as(Seq("i", "cs")))
+        .groupBy(col("cs.code").as("code"), col("i"))
+        .agg(sum(col("cs.sx")).as("s"), count(lit(1)).as("nn"))
         .collect()
         .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
         .toMap
@@ -1159,7 +1162,12 @@ object Similarity {
       m: Int = 8, nCents: Int = 16, pqIters: Int = 1): Unit = {
     writeIvfPqIndex(emb, indexDir, nCells, ivfIters, m, nCents, pqIters)
     val (ivfCents, pqCents) = loadIvfPqCodebooks(emb.sparkSession, indexDir)
+    // cluster the shuffle by the partition column: one posting file per
+    // cell instead of every scan task fragmenting every cell directory
+    // (guide §6) — a probed search then opens nProbe files, not
+    // nProbe × numTasks
     ivfPqPostings(emb, ivfCents, pqCents, m)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/postings")
   }
