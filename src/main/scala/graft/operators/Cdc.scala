@@ -860,10 +860,24 @@ object Cdc {
       // zero case costs no filesystem round trip.
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
-    manifest.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, rows) =>
-      spark.read.parquet(rows.map(_._2).sorted: _*)
-        .withColumn("lang", lit(lang))
-    }.reduce(_ unionByName _)
+    // ONE scan over the admitted files of ALL partitions, each row's
+    // lang re-attached by joining its file path against the manifest's
+    // own (path, lang) rows (broadcast, |files| entries — metadata). The
+    // pre-r18 shape unioned one scan leg PER LANG with lang as a
+    // literal: a 3-version manifest query ran 15 scans where this runs
+    // 3. The join, not a `lang=` path regex, because RTBF replacement
+    // files live under `purge/fidx=N/` — only the manifest knows their
+    // partition. Paths normalize URI-scheme-free on both sides
+    // (input_file_name yields file:///, the listing file:/).
+    import spark.implicits._
+    val pathLang = manifest
+      .map { case (l, p) => (new java.net.URI(p).getPath, l) }
+      .toSeq.toDF("__p", "lang")
+    spark.read.parquet(manifest.map(_._2).sorted: _*)
+      .withColumn("__p",
+        regexp_replace(input_file_name(), "^[a-zA-Z0-9.+-]+:/+", "/"))
+      .join(broadcast(pathLang), Seq("__p"))
+      .drop("__p")
   }
 
   /** Commit version `toV` on top of `fromV`: apply one day's rules to
