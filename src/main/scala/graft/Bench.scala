@@ -276,8 +276,13 @@ object Bench {
     // total line both before streaming (kill-proof) and last (tail-window-
     // proof; the driver's tail-parse tolerates multiple lines).
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"setup_total":$setupTotal,"stats_s":$statsS,$calJson,"queries":${obj(mins)},"queries_warm":${obj(minsWarm)},"setup_s":${obj(setupTimes)},"families":${famObj(mins)},"families_warm":${famObj(minsWarm)},"reps_all":${objArr(acc)},"reps_warm_all":${objArr(accWarm)},"env":${env(loadMid)},"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","excluded":$excluded}""")
+    // The FINAL line must also carry the per-query maps: the driver tail-
+    // parses the LAST JSON line only, and r17/r18's short headline left
+    // its per-query/scaling channels empty (PERF per_query: {}). Same
+    // fields as the first full line, additions-only — totals and the
+    // early line are unchanged, so cross-round comparisons stay valid.
     def headline(): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"setup_total":$setupTotal,"stats_s":$statsS,$calJson,"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","nqueries":${mins.size},"env":${env(loadAvg)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"setup_total":$setupTotal,"stats_s":$statsS,$calJson,"sf":"$sfDir","reps":$reps,"warm_reps":$warmReps,"action":"noop-write","nqueries":${mins.size},"queries":${obj(mins)},"queries_warm":${obj(minsWarm)},"setup_s":${obj(setupTimes)},"families":${famObj(mins)},"env":${env(loadAvg)}}"""
     println(headline())
     Console.out.flush()
     // Optional deadline (seconds, from process start): when the elapsed
