@@ -867,18 +867,43 @@ object Cdc {
     // literal: a 3-version manifest query ran 15 scans where this runs
     // 3. The join, not a `lang=` path regex, because RTBF replacement
     // files live under `purge/fidx=N/` — only the manifest knows their
-    // partition. Paths normalize URI-scheme-free on both sides
-    // (input_file_name yields file:///, the listing file:/).
+    // partition. BOTH sides normalize through the SAME pattern
+    // ([[scanPathNormRe]]): the r18 form regex-stripped the scheme on
+    // the scan side but URI.getPath'd the manifest side, which drops
+    // the authority — on `s3a://bucket/…` the two sides disagree and an
+    // inner join would silently return ZERO rows. One textual pattern
+    // on both sides removes the divergence, and the left join below
+    // turns any residual mismatch into a loud per-row error instead of
+    // silent row loss (no extra pass — the null check rides the join's
+    // own projection).
     import spark.implicits._
     val pathLang = manifest
-      .map { case (l, p) => (new java.net.URI(p).getPath, l) }
-      .toSeq.toDF("__p", "lang")
+      .map { case (l, p) => (normalizeScanPath(p), l) }
+      .toSeq.toDF("__p", "__mlang")
     spark.read.parquet(manifest.map(_._2).sorted: _*)
       .withColumn("__p",
-        regexp_replace(input_file_name(), "^[a-zA-Z0-9.+-]+:/+", "/"))
-      .join(broadcast(pathLang), Seq("__p"))
-      .drop("__p")
+        regexp_replace(input_file_name(), scanPathNormRe, ""))
+      .join(broadcast(pathLang), Seq("__p"), "left")
+      .withColumn("lang", coalesce(col("__mlang"), raise_error(concat(
+        lit("as-of read: scanned file missing from the manifest after " +
+          "path normalization (join would have dropped the row): "),
+        col("__p")))))
+      .drop("__p", "__mlang")
   }
+
+  /** The ONE scan-path normalizer of the as-of read: strips
+    * `scheme:` / `scheme://authority` so `file:/a`, `file:///a`, and
+    * `s3a://bucket/a`-style URIs all reduce to the bare path. Applied
+    * TEXTUALLY IDENTICALLY on both join sides (regexp_replace on the
+    * scan's input_file_name, String.replaceFirst on the manifest's
+    * listing — both java.util.regex), so the two sides cannot diverge
+    * the way regex-vs-URI.getPath did on authority-bearing URIs.
+    */
+  private[graft] val scanPathNormRe: String =
+    "^[a-zA-Z][a-zA-Z0-9.+-]*:(//[^/]*)?"
+
+  private[graft] def normalizeScanPath(p: String): String =
+    p.replaceFirst(scanPathNormRe, "")
 
   /** Commit version `toV` on top of `fromV`: apply one day's rules to
     * the as-of dirty-partition view, write ONLY the rewritten partitions

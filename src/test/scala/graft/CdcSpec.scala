@@ -1122,4 +1122,30 @@ class CdcSpec extends GraftSpec {
     }
     assert(e.getMessage.contains("differing"))
   }
+
+  test("as-of scan-path normalizer strips scheme AND authority the same " +
+    "way on every URI shape the join can meet") {
+    // the r18 hazard: the scan side regex kept the authority while the
+    // manifest side's URI.getPath dropped it, so on authority-bearing
+    // URIs (s3a://bucket/…, hdfs://nn:8020/…) the inner join silently
+    // returned zero rows. One shared pattern must reduce every shape to
+    // the same bare path.
+    val shapes = Seq(
+      "file:/a/lang=en/part-0.parquet",       // Hadoop Path.toString
+      "file:///a/lang=en/part-0.parquet",     // input_file_name
+      "s3a://bucket/a/lang=en/part-0.parquet",
+      "hdfs://nn:8020/a/lang=en/part-0.parquet",
+      "/a/lang=en/part-0.parquet")            // already bare
+    assert(shapes.map(Cdc.normalizeScanPath).toSet ===
+      Set("/a/lang=en/part-0.parquet"),
+      "every URI shape must normalize to the same bare path")
+    // and the column-side normalizer is the SAME pattern applied by the
+    // same regex engine — pin the textual identity, not just behavior
+    import spark.implicits._
+    val viaColumn = shapes.toDF("p")
+      .select(org.apache.spark.sql.functions.regexp_replace(
+        $"p", Cdc.scanPathNormRe, "").as("n"))
+      .as[String].collect().toSet
+    assert(viaColumn === Set("/a/lang=en/part-0.parquet"))
+  }
 }
