@@ -68,6 +68,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Whole-stage-codegen compile cache (static conf, default 100
+      // entries): a 217-query interleaved pass generates thousands of
+      // distinct codegen units, so at the default size every rep of every
+      // query re-Janino-compiles its whole plan — pure fixed overhead
+      // that dwarfs the data work at the small SFs and is still dead
+      // weight at scale (the cache is keyed by generated SOURCE, so the
+      // entries are scale-independent; ~tens of KB of bytecode each).
+      // Env-parameterized for A/B (SPARK_GRAFT_CODEGEN_CACHE=100 restores
+      // the Spark default); this is a session-posture config, not a
+      // methodology change — timed regions, reps and queries unchanged.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

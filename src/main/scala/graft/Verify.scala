@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same codegen-cache posture as Bench (results are unaffected; this
+      // only skips re-compiling identical generated sources)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       // Write timestamps as INT64 micros (not INT96) so the driver's DuckDB
       // read of our result parquet sees the same type/values as its oracle.
